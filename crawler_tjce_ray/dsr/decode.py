@@ -1,0 +1,464 @@
+"""DSR page decoders — faithful reimplementation of the reference
+normalizers, one function per record type.
+
+The reference code is the conformance spec, including its quirks; each
+quirk is marked ``QUIRK`` with the reference file:line.  These are
+per-page pure functions; the Ray stage maps them over batches of pages
+(pages are self-contained: row 0 is always a full base row, so no
+cross-batch state is needed — SURVEY.md §2.2-M2).
+"""
+
+from __future__ import annotations
+
+import re
+from decimal import Decimal
+
+from crawler_tjce_ray.dsr import specs
+from crawler_tjce_ray.functions.format import finalize_precatorio, format_value
+from crawler_tjce_ray.functions.text import decode_unicode_escapes, is_precatorio_number
+
+# QUIRK (crawler/crawler.py:1251-1265): the reference writes the
+# aggregate-unwrapping regex as r"^[A-Za-z_0-9]+\\(([^)]+)\\)$" — the
+# doubled backslashes inside a raw string make it match a literal
+# backslash, so it NEVER matches real "Sum(table.col)" names.  Those
+# fall through to split(".")[-1], producing "col)" with a trailing
+# paren, which fails the api-name lookup; Sum(...)-wrapped columns are
+# therefore never resolved from data and keep their defaults.  This is
+# load-bearing for output parity and is reproduced exactly.
+_DEAD_AGG_RE = re.compile(r"^[A-Za-z_0-9]+\\(([^)]+)\\)$")
+
+
+def get_base_field_name(api_name: str) -> str:
+    """Parity: ``_get_base_field_name`` (crawler/crawler.py:1251-1265)."""
+    match = _DEAD_AGG_RE.match(api_name)
+    if match:
+        content = match.group(1)
+        if "." in content:
+            return content.split(".")[-1]
+        return content
+    if "." in api_name:
+        return api_name.split(".")[-1]
+    return api_name
+
+
+def navigate_envelope(resp_json: dict) -> dict | None:
+    """Envelope navigation → ``{selects, value_dicts, rows, rt, ic}``.
+
+    Returns ``None`` for structurally empty pages (missing data/dsr/
+    DS/PH/DM0, or the ``DM0 == [{}]`` empty-page marker).
+    Parity: crawler/crawler.py:712-786.
+    """
+    if not resp_json or not isinstance(resp_json, dict):
+        return None
+    try:
+        data = resp_json.get("results", [{}])[0].get("result", {}).get("data", {})
+    except (IndexError, AttributeError):
+        return None
+    if not data:
+        return None
+    dsr = data.get("dsr")
+    if not dsr:
+        return None
+    ds_list = dsr.get("DS", [])
+    if not ds_list:
+        return None
+    ds = ds_list[0]
+    ph_list = ds.get("PH", [])
+    if not ph_list:
+        return None
+    rows = ph_list[0].get("DM0")
+    if rows is None:
+        return None
+    if isinstance(rows, list) and len(rows) == 1 and not rows[0]:
+        rows = []  # empty page marker DM0=[{}]
+    return {
+        "selects": data.get("descriptor", {}).get("Select", []),
+        "value_dicts": ds.get("ValueDicts", {}),
+        "rows": rows if isinstance(rows, list) else [],
+        "rt": ds.get("RT"),
+        "ic": ds.get("IC"),
+    }
+
+
+def extract_restart_tokens(resp_json: dict):
+    """Pull ``RT`` (the pagination cursor) out of a page, or ``None``.
+
+    Parity: crawler/crawler.py:628-652.
+    """
+    try:
+        return resp_json["results"][0]["result"]["data"]["dsr"]["DS"][0].get("RT")
+    except (KeyError, IndexError, TypeError):
+        return None
+
+
+# ---------------------------------------------------------------------------
+# precatórios — config-driven decode (crawler/crawler.py:687-1106)
+# ---------------------------------------------------------------------------
+
+def decode_precatorios_page(
+    resp_json: dict,
+    starting_order_number: int = 0,
+    current_year: int | None = None,
+) -> tuple[list[dict], int]:
+    """One page → finalized precatório rows + the last order number.
+
+    Semantics reproduced exactly (all from crawler/crawler.py:687-1106):
+
+    * row defaults are pre-formatted per field config;
+    * base row: positional C↔S↔descriptor alignment, dictionary decode
+      with OOB→default, unicode-unescape then typed formatting;
+    * delta rows: ``R`` bit j set ⇒ inherit col j, clear ⇒ consume the
+      next sparse ``C`` element; missing ``R`` ⇒ inherit everything;
+    * QUIRK: columns whose descriptor name fails the api-name lookup
+      (all ``Sum(...)`` columns, see ``get_base_field_name``) are
+      skipped *before* the bit test, so they never consume a ``C``
+      element — later columns read shifted values;
+    * QUIRK: base rows unicode-unescape resolved values, delta rows do
+      not (crawler/crawler.py:885-893 vs 984-1034);
+    * rows failing model validation are dropped; surviving rows get a
+      sequential global ``ordem`` (crawler/crawler.py:1056-1057).
+    """
+    page = navigate_envelope(resp_json)
+    order = starting_order_number
+    if page is None or not page["rows"]:
+        return [], order
+    selects = page["selects"]
+    if not selects:
+        return [], order
+    value_dicts = page["value_dicts"]
+    api_map = {}
+    for api_name, cfg in specs.API_TO_CSV.items():
+        api_map[api_name] = cfg
+
+    # Pre-resolve column index -> csv config (same for every row).
+    col_cfg: list[dict | None] = []
+    for sel in selects:
+        base = get_base_field_name(sel.get("Name") or "")
+        col_cfg.append(api_map.get(base))
+
+    defaults = {
+        f: format_value(attrs.get("default"), attrs.get("type", "str"))
+        for f, attrs in specs.PRECATORIO_FIELD_MAPPING.items()
+    }
+
+    out: list[dict] = []
+    s_schema = None
+    last_row: dict = {}
+    for i, raw in enumerate(page["rows"]):
+        row = dict(defaults)
+        c_values = raw.get("C", [])
+        if i == 0:
+            s_schema = raw.get("S")
+            if not s_schema or not isinstance(s_schema, list):
+                break
+            if len(c_values) != len(s_schema):
+                last_row = {}
+                continue
+            for col_idx, schema_item in enumerate(s_schema):
+                if col_idx >= len(c_values) or col_idx >= len(selects):
+                    continue
+                cfg = col_cfg[col_idx]
+                if not cfg:
+                    continue
+                raw_value = c_values[col_idx]
+                dict_name = schema_item.get("DN")
+                val = None
+                resolved = False
+                if dict_name:
+                    try:
+                        idx = int(raw_value)
+                        vd = value_dicts.get(dict_name)
+                        if isinstance(vd, list) and 0 <= idx < len(vd):
+                            val = vd[idx]
+                            resolved = True
+                    except (ValueError, TypeError):
+                        pass
+                else:
+                    val = raw_value
+                    resolved = True
+                if resolved:
+                    decoded = decode_unicode_escapes(str(val)) if val is not None else None
+                    row[cfg["csv_field"]] = format_value(decoded, cfg["type"])
+            last_row = row.copy()
+        else:
+            if not s_schema:
+                break
+            if not last_row:
+                continue
+            rulifier = raw.get("R")
+            if rulifier is None:
+                row = last_row.copy()
+            else:
+                c_idx = 0
+                row = last_row.copy()
+                for col_idx, schema_item in enumerate(s_schema):
+                    if col_idx >= len(selects):
+                        continue
+                    cfg = col_cfg[col_idx]
+                    if not cfg:
+                        continue  # QUIRK: skipped before the bit test — no C consume
+                    field = cfg["csv_field"]
+                    ftype = cfg["type"]
+                    if not ((rulifier >> col_idx) & 1):
+                        if c_idx >= len(c_values):
+                            row[field] = last_row.get(field, format_value(cfg.get("default"), ftype))
+                            continue  # no consume
+                        raw_value = c_values[c_idx]
+                        if isinstance(raw_value, str):
+                            row[field] = format_value(raw_value, ftype)
+                        elif isinstance(raw_value, (int, float)):
+                            dict_name = schema_item.get("DN")
+                            if dict_name:
+                                vd = value_dicts.get(dict_name)
+                                if (
+                                    vd is not None
+                                    and isinstance(raw_value, int)
+                                    and 0 <= raw_value < len(vd)
+                                ):
+                                    row[field] = format_value(vd[raw_value], ftype)
+                                else:
+                                    row[field] = last_row.get(field, cfg.get("default"))
+                            else:
+                                row[field] = format_value(str(raw_value), ftype)
+                        else:
+                            row[field] = last_row.get(field, cfg.get("default"))
+                        c_idx += 1
+            last_row = row.copy()
+
+        final = finalize_precatorio(row, current_year)
+        if final is not None:
+            order += 1
+            final["ordem"] = order
+            out.append(final)
+    return out, order
+
+
+# ---------------------------------------------------------------------------
+# editais — positional decode (crawler/edital_crawler.py:416-634)
+# ---------------------------------------------------------------------------
+
+def _format_positional_value(value, field_type: str):
+    """Shared formatter of the edital/pagamento decoders.
+
+    Parity: ``_format_edital_value`` (crawler/edital_crawler.py:645-688)
+    and its byte-identical clone ``_format_pagamento_value``
+    (crawler/pagamentos_crawler.py:620-663).
+    """
+    if value is None:
+        return 0 if field_type in ("int", "float", "Decimal") else "-"
+    if isinstance(value, str) and not value.strip():
+        return 0 if field_type in ("int", "float", "Decimal") else "-"
+    try:
+        if field_type == "int":
+            if isinstance(value, str):
+                value = value.strip()
+                if not value or value == "-":
+                    return 0
+            return int(float(value))
+        if field_type == "float":
+            if isinstance(value, str):
+                value = value.strip()
+                if not value or value == "-":
+                    return 0.0
+            return float(value)
+        if field_type == "Decimal":
+            if isinstance(value, str):
+                value = value.strip()
+                if not value or value == "-":
+                    return Decimal("0.0")
+            return Decimal(str(value))
+        if isinstance(value, str):
+            return value.strip()
+        return str(value).strip()
+    except (ValueError, TypeError, ArithmeticError):
+        return 0 if field_type in ("int", "float", "Decimal") else "-"
+
+
+def _decode_dict_or_direct(raw_value, dict_name, value_dicts, field_type, check_precatorio):
+    """Dictionary-index vs direct-value disambiguation for positional decoders.
+
+    ``check_precatorio`` adds the edital guard: a direct string that
+    matches the process-number pattern bypasses the dictionary
+    (crawler/edital_crawler.py:520-543).
+    """
+    if dict_name and dict_name in value_dicts:
+        if check_precatorio and is_precatorio_number(str(raw_value)):
+            return _format_positional_value(raw_value, field_type)
+        try:
+            idx = int(raw_value)
+            if 0 <= idx < len(value_dicts[dict_name]):
+                return _format_positional_value(value_dicts[dict_name][idx], field_type)
+            return _format_positional_value("-", field_type)
+        except (ValueError, TypeError):
+            return _format_positional_value("-", field_type)
+    return _format_positional_value(raw_value, field_type)
+
+
+def decode_editais_page(resp_json: dict, prior_rows: list[dict] | None = None) -> list[dict]:
+    """One edital page → typed rows (appended to ``prior_rows`` copy).
+
+    Delta rows inherit from the *previous emitted output row*, which
+    crosses page boundaries in the reference (the decoder reads
+    ``normalized_rows[-1]``, crawler/edital_crawler.py:553-556) — so
+    multi-page decode must pass the accumulated rows in.  Final
+    ordering/sorting is the caller's job (the reference sorts by
+    ``ordem`` ascending at the end, crawler/edital_crawler.py:630-631).
+    """
+    out: list[dict] = list(prior_rows or [])
+    start_len = len(out)
+    page = navigate_envelope(resp_json)
+    if page is None or not page["rows"]:
+        return out[start_len:]
+    value_dicts = page["value_dicts"]
+    data_rows = page["rows"]
+    first = data_rows[0]
+    if not isinstance(first, dict) or "S" not in first or "C" not in first:
+        return out[start_len:]
+    schema_list = first.get("S", [])
+    if not schema_list or not first.get("C"):
+        return out[start_len:]
+    mapping = specs.EDITAL_FIELDS[: len(schema_list)]
+
+    for i, raw in enumerate(data_rows):
+        row: dict = {}
+        for name, ftype, _ in mapping:
+            row[name] = 0 if ftype in ("int", "float", "Decimal") else "-"
+        c_values = raw.get("C", [])
+        if i == 0:
+            if len(c_values) != len(mapping):
+                continue
+            for col_idx, (name, ftype, dict_name) in enumerate(mapping):
+                if col_idx >= len(c_values):
+                    continue
+                row[name] = _decode_dict_or_direct(
+                    c_values[col_idx], dict_name, value_dicts, ftype, check_precatorio=True
+                )
+        else:
+            rulifier = raw.get("R", 0)
+            prev = out[-1] if out else {}
+            row = dict(prev)
+            c_idx = 0
+            for col_idx, (name, ftype, dict_name) in enumerate(mapping):
+                if not (rulifier & (1 << col_idx)):
+                    if c_idx < len(c_values):
+                        row[name] = _decode_dict_or_direct(
+                            c_values[c_idx], dict_name, value_dicts, ftype, check_precatorio=True
+                        )
+                    else:
+                        row[name] = "-"
+                    c_idx += 1
+        # post-processing (crawler/edital_crawler.py:604-618)
+        if row.get("data_cadastro") == "-":
+            row["data_cadastro"] = ""
+        if row.get("valor") == 0:
+            row["valor"] = Decimal("0.0")
+        if row.get("ordem") == 0:
+            row["ordem"] = len(out) + 1
+        out.append(row)
+    return out[start_len:]
+
+
+# ---------------------------------------------------------------------------
+# pagamentos — positional decode, row 0 is schema-only
+# (crawler/pagamentos_crawler.py:418-618)
+# ---------------------------------------------------------------------------
+
+def decode_pagamentos_page(
+    resp_json: dict,
+    starting_order_number: int = 0,
+    prior_rows: list[dict] | None = None,
+) -> list[dict]:
+    """One pagamento page → typed rows.
+
+    QUIRK: the reference treats DM0 row 0 as schema-only and decodes
+    rows 1..n as deltas (crawler/pagamentos_crawler.py:525-527) — the
+    base row's values are never emitted.  The first delta row inherits
+    from defaults (or from the previous page's last output row).
+    ``ordem`` = ``starting_order_number + position`` across pages.
+    """
+    out: list[dict] = list(prior_rows or [])
+    start_len = len(out)
+    page = navigate_envelope(resp_json)
+    if page is None or not page["rows"]:
+        return out[start_len:]
+    value_dicts = page["value_dicts"]
+    data_rows = page["rows"]
+    first = data_rows[0]
+    if not isinstance(first, dict) or "S" not in first:
+        return out[start_len:]
+    schema_list = first.get("S", [])
+    if not schema_list:
+        return out[start_len:]
+    mapping = specs.PAGAMENTO_FIELDS[: len(schema_list)]
+
+    for _, raw in enumerate(data_rows[1:], 1):
+        row: dict = {}
+        for name, ftype, _ in mapping:
+            row[name] = 0 if ftype in ("int", "float", "Decimal") else "-"
+        c_values = raw.get("C", [])
+        rulifier = raw.get("R", 0)
+        if out:
+            row = dict(out[-1])
+        c_idx = 0
+        for col_idx, (name, ftype, dict_name) in enumerate(mapping):
+            if not (rulifier & (1 << col_idx)):
+                if c_idx < len(c_values):
+                    row[name] = _decode_dict_or_direct(
+                        c_values[c_idx], dict_name, value_dicts, ftype, check_precatorio=False
+                    )
+                else:
+                    row[name] = "-"
+                c_idx += 1
+        # post-processing (crawler/pagamentos_crawler.py:585-607)
+        if row.get("data_protocolo") == "-":
+            row["data_protocolo"] = ""
+        if row.get("data_pagamento") == "-":
+            row["data_pagamento"] = ""
+        if row.get("cpf_cnpj") == "-":
+            row["cpf_cnpj"] = ""
+        for f in (
+            "valor_bruto",
+            "previdencia",
+            "irrf",
+            "honorarios",
+            "valor_bruto_contratual",
+            "rra",
+            "valor_liquido",
+        ):
+            if row.get(f) == 0:
+                row[f] = Decimal("0.0")
+        row["ordem"] = starting_order_number + len(out)
+        out.append(row)
+    return out[start_len:]
+
+
+# ---------------------------------------------------------------------------
+# entity list (schemas/entity_mapping_crawler.py:123-160)
+# ---------------------------------------------------------------------------
+
+def decode_entities_page(resp_json: dict) -> list[str]:
+    """Entity-name distinct-values page → list of decoded names.
+
+    Values come either as ``DM0[i].G0`` or as ``C[0]``; surrounding
+    quotes are stripped, ``\\u00XX`` escapes fixed, and the exact
+    placeholder ``"--- selecione"`` (case-insensitive) dropped — note
+    the longer ``"--- Selecione a Entidade"`` placeholder does NOT
+    match and is kept, mirroring the reference's golden output.
+    """
+    entities: list[str] = []
+    try:
+        result_data = resp_json["results"][0]["result"]["data"]
+    except (KeyError, IndexError, TypeError):
+        return []
+    dsr = result_data.get("dsr", {})
+    for ds_item in dsr.get("DS", []):
+        for ph_item in ds_item.get("PH", []):
+            for dm0_item in ph_item.get("DM0", []):
+                value = dm0_item.get("G0")
+                if value is None and dm0_item.get("C"):
+                    value = dm0_item["C"][0]
+                if value:
+                    s = str(value).strip()
+                    if s and s.lower() != "--- selecione":
+                        entities.append(decode_unicode_escapes(s.strip("'")))
+    return entities
