@@ -90,10 +90,14 @@ PAGAMENTO_FIELDS = [
 
 PAGAMENTO_CSV_FIELDS = [name for name, _, _ in PAGAMENTO_FIELDS]
 
-# Descriptor Select names used by the synthetic corpus generator; the
-# precatório panel wraps aggregated columns in Sum(...) exactly like
-# the live API (examples/response.json descriptor).
-PRECATORIO_SELECT_NAMES = [
+# Descriptor Select names.  The live API wraps aggregated columns in
+# Sum(...) (examples/response.json), which the reference's broken
+# agg-unwrapping regex fails to resolve (see decode.get_base_field_name)
+# — those columns then keep their defaults.  The synthetic corpus
+# defaults to the PLAIN variant (every column resolves; the reference
+# decoder on the same bytes consumes every delta value identically),
+# and the SUM-wrapped variant is available to exercise the quirk.
+PRECATORIO_SELECT_NAMES_SUM = [
     "dfslcp_SAPRE_LISTA_CRONO_PRECATORIO.dfslcp_dsc_proc_precatorio",
     "Sum(dfslcp_SAPRE_LISTA_CRONO_PRECATORIO.dfslcp_num_ano_orcamento)",
     "dfslcp_SAPRE_LISTA_CRONO_PRECATORIO.dfslcp_dsc_natureza",
@@ -101,6 +105,19 @@ PRECATORIO_SELECT_NAMES = [
     "dfslcp_SAPRE_LISTA_CRONO_PRECATORIO.dfslcp_dsc_tipo_classificao",
     "Sum(dfslcp_SAPRE_LISTA_CRONO_PRECATORIO.dfslcp_vlr_original)",
     "Sum(dfslcp_SAPRE_LISTA_CRONO_PRECATORIO.dfslcp_num_ordem)",
+    "dfslcp_SAPRE_LISTA_CRONO_PRECATORIO.dfslcp_dsc_sit_precatorio",
+    "dfslcp_SAPRE_LISTA_CRONO_PRECATORIO.dfslcp_dsc_comarca",
+    "dfslcp_SAPRE_LISTA_CRONO_PRECATORIO.ValorAtualFormatado",
+]
+
+PRECATORIO_SELECT_NAMES_PLAIN = [
+    "dfslcp_SAPRE_LISTA_CRONO_PRECATORIO.dfslcp_dsc_proc_precatorio",
+    "dfslcp_SAPRE_LISTA_CRONO_PRECATORIO.dfslcp_num_ano_orcamento",
+    "dfslcp_SAPRE_LISTA_CRONO_PRECATORIO.dfslcp_dsc_natureza",
+    "dfslcp_SAPRE_LISTA_CRONO_PRECATORIO.dfslcp_dat_cadastro",
+    "dfslcp_SAPRE_LISTA_CRONO_PRECATORIO.dfslcp_dsc_tipo_classificao",
+    "dfslcp_SAPRE_LISTA_CRONO_PRECATORIO.dfslcp_vlr_original",
+    "dfslcp_SAPRE_LISTA_CRONO_PRECATORIO.dfslcp_num_ordem",
     "dfslcp_SAPRE_LISTA_CRONO_PRECATORIO.dfslcp_dsc_sit_precatorio",
     "dfslcp_SAPRE_LISTA_CRONO_PRECATORIO.dfslcp_dsc_comarca",
     "dfslcp_SAPRE_LISTA_CRONO_PRECATORIO.ValorAtualFormatado",

@@ -1,0 +1,70 @@
+"""The driver-facing query registry: name → callable(sf_dir) plus the
+matching DuckDB oracle SQL.
+
+Queries whose semantics DuckDB can express carry an oracle; genuinely
+non-SQL pipelines (DSR extraction, crawl traces, sketches) are listed
+without one and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+
+def build_queries() -> dict[str, Callable[[str], Any]]:
+    out: dict[str, Callable[[str], Any]] = {}
+
+    # crawl/extraction pipelines over the synthetic pages corpus
+    # (non-SQL: the DSR wire format is not expressible in DuckDB)
+    def _pages(sf_dir: str) -> str:
+        from crawler_tjce_ray.sources.pages import corpus_cache_dir
+
+        return corpus_cache_dir(n_entities=8, total_pages=40, rows_per_page=50, seed=42)
+
+    def q_extract_precatorios(sf_dir: str):
+        from crawler_tjce_ray.pipelines.extract_all import run_flagship
+
+        return run_flagship(_pages(sf_dir), current_year=2026)
+
+    def q_extract_editais(sf_dir: str):
+        from crawler_tjce_ray.pipelines.extract_all import assign_global_ordem, extract_records
+
+        return assign_global_ordem(extract_records(_pages(sf_dir), "editais"))
+
+    def q_extract_pagamentos(sf_dir: str):
+        from crawler_tjce_ray.pipelines.extract_all import assign_global_ordem, extract_records
+
+        return assign_global_ordem(extract_records(_pages(sf_dir), "pagamentos"))
+
+    out["crawl_extract_precatorios"] = q_extract_precatorios
+    out["crawl_extract_editais"] = q_extract_editais
+    out["crawl_extract_pagamentos"] = q_extract_pagamentos
+
+    from crawler_tjce_ray.pipelines import relational
+
+    out.update(relational.QUERIES)
+    try:
+        from crawler_tjce_ray.pipelines import dedup, similarity, textops
+
+        out.update(dedup.QUERIES)
+        out.update(similarity.QUERIES)
+        out.update(textops.QUERIES)
+    except ImportError:
+        pass
+    return out
+
+
+def build_oracle_sql() -> dict[str, str]:
+    from crawler_tjce_ray.pipelines import relational
+
+    sql = dict(relational.ORACLE_SQL)
+    try:
+        from crawler_tjce_ray.pipelines import dedup, similarity, textops
+
+        sql.update(dedup.ORACLE_SQL)
+        sql.update(similarity.ORACLE_SQL)
+        sql.update(textops.ORACLE_SQL)
+    except ImportError:
+        pass
+    return sql

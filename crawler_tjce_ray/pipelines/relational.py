@@ -1,0 +1,621 @@
+"""Relational operator suite over the TPC-H-ish tables, with DuckDB
+oracle SQL for the driver's correctness gate.
+
+Each query re-expresses a reference operator family (SURVEY.md §2) as
+a Ray Data pipeline and names every computed column identically to its
+oracle.  Scale notes are on each function: reads are column-pruned,
+small sides are broadcast (never shuffled), aggregates pre-combine
+per-batch where the key-space is small, and only provably small
+results are materialized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round2(x):
+    return float(np.round(x, 2))
+
+
+# ---------------------------------------------------------------------------
+# A: aggregations (A1-A5) — groupby + global aggregates
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style multi-aggregate (reference A-family: per-group
+    sums/counts).  Derived column inside map_batches (vectorized Arrow),
+    then a groupby over a 6-value key space — the shuffle moves only
+    pre-reduced partials thanks to Ray's hash-aggregate."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
+        out[c] = out[c].round(2)
+    out["count_order"] = out["count_order"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 2) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_groupby_count(sf_dir: str):
+    """A1/A4: count per group (the reference's per-fetch record counts
+    and invalid-reason histogram shape)."""
+    from ray.data.aggregate import Count
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderpriority"])
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_GROUPBY_COUNT = """
+SELECT o_orderpriority, COUNT(*) AS n FROM orders
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_distinct(sf_dir: str):
+    """A2/D1: distinct values (the entity-set union across pages)."""
+    from ray.data.aggregate import Count
+
+    out = (
+        _read(sf_dir, "customer", ["c_mktsegment"])
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()[["c_mktsegment"]]
+    )
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_DISTINCT = "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+
+def q_min_max_dates(sf_dir: str):
+    """A3/S5: global min/max over a timestamp column (the edital
+    last-updated probe, ds.min(\"warc_ts\") analog).  Partial min/max
+    per batch, final reduce over the tiny partials table."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "min_ts": [pc.min(t["ts"]).as_py()],
+            "max_ts": [pc.max(t["ts"]).as_py()],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"min_ts": [parts["min_ts"].min()], "max_ts": [parts["max_ts"].max()]})
+
+
+SQL_MIN_MAX = "SELECT MIN(ts) AS min_ts, MAX(ts) AS max_ts FROM events"
+
+
+# ---------------------------------------------------------------------------
+# O: sorts / limits / top-k (O1-O7)
+# ---------------------------------------------------------------------------
+
+def q_topk_orders(sf_dir: str):
+    """O1/O4: total-order sort + limit (pagination window).  The sort
+    key (price desc, key asc) is total, so the limit cut is exact."""
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(100)
+        .to_pandas()
+    )
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out
+
+
+SQL_TOPK = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_limit_window(sf_dir: str):
+    """O4: the page-window limit in ascending crawl order."""
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+        .sort(["o_orderdate", "o_orderkey"])
+        .limit(500)
+        .to_pandas()
+    )
+
+
+SQL_LIMIT_WINDOW = """
+SELECT o_orderkey, o_orderdate FROM orders
+ORDER BY o_orderdate, o_orderkey LIMIT 500
+"""
+
+
+def q_filter_range_agg(sf_dir: str):
+    """User-extension surface (main.py:698-729 apply_filters): range
+    predicates pushed into a vectorized batch filter, then aggregate."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_shipdate", "l_discount", "l_extendedprice"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
+            pc.and_(
+                pc.greater_equal(t["l_discount"], pa.scalar(0.02)),
+                pc.less_equal(t["l_discount"], pa.scalar(0.06)),
+            ),
+        )
+        t = t.filter(m)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    out = (
+        ds.map_batches(filt, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_FILTER_RANGE = """
+SELECT l_returnflag, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# J: joins / lookups (J1-J4) — broadcast small sides, never shuffle
+# ---------------------------------------------------------------------------
+
+def q_broadcast_join(sf_dir: str):
+    """J1/J2: slug↔name style broadcast lookup — the dimension table is
+    ray.put once and resolved per batch (no shuffle join)."""
+    import ray
+
+    region = _read(sf_dir, "region").to_pandas()
+    lookup_ref = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
+
+    def join(t: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        names = [lookup.get(k) for k in t["n_regionkey"].to_pylist()]
+        return t.append_column("r_name", pa.array(names, pa.string()))
+
+    out = (
+        _read(sf_dir, "nation", ["n_name", "n_regionkey"])
+        .map_batches(join, batch_format="pyarrow")
+        .to_pandas()[["n_name", "r_name"]]
+    )
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+SQL_BROADCAST_JOIN = """
+SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY n_name
+"""
+
+
+def q_join_agg(sf_dir: str):
+    """J1 + A: broadcast join then grouped aggregate (customers per
+    nation with balances)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def join(t: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        names = [lookup.get(k) for k in t["c_nationkey"].to_pylist()]
+        return t.append_column("n_name", pa.array(names, pa.string()))
+
+    out = (
+        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(join, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="num_customers"), Sum("c_acctbal", alias_name="total_acctbal"))
+        .to_pandas()
+    )
+    out["num_customers"] = out["num_customers"].astype("int64")
+    out["total_acctbal"] = out["total_acctbal"].round(2)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+SQL_JOIN_AGG = """
+SELECT n_name, COUNT(*) AS num_customers, ROUND(SUM(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_anti_join(sf_dir: str):
+    """D1/T5 analog: the URL-seen anti-join — membership set broadcast
+    (a sharded cuckoo filter at 10^10 scale; exact set here), filter
+    inside map_batches."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seen = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].tolist())
+    seen_ref = ray.put(seen)
+
+    def filt(t: pa.Table) -> pa.Table:
+        s = ray.get(seen_ref)
+        mask = [k not in s for k in t["o_custkey"].to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(filt, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_ANTI_JOIN = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# windows / ordering (O1, M7, §2.9 streaming semantics)
+# ---------------------------------------------------------------------------
+
+def q_topk_per_user(sf_dir: str):
+    """Frontier wave selection analog (O1): first k per partition key
+    in (ts, id) order — groupby(host).sort within group."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def head3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"]).head(3)
+
+    out = ds.groupby("user_id").map_groups(head3, batch_format="pandas").to_pandas()
+    return out.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+
+
+SQL_TOPK_PER_USER = """
+SELECT user_id, event_id, ts FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events) t
+WHERE rn <= 3 ORDER BY user_id, ts, event_id
+"""
+
+
+def q_resequence(sf_dir: str):
+    """M7: the global 1-based ``ordem`` resequencing after a total-order
+    sort, distributed as per-group ranks + a broadcast prefix-sum over
+    group counts (O(#groups) driver state — the same recipe
+    assign_global_ordem uses for pages)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    counts = ds.groupby("o_orderdate").aggregate(Count(alias_name="n")).to_pandas()
+    counts = counts.sort_values("o_orderdate")
+    counts["offset"] = counts["n"].cumsum().shift(fill_value=0)
+    offsets = dict(zip(counts["o_orderdate"], counts["offset"]))
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("o_orderkey").reset_index(drop=True)
+        g["ordem"] = offsets[g["o_orderdate"].iloc[0]] + np.arange(1, len(g) + 1)
+        return g[["ordem", "o_orderkey"]]
+
+    out = ds.groupby("o_orderdate").map_groups(rank_group, batch_format="pandas").to_pandas()
+    out["ordem"] = out["ordem"].astype("int64")
+    return out.sort_values("ordem").reset_index(drop=True)
+
+
+SQL_RESEQUENCE = """
+SELECT CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS ordem,
+       o_orderkey
+FROM orders ORDER BY ordem
+"""
+
+
+def q_hourly_window(sf_dir: str):
+    """§2.9 streaming-shaped: tumbling event-time window aggregate
+    (hour buckets × event type)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_start"] = df["ts"].dt.floor("h")
+        return df[["window_start", "event_type", "value"]]
+
+    out = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["total_value"] = out["total_value"].round(2)
+    return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+
+
+SQL_HOURLY_WINDOW = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# M: scalar-kernel parity queries (M5/M8/M10, §2.8)
+# ---------------------------------------------------------------------------
+
+def q_slugify(sf_dir: str):
+    """M8: slugify as a vectorized batch kernel, SQL-mirrored."""
+    from crawler_tjce_ray.functions.text import slugify
+
+    def add_slug(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["slug"] = df["c_name"].map(slugify)
+        return df
+
+    out = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(add_slug, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_SLUGIFY = """
+SELECT c_custkey, c_name,
+       trim(regexp_replace(regexp_replace(strip_accents(lower(c_name)),
+            '[^a-z0-9 \t-]', '', 'g'), '[- \t]+', '-', 'g'), '-') AS slug
+FROM customer ORDER BY c_custkey
+"""
+
+
+def q_digits_only(sf_dir: str):
+    """CPF/CNPJ digits-only cleaner (models/models.py:330-339)."""
+    from crawler_tjce_ray.functions.text import digits_only
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["digits"] = df["c_name"].map(digits_only)
+        return df
+
+    out = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(clean, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_DIGITS_ONLY = """
+SELECT c_custkey, c_name,
+       CASE WHEN regexp_replace(c_name, '[^0-9]', '', 'g') = '' THEN '-'
+            ELSE regexp_replace(c_name, '[^0-9]', '', 'g') END AS digits
+FROM customer ORDER BY c_custkey
+"""
+
+
+def q_zero_pad(sf_dir: str):
+    """M5 ``processo`` zero-pad-20 (crawler/crawler.py:114-117)."""
+    from crawler_tjce_ray.functions.text import zero_pad_processo
+
+    def pad(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["processo"] = df["o_orderkey"].map(zero_pad_processo)
+        return df
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(pad, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_ZERO_PAD = """
+SELECT o_orderkey, lpad(CAST(o_orderkey AS VARCHAR), 20, '0') AS processo
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def q_currency_brl(sf_dir: str):
+    """M10 currency display formatter (manual deterministic path)."""
+    from crawler_tjce_ray.functions.numeric import format_currency_brl
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["total_brl"] = df["o_totalprice"].map(format_currency_brl)
+        return df[["o_orderkey", "total_brl"]]
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(fmt, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_CURRENCY_BRL = """
+SELECT o_orderkey,
+       'R$ ' ||
+       replace(format('{:,}', CAST(floor(round(o_totalprice, 2)) AS BIGINT)), ',', '.') ||
+       ',' ||
+       lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0')
+       AS total_brl
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def q_date_render(sf_dir: str):
+    """dd/MM/yyyy date rendering (crawler/crawler.py:1141-1147)."""
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["display_date"] = df["o_orderdate"].dt.strftime("%d/%m/%Y")
+        return df[["o_orderkey", "display_date"]]
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+        .map_batches(fmt, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_DATE_RENDER = """
+SELECT o_orderkey, strftime(o_orderdate, '%d/%m/%Y') AS display_date
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def q_json_props(sf_dir: str):
+    """M1 analog: JSON path navigation with defaults, vectorized."""
+    import json
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["k"] = df["props"].map(lambda s: int(json.loads(s).get("k", -1)) if s else -1).astype("int64")
+        return df[["event_id", "k"]]
+
+    out = (
+        _read(sf_dir, "events", ["event_id", "props"])
+        .map_batches(extract, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_JSON_PROPS = """
+SELECT event_id,
+       COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), -1) AS k
+FROM events ORDER BY event_id
+"""
+
+
+def q_reason_histogram(sf_dir: str):
+    """M11/A4: validation-reason histogram (the legacy normalizer's
+    invalid-row report, script.py:654-691) over documents."""
+    from ray.data.aggregate import Count
+
+    def reason(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["reason"] = np.select(
+            [df["n_chars"] < 100, df["n_chars"] > 400, df["lang"] != "en"],
+            ["too_short", "too_long", "not_english"],
+            default="ok",
+        )
+        return df[["reason"]]
+
+    out = (
+        _read(sf_dir, "documents", ["n_chars", "lang"])
+        .map_batches(reason, batch_format="pandas")
+        .groupby("reason")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("reason").reset_index(drop=True)
+
+
+SQL_REASON_HISTOGRAM = """
+SELECT CASE WHEN n_chars < 100 THEN 'too_short'
+            WHEN n_chars > 400 THEN 'too_long'
+            WHEN lang != 'en' THEN 'not_english'
+            ELSE 'ok' END AS reason,
+       COUNT(*) AS n
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "groupby_count": q_groupby_count,
+    "distinct_values": q_distinct,
+    "min_max_dates": q_min_max_dates,
+    "topk_orders": q_topk_orders,
+    "limit_window": q_limit_window,
+    "filter_range_agg": q_filter_range_agg,
+    "broadcast_join": q_broadcast_join,
+    "join_agg": q_join_agg,
+    "anti_join_seen": q_anti_join,
+    "topk_per_user": q_topk_per_user,
+    "resequence_ordem": q_resequence,
+    "hourly_window": q_hourly_window,
+    "slugify_kernel": q_slugify,
+    "digits_only_kernel": q_digits_only,
+    "zero_pad_kernel": q_zero_pad,
+    "currency_brl_kernel": q_currency_brl,
+    "date_render_kernel": q_date_render,
+    "json_props_extract": q_json_props,
+    "reason_histogram": q_reason_histogram,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": SQL_PRICING,
+    "groupby_count": SQL_GROUPBY_COUNT,
+    "distinct_values": SQL_DISTINCT,
+    "min_max_dates": SQL_MIN_MAX,
+    "topk_orders": SQL_TOPK,
+    "limit_window": SQL_LIMIT_WINDOW,
+    "filter_range_agg": SQL_FILTER_RANGE,
+    "broadcast_join": SQL_BROADCAST_JOIN,
+    "join_agg": SQL_JOIN_AGG,
+    "anti_join_seen": SQL_ANTI_JOIN,
+    "topk_per_user": SQL_TOPK_PER_USER,
+    "resequence_ordem": SQL_RESEQUENCE,
+    "hourly_window": SQL_HOURLY_WINDOW,
+    "slugify_kernel": SQL_SLUGIFY,
+    "digits_only_kernel": SQL_DIGITS_ONLY,
+    "zero_pad_kernel": SQL_ZERO_PAD,
+    "currency_brl_kernel": SQL_CURRENCY_BRL,
+    "date_render_kernel": SQL_DATE_RENDER,
+    "json_props_extract": SQL_JSON_PROPS,
+    "reason_histogram": SQL_REASON_HISTOGRAM,
+}

@@ -1,0 +1,152 @@
+"""Stateless extraction stages: pages (url, html) → typed record rows.
+
+This is the M1-M6 parse stage of SURVEY.md §2.2 re-expressed as
+``map_batches`` callables over zero-copy Arrow batches.  Pages are
+self-contained (row 0 of every DSR page is a full base row), so the
+stage needs no cross-batch state and parallelizes freely — the key
+architectural difference from the reference's sequential loop
+(crawler/crawler.py:556-677).
+
+The callables are classes so the (tiny) setup — schema objects, the
+pinned ``current_year`` — happens once per actor; they also work as
+plain stateless tasks since they hold no mutable state.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+import pyarrow as pa
+
+from crawler_tjce_ray.dsr.decode import (
+    decode_editais_page,
+    decode_pagamentos_page,
+    decode_precatorios_page,
+)
+
+_DECIMAL = pa.decimal128(18, 2)
+
+PRECATORIO_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("ordem", pa.int64()),
+        ("processo", pa.string()),
+        ("comarca", pa.string()),
+        ("ano_orcamento", pa.int32()),
+        ("natureza", pa.string()),
+        ("data_cadastro", pa.timestamp("ms")),
+        ("tipo_classificacao", pa.string()),
+        ("valor_original", _DECIMAL),
+        ("valor_atual", _DECIMAL),
+        ("situacao", pa.string()),
+    ]
+)
+
+EDITAL_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("ordem", pa.int64()),
+        ("ano_orcamento", pa.int32()),
+        ("natureza", pa.string()),
+        ("data_cadastro", pa.string()),
+        ("precatorio", pa.string()),
+        ("status", pa.string()),
+        ("valor", _DECIMAL),
+    ]
+)
+
+PAGAMENTO_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("ordem", pa.int64()),
+        ("quantidade", pa.int32()),
+        ("modalidade", pa.string()),
+        ("natureza", pa.string()),
+        ("exercicio", pa.int32()),
+        ("data_protocolo", pa.string()),
+        ("precatorio", pa.string()),
+        ("credor_beneficiario", pa.string()),
+        ("tipo", pa.string()),
+        ("data_pagamento", pa.string()),
+        ("cpf_cnpj", pa.string()),
+        ("valor_bruto", _DECIMAL),
+        ("previdencia", _DECIMAL),
+        ("irrf", _DECIMAL),
+        ("honorarios", _DECIMAL),
+        ("valor_bruto_contratual", _DECIMAL),
+        ("rra", _DECIMAL),
+        ("valor_liquido", _DECIMAL),
+    ]
+)
+
+
+def classify_url(url: str) -> str | None:
+    """Record type carried by a page url, or None for non-DSR pages."""
+    for kind in ("precatorios", "editais", "pagamentos", "entities"):
+        if f"/{kind}/" in url:
+            return kind
+    return None
+
+
+class _ExtractBase:
+    """Shared per-page JSON decode loop.
+
+    The per-batch cost is dominated by ``json.loads`` of the ~50-500 KB
+    envelopes; rows-per-page (≈500) times pages-per-batch stays well
+    under block limits.  ``exercicio``-style int coercion happens via
+    the Arrow schema cast at table construction.
+    """
+
+    schema: pa.Schema = None
+    empty_marker_col = "ordem"
+
+    def __init__(self, current_year: int | None = None):
+        self.current_year = current_year or datetime.now().year
+
+    def decode_page(self, resp: dict) -> list[dict]:
+        raise NotImplementedError
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_rows: list[dict] = []
+        urls = batch["url"]
+        htmls = batch["html"]
+        for i in range(len(batch)):
+            url = urls[i].as_py()
+            resp = json.loads(htmls[i].as_py())
+            for row in self.decode_page(resp):
+                row["url"] = url
+                out_rows.append(row)
+        return pa.Table.from_pylist(out_rows, schema=self.schema)
+
+
+class ExtractPrecatorios(_ExtractBase):
+    schema = PRECATORIO_SCHEMA
+
+    def decode_page(self, resp):
+        rows, _ = decode_precatorios_page(resp, 0, self.current_year)
+        return rows
+
+
+class ExtractEditais(_ExtractBase):
+    schema = EDITAL_SCHEMA
+
+    def decode_page(self, resp):
+        # in-page sort by ordem asc (the reference's final sort,
+        # crawler/edital_crawler.py:630-631, applied page-locally;
+        # global order is re-established by assign_global_ordem)
+        return sorted(decode_editais_page(resp), key=lambda r: r.get("ordem", 0))
+
+
+class ExtractPagamentos(_ExtractBase):
+    schema = PAGAMENTO_SCHEMA
+
+    def decode_page(self, resp):
+        return decode_pagamentos_page(resp, 0)
+
+
+def filter_kind(batch: pa.Table, kind: str) -> pa.Table:
+    """Vectorized url-substring filter for one record type."""
+    import pyarrow.compute as pc
+
+    return batch.filter(pc.match_substring(batch["url"], f"/{kind}/"))

@@ -1,0 +1,64 @@
+"""Mini-driver: run every SQL-expressible query through Ray AND DuckDB
+at sf0.001 and require identical results (the driver's correctness
+gate, emulated: column-name alignment + order-insensitive value equality).
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_pandas(obj):
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if hasattr(obj, "to_pandas"):
+        return obj.to_pandas()
+    raise TypeError(type(obj))
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _pairs():
+    from crawler_tjce_ray.pipelines import registry
+
+    queries = registry.build_queries()
+    sql = registry.build_oracle_sql()
+    return [(name, queries[name], sql[name]) for name in sql if name in queries]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", [n for n, *_ in _pairs()])
+def test_query_matches_oracle(name, oracle):
+    pairs = {n: (q, s) for n, q, s in _pairs()}
+    q, sql = pairs[name]
+    mine = _normalize(_to_pandas(q(SF_DIR)))
+    ref = _normalize(oracle.execute(sql).df())
+    assert list(mine.columns) == list(ref.columns), (
+        f"{name}: columns {list(mine.columns)} vs {list(ref.columns)}"
+    )
+    assert len(mine) == len(ref), f"{name}: rows {len(mine)} vs {len(ref)}"
+    pd.testing.assert_frame_equal(mine, ref, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
