@@ -76,7 +76,9 @@ def corpus_cache_dir(
     skip synthesis)."""
     import shutil
 
-    key = f"e{n_entities}_p{total_pages}_r{rows_per_page}_s{seed}"
+    from crawler_tjce_ray.dsr.synth import CORPUS_FORMAT_VERSION
+
+    key = f"v{CORPUS_FORMAT_VERSION}_e{n_entities}_p{total_pages}_r{rows_per_page}_s{seed}"
     out = os.path.join(base, key)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
