@@ -1,0 +1,192 @@
+"""Benchmark driver: headline crawl (frontier-scheduled fetch+parse
+URLs/s, the BASELINE.json metric) + representative query suite over
+``$GRAFT_SF_DIR``.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "headline": {...}}
+
+``--scaling`` runs the headline job twice in FRESH processes
+(num_cpus=8 then 32) on the same input and reports both throughputs +
+scaling efficiency (the sandbox evidence for the north rule's N→4N
+criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+# bench corpus: wide waves over ~2k concurrent cursor chains
+# (chain-parallelism is the throughput ceiling: restart-token pagination
+# advances each chain ONE page per wave, exactly like the reference's
+# sequential cursor loop — so the bench corpus is wide, with a skewed
+# dominant host still holding a 5% share + the Zipf tail).
+BENCH_CORPUS = dict(
+    n_entities=2048, total_pages=8192, rows_per_page=384, seed=42,
+    dominant_share=0.05,
+)
+BENCH_MAX_WAVES = 12
+
+# representative queries (excludes the O(n²) all-pairs verifier kernel,
+# which is demonstrated at sf0.01 by the correctness gate instead)
+BENCH_QUERIES = [
+    "pricing_summary",
+    "join_agg",
+    "topk_per_user",
+    "resequence_ordem",
+    "hourly_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "token_count",
+    "text_quality",
+    "lang_id_confusion",
+    "doc_fingerprint",
+]
+
+
+def _init_ray() -> int:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return num_cpus
+
+
+def _bench_seeds() -> list[str]:
+    """Seed list = the three global chains + every entity chain head
+    (the full-seed configuration; entity discovery through the
+    entity-list chain is exercised by the correctness tests instead —
+    here it would serialize the ramp-up and measure the corpus, not
+    the engine)."""
+    from crawler_tjce_ray.dsr.synth import entity_hosts, entity_names
+    from crawler_tjce_ray.functions.text import slugify
+    from crawler_tjce_ray.pipelines.crawl import default_seeds
+
+    n = BENCH_CORPUS["n_entities"]
+    return default_seeds() + [
+        f"https://{h}/powerbi/precatorios/{slugify(name)}/page/0"
+        for name, h in zip(entity_names(n), entity_hosts(n))
+    ]
+
+
+def run_headline(workdir: str, num_cpus: int) -> dict:
+    """Frontier crawl end-to-end: seed → waves of seen-filter → fetch
+    (politeness) → DSR parse/extract → records, checkpoint per wave.
+    Corpus synthesis and the page-store layout are cached outside the
+    timed section (they model the web, not the engine)."""
+    from crawler_tjce_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from crawler_tjce_ray.sources.pages import corpus_cache_dir
+    from crawler_tjce_ray.stages.fetch import build_page_store
+
+    pages = corpus_cache_dir(**BENCH_CORPUS)
+    store = build_page_store(pages, pages.rstrip("/") + "_store")
+    cfg = CrawlConfig(
+        wave_size=4096, per_host_budget=4096, max_waves=BENCH_MAX_WAVES,
+        fetch_concurrency=min(16, max(4, num_cpus // 2)),
+        fetch_batch_size=64,
+    )
+    t0 = time.perf_counter()
+    res = run_crawl(pages, workdir, seeds=_bench_seeds(), config=cfg,
+                    store_dir=store)
+    dt = time.perf_counter() - t0
+    fetched = int((res.trace["status"] == "ok").sum())
+    rows = sum(m.get("fetched_ok", 0) for m in res.metrics) * BENCH_CORPUS["rows_per_page"]
+    return {
+        "urls_fetched": fetched,
+        "waves": res.waves_run,
+        "seconds": round(dt, 3),
+        "urls_per_sec": round(fetched / dt, 2),
+        "rows_extracted": rows,
+        "rows_per_sec": round(rows / dt, 1),
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from crawler_tjce_ray.pipelines.registry import build_queries
+
+    qs = build_queries()
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main_once(sf_dir: str, headline_only: bool = False) -> dict:
+    num_cpus = _init_ray()
+    workdir = f"/tmp/crawler_tjce_bench/cpus{num_cpus}"
+    headline = run_headline(workdir, num_cpus)
+    queries = {} if headline_only else run_queries(sf_dir)
+    total = headline["seconds"] + sum(queries.values())
+    return {
+        "metric": "frontier fetch+parse URLs/s + query suite wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "headline": headline,
+    }
+
+
+def main_scaling(sf_dir: str) -> dict:
+    """Same headline job at num_cpus=8 and 32 in fresh processes."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one-headline"],
+            env=env, capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    tp8 = results[8]["headline"]["urls_per_sec"]
+    tp32 = results[32]["headline"]["urls_per_sec"]
+    eff = (tp32 / tp8) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (headline crawl, 8→32 cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {},
+        "sf": sf_dir,
+        "num_cpus": 32,
+        "throughput_8cpu_urls_per_sec": tp8,
+        "throughput_32cpu_urls_per_sec": tp32,
+        "scaling_efficiency": round(eff, 3),
+        "speedup": round(tp32 / tp8, 3),
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    if "--scaling" in sys.argv:
+        out = main_scaling(sf_dir)
+    elif "--one-headline" in sys.argv:
+        out = main_once(sf_dir, headline_only=True)
+    else:
+        out = main_once(sf_dir)
+    print(json.dumps(out))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()

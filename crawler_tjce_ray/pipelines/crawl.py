@@ -28,11 +28,33 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
+
+try:
+    from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+except ImportError:  # pragma: no cover
+    # aiohttp is absent here, so this import always fails — and Ray's
+    # write_parquet re-attempts it per call, which under concurrent
+    # writes raises a plain ImportError (failed-module retry) that Ray
+    # does not catch (it only catches ModuleNotFoundError).  Install a
+    # stub with a sentinel class so the check is deterministic and
+    # thread-safe; isinstance against the sentinel is always False.
+    import sys as _sys
+    import types as _types
+
+    _stub = _types.ModuleType("fsspec.implementations.http")
+
+    class _NoHTTPFileSystem:
+        pass
+
+    _stub.HTTPFileSystem = _NoHTTPFileSystem
+    _sys.modules["fsspec.implementations.http"] = _stub
 
 from crawler_tjce_ray.stages.extract import (
     ExtractEditais,
@@ -52,6 +74,18 @@ _EXTRACTORS = {
     "editais": ExtractEditais,
     "pagamentos": ExtractPagamentos,
 }
+_EXTRACTOR_NAMES = {k: k for k in _EXTRACTORS}
+
+
+@ray.remote(num_cpus=1)
+def _extract_chunk_task(kind: str, tbl: pa.Table, year: int, out_path: str) -> int:
+    """One wave-chunk of DSR extraction (stateless Arrow in/out),
+    written as a single parquet part under records/<kind>/wave=K/."""
+    import pyarrow.parquet as pq
+
+    out = _EXTRACTORS[kind](year)(tbl)
+    pq.write_table(out, out_path)
+    return out.num_rows
 
 
 @dataclass
@@ -138,31 +172,25 @@ def _load_checkpoint(workdir: str, wave: int, seen: ShardedSeenSet) -> pd.DataFr
     return frontier
 
 
-def _extract_outlinks_batch(t: pa.Table) -> pa.Table:
-    """Fetched page → outlink rows (url, out_url, seed, depth).
+def _flatten_outlinks(t: pa.Table) -> pa.Table:
+    """Fetched wave table → outlink rows (out_url, seed, depth).
 
     Links come from the page's embedded hyperlink list plus the
-    restart-token chain (T2: the RT cursor implies the next page of the
-    chain; the generator embeds it as a link too, so this is the union)."""
-    out_url, out_seed, out_depth = [], [], []
-    for url, html, seed, depth in zip(
-        t["url"].to_pylist(), t["html"].to_pylist(),
-        t["seed"].to_pylist(), t["depth"].to_pylist(),
-    ):
-        if html is None:
-            continue
-        try:
-            env = json.loads(html)
-        except Exception:
-            continue
-        for link in env.get("links", []):
-            out_url.append(link)
-            out_seed.append(seed)
-            out_depth.append(depth + 1)
+    restart-token chain (T2: the RT cursor implies the next page of
+    the chain; the generator embeds it as a link too, so this is the
+    union).  Link *discovery* happens inside the fetch actors
+    (distributed, page already in memory); this is just the vectorized
+    list-flatten of that column."""
+    links = t["links"].combine_chunks()
+    if isinstance(links, pa.ChunkedArray):  # zero-chunk edge
+        links = pa.concat_arrays(links.chunks or [pa.array([], pa.list_(pa.string()))])
+    lengths = pa.compute.fill_null(pa.compute.list_value_length(links), 0)
+    parents = np.repeat(np.arange(t.num_rows), np.asarray(lengths))
+    idx = pa.array(parents)
     return pa.table({
-        "out_url": pa.array(out_url, pa.string()),
-        "seed": pa.array(out_seed, pa.string()),
-        "depth": pa.array(out_depth, pa.int32()),
+        "out_url": links.flatten(),
+        "seed": t["seed"].take(idx),
+        "depth": pa.compute.add(t["depth"].take(idx), 1).cast(pa.int32()),
     })
 
 
@@ -172,15 +200,19 @@ def run_crawl(
     seeds: list[str] | None = None,
     config: CrawlConfig | None = None,
     resume: bool = False,
+    store_dir: str | None = None,
 ) -> CrawlResult:
-    """Run (or resume) the wave crawl over a pages corpus."""
-    import ray.data as rd
+    """Run (or resume) the wave crawl over a pages corpus.
 
+    ``store_dir``: reuse a prebuilt page store (idempotent layout keyed
+    by corpus; lets repeated runs/benchmarks skip the partition pass).
+    """
     cfg = config or CrawlConfig()
     seeds = seeds if seeds is not None else default_seeds()
     os.makedirs(workdir, exist_ok=True)
     store_dir = build_page_store(
-        pages_path, os.path.join(workdir, "store"), cfg.store_buckets
+        pages_path, store_dir or os.path.join(workdir, "store"),
+        cfg.store_buckets,
     )
 
     seen = ShardedSeenSet(cfg.n_seen_shards, cfg.log2_buckets)
@@ -212,38 +244,66 @@ def run_crawl(
                 continue
             break
 
+        t_mark = time.perf_counter()
+        phase_t: dict[str, float] = {}
+
+        def _lap(name: str) -> None:
+            nonlocal t_mark
+            now = time.perf_counter()
+            phase_t[name] = round(now - t_mark, 4)
+            t_mark = now
+
         seen_mask = seen.check_and_add(selected["url_key"].to_numpy(dtype=np.uint64))
         selected = selected.assign(status=np.where(seen_mask, "dup", "pending"))
         todo = selected[~seen_mask].reset_index(drop=True)
+        _lap("t_seen")
 
         fetched_df = pd.DataFrame()
         outlinks = pd.DataFrame(columns=["out_url", "seed", "depth"])
         if not todo.empty:
             fetched_tbl = pool.fetch(todo, wave)  # bounded by wave_size
+            _lap("t_fetch")
 
-            # records per kind (stateless distributed extract; skipped
-            # for pure frontier benchmarks via cfg.extract_records)
+            # Per-wave record extraction runs as RAW Ray tasks, not a
+            # Dataset job: a wave is a small already-materialized Arrow
+            # table, and the streaming executor's per-job setup
+            # (~0.3-0.5 s × kinds × waves) would dominate at this
+            # granularity — the documented "Dataset can't express it
+            # efficiently" escape hatch.  Bulk offline extraction
+            # (run_flagship) still uses Ray Data end-to-end.  All task
+            # refs are awaited before the checkpoint so a resumed run
+            # never skips a wave whose records were not fully written.
+            refs = []
             if cfg.extract_records:
-                ok_tbl = fetched_tbl.filter(pa.compute.is_valid(fetched_tbl["html"]))
+                no_links = fetched_tbl.drop_columns(["links"])
+                ok_tbl = no_links.filter(pa.compute.is_valid(no_links["html"]))
                 for kind, extractor in _EXTRACTORS.items():
                     sub = ok_tbl.filter(
                         pa.compute.match_substring(ok_tbl["url"], f"/{kind}/")
                     )
                     if sub.num_rows == 0:
                         continue
-                    rd.from_arrow(sub).map_batches(
-                        extractor(cfg.current_year), batch_format="pyarrow",
-                        batch_size=cfg.fetch_batch_size,
-                    ).write_parquet(
-                        os.path.join(workdir, "records", kind, f"wave={wave}")
-                    )
+                    out_dir = os.path.join(workdir, "records", kind, f"wave={wave}")
+                    os.makedirs(out_dir, exist_ok=True)
+                    # chunk so every CPU gets work even on small waves,
+                    # 3× oversubscribed for dynamic load balance
+                    # (≥4 pages/task keeps task overhead ≪ decode cost)
+                    cpus = int(ray.available_resources().get("CPU", 4))
+                    step = max(4, -(-sub.num_rows // max(1, cpus * 3)))
+                    for ci, off in enumerate(range(0, sub.num_rows, step)):
+                        refs.append(_extract_chunk_task.remote(
+                            _EXTRACTOR_NAMES[kind], sub.slice(off, step),
+                            cfg.current_year,
+                            os.path.join(out_dir, f"part-{ci:04d}.parquet"),
+                        ))
 
-            outlinks = (
-                rd.from_arrow(fetched_tbl)
-                .map_batches(_extract_outlinks_batch, batch_format="pyarrow",
-                             batch_size=cfg.fetch_batch_size)
-                .to_pandas()
-            )
+            # outlinks were discovered inside the fetch actors (the
+            # page body never comes back to the driver for re-parsing);
+            # here we only flatten the small list column — vectorized
+            outlinks = _flatten_outlinks(fetched_tbl).to_pandas()
+            if refs:
+                ray.get(refs)
+            _lap("t_extract")
             fetched_df = fetched_tbl.select(["url", "status"]).to_pandas()
 
         # merge fetch statuses into the wave lineage
@@ -283,9 +343,11 @@ def run_crawl(
             "outlinks": int(len(outlinks)),
             "frontier_pending": int(len(frontier)),
             "seen_total": int(sum(seen.counts())),
+            **phase_t,
         }
-        metrics_all.append(wave_metrics)
         _write_checkpoint(workdir, wave, frontier, seen, lineage, wave_metrics)
+        wave_metrics["t_ckpt"] = round(time.perf_counter() - t_mark, 4)
+        metrics_all.append(wave_metrics)
 
     # assemble the full trace from the per-wave lineage checkpoints
     parts = []

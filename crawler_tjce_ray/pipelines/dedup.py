@@ -1,0 +1,407 @@
+"""Deduplication operators over the ``documents`` / ``embeddings``
+tables — exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup.
+
+Reference analog: the crawl's exact seen-set dedup (D1,
+schemas/entity_mapping_crawler.py:219-223) generalized to the
+training-data near-dup family.
+
+Scale design (100 TB):
+- exact dedup = hash key per batch → ``groupby(key)`` keeping the min
+  id; the shuffle carries only (key, id) pairs, never the text.
+- MinHash signatures are computed batch-local (numpy, vectorized over
+  perms); the LSH band explosion is a ``flat_map`` and candidate
+  generation is a per-band-bucket ``groupby`` — the only all-to-all
+  moves (band_key, doc_id) pairs, ~b×8 bytes/doc.
+- verification (exact Jaccard on candidates) broadcasts the shingle
+  sets via ``ray.put`` at test scale; at 100 TB it becomes a
+  hash-partition join of candidate ids back to shingles, bounded by
+  the candidate count (≪ n²).
+- the all-pairs ``dedup_ngram_jaccard`` query is the verification
+  kernel demonstrated on a full small table for the DuckDB oracle —
+  at scale it only ever runs on LSH candidates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from crawler_tjce_ray.pipelines.textops import normalize_text_series
+
+# ---------------------------------------------------------------------------
+# shared shingle / hashing helpers (vectorized)
+# ---------------------------------------------------------------------------
+
+NGRAM = 3
+_M61 = (1 << 61) - 1  # Mersenne prime modulus for the MinHash perms
+
+
+def ngram_set(tokens: list[str], n: int = NGRAM) -> set[str]:
+    """Word n-gram shingles; for docs shorter than n, one padded gram —
+    mirrors the oracle's coalesce('') padding exactly."""
+    if len(tokens) <= n - 1:
+        padded = tokens + [""] * (n - len(tokens))
+        return {" ".join(padded)}
+    return {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+
+
+def gram_hashes(grams: set[str]) -> np.ndarray:
+    """Stable 64-bit hashes of shingles (first 8 bytes of md5 —
+    deterministic across processes, unlike Python's ``hash``)."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+            for g in grams
+        ),
+        dtype=np.uint64,
+        count=len(grams),
+    )
+
+
+def _read_docs(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-partition by content key, keep min doc_id
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: md5 of normalized text → ``groupby(dkey).min(doc_id)``.
+    The shuffle moves only 16-byte keys + ids (text never leaves the
+    map stage) — this is the per-group-first recipe from SURVEY §2.7."""
+    from ray.data.aggregate import Min
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        norm = normalize_text_series(df["text"])
+        return pd.DataFrame({
+            "dkey": [hashlib.md5(x.encode()).hexdigest() for x in norm],
+            "doc_id": df["doc_id"],
+        })
+
+    out = (
+        ds.map_batches(key, batch_format="pandas")
+        .groupby("dkey")
+        .aggregate(Min(on="doc_id", alias_name="doc_id"))
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("dkey").reset_index(drop=True)
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS dkey,
+       MIN(doc_id) AS doc_id
+FROM documents GROUP BY dkey ORDER BY dkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# all-pairs n-gram Jaccard (the verification kernel, oracle-checked)
+# ---------------------------------------------------------------------------
+
+JACCARD_TAU = 0.5
+
+
+def _jaccard_pairs_against(
+    ids: np.ndarray, grams: list[set[str]], all_ids: np.ndarray,
+    all_grams: list[set[str]], tau: float,
+) -> pd.DataFrame:
+    rows = []
+    pos = {int(i): k for k, i in enumerate(all_ids)}
+    for k, (i, gi) in enumerate(zip(ids, grams)):
+        for j_idx in range(pos[int(i)] + 1, len(all_ids)):
+            gj = all_grams[j_idx]
+            inter = len(gi & gj)
+            if not inter:
+                continue
+            jac = inter / (len(gi) + len(gj) - inter)
+            if jac >= tau:
+                rows.append((int(i), int(all_ids[j_idx]), jac))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+
+def q_dedup_ngram_jaccard(sf_dir: str):
+    """All-pairs word-3-gram Jaccard ≥ τ.  Each batch compares its docs
+    against a ``ray.put``-broadcast shingle index (one object-store copy
+    per node, read zero-copy by every task — never re-shipped per
+    batch).  O(n²) by construction: this is the *verifier* the LSH
+    pipeline calls on candidates only; the oracle checks it exhaustively
+    at small n.  Jaccard is an exact int division → bit-identical to
+    DuckDB."""
+    import ray
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    # small-side index: ids + shingle sets, broadcast once
+    idx_df = docs.to_pandas().sort_values("doc_id")
+    all_ids = idx_df["doc_id"].to_numpy()
+    all_grams = [ngram_set(t.split()) for t in idx_df["text"]]
+    ref = ray.put((all_ids, all_grams))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids_b, grams_b = ray.get(ref)
+        grams = [ngram_set(t.split()) for t in df["text"]]
+        return _jaccard_pairs_against(
+            df["doc_id"].to_numpy(), grams, ids_b, grams_b, JACCARD_TAU
+        )
+
+    out = docs.map_batches(pairs, batch_format="pandas").to_pandas()
+    out = out.astype({"doc_a": "int64", "doc_b": "int64"})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+SQL_DEDUP_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(1, length(ws)-2)),
+             i -> ws[i] || ' ' || coalesce(ws[i+1],'') || ' ' ||
+                  coalesce(ws[i+2],''))) AS gs
+  FROM toks)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(length(list_intersect(a.gs,b.gs)) AS DOUBLE) /
+       (length(a.gs)+length(b.gs)-length(list_intersect(a.gs,b.gs)))
+         AS jaccard
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE CAST(length(list_intersect(a.gs,b.gs)) AS DOUBLE) /
+      (length(a.gs)+length(b.gs)-length(list_intersect(a.gs,b.gs))) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (shingle → minhash → band → bucket groupby → verify)
+# ---------------------------------------------------------------------------
+
+N_PERM = 128
+LSH_BANDS = 32  # r = 4 rows/band → s-curve threshold ≈ 0.42
+MINHASH_TAU = 0.8
+_M31 = np.uint64((1 << 31) - 1)  # Mersenne 2^31-1: a·x + b < 2^63, no overflow
+
+_rng = np.random.RandomState(0xC0FFEE)
+_PERM_A = _rng.randint(1, 1 << 31, size=N_PERM).astype(np.uint64)
+_PERM_B = _rng.randint(0, 1 << 31, size=N_PERM).astype(np.uint64)
+
+
+def minhash_signature(gh: np.ndarray) -> np.ndarray:
+    """(a·x + b) mod 2³¹-1 over all perms at once — one
+    (|grams| × 128) vectorized uint64 pass, no Python loop.  Shingle
+    hashes are reduced to 31 bits so the modmul never overflows."""
+    if len(gh) == 0:
+        return np.full(N_PERM, int(_M31), dtype=np.uint64)
+    x = (gh >> np.uint64(33)) & _M31
+    vals = (x[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % _M31
+    return vals.min(axis=0)
+
+
+def q_dedup_minhash_lsh(sf_dir: str):
+    """MinHash(128)+LSH(32×4) near-dup pairs, verified with exact
+    3-gram Jaccard ≥ 0.8.  Stages: signature map → band flat_map →
+    per-bucket groupby (the only shuffle; carries (band, hash, id)
+    triples) → candidate pair dedup → broadcast-verified Jaccard.
+    Non-SQL (the perm family isn't expressible) → rows-only check; the
+    recall property vs brute force is pinned in tests/test_dedup.py."""
+    import ray
+    import ray.data as rd
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def signatures(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            sig = minhash_signature(gram_hashes(ngram_set(text.split())))
+            bands = sig.reshape(LSH_BANDS, N_PERM // LSH_BANDS)
+            for b in range(LSH_BANDS):
+                bh = hashlib.md5(bands[b].tobytes()).hexdigest()[:16]
+                rows.append((b, bh, int(doc_id)))
+        return pd.DataFrame(rows, columns=["band", "bhash", "doc_id"])
+
+    banded = docs.map_batches(signatures, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame(columns=["doc_a", "doc_b"]).astype("int64")
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
+
+    cands = (
+        banded.groupby(["band", "bhash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    cand_df = cands.to_pandas().drop_duplicates()  # pairs table ≪ corpus
+    if len(cand_df) == 0:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+        )
+
+    # verify candidates with exact jaccard via a broadcast shingle index
+    idx_df = docs.to_pandas().sort_values("doc_id")
+    grams_by_id = {
+        int(i): ngram_set(t.split())
+        for i, t in zip(idx_df["doc_id"], idx_df["text"])
+    }
+    ref = ray.put(grams_by_id)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        gid = ray.get(ref)
+        rows = []
+        for a, b in zip(df["doc_a"], df["doc_b"]):
+            ga, gb = gid[int(a)], gid[int(b)]
+            inter = len(ga & gb)
+            jac = inter / (len(ga) + len(gb) - inter)
+            if jac >= MINHASH_TAU:
+                rows.append((int(a), int(b), jac))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    out = (
+        rd.from_pandas(cand_df.reset_index(drop=True))
+        .map_batches(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.astype({"doc_a": "int64", "doc_b": "int64"})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) with band blocking
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 16-bit bands; hamming ≤ 3 ⇒ ≥1 identical band
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash64(gh: np.ndarray) -> np.uint64:
+    """Charikar simhash over shingle hashes — vectorized bit-count."""
+    if len(gh) == 0:
+        return np.uint64(0)
+    bits = (gh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    votes = bits.sum(axis=0) * 2 > len(gh)
+    out = np.uint64(0)
+    for k in np.nonzero(votes)[0]:
+        out |= np.uint64(1) << np.uint64(k)
+    return out
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs (hamming ≤ 3) via 4×16-bit band blocking:
+    pigeonhole guarantees every qualifying pair shares ≥1 band, so the
+    only shuffle is the per-band ``groupby`` on 16-bit keys.  Non-SQL →
+    rows-only; kernel pinned in tests/test_dedup.py."""
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def sigs(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            h = simhash64(gram_hashes(ngram_set(text.split())))
+            for b in range(SIMHASH_BANDS):
+                band_key = int((h >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+                rows.append((b, band_key, int(doc_id), int(h % (1 << 63))))
+        return pd.DataFrame(
+            rows, columns=["band", "bkey", "doc_id", "sim63"]
+        )
+
+    banded = docs.map_batches(sigs, batch_format="pandas")
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        hs = g["sim63"].to_numpy(dtype=np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame(columns=["doc_a", "doc_b", "hamming"]).astype("int64")
+        ii, jj = np.triu_indices(len(ids), k=1)
+        ham = np.array(
+            [bin(int(hs[i]) ^ int(hs[j])).count("1") for i, j in zip(ii, jj)]
+        )
+        keep = ham <= SIMHASH_MAX_HAMMING
+        return pd.DataFrame({
+            "doc_a": ids[ii][keep], "doc_b": ids[jj][keep],
+            "hamming": ham[keep].astype("int64"),
+        })
+
+    out = (
+        banded.groupby(["band", "bkey"])
+        .map_groups(block_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["doc_a", "doc_b"])
+    )
+    out = out.astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine nearest neighbor within label blocks (oracle-checked)
+# ---------------------------------------------------------------------------
+
+def q_dedup_embedding_nn(sf_dir: str):
+    """Embedding near-dup probe: for every vector, its max-cosine
+    neighbor within its label block (the blocked-dedup recipe — at
+    scale the block key comes from IVF/LSH bucketing, cf.
+    similarity.q_ann_ivf_topk).  Per-group numpy matmul in float64;
+    group sizes are bounded by the block key.  Cosine rounded to 6dp
+    on both sides."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def nn_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        np.fill_diagonal(sims, -np.inf)
+        # argmax with vec_id-ascending tie-break (rows sorted by vec_id)
+        nn_idx = sims.argmax(axis=1)
+        return pd.DataFrame({
+            "vec_id": g["vec_id"].astype("int64"),
+            "nn_vec_id": g["vec_id"].to_numpy()[nn_idx].astype("int64"),
+            "cosine": np.round(sims[np.arange(len(g)), nn_idx], 6),
+        })
+
+    out = (
+        ds.groupby("label")
+        .map_groups(nn_in_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_DEDUP_EMBEDDING_NN = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT vec_id, nn_vec_id, cosine FROM (
+  SELECT a.vec_id, b.vec_id AS nn_vec_id,
+         round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.emb, b.emb) DESC,
+                    b.vec_id) AS rn
+  FROM e a JOIN e b
+    ON a.label = b.label AND a.vec_id <> b.vec_id) t
+WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_nn": q_dedup_embedding_nn,
+}
+
+ORACLE_SQL = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_embedding_nn": SQL_DEDUP_EMBEDDING_NN,
+}

@@ -41,30 +41,22 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     out["crawl_extract_editais"] = q_extract_editais
     out["crawl_extract_pagamentos"] = q_extract_pagamentos
 
-    from crawler_tjce_ray.pipelines import relational
+    from crawler_tjce_ray.pipelines import dedup, relational, similarity, textops
+    from crawler_tjce_ray.stages import multimodal
 
     out.update(relational.QUERIES)
-    try:
-        from crawler_tjce_ray.pipelines import dedup, similarity, textops
-
-        out.update(dedup.QUERIES)
-        out.update(similarity.QUERIES)
-        out.update(textops.QUERIES)
-    except ImportError:
-        pass
+    out.update(dedup.QUERIES)
+    out.update(similarity.QUERIES)
+    out.update(textops.QUERIES)
+    out.update(multimodal.QUERIES)
     return out
 
 
 def build_oracle_sql() -> dict[str, str]:
-    from crawler_tjce_ray.pipelines import relational
+    from crawler_tjce_ray.pipelines import dedup, relational, similarity, textops
 
     sql = dict(relational.ORACLE_SQL)
-    try:
-        from crawler_tjce_ray.pipelines import dedup, similarity, textops
-
-        sql.update(dedup.ORACLE_SQL)
-        sql.update(similarity.ORACLE_SQL)
-        sql.update(textops.ORACLE_SQL)
-    except ImportError:
-        pass
+    sql.update(dedup.ORACLE_SQL)
+    sql.update(similarity.ORACLE_SQL)
+    sql.update(textops.ORACLE_SQL)
     return sql

@@ -1,0 +1,203 @@
+"""Similarity search over the ``embeddings`` table: brute-force cosine
+top-k (oracle-checked baseline) and an IVF-bucketed approximate
+variant (the scale path).
+
+Scale design (100 TB / 10⁹ vectors):
+- the query matrix is tiny and broadcast ONCE via ``ray.put`` — every
+  ``map_batches`` task reads it zero-copy from the object store, it is
+  never re-shipped per batch.
+- each batch does one float64 matmul (vectors × queries) and keeps only
+  its per-batch top-k per query (a combiner!), so the final
+  ``groupby(query_id)`` shuffle moves O(#batches · Q · k) rows — not
+  the corpus.
+- IVF: deterministic centroids, partition assignment inside
+  ``map_batches``, per-(query, probed-centroid) candidate search; the
+  recall/cost trade is pinned in tests/test_similarity.py vs brute
+  force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+N_QUERIES = 8  # queries = vec_id < 8 (deterministic, in-corpus)
+TOP_K = 5
+
+
+def _read_emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """The Q×d query matrix — a provably small side, loaded once on the
+    driver and broadcast."""
+    import pyarrow.parquet as pq
+
+    t = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+    )
+    t = t[t["vec_id"] < N_QUERIES].sort_values("vec_id")
+    q = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    return t["vec_id"].to_numpy(), q
+
+
+def _topk_scores_batch(
+    df: pd.DataFrame, qids: np.ndarray, qmat: np.ndarray, k: int
+) -> pd.DataFrame:
+    """One batch × all queries: float64 matmul, per-batch top-k per
+    query (partial combine)."""
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    vnorm = np.linalg.norm(mat, axis=1)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    sims = (mat @ qmat.T) / np.outer(vnorm, qnorm)  # rows × Q
+    ids = df["vec_id"].to_numpy()
+    rows = []
+    kk = min(k, len(ids))
+    for qi in range(len(qids)):
+        col = sims[:, qi]
+        # top-k with (cosine desc, vec_id asc) tie-break
+        take = np.lexsort((ids, -col))[:kk]
+        for r in take:
+            rows.append((int(qids[qi]), int(ids[r]), col[r]))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine"])
+
+
+def q_ann_cosine_topk(sf_dir: str):
+    """Brute-force cosine top-k per query: broadcast query matrix,
+    per-batch matmul + partial top-k, final per-query reduce over the
+    tiny partials.  Cosine in float64 end-to-end; rounded to 6dp on
+    both sides (rank computed pre-rounding, tie-break vec_id asc)."""
+    import ray
+
+    qids, qmat = _query_matrix(sf_dir)
+    ref = ray.put((qids, qmat))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qi, qm = ray.get(ref)
+        return _topk_scores_batch(df, qi, qm, TOP_K)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "cosine"]]
+
+    out = (
+        _read_emb(sf_dir)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.astype({"query_id": "int64", "rank": "int64", "vec_id": "int64"})
+    out["cosine"] = np.round(out["cosine"], 6)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.emb, q.qemb) AS cos_raw,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(e.emb, q.qemb) DESC, e.vec_id
+         ) AS rank
+  FROM e CROSS JOIN q)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+       round(cos_raw, 6) AS cosine
+FROM scored WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed approximate variant (the 10⁹-vector scale path)
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def _centroids(sf_dir: str) -> np.ndarray:
+    """Deterministic centroids: every (n//C)-th vector by vec_id —
+    seeded selection standing in for a k-means fit (which at scale is
+    its own small Ray job over a sample)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas().sort_values("vec_id")
+    step = max(1, len(t) // N_CENTROIDS)
+    sel = t.iloc[::step].head(N_CENTROIDS)
+    c = np.stack(sel["embedding"].to_numpy()).astype(np.float64)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF-style ANN: assign every vector to its nearest centroid
+    inside ``map_batches`` (one matmul per batch vs the broadcast
+    centroid matrix), keep only vectors in each query's ``nprobe``
+    nearest cells, then the same partial-top-k + per-query reduce as
+    the brute-force path.  Approximate → no SQL oracle (rows-only);
+    recall vs brute force is asserted in tests/test_similarity.py."""
+    import ray
+
+    qids, qmat = _query_matrix(sf_dir)
+    cents = _centroids(sf_dir)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    probes = np.argsort(-(qn @ cents.T), axis=1)[:, :N_PROBE]  # Q × nprobe
+    ref = ray.put((qids, qmat, cents, probes))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qi, qm, cc, pr = ray.get(ref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cell = (mn @ cc.T).argmax(axis=1)
+        outs = []
+        for k in range(len(qi)):
+            mask = np.isin(cell, pr[k])
+            if not mask.any():
+                continue
+            sub = df.iloc[np.nonzero(mask)[0]]
+            outs.append(
+                _topk_scores_batch(sub, qi[k : k + 1], qm[k : k + 1], TOP_K)
+            )
+        if not outs:
+            return pd.DataFrame(columns=["query_id", "vec_id", "cosine"]).astype(
+                {"query_id": "int64", "vec_id": "int64", "cosine": "float64"}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "cosine"]]
+
+    out = (
+        _read_emb(sf_dir)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.astype({"query_id": "int64", "rank": "int64", "vec_id": "int64"})
+    out["cosine"] = np.round(out["cosine"], 6)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+QUERIES = {
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+}
+
+ORACLE_SQL = {
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+}

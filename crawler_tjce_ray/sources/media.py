@@ -1,0 +1,103 @@
+"""Synthetic multimodal media source: opaque ``binary`` payloads with
+typed metadata, in a deterministic fake container format.
+
+The real decode libraries (PIL / libav / soundfile) are not in this
+container, so the *formats* are fakes — but the Ray-side plumbing
+(schema, binary columns, batch sizing, partitioned write) is real and
+is what the engine ships.  Container layouts (little-endian):
+
+* image: ``FIMG`` | u16 width | u16 height | u8 channels | payload
+  (width·height·channels bytes, seeded)
+* audio: ``FAUD`` | u32 sample_rate | u32 n_samples | int16 samples
+* video: ``FVID`` | u16 width | u16 height | u16 n_frames | frames
+  (n_frames · width · height grayscale bytes)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),
+        ("payload", pa.binary()),
+        ("n_bytes", pa.int64()),
+    ]
+)
+
+MAGIC_IMG = b"FIMG"
+MAGIC_AUD = b"FAUD"
+MAGIC_VID = b"FVID"
+
+
+def _rng_for(media_id: int, seed: int) -> np.random.RandomState:
+    h = hashlib.md5(f"{seed}:{media_id}".encode()).digest()
+    return np.random.RandomState(int.from_bytes(h[:4], "little"))
+
+
+def make_image(media_id: int, seed: int) -> bytes:
+    r = _rng_for(media_id, seed)
+    w, h, c = int(r.randint(8, 33)), int(r.randint(8, 33)), int(r.choice([1, 3]))
+    head = MAGIC_IMG + np.array([w, h], "<u2").tobytes() + bytes([c])
+    return head + r.randint(0, 256, size=w * h * c, dtype=np.uint8).tobytes()
+
+
+def make_audio(media_id: int, seed: int) -> bytes:
+    r = _rng_for(media_id, seed)
+    sr, n = 8000, int(r.randint(100, 2001))
+    head = MAGIC_AUD + np.array([sr, n], "<u4").tobytes()
+    return head + (r.randn(n) * 3000).astype("<i2").tobytes()
+
+
+def make_video(media_id: int, seed: int) -> bytes:
+    r = _rng_for(media_id, seed)
+    w, h, nf = int(r.randint(8, 17)), int(r.randint(8, 17)), int(r.randint(4, 17))
+    head = MAGIC_VID + np.array([w, h, nf], "<u2").tobytes()
+    return head + r.randint(0, 256, size=nf * w * h, dtype=np.uint8).tobytes()
+
+
+_MAKERS = {"image": make_image, "audio": make_audio, "video": make_video}
+
+
+def write_media_corpus(out_dir: str, n_media: int = 300, seed: int = 7) -> str:
+    """Distributed synthesis: a ``range`` dataset → stateless
+    ``map_batches`` generating each blob from (seed, media_id) — the
+    same pattern as the pages corpus; partitioned Parquet out."""
+    import ray.data as rd
+
+    kinds = ["image", "audio", "video"]
+
+    def gen(batch: dict) -> pa.Table:
+        rows = []
+        for i in batch["id"].to_pylist():
+            kind = kinds[i % 3]
+            payload = _MAKERS[kind](i, seed)
+            rows.append(
+                {"media_id": i, "kind": kind, "payload": payload,
+                 "n_bytes": len(payload)}
+            )
+        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+    (
+        rd.range(n_media)
+        .map_batches(gen, batch_format="pyarrow", batch_size=64)
+        .write_parquet(out_dir)
+    )
+    return out_dir
+
+
+def media_cache_dir(n_media: int = 300, seed: int = 7) -> str:
+    """Synthesize-once cache under /tmp keyed by params."""
+    out = f"/tmp/crawler_tjce_ray_media/n{n_media}_s{seed}"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        write_media_corpus(out, n_media=n_media, seed=seed)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out

@@ -27,6 +27,7 @@ def write_pages_corpus(
     rows_per_page: int = 100,
     seed: int = 42,
     num_blocks: int | None = None,
+    dominant_share: float = 0.65,
 ) -> list:
     """Generate the synthetic corpus in parallel and write partitioned
     Parquet.  Returns the page plan (driver-side metadata).
@@ -42,7 +43,10 @@ def write_pages_corpus(
 
     from crawler_tjce_ray.dsr.synth import build_page_plan, generate_page
 
-    plan = build_page_plan(n_entities=n_entities, total_pages=total_pages, seed=seed)
+    plan = build_page_plan(
+        n_entities=n_entities, total_pages=total_pages, seed=seed,
+        dominant_share=dominant_share,
+    )
     plan_arr = plan  # small: one dataclass per page, broadcast via closure
 
     def gen(batch: dict) -> pa.Table:
@@ -70,6 +74,7 @@ def corpus_cache_dir(
     total_pages: int = 60,
     rows_per_page: int = 100,
     seed: int = 42,
+    dominant_share: float = 0.65,
 ) -> str:
     """Deterministic cache path for a synthetic corpus configuration;
     generates it on first use (used by queries()/bench so repeated runs
@@ -78,7 +83,10 @@ def corpus_cache_dir(
 
     from crawler_tjce_ray.dsr.synth import CORPUS_FORMAT_VERSION
 
-    key = f"v{CORPUS_FORMAT_VERSION}_e{n_entities}_p{total_pages}_r{rows_per_page}_s{seed}"
+    key = (
+        f"v{CORPUS_FORMAT_VERSION}_e{n_entities}_p{total_pages}"
+        f"_r{rows_per_page}_s{seed}_d{dominant_share}"
+    )
     out = os.path.join(base, key)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
@@ -88,6 +96,7 @@ def corpus_cache_dir(
         write_pages_corpus(
             out, n_entities=n_entities, total_pages=total_pages,
             rows_per_page=rows_per_page, seed=seed,
+            dominant_share=dominant_share,
         )
         with open(marker, "w") as f:
             f.write("ok\n")

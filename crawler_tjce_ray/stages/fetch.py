@@ -18,6 +18,7 @@ store* lookup.  What is real and load-bearing:
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -141,24 +142,38 @@ class FetchActor:
         hosts = batch["host"].to_pylist()
         htmls: list[bytes | None] = []
         statuses: list[str] = []
+        links: list[list[str]] = []
         for url, host in zip(urls, hosts):
             if not self.robots.allowed(host, url):
                 htmls.append(None)
                 statuses.append("robots_denied")
+                links.append([])
                 continue
             if not self.budget.grant(host, wave):
                 htmls.append(None)
                 statuses.append("budget_denied")
+                links.append([])
                 continue
             lookup = self._bucket_lookup(url_sha1_64(url) % self.n_buckets)
             html = lookup.get(url)
             htmls.append(html)
             statuses.append("ok" if html is not None else "missing")
+            # outlink discovery happens HERE, in the actor pool (the
+            # page is already in memory) — the driver only flattens a
+            # small list column, never re-parses page bodies serially
+            if html is None:
+                links.append([])
+            else:
+                try:
+                    links.append(list(json.loads(html).get("links", [])))
+                except Exception:
+                    links.append([])
         out = {
             "url": pa.array(urls, pa.string()),
             "host": pa.array(hosts, pa.string()),
             "html": pa.array(htmls, pa.binary()),
             "status": pa.array(statuses, pa.string()),
+            "links": pa.array(links, pa.list_(pa.string())),
         }
         # pass through frontier bookkeeping columns (seed, depth, ...)
         for name in batch.schema.names:
@@ -181,29 +196,49 @@ class FetchPool:
                  n_actors: int = 4):
         import ray
 
+        self.n_buckets = n_buckets
+        self.n_actors = n_actors
         self._remote_cls = ray.remote(num_cpus=1)(FetchActor)
+        # bucket-affinity dispatch: actor i owns buckets ≡ i (mod
+        # n_actors), so each actor's LRU only ever holds its own
+        # buckets — the cache is authoritative, never thrashes, and a
+        # wave costs O(new buckets) store reads instead of
+        # O(actors × buckets).  This is the url-hash partitioning the
+        # frontier design relies on (SURVEY §7.1).
+        per_actor = -(-n_buckets // max(1, n_actors)) + 1
         self.actors = [
-            self._remote_cls.remote(store_dir=store_dir, n_buckets=n_buckets)
+            self._remote_cls.remote(
+                store_dir=store_dir, n_buckets=n_buckets,
+                max_cached_buckets=per_actor,
+            )
             for _ in range(n_actors)
         ]
 
     def fetch(self, wave_df, wave: int) -> pa.Table:
-        """Fetch one wave's rows; returns a pa.Table in input order."""
+        """Fetch one wave's rows; deterministic output order
+        (bucket-major, input order within bucket)."""
         import ray
 
         cols = ["url", "host"] + [c for c in ("seed", "depth") if c in wave_df.columns]
         table = pa.Table.from_pandas(wave_df[cols], preserve_index=False)
-        n = max(1, min(len(self.actors), len(wave_df)))
+        if table.num_rows == 0:
+            return table.append_column(
+                "html", pa.array([], pa.binary())
+            ).append_column("status", pa.array([], pa.string()))
+        buckets = np.array(
+            [url_sha1_64(u) % self.n_buckets for u in wave_df["url"]],
+            dtype=np.int64,
+        )
+        owner = buckets % self.n_actors
         futures = []
-        bounds = np.linspace(0, len(wave_df), n + 1, dtype=int)
-        for i in range(n):
-            chunk = table.slice(bounds[i], bounds[i + 1] - bounds[i])
-            if chunk.num_rows:
-                futures.append(self.actors[i].__call__.remote(chunk, wave))
+        for i in range(self.n_actors):
+            idx = np.nonzero(owner == i)[0]
+            if len(idx):
+                futures.append(
+                    self.actors[i].__call__.remote(table.take(pa.array(idx)), wave)
+                )
         parts = ray.get(futures)
-        return pa.concat_tables(parts) if parts else table.append_column(
-            "html", pa.array([], pa.binary())
-        ).append_column("status", pa.array([], pa.string()))
+        return pa.concat_tables(parts)
 
     def shutdown(self):
         import ray

@@ -1,0 +1,233 @@
+"""Multimodal actor-pool stages: decode / feature-extract / resize /
+frame-sample over opaque ``binary`` columns.
+
+Pattern (the load-bearing part): each stage is a callable CLASS passed
+to ``map_batches(Cls, concurrency=N, batch_size=B)`` — real decoder
+handles would be opened once per actor in ``__init__`` (model load,
+codec context), per-batch work in ``__call__``.  Batch sizes stay
+small because each row carries a large binary payload (at 100 TB the
+object store must never hold batch_size × concurrency × payload
+beyond worker heap — size B accordingly, e.g. 32–64 for images).
+
+The actual image/audio codecs are NOT in this container: the real
+path is stubbed behind a clearly-marked ``NotImplementedError`` and a
+deterministic fake container (sources/media.py) exercises the full
+Ray plumbing — schema in/out, actor lifecycle, batch sizing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from crawler_tjce_ray.sources.media import MAGIC_AUD, MAGIC_IMG, MAGIC_VID
+
+try:  # pragma: no cover - not installed in this container
+    import PIL.Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def _decode_real_image(payload: bytes):  # pragma: no cover
+    """Real-codec path (PIL): deliberately unimplemented here."""
+    raise NotImplementedError(
+        "real image codecs are not available in this environment; "
+        "install PIL and route non-FIMG payloads here"
+    )
+
+
+class ImageDecodeStage:
+    """Decode fake-container images → (width, height, channels,
+    mean_intensity).  One numpy view per row; header parse is O(1),
+    the mean is a single vectorized pass over the payload."""
+
+    def __init__(self) -> None:
+        # per-actor setup: codec/context init happens ONCE here
+        self.have_real_codec = _HAVE_PIL
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, ws, hs, cs, means = [], [], [], [], []
+        kinds = t["kind"].to_pylist()
+        for mid, kind, payload in zip(
+            t["media_id"].to_pylist(), kinds, t["payload"].to_pylist()
+        ):
+            if kind != "image":
+                continue
+            if not payload.startswith(MAGIC_IMG):
+                _decode_real_image(payload)
+            w, h = np.frombuffer(payload, "<u2", count=2, offset=4)
+            c = payload[8]
+            pix = np.frombuffer(payload, np.uint8, offset=9)
+            ids.append(mid)
+            ws.append(int(w))
+            hs.append(int(h))
+            cs.append(int(c))
+            means.append(float(pix.mean()) if len(pix) else 0.0)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "channels": pa.array(cs, pa.int64()),
+            "mean_intensity": pa.array(means, pa.float64()),
+        })
+
+
+class ImageResizeStage:
+    """Resize (integer-factor box downsample) fake images, emitting a
+    new binary column — shows a binary→binary transform with payload
+    size reduction (the thumbnailing stage of a training pipeline)."""
+
+    def __init__(self, factor: int = 2) -> None:
+        self.factor = factor
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, blobs, ws, hs = [], [], [], []
+        for mid, kind, payload in zip(
+            t["media_id"].to_pylist(), t["kind"].to_pylist(),
+            t["payload"].to_pylist(),
+        ):
+            if kind != "image" or not payload.startswith(MAGIC_IMG):
+                continue
+            w, h = (int(x) for x in np.frombuffer(payload, "<u2", count=2, offset=4))
+            c = payload[8]
+            f = self.factor
+            nw, nh = max(1, w // f), max(1, h // f)
+            pix = np.frombuffer(payload, np.uint8, offset=9).reshape(h, w, c)
+            pix = pix[: nh * f, : nw * f]
+            small = (
+                pix.reshape(nh, f, nw, f, c).mean(axis=(1, 3)).astype(np.uint8)
+            )
+            head = MAGIC_IMG + np.array([nw, nh], "<u2").tobytes() + bytes([c])
+            ids.append(mid)
+            blobs.append(head + small.tobytes())
+            ws.append(nw)
+            hs.append(nh)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(blobs, pa.binary()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+        })
+
+
+class AudioFeatureStage:
+    """Audio feature extraction: duration + RMS over int16 samples."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, durs, rmss = [], [], []
+        for mid, kind, payload in zip(
+            t["media_id"].to_pylist(), t["kind"].to_pylist(),
+            t["payload"].to_pylist(),
+        ):
+            if kind != "audio" or not payload.startswith(MAGIC_AUD):
+                continue
+            sr, n = (int(x) for x in np.frombuffer(payload, "<u4", count=2, offset=4))
+            samples = np.frombuffer(payload, "<i2", count=n, offset=12).astype(
+                np.float64
+            )
+            ids.append(mid)
+            durs.append(n / sr)
+            rmss.append(float(np.sqrt((samples**2).mean())) if n else 0.0)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "duration_s": pa.array(durs, pa.float64()),
+            "rms": pa.array(rmss, pa.float64()),
+        })
+
+
+class FrameSampleStage:
+    """Frame sampling: every ``stride``-th frame of each fake video,
+    one output row per sampled frame (row-expanding map_batches — the
+    video→frames explode of a multimodal pipeline)."""
+
+    def __init__(self, stride: int = 4) -> None:
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mids, fidx, blobs, means = [], [], [], []
+        for mid, kind, payload in zip(
+            t["media_id"].to_pylist(), t["kind"].to_pylist(),
+            t["payload"].to_pylist(),
+        ):
+            if kind != "video" or not payload.startswith(MAGIC_VID):
+                continue
+            w, h, nf = (
+                int(x) for x in np.frombuffer(payload, "<u2", count=3, offset=4)
+            )
+            frames = np.frombuffer(
+                payload, np.uint8, count=nf * w * h, offset=10
+            ).reshape(nf, h * w)
+            for k in range(0, nf, self.stride):
+                mids.append(mid)
+                fidx.append(k)
+                blobs.append(frames[k].tobytes())
+                means.append(float(frames[k].mean()))
+        return pa.table({
+            "media_id": pa.array(mids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "frame": pa.array(blobs, pa.binary()),
+            "mean_intensity": pa.array(means, pa.float64()),
+        })
+
+
+# ---------------------------------------------------------------------------
+# driver-registry queries (rows-only: binary container parsing is not
+# DuckDB-expressible; kernel behavior pinned in tests/test_multimodal.py)
+# ---------------------------------------------------------------------------
+
+def _media_ds():
+    import ray.data as rd
+
+    from crawler_tjce_ray.sources.media import media_cache_dir
+
+    return rd.read_parquet(media_cache_dir())
+
+
+def q_multimodal_image_features(sf_dir: str) -> pd.DataFrame:
+    """Actor-pool decode: small batches (binary payloads), 2 actors."""
+    out = (
+        _media_ds()
+        .map_batches(
+            ImageDecodeStage, batch_format="pyarrow", batch_size=32,
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def q_multimodal_frame_sample(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _media_ds()
+        .map_batches(
+            FrameSampleStage, batch_format="pyarrow", batch_size=32,
+            concurrency=2,
+        )
+        .drop_columns(["frame"])
+        .to_pandas()
+    )
+    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
+def q_multimodal_audio_features(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _media_ds()
+        .map_batches(
+            AudioFeatureStage, batch_format="pyarrow", batch_size=32,
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    out["rms"] = np.round(out["rms"], 6)
+    out["duration_s"] = np.round(out["duration_s"], 6)
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+QUERIES = {
+    "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_audio_features": q_multimodal_audio_features,
+}

@@ -1,0 +1,100 @@
+"""Multimodal stage plumbing tests: fake-container decode, resize,
+audio features, frame sampling — schema, actor signature, row
+expansion, determinism."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from crawler_tjce_ray.sources.media import (
+    MAGIC_IMG, make_audio, make_image, make_video,
+)
+from crawler_tjce_ray.stages.multimodal import (
+    AudioFeatureStage, FrameSampleStage, ImageDecodeStage, ImageResizeStage,
+)
+
+
+def _tbl(rows):
+    return pa.Table.from_pylist(rows)
+
+
+class TestKernels:
+    def test_image_decode_header(self):
+        payload = make_image(1, seed=7)
+        t = _tbl([{"media_id": 1, "kind": "image", "payload": payload}])
+        out = ImageDecodeStage()(t)
+        assert out.column_names == [
+            "media_id", "width", "height", "channels", "mean_intensity",
+        ]
+        w, h, c = (
+            out["width"][0].as_py(), out["height"][0].as_py(),
+            out["channels"][0].as_py(),
+        )
+        assert len(payload) == 9 + w * h * c
+        assert 0.0 <= out["mean_intensity"][0].as_py() <= 255.0
+
+    def test_image_decode_real_codec_is_stubbed(self):
+        t = _tbl([{"media_id": 1, "kind": "image", "payload": b"\x89PNG..."}])
+        with pytest.raises(NotImplementedError):
+            ImageDecodeStage()(t)
+
+    def test_resize_halves_dims(self):
+        payload = make_image(2, seed=7)
+        t = _tbl([{"media_id": 2, "kind": "image", "payload": payload}])
+        out = ImageResizeStage(factor=2)(t)
+        w0, h0 = np.frombuffer(payload, "<u2", count=2, offset=4)
+        assert out["width"][0].as_py() == max(1, int(w0) // 2)
+        assert out["height"][0].as_py() == max(1, int(h0) // 2)
+        blob = out["payload"][0].as_py()
+        assert blob.startswith(MAGIC_IMG)
+        assert len(blob) < len(payload)
+
+    def test_audio_features(self):
+        payload = make_audio(3, seed=7)
+        t = _tbl([{"media_id": 3, "kind": "audio", "payload": payload}])
+        out = AudioFeatureStage()(t)
+        assert out["duration_s"][0].as_py() > 0
+        assert out["rms"][0].as_py() > 0
+
+    def test_frame_sample_expands_rows(self):
+        payload = make_video(4, seed=7)
+        nf = int(np.frombuffer(payload, "<u2", count=3, offset=4)[2])
+        t = _tbl([{"media_id": 4, "kind": "video", "payload": payload}])
+        out = FrameSampleStage(stride=4)(t)
+        assert out.num_rows == len(range(0, nf, 4))
+        assert out["frame_idx"].to_pylist() == list(range(0, nf, 4))
+
+    def test_non_matching_kinds_skipped(self):
+        t = _tbl([
+            {"media_id": 5, "kind": "audio", "payload": make_audio(5, 7)},
+            {"media_id": 6, "kind": "video", "payload": make_video(6, 7)},
+        ])
+        assert ImageDecodeStage()(t).num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPipelines:
+    def test_image_features_pipeline(self):
+        from crawler_tjce_ray.stages.multimodal import q_multimodal_image_features
+
+        out = q_multimodal_image_features("")
+        assert len(out) == 100  # 300 media round-robin over 3 kinds
+        assert out["media_id"].is_monotonic_increasing
+        # determinism: second run identical
+        out2 = q_multimodal_image_features("")
+        assert out.equals(out2)
+
+    def test_frame_sample_pipeline(self):
+        from crawler_tjce_ray.stages.multimodal import q_multimodal_frame_sample
+
+        out = q_multimodal_frame_sample("")
+        assert set(out.columns) == {"media_id", "frame_idx", "mean_intensity"}
+        assert (out["frame_idx"] % 4 == 0).all()
+        assert out["media_id"].nunique() == 100
+
+    def test_audio_pipeline(self):
+        from crawler_tjce_ray.stages.multimodal import q_multimodal_audio_features
+
+        out = q_multimodal_audio_features("")
+        assert len(out) == 100
+        assert (out["duration_s"] > 0).all()
