@@ -1,0 +1,103 @@
+"""Command-line entry points (reference EP2/EP3 parity:
+``python main.py --entity X --output f.csv`` → here
+``python -m crawler_tjce_ray extract --entity X --output f.csv``).
+
+Intentional divergence: the reference CLI normalizes twice
+(crawler/crawler.py:1222 re-runs ``normalize_to_rows`` on
+already-normalized dicts, so the second pass finds no ``results`` key
+and the CLI writes an EMPTY csv — a real defect).  This CLI implements
+the evidently-intended semantics: fetch → extract once → write.
+
+Owns its Ray session (guarded init) — library code never calls
+``ray.init``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _default_corpus() -> str:
+    from crawler_tjce_ray.sources.pages import corpus_cache_dir
+
+    return corpus_cache_dir(n_entities=8, total_pages=40, rows_per_page=50, seed=42)
+
+
+def cmd_extract(args: argparse.Namespace) -> int:
+    """Extract one record kind (optionally one entity) to a display CSV."""
+    from crawler_tjce_ray.functions.sinks import write_display_csv
+    from crawler_tjce_ray.functions.text import slugify
+    from crawler_tjce_ray.pipelines.extract_all import (
+        assign_global_ordem, extract_records,
+    )
+
+    _ensure_ray()
+    corpus = args.corpus or _default_corpus()
+    ds = extract_records(corpus, args.kind)
+    if args.entity:
+        slug = slugify(args.entity)
+        ds = ds.filter(lambda r: f"/{args.kind}/{slug}/" in r["url"])
+    # reference contract: rows in crawl order, ordem ascending (O3:
+    # client-side re-sort after normalize, edital_crawler.py:630-631)
+    ds = assign_global_ordem(ds).drop_columns(["url"]).sort("ordem")
+    n = write_display_csv(ds, args.kind, args.output)
+    print(f"wrote {n} {args.kind} rows -> {args.output}")
+    return 0
+
+
+def cmd_crawl(args: argparse.Namespace) -> int:
+    """Run (or resume) the frontier crawl over a pages corpus."""
+    from crawler_tjce_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    _ensure_ray()
+    corpus = args.corpus or _default_corpus()
+    cfg = CrawlConfig(max_waves=args.max_waves)
+    res = run_crawl(corpus, args.workdir, config=cfg, resume=args.resume)
+    ok = int((res.trace["status"] == "ok").sum())
+    print(f"crawled {ok} urls in {res.waves_run} waves -> {res.records_dir}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="crawler_tjce_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract", help="extract records to a display CSV")
+    pe.add_argument("--kind", default="precatorios",
+                    choices=["precatorios", "editais", "pagamentos"])
+    pe.add_argument("--entity", default=None,
+                    help="entity name or slug (precatórios only)")
+    pe.add_argument("--output", required=True)
+    pe.add_argument("--corpus", default=None, help="pages parquet dir")
+    pe.set_defaults(fn=cmd_extract)
+
+    pc = sub.add_parser("crawl", help="run the frontier crawl")
+    pc.add_argument("--workdir", required=True)
+    pc.add_argument("--corpus", default=None)
+    pc.add_argument("--resume", action="store_true")
+    pc.add_argument("--max-waves", type=int, default=100)
+    pc.set_defaults(fn=cmd_crawl)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

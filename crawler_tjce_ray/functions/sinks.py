@@ -45,6 +45,12 @@ def edital_to_csv_row(row: dict) -> dict:
     return out
 
 
+def entity_to_csv_row(row: dict) -> dict:
+    """Parity: ``save_entities`` (schemas/entity_mapping_crawler.py:284-310):
+    single ``entidade`` column."""
+    return {"entidade": str(row.get("entidade", row.get("entity", "")))}
+
+
 def pagamento_to_csv_row(row: dict) -> dict:
     """Parity: ``save_pagamentos`` (crawler/pagamentos_crawler.py:665-710).
 
@@ -59,3 +65,69 @@ def pagamento_to_csv_row(row: dict) -> dict:
         else:
             out[f] = str(v) if v != "-" else ""
     return out
+
+
+# ---------------------------------------------------------------------------
+# CSV writers (K1-K4): canonical records Dataset → reference display CSV
+# ---------------------------------------------------------------------------
+
+#: per-kind (converter, field order, encoding).  Encodings mirror the
+#: reference exactly: precatórios plain utf-8 (crawler/crawler.py:1119),
+#: editais/pagamentos/entities utf-8-sig with BOM
+#: (edital_crawler.py:695, pagamentos_crawler.py:~670,
+#: entity_mapping_crawler.py:293).
+CSV_SINKS = {
+    "precatorios": (precatorio_to_csv_row, PRECATORIO_CSV_FIELDS, "utf-8"),
+    "editais": (edital_to_csv_row, EDITAL_CSV_FIELDS, "utf-8-sig"),
+    "pagamentos": (pagamento_to_csv_row, PAGAMENTO_CSV_FIELDS, "utf-8-sig"),
+    "entities": (entity_to_csv_row, ["entidade"], "utf-8-sig"),
+}
+
+
+def write_display_csv(ds, kind: str, out_file: str) -> int:
+    """Write one reference-shaped CSV display file from a records
+    Dataset.  Returns the row count.
+
+    The *formatting* runs distributed (``map_batches`` row converters);
+    only the final serialization is driver-side, because the reference
+    contract is a single ordered file — the scale path is
+    ``write_display_csv_dir`` (partitioned ``ds.write_csv``), with this
+    single-file view reserved for bounded result sets.  An empty input
+    still writes the header row (reference quirk, K2:
+    edital_crawler.py:698-702)."""
+    import csv
+
+    import pandas as pd
+
+    convert, fields, encoding = CSV_SINKS[kind]
+
+    def to_display(df: pd.DataFrame) -> pd.DataFrame:
+        rows = [convert(r) for r in df.to_dict("records")]
+        return pd.DataFrame(rows, columns=fields, dtype=object)
+
+    if hasattr(ds, "map_batches"):  # Dataset
+        display = ds.map_batches(to_display, batch_format="pandas").to_pandas()
+    else:  # small pandas result
+        display = to_display(ds)
+    with open(out_file, "w", newline="", encoding=encoding) as f:
+        writer = csv.DictWriter(f, fieldnames=fields)
+        writer.writeheader()
+        for row in display.to_dict("records"):
+            writer.writerow(row)
+    return len(display)
+
+
+def write_display_csv_dir(ds, kind: str, out_dir: str) -> None:
+    """Scale path: distributed partitioned CSV (one part per block) of
+    the same display rows — resumable layout, no driver materialize."""
+    import pandas as pd
+
+    convert, fields, _ = CSV_SINKS[kind]
+
+    def to_display(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [convert(r) for r in df.to_dict("records")], columns=fields,
+            dtype=object,
+        )
+
+    ds.map_batches(to_display, batch_format="pandas").write_csv(out_dir)

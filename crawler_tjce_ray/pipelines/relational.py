@@ -388,6 +388,156 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join (custom operator Ray Data lacks): each event matched
+    to the user's latest order at or before the event time.
+
+    Distributed recipe: pre-reduce the right side to one row per
+    (key, time), tag both sides, ``union`` them, and hash-shuffle ONCE
+    on the key — the per-group merge is a sorted ``np.searchsorted``.
+    Partitioning assumption: a single key's rows fit one group (true
+    for user-keyed activity; salt hot keys otherwise)."""
+    import ray.data as rd  # noqa: F401  (union happens on Datasets)
+    from ray.data.aggregate import Max
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    # deterministic right side: one row per (custkey, date) — max key
+    o = (
+        orders.groupby(["o_custkey", "o_orderdate"])
+        .aggregate(Max(on="o_orderkey", alias_name="o_orderkey"))
+    )
+
+    cols = ["key", "t", "side", "event_id", "o_orderkey"]
+
+    def tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["user_id"].astype("int64"),
+            "t": df["ts"].astype("datetime64[us]"),
+            "side": np.int64(0),
+            "event_id": df["event_id"].astype("int64"),
+            "o_orderkey": np.int64(-1),
+        })[cols]
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["o_custkey"].astype("int64"),
+            "t": pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]"),
+            "side": np.int64(1),
+            "event_id": np.int64(-1),
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+        })[cols]
+
+    u = events.map_batches(tag_events, batch_format="pandas").union(
+        o.map_batches(tag_orders, batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0].sort_values(["t", "event_id"])
+        right = g[g["side"] == 1].sort_values("t")
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts", "o_orderkey"]
+            )
+        pos = np.searchsorted(
+            right["t"].to_numpy(), left["t"].to_numpy(), side="right"
+        ) - 1
+        keep = pos >= 0
+        return pd.DataFrame({
+            "event_id": left["event_id"].to_numpy()[keep],
+            "user_id": left["key"].to_numpy()[keep],
+            "ts": left["t"].to_numpy()[keep],
+            "o_orderkey": right["o_orderkey"].to_numpy()[pos[keep]],
+        })
+
+    out = u.groupby("key").map_groups(merge, batch_format="pandas").to_pandas()
+    out = out.astype({"event_id": "int64", "user_id": "int64", "o_orderkey": "int64"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_ASOF_JOIN = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey
+FROM events e ASOF JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+def _md5_bucket(vals: pd.Series, mod: int) -> np.ndarray:
+    import hashlib
+
+    return np.array(
+        [
+            int(hashlib.md5(str(int(v)).encode()).hexdigest()[:8], 16) % mod
+            for v in vals
+        ],
+        dtype=np.int64,
+    )
+
+
+def q_hash_split(sf_dir: str):
+    """Deterministic train/val split by content-stable hash (the
+    standard reproducible-split recipe for training corpora): pure
+    per-row map, no shuffle, identical on any cluster size."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        b = _md5_bucket(df["doc_id"], 10)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "split": np.where(b < 8, "train", "val"),
+        })
+
+    out = ds.map_batches(split, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_HASH_SPLIT = """
+SELECT doc_id,
+       CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 10 < 8
+            THEN 'train' ELSE 'val' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: first 25 docs per language in
+    md5 order (seeded reservoir analog with an exact oracle).  Per-group
+    sort of a pre-pruned 2-column table; at scale the md5 order key is
+    computed in the map stage and a per-group top-k keeps the shuffle
+    payload tiny."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["h"] = [
+            hashlib.md5(str(int(d)).encode()).hexdigest() for d in g["doc_id"]
+        ]
+        g = g.sort_values(["h", "doc_id"]).head(25)
+        return g[["doc_id", "lang"]]
+
+    out = ds.groupby("lang").map_groups(pick, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 25 ORDER BY lang, doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # M: scalar-kernel parity queries (M5/M8/M10, §2.8)
 # ---------------------------------------------------------------------------
@@ -595,6 +745,9 @@ QUERIES = {
     "date_render_kernel": q_date_render,
     "json_props_extract": q_json_props,
     "reason_histogram": q_reason_histogram,
+    "asof_join": q_asof_join,
+    "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLE_SQL = {
@@ -618,4 +771,7 @@ ORACLE_SQL = {
     "date_render_kernel": SQL_DATE_RENDER,
     "json_props_extract": SQL_JSON_PROPS,
     "reason_histogram": SQL_REASON_HISTOGRAM,
+    "asof_join": SQL_ASOF_JOIN,
+    "hash_split": SQL_HASH_SPLIT,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
 }

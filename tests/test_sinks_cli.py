@@ -1,0 +1,94 @@
+"""CSV display sink (K1-K4) and CLI entry-point tests: encodings,
+BOM, header-on-empty quirk, ordem ordering, entity filter."""
+
+import csv
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+
+from crawler_tjce_ray.dsr.specs import (
+    EDITAL_CSV_FIELDS, PRECATORIO_CSV_FIELDS,
+)
+from crawler_tjce_ray.functions.sinks import write_display_csv
+
+
+class TestDisplaySink:
+    def test_empty_input_still_writes_header(self, tmp_path):
+        out = tmp_path / "empty.csv"
+        n = write_display_csv(pd.DataFrame(columns=EDITAL_CSV_FIELDS), "editais", str(out))
+        assert n == 0
+        raw = out.read_bytes()
+        assert raw.startswith(b"\xef\xbb\xbf")  # utf-8-sig BOM
+        header = raw.decode("utf-8-sig").strip().split(",")
+        assert header == EDITAL_CSV_FIELDS
+
+    def test_precatorio_formatting(self, tmp_path):
+        from decimal import Decimal
+
+        row = {f: "-" for f in PRECATORIO_CSV_FIELDS}
+        import datetime
+
+        row.update({
+            "ordem": 1, "processo": "123", "valor_original": Decimal("1234.56"),
+            "valor_atual": Decimal("0.10"),
+            "data_cadastro": datetime.datetime(2024, 9, 9),
+        })
+        out = tmp_path / "p.csv"
+        write_display_csv(pd.DataFrame([row]), "precatorios", str(out))
+        raw = out.read_bytes()
+        assert not raw.startswith(b"\xef\xbb\xbf")  # plain utf-8 (K1)
+        rows = list(csv.DictReader(raw.decode("utf-8").splitlines()))
+        assert rows[0]["valor_original"] == "R$ 1.234,56"
+        assert rows[0]["valor_atual"] == "R$ 0,10"
+        assert rows[0]["data_cadastro"] == "09/09/2024"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCLI:
+    def test_extract_inproc_ordem_sorted(self, tmp_path):
+        from crawler_tjce_ray.cli import main
+
+        out = tmp_path / "prec.csv"
+        rc = main(["extract", "--kind", "precatorios", "--output", str(out)])
+        assert rc == 0
+        df = pd.read_csv(out)
+        assert list(df.columns) == PRECATORIO_CSV_FIELDS
+        assert df["ordem"].tolist() == list(range(1, len(df) + 1))
+
+    def test_extract_entity_filter(self, tmp_path):
+        from crawler_tjce_ray.cli import main
+        from crawler_tjce_ray.dsr.synth import entity_names
+        from crawler_tjce_ray.functions.text import slugify
+
+        name = entity_names(8)[1]
+        out = tmp_path / "one.csv"
+        rc = main([
+            "extract", "--kind", "precatorios", "--entity", name,
+            "--output", str(out),
+        ])
+        assert rc == 0
+        df = pd.read_csv(out)
+        assert 0 < len(df)
+        assert df["ordem"].tolist() == list(range(1, len(df) + 1))
+        # sanity: fewer rows than the whole corpus extraction
+        full = tmp_path / "full.csv"
+        main(["extract", "--kind", "precatorios", "--output", str(full)])
+        assert len(df) < len(pd.read_csv(full))
+        assert slugify(name)  # slug resolves
+
+    def test_cli_subprocess_owns_ray_session(self, tmp_path):
+        """The CLI must run standalone (guarded ray.init) — EP2 parity."""
+        out = tmp_path / "sub.csv"
+        proc = subprocess.run(
+            [sys.executable, "-m", "crawler_tjce_ray", "extract",
+             "--kind", "editais", "--output", str(out)],
+            capture_output=True, text=True, timeout=240,
+            cwd="/root/repo", env={"PATH": "/usr/bin:/bin", "HOME": "/root",
+                                   "RAY_GRAFT_CPUS": "2",
+                                   "PYTHONPATH": "/root/repo"},
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert out.read_bytes().startswith(b"\xef\xbb\xbf")
+        assert len(pd.read_csv(out, encoding="utf-8-sig")) > 0
