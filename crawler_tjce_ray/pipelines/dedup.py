@@ -62,9 +62,9 @@ def gram_hashes(grams: set[str]) -> np.ndarray:
 
 
 def _read_docs(sf_dir: str, columns):
-    import ray.data as rd
+    from crawler_tjce_ray.pipelines.textops import _read_docs as rd_docs
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return rd_docs(sf_dir, columns)
 
 
 # ---------------------------------------------------------------------------
@@ -203,6 +203,46 @@ def minhash_signature(gh: np.ndarray) -> np.ndarray:
     return vals.min(axis=0)
 
 
+_GRAM_P = np.uint64(1099511628211)
+
+
+def batch_gram_hashes(texts) -> list[np.ndarray]:
+    """Vectorized 3-gram hashes for a whole batch of documents.
+
+    One ``pd.util.hash_array`` call (C siphash, process-stable) hashes
+    every token of the batch at once; per-doc 3-gram hashes are a
+    rolling polynomial combine of the token-hash array — no per-gram
+    Python hashing (the md5-per-shingle loop was the minhash hot
+    spot)."""
+    token_lists = [t.split() for t in texts]
+    total = sum(len(x) for x in token_lists)
+    if total == 0:
+        return [np.empty(0, dtype=np.uint64) for _ in token_lists]
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for toks in token_lists:
+        flat[pos : pos + len(toks)] = toks
+        pos += len(toks)
+    th = pd.util.hash_array(flat)  # uint64, deterministic key
+    out: list[np.ndarray] = []
+    pos = 0
+    p2 = _GRAM_P * _GRAM_P
+    for toks in token_lists:
+        n = len(toks)
+        h = th[pos : pos + n]
+        pos += n
+        if n < NGRAM:  # mirror ngram_set's single padded gram
+            acc = 0
+            for k in range(n):  # exact mod-2^64 wraparound
+                acc = (acc * int(_GRAM_P) + int(h[k])) % (1 << 64)
+            out.append(np.array([acc], dtype=np.uint64))
+            continue
+        with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+            g = h[: n - 2] * p2 + h[1 : n - 1] * _GRAM_P + h[2:]
+        out.append(np.unique(g))
+    return out
+
+
 def q_dedup_minhash_lsh(sf_dir: str):
     """MinHash(128)+LSH(32×4) near-dup pairs, verified with exact
     3-gram Jaccard ≥ 0.8.  Stages: signature map → band flat_map →
@@ -216,9 +256,10 @@ def q_dedup_minhash_lsh(sf_dir: str):
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
     def signatures(df: pd.DataFrame) -> pd.DataFrame:
+        gram_lists = batch_gram_hashes(df["text"].tolist())
         rows = []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            sig = minhash_signature(gram_hashes(ngram_set(text.split())))
+        for doc_id, gh in zip(df["doc_id"], gram_lists):
+            sig = minhash_signature(gh)
             bands = sig.reshape(LSH_BANDS, N_PERM // LSH_BANDS)
             for b in range(LSH_BANDS):
                 bh = hashlib.md5(bands[b].tobytes()).hexdigest()[:16]
@@ -227,25 +268,34 @@ def q_dedup_minhash_lsh(sf_dir: str):
 
     banded = docs.map_batches(signatures, batch_format="pandas")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame(columns=["doc_a", "doc_b"]).astype("int64")
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """One band's buckets → candidate pairs, fully vectorized: a
+        self-merge on the band hash (bucket sizes are tiny by the
+        s-curve, so the join is near-linear).  Grouping on ``band``
+        gives exactly 32 groups — grouping on (band, bhash) would make
+        ~|corpus|×b one-row groups, and per-group dispatch would dwarf
+        the work."""
+        m = g[["bhash", "doc_id"]].drop_duplicates()
+        j = m.merge(m, on="bhash", suffixes=("_a", "_b"))
+        j = j[j["doc_id_a"] < j["doc_id_b"]]
+        return j.rename(
+            columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"}
+        )[["doc_a", "doc_b"]].drop_duplicates()
 
-    cands = (
-        banded.groupby(["band", "bhash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
+    cands = banded.groupby("band").map_groups(band_pairs, batch_format="pandas")
     cand_df = cands.to_pandas().drop_duplicates()  # pairs table ≪ corpus
     if len(cand_df) == 0:
         return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"]).astype(
             {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
         )
 
-    # verify candidates with exact jaccard via a broadcast shingle index
-    idx_df = docs.to_pandas().sort_values("doc_id")
+    # verify candidates with exact jaccard; shingle-set construction is
+    # restricted to docs that actually appear in a candidate pair
+    # (≪ corpus after LSH), then broadcast once
+    cand_ids = set(cand_df["doc_a"]).union(cand_df["doc_b"])
+    idx_df = docs.map_batches(
+        lambda df: df[df["doc_id"].isin(cand_ids)], batch_format="pandas"
+    ).to_pandas()
     grams_by_id = {
         int(i): ngram_set(t.split())
         for i, t in zip(idx_df["doc_id"], idx_df["text"])
@@ -301,9 +351,10 @@ def q_dedup_simhash(sf_dir: str):
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
     def sigs(df: pd.DataFrame) -> pd.DataFrame:
+        gram_lists = batch_gram_hashes(df["text"].tolist())
         rows = []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            h = simhash64(gram_hashes(ngram_set(text.split())))
+        for doc_id, gh in zip(df["doc_id"], gram_lists):
+            h = simhash64(gh)
             for b in range(SIMHASH_BANDS):
                 band_key = int((h >> np.uint64(16 * b)) & np.uint64(0xFFFF))
                 rows.append((b, band_key, int(doc_id), int(h % (1 << 63))))
@@ -313,25 +364,32 @@ def q_dedup_simhash(sf_dir: str):
 
     banded = docs.map_batches(sigs, batch_format="pandas")
 
-    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["sim63"].to_numpy(dtype=np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame(columns=["doc_a", "doc_b", "hamming"]).astype("int64")
-        ii, jj = np.triu_indices(len(ids), k=1)
-        ham = np.array(
-            [bin(int(hs[i]) ^ int(hs[j])).count("1") for i, j in zip(ii, jj)]
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """One band (4 groups total): bucket pair-gen via self-merge on
+        the 16-bit band key; hamming distance computed vectorized
+        (XOR → byte view → unpackbits popcount)."""
+        m = g[["bkey", "doc_id", "sim63"]].drop_duplicates("doc_id")
+        j = m.merge(m, on="bkey", suffixes=("_a", "_b"))
+        j = j[j["doc_id_a"] < j["doc_id_b"]]
+        if j.empty:
+            return pd.DataFrame(
+                {"doc_a": [], "doc_b": [], "hamming": []}
+            ).astype("int64")
+        xor = np.bitwise_xor(
+            j["sim63_a"].to_numpy(dtype=np.uint64),
+            j["sim63_b"].to_numpy(dtype=np.uint64),
         )
+        ham = np.unpackbits(xor.view(np.uint8).reshape(len(j), 8), axis=1).sum(axis=1)
         keep = ham <= SIMHASH_MAX_HAMMING
         return pd.DataFrame({
-            "doc_a": ids[ii][keep], "doc_b": ids[jj][keep],
+            "doc_a": j["doc_id_a"].to_numpy()[keep],
+            "doc_b": j["doc_id_b"].to_numpy()[keep],
             "hamming": ham[keep].astype("int64"),
         })
 
     out = (
-        banded.groupby(["band", "bkey"])
-        .map_groups(block_pairs, batch_format="pandas")
+        banded.groupby("band")
+        .map_groups(band_pairs, batch_format="pandas")
         .to_pandas()
         .drop_duplicates(["doc_a", "doc_b"])
     )

@@ -33,33 +33,33 @@ def _round2(x):
 
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-style multi-aggregate (reference A-family: per-group
-    sums/counts).  Derived column inside map_batches (vectorized Arrow),
-    then a groupby over a 6-value key space — the shuffle moves only
-    pre-reduced partials thanks to Ray's hash-aggregate."""
-    from ray.data.aggregate import Count, Mean, Sum
-
+    sums/counts).  Explicit combiner: each batch pre-reduces with a
+    zero-copy pyarrow ``group_by`` (6-value key space), so only
+    O(#blocks × 6) partial rows ever leave the map stage — no full
+    shuffle (Ray's Dataset groupby sort-exchanges every row, ~2.5×
+    slower here).  Mean is finished as sum/count at combine time."""
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
 
-    def derive(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", disc)
+        t = t.append_column("disc_price", disc)
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
+            ("disc_price", "sum"), ("l_quantity", "count"),
+        ])
 
-    out = (
-        ds.map_batches(derive, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Count(alias_name="count_order"),
-        )
-        .to_pandas()
-    )
-    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
-        out[c] = out[c].round(2)
-    out["count_order"] = out["count_order"].astype("int64")
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+    out = pd.DataFrame({
+        "l_returnflag": g["l_returnflag"],
+        "l_linestatus": g["l_linestatus"],
+        "sum_qty": g["l_quantity_sum"].round(2),
+        "sum_base_price": g["l_extendedprice_sum"].round(2),
+        "sum_disc_price": g["disc_price_sum"].round(2),
+        "avg_qty": (g["l_quantity_sum"] / g["l_quantity_count"]).round(2),
+        "count_order": g["l_quantity_count"].astype("int64"),
+    })
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
@@ -360,22 +360,21 @@ FROM orders ORDER BY ordem
 
 def q_hourly_window(sf_dir: str):
     """§2.9 streaming-shaped: tumbling event-time window aggregate
-    (hour buckets × event type)."""
-    from ray.data.aggregate import Count, Sum
-
+    (hour buckets × event type).  Same explicit-combiner recipe as
+    q_pricing_summary: per-batch pandas groupby partials (window keys
+    are dense within a batch), tiny final combine — the shuffle carries
+    O(#blocks × windows) rows, never the events."""
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["window_start"] = df["ts"].dt.floor("h")
-        return df[["window_start", "event_type", "value"]]
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(window_start=df["ts"].dt.floor("h"))
+        g = df.groupby(["window_start", "event_type"], as_index=False).agg(
+            n=("value", "size"), total_value=("value", "sum")
+        )
+        return g
 
-    out = (
-        ds.map_batches(bucket, batch_format="pandas")
-        .groupby(["window_start", "event_type"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
-        .to_pandas()
-    )
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["window_start", "event_type"], as_index=False).sum()
     out["n"] = out["n"].astype("int64")
     out["total_value"] = out["total_value"].round(2)
     return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
