@@ -72,26 +72,26 @@ def _read_docs(sf_dir: str, columns):
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(sf_dir: str):
-    """Exact dedup: md5 of normalized text → ``groupby(dkey).min(doc_id)``.
-    The shuffle moves only 16-byte keys + ids (text never leaves the
-    map stage) — this is the per-group-first recipe from SURVEY §2.7."""
-    from ray.data.aggregate import Min
+    """Exact dedup: md5 of normalized text, keep min doc_id per key.
 
+    Combiner recipe (SURVEY §2.7): each batch pre-reduces to its own
+    (dkey, min id) pairs — the text never leaves the map stage, only
+    16-byte keys + ids — and the final min-merge runs over the already
+    per-batch-deduped pairs.  At 10^10 keys the final merge is a
+    hash-partition ``groupby`` writing partitioned output; here the
+    result is driver-sized by definition (the driver compares it)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def key(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
         norm = normalize_text_series(df["text"])
-        return pd.DataFrame({
+        part = pd.DataFrame({
             "dkey": [hashlib.md5(x.encode()).hexdigest() for x in norm],
-            "doc_id": df["doc_id"],
+            "doc_id": df["doc_id"].astype("int64"),
         })
+        return part.groupby("dkey", as_index=False)["doc_id"].min()
 
-    out = (
-        ds.map_batches(key, batch_format="pandas")
-        .groupby("dkey")
-        .aggregate(Min(on="doc_id", alias_name="doc_id"))
-        .to_pandas()
-    )
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("dkey", as_index=False)["doc_id"].min()
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("dkey").reset_index(drop=True)
 

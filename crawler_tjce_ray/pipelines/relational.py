@@ -332,21 +332,46 @@ def q_resequence(sf_dir: str):
     """M7: the global 1-based ``ordem`` resequencing after a total-order
     sort, distributed as per-group ranks + a broadcast prefix-sum over
     group counts (O(#groups) driver state — the same recipe
-    assign_global_ordem uses for pages)."""
-    from ray.data.aggregate import Count
+    assign_global_ordem uses for pages).
 
+    The shuffle groups by MONTH, not day: per-batch partial counts
+    feed the month prefix-sums, and each month group ranks its rows in
+    one vectorized sort — grouping by the 2400 distinct days would pay
+    per-group dispatch far exceeding the rank work."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
-    counts = ds.groupby("o_orderdate").aggregate(Count(alias_name="n")).to_pandas()
-    counts = counts.sort_values("o_orderdate")
+
+    def with_month(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # vectorized month truncation (no per-row strftime)
+        df["month"] = (
+            df["o_orderdate"].to_numpy().astype("datetime64[M]").astype("datetime64[ns]")
+        )
+        return df
+
+    # consumed twice (counts + rank shuffle): materialize the tiny
+    # 3-column projection once instead of re-running read+map per sink
+    monthly = ds.map_batches(with_month, batch_format="pandas").materialize()
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("month", as_index=False).agg(n=("o_orderkey", "size"))
+
+    counts = (
+        monthly.map_batches(partial_counts, batch_format="pandas")
+        .to_pandas().groupby("month", as_index=False).sum().sort_values("month")
+    )
     counts["offset"] = counts["n"].cumsum().shift(fill_value=0)
-    offsets = dict(zip(counts["o_orderdate"], counts["offset"]))
+    offsets = dict(zip(counts["month"], counts["offset"]))
 
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("o_orderkey").reset_index(drop=True)
-        g["ordem"] = offsets[g["o_orderdate"].iloc[0]] + np.arange(1, len(g) + 1)
+        g = g.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
+        g["ordem"] = offsets[g["month"].iloc[0]] + np.arange(1, len(g) + 1)
         return g[["ordem", "o_orderkey"]]
 
-    out = ds.groupby("o_orderdate").map_groups(rank_group, batch_format="pandas").to_pandas()
+    out = (
+        monthly.groupby("month")
+        .map_groups(rank_group, batch_format="pandas")
+        .to_pandas()
+    )
     out["ordem"] = out["ordem"].astype("int64")
     return out.sort_values("ordem").reset_index(drop=True)
 
