@@ -490,6 +490,71 @@ ORDER BY e.event_id
 """
 
 
+def q_sessionize(sf_dir: str):
+    """Sessionization (streaming-shaped §2.9): gap-based session ids
+    per user (new session when >30 min since the previous event).
+    One shuffle by user; the per-group assignment is a vectorized
+    diff + cumsum.  Key space = users, so groups stay small; salt hot
+    users at scale."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        g["session_id"] = gap.cumsum().astype("int64") + 1
+        return g[["user_id", "event_id", "session_id"]]
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(assign, batch_format="pandas")
+        .to_pandas()
+        .astype({"user_id": "int64", "event_id": "int64", "session_id": "int64"})
+    )
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+SQL_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_id,
+       CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM marked ORDER BY user_id, event_id
+"""
+
+
+def q_token_histogram(sf_dir: str):
+    """Heavy hitters: global top-20 token frequencies.  The canonical
+    pre-aggregation shape: each batch emits its own token counts (a
+    combiner over the batch vocabulary), the driver merges the small
+    partials — the full token stream is never shuffled."""
+    from crawler_tjce_ray.pipelines.textops import _read_docs
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df["text"].str.split().explode().value_counts()
+        return pd.DataFrame({"tok": counts.index, "n": counts.to_numpy()})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("tok", as_index=False)["n"].sum()
+    g["n"] = g["n"].astype("int64")
+    g = g.sort_values(["n", "tok"], ascending=[False, True], kind="mergesort")
+    return g.head(20).reset_index(drop=True)
+
+
+SQL_TOKEN_HISTOGRAM = """
+SELECT tok, COUNT(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+"""
+
+
 def _md5_bucket(vals: pd.Series, mod: int) -> np.ndarray:
     import hashlib
 
@@ -772,6 +837,8 @@ QUERIES = {
     "asof_join": q_asof_join,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
+    "sessionize": q_sessionize,
+    "token_histogram": q_token_histogram,
 }
 
 ORACLE_SQL = {
@@ -798,4 +865,6 @@ ORACLE_SQL = {
     "asof_join": SQL_ASOF_JOIN,
     "hash_split": SQL_HASH_SPLIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "sessionize": SQL_SESSIONIZE,
+    "token_histogram": SQL_TOKEN_HISTOGRAM,
 }
