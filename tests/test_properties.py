@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) for the scalar kernel library —
+the vectorized-kernel ↔ scalar-equivalence hedge SURVEY §7.5 calls for."""
+
+from decimal import Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawler_tjce_ray.functions.numeric import (
+    clean_decimal, format_currency_brl, normalize_decimal_separators,
+)
+from crawler_tjce_ray.functions.text import (
+    digits_only, slugify, unslugify, zero_pad_processo,
+)
+
+# money values with exactly 2 decimal places, up to a billion
+money = st.integers(min_value=0, max_value=10**11).map(
+    lambda cents: Decimal(cents) / 100
+)
+
+
+class TestCurrencyRoundTrip:
+    @given(money)
+    @settings(max_examples=300)
+    def test_brl_format_then_clean_is_identity(self, x):
+        """R$ 1.234,56 display → clean_decimal recovers the exact value
+        (the pt-BR separator disambiguation heuristic must never
+        misread its own output)."""
+        assert clean_decimal(format_currency_brl(float(x))) == x
+
+    @given(money)
+    @settings(max_examples=200)
+    def test_us_format_parses(self, x):
+        s = f"{x:,.2f}"  # 1,234.56 (US separators)
+        assert clean_decimal(s) == x
+
+    @given(money)
+    @settings(max_examples=200)
+    def test_normalize_separators_canonical(self, x):
+        ptbr = format_currency_brl(float(x)).replace("R$ ", "")
+        norm = normalize_decimal_separators(ptbr)
+        assert Decimal(norm) == x
+
+
+class TestSlug:
+    @given(st.text(max_size=60))
+    @settings(max_examples=300)
+    def test_idempotent_and_charset(self, s):
+        slug = slugify(s)
+        assert slugify(slug) == slug
+        assert all(c.islower() or c.isdigit() or c == "-" for c in slug)
+
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz ", min_size=1, max_size=40))
+    @settings(max_examples=200)
+    def test_unslugify_round_trip_plain_words(self, s):
+        """For plain lowercase words, slug→unslug recovers the
+        uppercased phrase (the reference's entity name convention)."""
+        words = s.split()
+        if not words:
+            return
+        phrase = " ".join(words)
+        assert unslugify(slugify(phrase)) == phrase.upper()
+
+
+class TestDigitsPad:
+    @given(st.text(max_size=40))
+    @settings(max_examples=200)
+    def test_digits_only_subset(self, s):
+        """Reference parity (models/models.py:330-339): digits in
+        order, with the no-digits case mapping to the "-" blank."""
+        out = digits_only(s)
+        expect = "".join(c for c in s if c.isdigit())
+        if s.strip() == "" or expect == "":
+            assert out == "-"
+        else:
+            assert out == expect
+
+    @given(st.integers(min_value=0, max_value=10**15))
+    @settings(max_examples=200)
+    def test_zero_pad_numeric(self, n):
+        """Only NUMERIC values pad to 20 digits (crawler.py:114-117);
+        strings pass through stripped."""
+        out = zero_pad_processo(n)
+        assert len(out) == 20 and out.endswith(str(n)) and int(out) == n
+        assert zero_pad_processo(f" {n} ") == str(n)
+
+
+class TestMinHashEstimate:
+    @given(
+        st.lists(st.sampled_from("abcdefgh"), min_size=10, max_size=60),
+        st.integers(min_value=0, max_value=9),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_signature_agreement_tracks_jaccard(self, tokens, n_edits):
+        """MinHash signature agreement is an unbiased Jaccard
+        estimator: |estimate − truth| small at 128 perms (tolerance
+        5σ ≈ 0.22)."""
+        from crawler_tjce_ray.pipelines.dedup import (
+            gram_hashes, minhash_signature, ngram_set,
+        )
+
+        a = tokens
+        b = list(tokens)
+        for k in range(min(n_edits, len(b))):
+            b[k] = "Z"
+        ga, gb = ngram_set(a), ngram_set(b)
+        inter = len(ga & gb)
+        true_j = inter / (len(ga) + len(gb) - inter)
+        sa = minhash_signature(gram_hashes(ga))
+        sb = minhash_signature(gram_hashes(gb))
+        est = float((sa == sb).mean())
+        assert abs(est - true_j) <= 0.25
