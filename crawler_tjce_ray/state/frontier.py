@@ -108,12 +108,10 @@ def select_wave(
     frontier with ``next_fetch_wave = wave + 1`` — the dominant host
     never stalls the wave (skew rule: carry, don't barrier).
 
-    This pandas implementation operates on ONE wave's candidate window,
-    which is bounded by design (waves are the unit of work);  the
-    Dataset-level equivalent used for very large frontiers is
-    ``sort().groupby(host).map_groups(head(budget)).limit(W)`` — see
-    pipelines/crawl.py which routes through Ray Data when the frontier
-    exceeds the driver threshold.
+    This pandas implementation holds to ~10^7 pending urls on the
+    driver; ``select_wave_distributed`` below is the semantically
+    identical Ray-Data path for larger frontiers
+    (equivalence pinned by tests/test_frontier_distributed.py).
     """
     eligible = frontier[frontier["next_fetch_wave"] <= wave]
     rest = frontier[frontier["next_fetch_wave"] > wave]
@@ -128,3 +126,55 @@ def select_wave(
     deferred["next_fetch_wave"] = wave + 1
     deferred = pd.concat([deferred, rest], ignore_index=False)
     return selected.reset_index(drop=True), deferred.reset_index(drop=True)
+
+
+def select_wave_distributed(
+    frontier_ds,
+    wave: int,
+    wave_size: int,
+    per_host_budget: int,
+):
+    """Dataset-level wave selection for frontiers too large for the
+    driver (the 10^10-URL regime of the north rule) — semantically
+    identical to ``select_wave``:
+
+    1. filter eligible (``next_fetch_wave <= wave``) — stateless map;
+    2. global sort by the total order key (the only all-to-all);
+    3. per-host politeness cap via ``groupby(host)`` + sorted head
+       (hosts co-locate by the groupby hash; salted ``host_hash``
+       splits a dominant host across partitions while the budget stays
+       host-global because the cap re-applies on the full host group);
+    4. ``limit(wave_size)`` — the wave itself is driver-sized by
+       definition, so it materializes; the DEFERRED remainder stays a
+       Dataset (anti-membership filter against the broadcast selected
+       key set, with ``next_fetch_wave`` bumped).
+
+    Returns ``(selected: pd.DataFrame, deferred: ray.data.Dataset)``.
+    """
+    import ray.data  # noqa: F401
+
+    sort_keys = ["priority", "next_fetch_wave", "url"]
+
+    def split_eligible(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["next_fetch_wave"] <= wave]
+
+    eligible = frontier_ds.map_batches(split_eligible, batch_format="pandas")
+
+    def head_per_host(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(sort_keys, kind="mergesort").head(per_host_budget)
+
+    capped = eligible.groupby("host").map_groups(head_per_host, batch_format="pandas")
+    selected = (
+        capped.sort(sort_keys).limit(wave_size).to_pandas()
+        .sort_values(sort_keys, kind="mergesort").reset_index(drop=True)
+    )
+    sel_keys = set(selected["url_key"].astype("uint64").tolist())
+
+    def defer(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[~df["url_key"].astype("uint64").isin(sel_keys)].copy()
+        bump = df["next_fetch_wave"] <= wave
+        df.loc[bump, "next_fetch_wave"] = wave + 1
+        return df
+
+    deferred = frontier_ds.map_batches(defer, batch_format="pandas")
+    return selected, deferred

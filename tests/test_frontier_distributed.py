@@ -1,0 +1,54 @@
+"""Equivalence of the driver-side and Ray-Data wave selection paths —
+`select_wave` vs `select_wave_distributed` must pick the same wave and
+leave the same deferred frontier on skewed inputs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from crawler_tjce_ray.state.frontier import (
+    make_frontier_rows, select_wave, select_wave_distributed,
+)
+
+
+def _skewed_frontier(n: int, seed: int = 7) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    hosts = ["hot.example.com"] * (n // 2) + [
+        f"h{rng.randint(0, 37)}.example.com" for _ in range(n - n // 2)
+    ]
+    urls = [f"https://{h}/p/{i}" for i, h in enumerate(hosts)]
+    f = make_frontier_rows(urls)
+    f["priority"] = rng.randint(0, 3, size=n).astype(np.int32)
+    f["next_fetch_wave"] = rng.randint(0, 2, size=n).astype(np.int32)
+    return f
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["url_key"] = df["url_key"].astype("uint64")
+    df["next_fetch_wave"] = df["next_fetch_wave"].astype("int64")
+    df["priority"] = df["priority"].astype("int64")
+    return (
+        df[["url", "url_key", "host", "priority", "next_fetch_wave"]]
+        .sort_values("url").reset_index(drop=True)
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("wave,wave_size,budget", [
+    (0, 64, 8), (1, 200, 5), (0, 10_000, 3),
+])
+def test_distributed_matches_driver_path(wave, wave_size, budget):
+    import ray.data as rd
+
+    frontier = _skewed_frontier(800)
+    sel_pd, def_pd = select_wave(frontier, wave, wave_size, budget)
+    ds = rd.from_pandas(frontier.reset_index(drop=True))
+    sel_rd, def_rd = select_wave_distributed(ds, wave, wave_size, budget)
+
+    pd.testing.assert_frame_equal(_norm(sel_pd), _norm(sel_rd))
+    pd.testing.assert_frame_equal(_norm(def_pd), _norm(def_rd.to_pandas()))
+    # politeness holds
+    if len(sel_rd):
+        assert sel_rd.groupby("host")["url"].count().max() <= budget
+    assert len(sel_rd) <= wave_size
