@@ -226,8 +226,73 @@ def q_multimodal_audio_features(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+
+
+
+class VideoEmbedStage:
+    """Composed stage: fake video → fixed-size embedding (16-bin
+    intensity histogram over sampled frames, L2-normalized).  The
+    multimodal decode→feature→embedding composition of a training
+    pipeline; swap the histogram for a real encoder in ``__init__``."""
+
+    def __init__(self, stride: int = 4, bins: int = 16) -> None:
+        self.stride = stride
+        self.bins = bins
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, vecs = [], []
+        for mid, kind, payload in zip(
+            t["media_id"].to_pylist(), t["kind"].to_pylist(),
+            t["payload"].to_pylist(),
+        ):
+            if kind != "video" or not payload.startswith(MAGIC_VID):
+                continue
+            w, h, nf = (
+                int(x) for x in np.frombuffer(payload, "<u2", count=3, offset=4)
+            )
+            frames = np.frombuffer(
+                payload, np.uint8, count=nf * w * h, offset=10
+            ).reshape(nf, h * w)[:: self.stride]
+            hist = np.histogram(frames, bins=self.bins, range=(0, 256))[0]
+            vec = hist.astype(np.float64)
+            norm = np.linalg.norm(vec)
+            ids.append(mid)
+            vecs.append((vec / norm if norm else vec).tolist())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float64())),
+        })
+
+
+def q_multimodal_video_nn(sf_dir: str) -> pd.DataFrame:
+    """End-to-end multimodal composition: decode+frame-sample+embed in
+    an actor pool, then per-video nearest neighbor by cosine (the
+    embedding near-dup recipe applied to derived media embeddings).
+    Rows-only (binary decode isn't SQL-expressible)."""
+    emb = (
+        _media_ds()
+        .map_batches(
+            VideoEmbedStage, batch_format="pyarrow", batch_size=32,
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    mat = np.stack(emb["embedding"].apply(np.asarray).to_numpy())
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    nn_idx = sims.argmax(axis=1)
+    return pd.DataFrame({
+        "media_id": emb["media_id"].astype("int64"),
+        "nn_media_id": emb["media_id"].to_numpy()[nn_idx].astype("int64"),
+        "cosine": np.round(sims[np.arange(len(emb)), nn_idx], 6),
+    })
+
+
 QUERIES = {
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_audio_features": q_multimodal_audio_features,
+    "multimodal_video_nn": q_multimodal_video_nn,
 }

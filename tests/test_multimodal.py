@@ -98,3 +98,15 @@ class TestPipelines:
         out = q_multimodal_audio_features("")
         assert len(out) == 100
         assert (out["duration_s"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVideoNN:
+    def test_composed_pipeline(self):
+        from crawler_tjce_ray.stages.multimodal import q_multimodal_video_nn
+
+        out = q_multimodal_video_nn("")
+        assert len(out) == 100
+        assert (out["media_id"] != out["nn_media_id"]).all()
+        assert (out["cosine"] <= 1.0 + 1e-9).all()
+        assert out.equals(q_multimodal_video_nn(""))
