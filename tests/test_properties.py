@@ -30,9 +30,19 @@ class TestCurrencyRoundTrip:
 
     @given(money)
     @settings(max_examples=200)
-    def test_us_format_parses(self, x):
-        s = f"{x:,.2f}"  # 1,234.56 (US separators)
-        assert clean_decimal(s) == x
+    def test_us_format_reference_semantics(self, x):
+        """US-format parsing follows the REFERENCE's branch table
+        (models/models.py:176-220) exactly, including its quirk: a
+        single comma + single dot with the dot last (1,000.00 …
+        999,999.99) matches no branch, fails Decimal(), and maps to
+        0.0.  Values without a thousands comma, and values with ≥2
+        commas, parse exactly."""
+        s = f"{x:,.2f}"
+        n_commas = s.count(",")
+        if n_commas == 1:
+            assert clean_decimal(s) == Decimal("0.0")
+        else:
+            assert clean_decimal(s) == x
 
     @given(money)
     @settings(max_examples=200)
