@@ -41,7 +41,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     out["crawl_extract_editais"] = q_extract_editais
     out["crawl_extract_pagamentos"] = q_extract_pagamentos
 
-    from crawler_tjce_ray.pipelines import dedup, relational, similarity, textops
+    from crawler_tjce_ray.pipelines import (
+        dedup, relational, similarity, sketches, textops,
+    )
     from crawler_tjce_ray.stages import multimodal
 
     out.update(relational.QUERIES)
@@ -49,14 +51,18 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     out.update(similarity.QUERIES)
     out.update(textops.QUERIES)
     out.update(multimodal.QUERIES)
+    out.update(sketches.QUERIES)
     return out
 
 
 def build_oracle_sql() -> dict[str, str]:
-    from crawler_tjce_ray.pipelines import dedup, relational, similarity, textops
+    from crawler_tjce_ray.pipelines import (
+        dedup, relational, similarity, sketches, textops,
+    )
 
     sql = dict(relational.ORACLE_SQL)
     sql.update(dedup.ORACLE_SQL)
     sql.update(similarity.ORACLE_SQL)
     sql.update(textops.ORACLE_SQL)
+    sql.update(sketches.ORACLE_SQL)
     return sql

@@ -1,0 +1,136 @@
+"""Quantiles and sketch aggregates over the events table.
+
+- ``value_quantiles``: exact per-group quantiles (oracle-checked:
+  numpy's linear interpolation ≡ DuckDB ``quantile_cont``).
+- ``approx_distinct_users``: HyperLogLog distinct-count — the classic
+  mergeable sketch: each batch builds a register array, the combine is
+  an elementwise max, so the shuffle carries 2^p bytes per block no
+  matter the cardinality (same family as the crawl's cuckoo URL-seen
+  filter, SURVEY §2.5).  Error bound pinned in tests (±2σ ≈ 2.6% at
+  p=12); rows-only for the driver (estimates are not SQL-equal).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+QUANTILES = [0.5, 0.9, 0.99]
+
+HLL_P = 12
+HLL_M = 1 << HLL_P
+
+
+def _read_events(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact quantiles per event_type.  One shuffle by the small type
+    key; per-group numpy quantile (linear interpolation — bit-equal to
+    DuckDB ``quantile_cont``).  At 100 TB swap the exact per-group sort
+    for a t-digest partial in the map stage; the oracle then becomes a
+    tolerance check."""
+    ds = _read_events(sf_dir, ["event_type", "value"])
+
+    def qt(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(dtype=np.float64))
+        row = {"event_type": g["event_type"].iloc[0]}
+        for q in QUANTILES:
+            row[f"p{int(q * 100)}"] = np.quantile(v, q)
+        return pd.DataFrame([row])
+
+    out = (
+        ds.groupby("event_type").map_groups(qt, batch_format="pandas").to_pandas()
+    )
+    for q in QUANTILES:
+        out[f"p{int(q * 100)}"] = np.round(out[f"p{int(q * 100)}"], 6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_VALUE_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.9), 6)  AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def hll_registers(values) -> np.ndarray:
+    """Build one HLL register array (uint8[2^p]) from hashables —
+    vectorized: one md5-derived uint64 per value, then bucket =
+    top p bits, rank = leading zeros of the rest + 1."""
+    if len(values) == 0:
+        return np.zeros(HLL_M, dtype=np.uint8)
+    hashes = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+            for v in values
+        ),
+        dtype=np.uint64,
+        count=len(values),
+    )
+    buckets = (hashes >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (hashes << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
+    # leading zero count of the remaining 64 bits, +1
+    ranks = np.zeros(len(values), dtype=np.uint8)
+    mask = np.uint64(1 << 63)
+    cur = rest.copy()
+    alive = np.ones(len(values), dtype=bool)
+    for r in range(1, 64 - HLL_P + 2):
+        hit = alive & ((cur & mask) != 0)
+        ranks[hit] = r
+        alive &= ~hit
+        if not alive.any():
+            break
+        cur = cur << np.uint64(1)
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    np.maximum.at(regs, buckets, ranks)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range (linear counting)
+    correction."""
+    m = float(HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(2.0 ** (-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HLL distinct user_id count: per-batch register partials →
+    elementwise-max merge on the driver (2^p bytes per block moved,
+    independent of cardinality).  Rows-only; the error bound vs the
+    exact count is pinned in tests/test_sketches.py."""
+    ds = _read_events(sf_dir, ["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        regs = hll_registers(df["user_id"].tolist())
+        return pd.DataFrame({"regs": [regs.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = np.zeros(HLL_M, dtype=np.uint8)
+    for blob in parts["regs"]:
+        merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
+    return pd.DataFrame({
+        "approx_distinct_users": [int(round(hll_estimate(merged)))]
+    })
+
+
+QUERIES = {
+    "value_quantiles": q_value_quantiles,
+    "approx_distinct_users": q_approx_distinct_users,
+}
+
+ORACLE_SQL = {
+    "value_quantiles": SQL_VALUE_QUANTILES,
+}
