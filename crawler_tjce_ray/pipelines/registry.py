@@ -37,9 +37,50 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 
         return assign_global_ordem(extract_records(_pages(sf_dir), "pagamentos"))
 
+    def q_pages_min_ts(sf_dir: str):
+        """S5 parity (edital last-updated probe): global min over the
+        pages table's warc_ts — per-batch partial min, tiny reduce."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from crawler_tjce_ray.sources.pages import read_pages
+
+        def partial(t: pa.Table) -> pa.Table:
+            return pa.table({"min_warc_ts": [pc.min(t["warc_ts"]).as_py()]})
+
+        parts = (
+            read_pages(_pages(sf_dir), columns=["warc_ts"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+        )
+        return pd.DataFrame({"min_warc_ts": [parts["min_warc_ts"].min()]})
+
+    def q_pages_lang_hist(sf_dir: str):
+        """Language histogram over the pages corpus (exercises the
+        input_hint ``lang`` column; per-batch count partials)."""
+        import pandas as pd
+
+        from crawler_tjce_ray.sources.pages import read_pages
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("lang", as_index=False).agg(n=("lang", "size"))
+            return g
+
+        parts = (
+            read_pages(_pages(sf_dir), columns=["lang"])
+            .map_batches(partial, batch_format="pandas")
+            .to_pandas()
+        )
+        out = parts.groupby("lang", as_index=False).sum()
+        out["n"] = out["n"].astype("int64")
+        return out.sort_values("lang").reset_index(drop=True)
+
     out["crawl_extract_precatorios"] = q_extract_precatorios
     out["crawl_extract_editais"] = q_extract_editais
     out["crawl_extract_pagamentos"] = q_extract_pagamentos
+    out["crawl_pages_min_ts"] = q_pages_min_ts
+    out["crawl_pages_lang_hist"] = q_pages_lang_hist
 
     from crawler_tjce_ray.pipelines import (
         dedup, relational, similarity, sketches, textops,
