@@ -56,37 +56,17 @@ except ImportError:  # pragma: no cover
     _stub.HTTPFileSystem = _NoHTTPFileSystem
     _sys.modules["fsspec.implementations.http"] = _stub
 
-from crawler_tjce_ray.stages.extract import (
-    ExtractEditais,
-    ExtractPagamentos,
-    ExtractPrecatorios,
-)
 from crawler_tjce_ray.stages.fetch import (
     DEFAULT_STORE_BUCKETS,
     FetchPool,
     build_page_store,
 )
 from crawler_tjce_ray.stages.seen import ShardedSeenSet
-from crawler_tjce_ray.state.frontier import make_frontier_rows, select_wave
-
-_EXTRACTORS = {
-    "precatorios": ExtractPrecatorios,
-    "editais": ExtractEditais,
-    "pagamentos": ExtractPagamentos,
-}
-_EXTRACTOR_NAMES = {k: k for k in _EXTRACTORS}
-
-
-@ray.remote(num_cpus=1)
-def _extract_chunk_task(kind: str, tbl: pa.Table, year: int, out_path: str) -> int:
-    """One wave-chunk of DSR extraction (stateless Arrow in/out),
-    written as a single parquet part under records/<kind>/wave=K/."""
-    import pyarrow.parquet as pq
-
-    out = _EXTRACTORS[kind](year)(tbl)
-    pq.write_table(out, out_path)
-    return out.num_rows
-
+from crawler_tjce_ray.state.frontier import (
+    make_frontier_rows,
+    select_wave,
+    select_wave_distributed,
+)
 
 @dataclass
 class CrawlConfig:
@@ -100,6 +80,10 @@ class CrawlConfig:
     fetch_batch_size: int = 64
     current_year: int = 2026
     extract_records: bool = True
+    # pending-url count above which wave selection routes through the
+    # Ray-Data path (select_wave_distributed) instead of driver pandas;
+    # equivalence of the two paths is pinned by tests
+    distributed_select_threshold: int = 500_000
 
 
 @dataclass
@@ -216,7 +200,20 @@ def run_crawl(
     )
 
     seen = ShardedSeenSet(cfg.n_seen_shards, cfg.log2_buckets)
-    pool = FetchPool(store_dir, cfg.store_buckets, cfg.fetch_concurrency)
+    # cap the long-lived fetch pool so per-wave tasks (Dataset
+    # conversions, checkpoint IO) always have worker slots — actors
+    # holding every core deadlock task scheduling on small clusters
+    cluster_cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_fetch = max(1, min(cfg.fetch_concurrency, cluster_cpus - 2))
+    # record extraction is FUSED into the fetch actors (operator
+    # fusion): the page body is parsed where it was fetched, so html
+    # never crosses the object store and the pool's cores do the
+    # parse work instead of idling behind a separate task fan-out
+    pool = FetchPool(
+        store_dir, cfg.store_buckets, n_fetch,
+        records_dir=os.path.join(workdir, "records") if cfg.extract_records else None,
+        current_year=cfg.current_year,
+    )
     start_wave = 0
     if resume:
         latest = _latest_checkpoint(workdir)
@@ -235,9 +232,29 @@ def run_crawl(
     for wave in range(start_wave, cfg.max_waves):
         if frontier.empty:
             break
-        selected, frontier = select_wave(
-            frontier, wave, cfg.wave_size, cfg.per_host_budget
-        )
+        if len(frontier) > cfg.distributed_select_threshold:
+            # large-frontier route: selection runs as Dataset ops (the
+            # identical-semantics path, see state/frontier.py); the
+            # remainder comes back to the loop's working frame — on a
+            # multi-node deployment the frontier would stay Parquet-
+            # backed between waves instead
+            import ray.data as rd
+
+            selected, deferred_ds = select_wave_distributed(
+                rd.from_pandas(frontier.reset_index(drop=True)),
+                wave, cfg.wave_size, cfg.per_host_budget,
+            )
+            frontier = deferred_ds.to_pandas()
+            if frontier.empty:
+                # an empty Dataset drops its schema — restore the
+                # canonical frontier columns for the loop's concat/sort
+                frontier = make_frontier_rows([])
+            else:
+                frontier["url_key"] = frontier["url_key"].astype("uint64")
+        else:
+            selected, frontier = select_wave(
+                frontier, wave, cfg.wave_size, cfg.per_host_budget
+            )
         if selected.empty:
             # nothing eligible this wave but future work remains
             if (frontier["next_fetch_wave"] > wave).all() and not frontier.empty:
@@ -261,48 +278,17 @@ def run_crawl(
         fetched_df = pd.DataFrame()
         outlinks = pd.DataFrame(columns=["out_url", "seed", "depth"])
         if not todo.empty:
+            # fetch+parse run fused inside the actor pool (records are
+            # written there, before the actors reply, so the wave's
+            # records are durable before its checkpoint); the returned
+            # table carries only url/status/links — never html
             fetched_tbl = pool.fetch(todo, wave)  # bounded by wave_size
             _lap("t_fetch")
-
-            # Per-wave record extraction runs as RAW Ray tasks, not a
-            # Dataset job: a wave is a small already-materialized Arrow
-            # table, and the streaming executor's per-job setup
-            # (~0.3-0.5 s × kinds × waves) would dominate at this
-            # granularity — the documented "Dataset can't express it
-            # efficiently" escape hatch.  Bulk offline extraction
-            # (run_flagship) still uses Ray Data end-to-end.  All task
-            # refs are awaited before the checkpoint so a resumed run
-            # never skips a wave whose records were not fully written.
-            refs = []
-            if cfg.extract_records:
-                no_links = fetched_tbl.drop_columns(["links"])
-                ok_tbl = no_links.filter(pa.compute.is_valid(no_links["html"]))
-                for kind, extractor in _EXTRACTORS.items():
-                    sub = ok_tbl.filter(
-                        pa.compute.match_substring(ok_tbl["url"], f"/{kind}/")
-                    )
-                    if sub.num_rows == 0:
-                        continue
-                    out_dir = os.path.join(workdir, "records", kind, f"wave={wave}")
-                    os.makedirs(out_dir, exist_ok=True)
-                    # chunk so every CPU gets work even on small waves,
-                    # 3× oversubscribed for dynamic load balance
-                    # (≥4 pages/task keeps task overhead ≪ decode cost)
-                    cpus = int(ray.available_resources().get("CPU", 4))
-                    step = max(4, -(-sub.num_rows // max(1, cpus * 3)))
-                    for ci, off in enumerate(range(0, sub.num_rows, step)):
-                        refs.append(_extract_chunk_task.remote(
-                            _EXTRACTOR_NAMES[kind], sub.slice(off, step),
-                            cfg.current_year,
-                            os.path.join(out_dir, f"part-{ci:04d}.parquet"),
-                        ))
 
             # outlinks were discovered inside the fetch actors (the
             # page body never comes back to the driver for re-parsing);
             # here we only flatten the small list column — vectorized
             outlinks = _flatten_outlinks(fetched_tbl).to_pandas()
-            if refs:
-                ray.get(refs)
             _lap("t_extract")
             fetched_df = fetched_tbl.select(["url", "status"]).to_pandas()
 

@@ -103,15 +103,22 @@ class TokenBucket:
 
 
 class FetchActor:
-    """``map_batches`` callable class: frontier rows → fetched pages.
+    """``map_batches`` callable class: frontier rows → fetched pages,
+    with record extraction FUSED into the same actor when
+    ``records_dir`` is set (operator fusion: the page body is parsed
+    where it was fetched and never crosses the object store — a
+    separate extract fan-out would leave the fetch pool's cores idle
+    and ship gigabytes of html per wave).
 
-    Input batch: url, host, plus a constant ``wave`` passed via
-    fn_constructor args.  Output: url, host, html, status
-    (ok | missing | robots_denied | budget_denied).
+    Input batch: url, host, plus a constant ``wave`` passed per call.
+    Output: url, host, status (ok | missing | robots_denied |
+    budget_denied), links (+ html only when extraction is NOT fused).
     """
 
     def __init__(self, store_dir: str, n_buckets: int = DEFAULT_STORE_BUCKETS,
-                 per_host_rate: int = 10**9, max_cached_buckets: int = 8):
+                 per_host_rate: int = 10**9, max_cached_buckets: int = 8,
+                 records_dir: str | None = None,
+                 current_year: int | None = None, actor_id: int = 0):
         self.store_dir = store_dir
         self.n_buckets = n_buckets
         self.robots = RobotsCache()
@@ -120,6 +127,44 @@ class FetchActor:
         self.max_cached_buckets = max_cached_buckets
         self.bucket_loads = 0
         self.budget = TokenBucket(per_host_rate)
+        self.records_dir = records_dir
+        self.actor_id = actor_id
+        self.extractors = {}
+        if records_dir is not None:
+            # per-actor setup, once (the actor-pool contract): build
+            # the extractor instances here, not per batch
+            from crawler_tjce_ray.stages.extract import (
+                ExtractEditais, ExtractPagamentos, ExtractPrecatorios,
+            )
+
+            self.extractors = {
+                "precatorios": ExtractPrecatorios(current_year),
+                "editais": ExtractEditais(current_year),
+                "pagamentos": ExtractPagamentos(current_year),
+            }
+
+    def _extract_and_write(self, urls, htmls, statuses, wave: int) -> None:
+        ok = [
+            (u, h) for u, h, s in zip(urls, htmls, statuses) if s == "ok"
+        ]
+        if not ok:
+            return
+        for kind, extractor in self.extractors.items():
+            sub = [(u, h) for u, h in ok if f"/{kind}/" in u]
+            if not sub:
+                continue
+            tbl = pa.table({
+                "url": pa.array([u for u, _ in sub], pa.string()),
+                "html": pa.array([h for _, h in sub], pa.binary()),
+            })
+            out = extractor(tbl)
+            if out.num_rows == 0:
+                continue
+            dest = os.path.join(self.records_dir, kind, f"wave={wave}")
+            os.makedirs(dest, exist_ok=True)
+            pq.write_table(
+                out, os.path.join(dest, f"part-a{self.actor_id:03d}.parquet")
+            )
 
     def _bucket_lookup(self, bucket: int) -> dict[str, bytes]:
         if bucket in self.bucket_cache:
@@ -171,10 +216,14 @@ class FetchActor:
         out = {
             "url": pa.array(urls, pa.string()),
             "host": pa.array(hosts, pa.string()),
-            "html": pa.array(htmls, pa.binary()),
             "status": pa.array(statuses, pa.string()),
             "links": pa.array(links, pa.list_(pa.string())),
         }
+        if self.records_dir is not None:
+            # fused parse: records written here, html stays actor-local
+            self._extract_and_write(urls, htmls, statuses, wave)
+        else:
+            out["html"] = pa.array(htmls, pa.binary())
         # pass through frontier bookkeeping columns (seed, depth, ...)
         for name in batch.schema.names:
             if name not in out:
@@ -193,7 +242,8 @@ class FetchPool:
     long-lived ``requests.Session`` (T1)."""
 
     def __init__(self, store_dir: str, n_buckets: int = DEFAULT_STORE_BUCKETS,
-                 n_actors: int = 4):
+                 n_actors: int = 4, records_dir: str | None = None,
+                 current_year: int | None = None):
         import ray
 
         self.n_buckets = n_buckets
@@ -210,8 +260,10 @@ class FetchPool:
             self._remote_cls.remote(
                 store_dir=store_dir, n_buckets=n_buckets,
                 max_cached_buckets=per_actor,
+                records_dir=records_dir, current_year=current_year,
+                actor_id=i,
             )
-            for _ in range(n_actors)
+            for i in range(n_actors)
         ]
 
     def fetch(self, wave_df, wave: int) -> pa.Table:

@@ -20,8 +20,13 @@ import ray
 from crawler_tjce_ray.state.cuckoo import CuckooFilter
 
 
-@ray.remote(num_cpus=0.5)
+@ray.remote(num_cpus=0)
 class SeenShardActor:
+    """num_cpus=0: membership checks are sub-millisecond bitset ops —
+    reserving cores here starved task scheduling on small clusters
+    (long-lived bookkeeping actors must never hold worker slots that
+    fetch/extract tasks need)."""
+
     def __init__(self, log2_buckets: int = 16):
         self.filter = CuckooFilter(log2_buckets)
 
