@@ -18,9 +18,17 @@ import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Pruned, block-split read: each table ships as ONE parquet file,
+    and without ``override_num_blocks`` the whole table lands in a
+    single block so every downstream map stage runs serially."""
+    import ray
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    cpus = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return rd.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns,
+        override_num_blocks=max(8, min(32, cpus)),
+    )
 
 
 def _round2(x):
@@ -432,11 +440,17 @@ def q_asof_join(sf_dir: str):
         .aggregate(Max(on="o_orderkey", alias_name="o_orderkey"))
     )
 
-    cols = ["key", "t", "side", "event_id", "o_orderkey"]
+    cols = ["key", "kb", "t", "side", "event_id", "o_orderkey"]
+    N_BUCKETS = 64  # shuffle key: coarse buckets, not raw user ids —
+    # per-group dispatch over thousands of tiny key groups would dwarf
+    # the merge work; inside a bucket the as-of is one vectorized
+    # pd.merge_asof(by=key)
 
     def tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["user_id"].astype("int64")
         return pd.DataFrame({
-            "key": df["user_id"].astype("int64"),
+            "key": key,
+            "kb": key % N_BUCKETS,
             "t": df["ts"].astype("datetime64[us]"),
             "side": np.int64(0),
             "event_id": df["event_id"].astype("int64"),
@@ -444,8 +458,10 @@ def q_asof_join(sf_dir: str):
         })[cols]
 
     def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["o_custkey"].astype("int64")
         return pd.DataFrame({
-            "key": df["o_custkey"].astype("int64"),
+            "key": key,
+            "kb": key % N_BUCKETS,
             "t": pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]"),
             "side": np.int64(1),
             "event_id": np.int64(-1),
@@ -457,24 +473,26 @@ def q_asof_join(sf_dir: str):
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["side"] == 0].sort_values(["t", "event_id"])
-        right = g[g["side"] == 1].sort_values("t")
+        left = g[g["side"] == 0].sort_values("t", kind="mergesort")
+        right = g[g["side"] == 1].sort_values("t", kind="mergesort")
         if left.empty or right.empty:
             return pd.DataFrame(
                 columns=["event_id", "user_id", "ts", "o_orderkey"]
             )
-        pos = np.searchsorted(
-            right["t"].to_numpy(), left["t"].to_numpy(), side="right"
-        ) - 1
-        keep = pos >= 0
+        m = pd.merge_asof(
+            left[["key", "t", "event_id"]],
+            right[["key", "t", "o_orderkey"]],
+            on="t", by="key", direction="backward",
+        )
+        m = m[m["o_orderkey"].notna()]
         return pd.DataFrame({
-            "event_id": left["event_id"].to_numpy()[keep],
-            "user_id": left["key"].to_numpy()[keep],
-            "ts": left["t"].to_numpy()[keep],
-            "o_orderkey": right["o_orderkey"].to_numpy()[pos[keep]],
+            "event_id": m["event_id"].to_numpy(),
+            "user_id": m["key"].to_numpy(),
+            "ts": m["t"].to_numpy(),
+            "o_orderkey": m["o_orderkey"].to_numpy().astype("int64"),
         })
 
-    out = u.groupby("key").map_groups(merge, batch_format="pandas").to_pandas()
+    out = u.groupby("kb").map_groups(merge, batch_format="pandas").to_pandas()
     out = out.astype({"event_id": "int64", "user_id": "int64", "o_orderkey": "int64"})
     return out.sort_values("event_id").reset_index(drop=True)
 
