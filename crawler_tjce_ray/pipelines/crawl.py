@@ -84,6 +84,11 @@ class CrawlConfig:
     # Ray-Data path (select_wave_distributed) instead of driver pandas;
     # equivalence of the two paths is pinned by tests
     distributed_select_threshold: int = 500_000
+    # in-actor per-host token-bucket grants per wave (defense-in-depth
+    # behind the wave-selection budget; denied urls are un-seen and
+    # requeued, never lost).  The default never denies because the
+    # authoritative budget is per_host_budget at selection time.
+    actor_token_rate: int = 10**9
 
 
 @dataclass
@@ -213,6 +218,7 @@ def run_crawl(
         store_dir, cfg.store_buckets, n_fetch,
         records_dir=os.path.join(workdir, "records") if cfg.extract_records else None,
         current_year=cfg.current_year,
+        per_host_rate=cfg.actor_token_rate,
     )
     start_wave = 0
     if resume:
@@ -291,6 +297,19 @@ def run_crawl(
             outlinks = _flatten_outlinks(fetched_tbl).to_pandas()
             _lap("t_extract")
             fetched_df = fetched_tbl.select(["url", "status"]).to_pandas()
+
+            # politeness-denied urls must NOT be lost: they were marked
+            # seen before the fetch, so un-see them and requeue for the
+            # next wave (the lineage still records this wave's denial)
+            denied = set(
+                fetched_df.loc[fetched_df["status"] == "budget_denied", "url"]
+            )
+            if denied:
+                requeue = todo[todo["url"].isin(denied)]
+                seen.remove(requeue["url_key"].to_numpy(dtype=np.uint64))
+                requeue = requeue[[c for c in frontier.columns]].copy()
+                requeue["next_fetch_wave"] = np.int32(wave + 1)
+                frontier = pd.concat([frontier, requeue], ignore_index=True)
 
         # merge fetch statuses into the wave lineage
         lineage = selected[["url", "seed", "status"]].copy()

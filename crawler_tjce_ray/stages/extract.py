@@ -103,6 +103,7 @@ class _ExtractBase:
 
     def __init__(self, current_year: int | None = None):
         self.current_year = current_year or datetime.now().year
+        self.pages_failed = 0  # corrupt-page counter (per actor/task)
 
     def decode_page(self, resp: dict) -> list[dict]:
         raise NotImplementedError
@@ -113,8 +114,16 @@ class _ExtractBase:
         htmls = batch["html"]
         for i in range(len(batch)):
             url = urls[i].as_py()
-            resp = json.loads(htmls[i].as_py())
-            for row in self.decode_page(resp):
+            # a corrupt page must never poison the batch (at corpus
+            # scale malformed bodies are a certainty): skip and count,
+            # mirroring the reference's drop-invalid-row behavior
+            try:
+                resp = json.loads(htmls[i].as_py())
+                page_rows = self.decode_page(resp)
+            except Exception:
+                self.pages_failed += 1
+                continue
+            for row in page_rows:
                 row["url"] = url
                 out_rows.append(row)
         return pa.Table.from_pylist(out_rows, schema=self.schema)

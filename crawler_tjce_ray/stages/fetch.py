@@ -243,7 +243,8 @@ class FetchPool:
 
     def __init__(self, store_dir: str, n_buckets: int = DEFAULT_STORE_BUCKETS,
                  n_actors: int = 4, records_dir: str | None = None,
-                 current_year: int | None = None):
+                 current_year: int | None = None,
+                 per_host_rate: int = 10**9):
         import ray
 
         self.n_buckets = n_buckets
@@ -261,7 +262,7 @@ class FetchPool:
                 store_dir=store_dir, n_buckets=n_buckets,
                 max_cached_buckets=per_actor,
                 records_dir=records_dir, current_year=current_year,
-                actor_id=i,
+                actor_id=i, per_host_rate=per_host_rate,
             )
             for i in range(n_actors)
         ]

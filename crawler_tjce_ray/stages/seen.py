@@ -36,6 +36,9 @@ class SeenShardActor:
     def contains(self, keys: np.ndarray) -> np.ndarray:
         return self.filter.contains(keys)
 
+    def remove(self, keys: np.ndarray) -> int:
+        return self.filter.remove(keys)
+
     def to_bytes(self) -> bytes:
         return self.filter.to_bytes()
 
@@ -73,6 +76,20 @@ class ShardedSeenSet:
         for s, (idx, fut) in futures.items():
             out[idx] = ray.get(fut)
         return out
+
+    def remove(self, keys: np.ndarray) -> int:
+        """Un-see keys (politeness-denied urls re-entering the
+        frontier); same shard routing as check_and_add."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        if keys.size == 0:
+            return 0
+        shard = self._route(keys)
+        futs = []
+        for s in range(self.n_shards):
+            idx = np.where(shard == s)[0]
+            if idx.size:
+                futs.append(self.actors[s].remove.remote(keys[idx]))
+        return sum(ray.get(futs))
 
     def counts(self) -> list[int]:
         return ray.get([a.count.remote() for a in self.actors])

@@ -126,6 +126,29 @@ class CuckooFilter:
             self.count += 1
         return out
 
+    # -- delete ---------------------------------------------------------
+    def remove(self, keys: np.ndarray) -> int:
+        """Cuckoo deletion: clear one matching fingerprint slot from
+        either candidate bucket per key.  Used when a selected URL was
+        marked seen but ultimately NOT fetched (politeness denial) so
+        it can re-enter the frontier.  Returns keys actually removed."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        removed = 0
+        for k in keys:
+            arr = np.array([k], dtype=np.uint64)
+            fp = np.uint16(self._fingerprint(arr)[0])
+            i1 = int(self._index1(arr)[0])
+            i2 = int(self._alt_index(np.array([i1]), np.array([fp], dtype=np.uint16))[0])
+            for idx in (i1, i2):
+                row = self.table[idx]
+                hit = np.where(row == fp)[0]
+                if hit.size:
+                    row[hit[0]] = _EMPTY
+                    removed += 1
+                    self.count -= 1
+                    break
+        return removed
+
     # -- checkpoint -----------------------------------------------------
     def to_bytes(self) -> bytes:
         header = np.array([self.log2_buckets, self.count], dtype=np.int64).tobytes()
