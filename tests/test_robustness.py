@@ -77,3 +77,41 @@ class TestPolitenessRequeue:
             later_ok = t[(t["url"] == url) & (t["status"] == "ok")]
             assert len(later_ok) == 1
             assert later_ok["wave"].iloc[0] > denied[denied["url"] == url]["wave"].min()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResumeWithExtraction:
+    def test_records_complete_after_resume(self, tmp_path):
+        """Kill after wave 2 WITH fused extraction on, resume, and
+        require the records to equal an uninterrupted run's (the
+        records-durable-before-checkpoint contract)."""
+        import pandas as pd
+        import ray.data as rd
+
+        from crawler_tjce_ray.pipelines.crawl import CrawlConfig, run_crawl
+        from crawler_tjce_ray.sources.pages import corpus_cache_dir
+
+        pages = corpus_cache_dir(n_entities=8, total_pages=40, rows_per_page=50, seed=42)
+        base = dict(wave_size=64, per_host_budget=8, fetch_concurrency=2,
+                    extract_records=True)
+        full = run_crawl(pages, str(tmp_path / "full"),
+                         config=CrawlConfig(**base, max_waves=60))
+
+        run_crawl(pages, str(tmp_path / "cut"),
+                  config=CrawlConfig(**base, max_waves=3))  # "killed"
+        resumed = run_crawl(pages, str(tmp_path / "cut"),
+                            config=CrawlConfig(**base, max_waves=60),
+                            resume=True)
+        pd.testing.assert_frame_equal(
+            full.trace.reset_index(drop=True),
+            resumed.trace.reset_index(drop=True),
+        )
+
+        def recs(workdir):
+            return (
+                rd.read_parquet(f"{workdir}/records/precatorios")
+                .to_pandas().sort_values(["url", "ordem"]).reset_index(drop=True)
+            )
+
+        a, b = recs(str(tmp_path / "full")), recs(str(tmp_path / "cut"))
+        pd.testing.assert_frame_equal(a, b)
