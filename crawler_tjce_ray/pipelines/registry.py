@@ -76,11 +76,29 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         out["n"] = out["n"].astype("int64")
         return out.sort_values("lang").reset_index(drop=True)
 
+    def q_crawl_trace(sf_dir: str):
+        """The frontier engine end-to-end, surfaced as data: run the
+        deterministic wave crawl over the small corpus (cached per
+        process) and return the full lineage trace
+        (wave, order_in_wave, url, seed, status) — the crawl-order
+        contract as a queryable table."""
+        import os
+        import tempfile
+
+        from crawler_tjce_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+        workdir = os.path.join(tempfile.gettempdir(), "tjce_trace_query")
+        cfg = CrawlConfig(wave_size=64, per_host_budget=8, max_waves=60,
+                          fetch_concurrency=2)
+        res = run_crawl(_pages(sf_dir), workdir, config=cfg)
+        return res.trace.reset_index(drop=True)
+
     out["crawl_extract_precatorios"] = q_extract_precatorios
     out["crawl_extract_editais"] = q_extract_editais
     out["crawl_extract_pagamentos"] = q_extract_pagamentos
     out["crawl_pages_min_ts"] = q_pages_min_ts
     out["crawl_pages_lang_hist"] = q_pages_lang_hist
+    out["crawl_trace"] = q_crawl_trace
 
     from crawler_tjce_ray.pipelines import (
         dedup, relational, similarity, sketches, textops,
