@@ -66,6 +66,9 @@ def _init_ray() -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     return num_cpus
 
 
