@@ -120,3 +120,47 @@ class TestMinHashEstimate:
         sb = minhash_signature(gram_hashes(gb))
         est = float((sa == sb).mean())
         assert abs(est - true_j) <= 0.25
+
+
+class TestDateKernels:
+    @given(st.integers(min_value=100_000_000_001, max_value=4_000_000_000_000))
+    @settings(max_examples=200)
+    def test_epoch_millis_round_trip(self, ms):
+        """Millis in the reference's accepted window render as the UTC
+        datetime string; parsing that string back (clean_data_cadastro)
+        recovers the instant."""
+        import datetime as dt
+
+        from crawler_tjce_ray.functions.dates import (
+            clean_data_cadastro, format_date_value,
+        )
+
+        s = format_date_value(str(ms))
+        expect = dt.datetime.fromtimestamp(ms / 1000.0, dt.timezone.utc).replace(tzinfo=None)
+        assert s == str(expect)
+        parsed = clean_data_cadastro(s)
+        assert parsed is not None
+        assert abs((parsed - expect).total_seconds()) < 1e-3
+
+    @given(st.integers(min_value=2, max_value=79_999))
+    @settings(max_examples=200)
+    def test_excel_serial_days(self, days):
+        """Whole Excel serial days render as %Y-%m-%d from the
+        1899-12-30 base (the reference's Excel-date strategy)."""
+        import datetime as dt
+
+        from crawler_tjce_ray.functions.dates import format_date_value
+
+        s = format_date_value(str(days))
+        expect = dt.datetime(1899, 12, 30) + dt.timedelta(days=days)
+        assert s == expect.strftime("%Y-%m-%d")
+
+    @given(st.floats(min_value=80_000, max_value=1e11, exclude_min=True))
+    @settings(max_examples=100)
+    def test_dead_window_returns_empty(self, x):
+        """The (80000, 1e11] numeric window matches NO strategy — the
+        reference's unsatisfiable epoch-seconds guard (QUIRK) means
+        these all render empty."""
+        from crawler_tjce_ray.functions.dates import format_date_value
+
+        assert format_date_value(str(x)) == ""
