@@ -119,14 +119,26 @@ def _ckpt_dir(workdir: str, wave: int) -> str:
     return os.path.join(workdir, "ckpt", f"wave_{wave:05d}")
 
 
+_CKPT_NAME_RE = None
+
+
 def _latest_checkpoint(workdir: str) -> int | None:
+    import re
+
+    global _CKPT_NAME_RE
+    if _CKPT_NAME_RE is None:
+        _CKPT_NAME_RE = re.compile(r"^wave_(\d+)$")
     base = os.path.join(workdir, "ckpt")
     if not os.path.isdir(base):
         return None
     waves = []
     for name in sorted(os.listdir(base)):
-        if name.startswith("wave_") and os.path.exists(os.path.join(base, name, "_SUCCESS")):
-            waves.append(int(name.split("_")[1]))
+        # strict name match: a crash between writing _SUCCESS into the
+        # tmp dir and the atomic rename leaves 'wave_NNNNN.tmp' behind —
+        # it must be ignored, not crash every future resume
+        m = _CKPT_NAME_RE.match(name)
+        if m and os.path.exists(os.path.join(base, name, "_SUCCESS")):
+            waves.append(int(m.group(1)))
     return max(waves) if waves else None
 
 
@@ -321,22 +333,25 @@ def run_crawl(
         lineage.insert(0, "wave", wave)
         lineage.insert(1, "order_in_wave", np.arange(len(lineage)))
 
-        # frontier update: add new outlinks (drop urls already pending)
+        # frontier update: add new outlinks (drop urls already pending).
+        # Dedup survivor is chosen by a DETERMINISTIC sort key
+        # (out_url, depth, seed) — not arrival order, which would vary
+        # with the fetch-pool actor count across environments and break
+        # the byte-identical resume contract.  Vectorized throughout
+        # (columns, never Python row loops).
         if not outlinks.empty:
-            new_rows = []
-            pending = set(frontier["url"])
-            dedup = outlinks.drop_duplicates("out_url")
-            for _, r in dedup.iterrows():
-                if r["out_url"] in pending:
-                    continue
-                new_rows.append((r["out_url"], r["seed"], int(r["depth"])))
-            if new_rows:
+            dedup = (
+                outlinks.sort_values(["out_url", "depth", "seed"], kind="mergesort")
+                .drop_duplicates("out_url")
+            )
+            dedup = dedup[~dedup["out_url"].isin(set(frontier["url"]))]
+            if len(dedup):
                 add = make_frontier_rows(
-                    [u for u, _, _ in new_rows], priority=0,
+                    dedup["out_url"].tolist(), priority=0,
                     wave=wave + 1, depth=0, seed="",
                 )
-                add["seed"] = [s for _, s, _ in new_rows]
-                add["depth"] = np.array([d for _, _, d in new_rows], dtype=np.int32)
+                add["seed"] = dedup["seed"].to_numpy()
+                add["depth"] = dedup["depth"].to_numpy(dtype=np.int32)
                 add["priority"] = add["depth"]  # BFS: shallower first
                 frontier = pd.concat([frontier, add], ignore_index=True)
 

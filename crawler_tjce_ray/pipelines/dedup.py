@@ -357,9 +357,12 @@ def q_dedup_simhash(sf_dir: str):
             h = simhash64(gh)
             for b in range(SIMHASH_BANDS):
                 band_key = int((h >> np.uint64(16 * b)) & np.uint64(0xFFFF))
-                rows.append((b, band_key, int(doc_id), int(h % (1 << 63))))
+                # keep ALL 64 bits: reinterpret uint64 as int64 (bit 63 must
+                # participate in the hamming distance)
+                rows.append((b, band_key, int(doc_id),
+                             int(np.uint64(h).astype(np.int64))))
         return pd.DataFrame(
-            rows, columns=["band", "bkey", "doc_id", "sim63"]
+            rows, columns=["band", "bkey", "doc_id", "sim64"]
         )
 
     banded = docs.map_batches(sigs, batch_format="pandas")
@@ -368,7 +371,7 @@ def q_dedup_simhash(sf_dir: str):
         """One band (4 groups total): bucket pair-gen via self-merge on
         the 16-bit band key; hamming distance computed vectorized
         (XOR → byte view → unpackbits popcount)."""
-        m = g[["bkey", "doc_id", "sim63"]].drop_duplicates("doc_id")
+        m = g[["bkey", "doc_id", "sim64"]].drop_duplicates("doc_id")
         j = m.merge(m, on="bkey", suffixes=("_a", "_b"))
         j = j[j["doc_id_a"] < j["doc_id_b"]]
         if j.empty:
@@ -376,8 +379,8 @@ def q_dedup_simhash(sf_dir: str):
                 {"doc_a": [], "doc_b": [], "hamming": []}
             ).astype("int64")
         xor = np.bitwise_xor(
-            j["sim63_a"].to_numpy(dtype=np.uint64),
-            j["sim63_b"].to_numpy(dtype=np.uint64),
+            j["sim64_a"].to_numpy(dtype=np.int64).view(np.uint64),
+            j["sim64_b"].to_numpy(dtype=np.int64).view(np.uint64),
         )
         ham = np.unpackbits(xor.view(np.uint8).reshape(len(j), 8), axis=1).sum(axis=1)
         keep = ham <= SIMHASH_MAX_HAMMING

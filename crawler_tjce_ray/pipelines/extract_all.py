@@ -67,23 +67,35 @@ def assign_global_ordem(records_ds, descending_pages: bool = False):
     order (reference: crawler/crawler.py:1056-1057 with the counter
     carried across pages at :540,585-590).
 
-    Distributed recipe: per-page row counts (small aggregate) → prefix
-    sums over the deterministic crawl order on the driver → broadcast
-    url→offset map → vectorized per-batch add.  Scales as O(#pages)
-    driver state, never O(#records).
+    Distributed recipe: per-page row counts + min page-local ordem
+    (small aggregate) → prefix sums over the deterministic crawl order
+    on the driver → broadcast url→(offset, min) map → vectorized
+    per-batch add.  Scales as O(#pages) driver state, never
+    O(#records), and is correct even when one page's rows straddle a
+    batch/block boundary (the rebase uses the page-GLOBAL min ordem,
+    never a batch-local one).
     """
-    counts = records_ds.groupby("url").count().to_pandas()
-    counts["key"] = counts["url"].map(crawl_order_key)
-    counts = counts.sort_values("key", ascending=not descending_pages, kind="mergesort")
-    offsets: dict[str, int] = {}
+    # consumed twice (stats pass + rewrite pass): materialize the
+    # extraction output once, or the whole read+DSR-decode re-executes
+    from ray.data.aggregate import Count, Min
+
+    records_ds = records_ds.materialize()
+    stats = (
+        records_ds.groupby("url")
+        .aggregate(Count(alias_name="n"), Min(on="ordem", alias_name="min_ordem"))
+        .to_pandas()
+    )
+    stats["key"] = stats["url"].map(crawl_order_key)
+    stats = stats.sort_values("key", ascending=not descending_pages, kind="mergesort")
+    offsets: dict[str, tuple[int, int]] = {}
     running = 0
-    for url, n in zip(counts["url"], counts["count()"]):
-        offsets[url] = running
+    for url, n, mo in zip(stats["url"], stats["n"], stats["min_ordem"]):
+        offsets[url] = (running, int(mo))
         running += int(n)
 
     # page-local ordem is 1-based for precatorios/editais and 0-based
-    # for pagamentos; re-rank within each url segment so the offset add
-    # is robust to either convention and to batches spanning pages
+    # for pagamentos; rebase each row against its page's GLOBAL min so
+    # the offset add is robust to either convention and to batching
     def add_offset_grouped(batch: pa.Table) -> pa.Table:
         import numpy as np
 
@@ -95,8 +107,8 @@ def assign_global_ordem(records_ds, descending_pages: bool = False):
             j = i
             while j < len(urls) and urls[j] == urls[i]:
                 j += 1
-            seg = ordem[i:j]
-            out[i:j] = offsets[urls[i]] + (seg - seg.min()) + 1
+            off, mo = offsets[urls[i]]
+            out[i:j] = off + (ordem[i:j] - mo) + 1
             i = j
         return batch.set_column(
             batch.schema.get_field_index("ordem"), "ordem", pa.array(out, pa.int64())

@@ -78,20 +78,23 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 
     def q_crawl_trace(sf_dir: str):
         """The frontier engine end-to-end, surfaced as data: run the
-        deterministic wave crawl over the small corpus (cached per
-        process) and return the full lineage trace
-        (wave, order_in_wave, url, seed, status) — the crawl-order
-        contract as a queryable table."""
-        import os
+        deterministic wave crawl over the small corpus and return the
+        full lineage trace (wave, order_in_wave, url, seed, status) —
+        the crawl-order contract as a queryable table.  The workdir is
+        process-private (mkdtemp): a shared path would let concurrent
+        driver/bench/test processes wipe each other's checkpoints
+        mid-crawl.  Memoized per process (the trace is deterministic)."""
         import tempfile
 
         from crawler_tjce_ray.pipelines.crawl import CrawlConfig, run_crawl
 
-        workdir = os.path.join(tempfile.gettempdir(), "tjce_trace_query")
-        cfg = CrawlConfig(wave_size=64, per_host_budget=8, max_waves=60,
-                          fetch_concurrency=2)
-        res = run_crawl(_pages(sf_dir), workdir, config=cfg)
-        return res.trace.reset_index(drop=True)
+        if not hasattr(q_crawl_trace, "_memo"):
+            workdir = tempfile.mkdtemp(prefix="tjce_trace_query_")
+            cfg = CrawlConfig(wave_size=64, per_host_budget=8, max_waves=60,
+                              fetch_concurrency=2)
+            res = run_crawl(_pages(sf_dir), workdir, config=cfg)
+            q_crawl_trace._memo = res.trace.reset_index(drop=True)
+        return q_crawl_trace._memo.copy()
 
     out["crawl_extract_precatorios"] = q_extract_precatorios
     out["crawl_extract_editais"] = q_extract_editais

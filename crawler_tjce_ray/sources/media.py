@@ -93,9 +93,15 @@ def write_media_corpus(out_dir: str, n_media: int = 300, seed: int = 7) -> str:
 
 def media_cache_dir(n_media: int = 300, seed: int = 7) -> str:
     """Synthesize-once cache under /tmp keyed by params."""
+    import shutil
+
     out = f"/tmp/crawler_tjce_ray_media/n{n_media}_s{seed}"
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
+        # a marker-less dir is a partial/failed write — wipe it, or
+        # write_parquet would append duplicate part files beside the
+        # stale ones (same hazard as pages.corpus_cache_dir)
+        shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
         write_media_corpus(out, n_media=n_media, seed=seed)
         with open(marker, "w") as f:

@@ -43,15 +43,25 @@ def build_page_store(pages_path: str, store_dir: str, n_buckets: int = DEFAULT_S
         keys = np.array([url_sha1_64(u) % n_buckets for u in t["url"].to_pylist()], dtype=np.int64)
         return t.append_column("bucket", pa.array(keys, pa.int64()))
 
-    if os.path.exists(os.path.join(store_dir, "_SUCCESS")):
-        return store_dir
+    marker = os.path.join(store_dir, "_SUCCESS")
+    src_key = os.path.abspath(pages_path)
+    if os.path.exists(marker):
+        # idempotence is keyed on the SOURCE corpus, not just the
+        # marker: a workdir reused with a different --corpus must
+        # rebuild, not silently serve the old corpus's pages
+        with open(marker) as f:
+            if f.read().strip() == src_key:
+                return store_dir
+        import shutil
+
+        shutil.rmtree(store_dir, ignore_errors=True)
     (
         rd.read_parquet(pages_path, columns=["url", "html"])
         .map_batches(add_bucket, batch_format="pyarrow")
         .write_parquet(store_dir, partition_cols=["bucket"])
     )
-    with open(os.path.join(store_dir, "_SUCCESS"), "w") as f:
-        f.write("ok\n")
+    with open(marker, "w") as f:
+        f.write(src_key + "\n")
     return store_dir
 
 
@@ -80,7 +90,15 @@ class RobotsCache:
 
 class TokenBucket:
     """Per-host virtual-time token bucket: ``rate`` grants per wave,
-    carry-over capped at ``burst``."""
+    carry-over capped at ``burst``.
+
+    Scope caveat: the bucket lives PER FETCH ACTOR while a host's urls
+    hash-scatter across the pool, so a finite rate admits up to
+    n_actors × rate per host per wave.  This is acceptable because the
+    bucket is defense-in-depth only — the authoritative per-host
+    budget is enforced at wave selection (``select_wave``), where host
+    grouping is total.  A cluster-global bucket would need a shared
+    budget actor (one RPC per host per wave, not per url)."""
 
     def __init__(self, rate: int, burst: int | None = None):
         self.rate = rate

@@ -115,3 +115,94 @@ class TestResumeWithExtraction:
 
         a, b = recs(str(tmp_path / "full")), recs(str(tmp_path / "cut"))
         pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewRegressions:
+    def test_resume_survives_leftover_tmp_checkpoint(self, tmp_path):
+        """A crash between writing _SUCCESS into the tmp dir and the
+        atomic rename leaves wave_NNNNN.tmp behind; resume must ignore
+        it instead of crashing on int('NNNNN.tmp')."""
+        import os
+
+        from crawler_tjce_ray.pipelines.crawl import CrawlConfig, run_crawl
+        from crawler_tjce_ray.sources.pages import corpus_cache_dir
+
+        pages = corpus_cache_dir(n_entities=8, total_pages=40, rows_per_page=50, seed=42)
+        w = str(tmp_path / "w")
+        cfg = dict(wave_size=64, per_host_budget=8, fetch_concurrency=2,
+                   extract_records=False)
+        run_crawl(pages, w, config=CrawlConfig(**cfg, max_waves=3))
+        bad = os.path.join(w, "ckpt", "wave_00099.tmp")
+        os.makedirs(bad)
+        open(os.path.join(bad, "_SUCCESS"), "w").write("ok")
+        r = run_crawl(pages, w, config=CrawlConfig(**cfg, max_waves=60), resume=True)
+        assert (r.trace["status"] == "ok").sum() == 38
+
+    def test_page_store_rebuilds_on_corpus_change(self, tmp_path):
+        """A store marker from corpus A must not be served for corpus B."""
+        import pyarrow.parquet as pq
+
+        from crawler_tjce_ray.sources.pages import corpus_cache_dir
+        from crawler_tjce_ray.stages.fetch import build_page_store
+
+        a = corpus_cache_dir(n_entities=8, total_pages=40, rows_per_page=50, seed=42)
+        b = corpus_cache_dir(n_entities=8, total_pages=40, rows_per_page=50, seed=43)
+        store = str(tmp_path / "store")
+        build_page_store(a, store)
+        n_a = sum(pq.read_metadata(f).num_rows
+                  for f in __import__("glob").glob(f"{store}/**/*.parquet", recursive=True))
+        build_page_store(b, store)  # different corpus → rebuild
+        import glob
+        urls = set()
+        for f in glob.glob(f"{store}/**/*.parquet", recursive=True):
+            urls.update(pq.read_table(f, columns=["url"])["url"].to_pylist())
+        b_urls = set()
+        for f in glob.glob(f"{b}/**/*.parquet", recursive=True):
+            b_urls.update(pq.read_table(f, columns=["url"])["url"].to_pylist())
+        assert urls == b_urls and n_a > 0
+
+    def test_global_ordem_survives_page_straddle(self):
+        """A page's records split across blocks must still get a
+        correct, duplicate-free global sequence (rebase uses the
+        page-global min, not a batch-local one)."""
+        import pandas as pd
+        import ray.data as rd
+
+        from crawler_tjce_ray.pipelines.extract_all import assign_global_ordem
+
+        # two 'pages' of 6 records, each page SPLIT across two blocks
+        def page(url, n, base):
+            return pd.DataFrame({"url": [url] * n, "ordem": range(base, base + n)})
+
+        u1 = "https://h/powerbi/precatorios/aaa/page/0"
+        u2 = "https://h/powerbi/precatorios/bbb/page/0"
+        frames = [page(u1, 4, 1), page(u1, 2, 5), page(u2, 3, 1), page(u2, 3, 4)]
+        ds = rd.from_pandas(frames)  # one block per frame → u1, u2 straddle
+        out = assign_global_ordem(ds).to_pandas().sort_values("ordem")
+        assert out["ordem"].tolist() == list(range(1, 13))
+        assert (out[out["url"] == u1]["ordem"] <= 6).all()
+        assert (out[out["url"] == u2]["ordem"] > 6).all()
+
+    def test_simhash_uses_all_64_bits(self):
+        """Band keys cover bits 48-63; pairs differing only in bit 63
+        must report hamming 1, not 0."""
+        import pandas as pd
+
+        from crawler_tjce_ray.pipelines.dedup import SIMHASH_BANDS
+
+        h1 = 0x8000_0000_0000_0001
+        h2 = 0x0000_0000_0000_0001
+        rows = []
+        for doc_id, h in ((1, h1), (2, h2)):
+            for b in range(SIMHASH_BANDS):
+                rows.append((b, (h >> (16 * b)) & 0xFFFF, doc_id,
+                             int(np.uint64(h).astype(np.int64))))
+        g = pd.DataFrame(rows, columns=["band", "bkey", "doc_id", "sim64"])
+        # reuse the band-pairs kernel logic: hamming over full 64 bits
+        xor = np.bitwise_xor(
+            np.array([g["sim64"][0]], dtype=np.int64).view(np.uint64),
+            np.array([g["sim64"][4]], dtype=np.int64).view(np.uint64),
+        )
+        ham = np.unpackbits(xor.view(np.uint8).reshape(1, 8), axis=1).sum()
+        assert ham == 1
