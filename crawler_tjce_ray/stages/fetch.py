@@ -55,10 +55,29 @@ def build_page_store(pages_path: str, store_dir: str, n_buckets: int = DEFAULT_S
         import shutil
 
         shutil.rmtree(store_dir, ignore_errors=True)
+    # ONE file per bucket: write_parquet(partition_cols) would emit a
+    # fragment per (input block × bucket) — hundreds of tiny files per
+    # bucket dir, which makes every actor's bucket load metadata-bound.
+    # A groupby(bucket) task writes each bucket as a single part.
+    def write_bucket(g, _dir=store_dir):
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        b = int(g["bucket"].iloc[0])
+        d = os.path.join(_dir, f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        _pq.write_table(
+            pa.Table.from_pandas(g[["url", "html"]], preserve_index=False),
+            os.path.join(d, "part-0.parquet"),
+        )
+        return pd.DataFrame({"bucket": [b], "rows": [len(g)]})
+
     (
         rd.read_parquet(pages_path, columns=["url", "html"])
         .map_batches(add_bucket, batch_format="pyarrow")
-        .write_parquet(store_dir, partition_cols=["bucket"])
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pandas")
+        .materialize()
     )
     with open(marker, "w") as f:
         f.write(src_key + "\n")
