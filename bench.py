@@ -177,7 +177,7 @@ def main_scaling(sf_dir: str) -> dict:
     # while all-core runs vary up to 2× with hypervisor neighbors)
     best: dict[int, float] = {}
     for cpus in (lo, hi):
-        for _ in range(reps):
+        for rep in range(reps):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one-headline",
@@ -185,9 +185,20 @@ def main_scaling(sf_dir: str) -> dict:
                 env=env, capture_output=True, text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            line = proc.stdout.strip().splitlines()[-1]
-            tp = json.loads(line)["headline"]["urls_per_sec"]
+            lines = proc.stdout.strip().splitlines()
+            if proc.returncode != 0 or not lines:
+                # one transient failure must not abort best-of-N;
+                # surface the child's error and use the remaining reps
+                print(
+                    f"scaling rep failed (cpus={cpus}, rep={rep}, "
+                    f"rc={proc.returncode}): {proc.stderr[-500:]}",
+                    file=sys.stderr,
+                )
+                continue
+            tp = json.loads(lines[-1])["headline"]["urls_per_sec"]
             best[cpus] = max(best.get(cpus, 0.0), tp)
+        if cpus not in best:
+            raise RuntimeError(f"all {reps} scaling reps failed at {cpus} cpus")
     tp_lo = best[lo]
     tp_hi = best[hi]
     eff = (tp_hi / tp_lo) / (hi / lo)

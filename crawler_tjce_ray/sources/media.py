@@ -98,12 +98,19 @@ def media_cache_dir(n_media: int = 300, seed: int = 7) -> str:
     out = f"/tmp/crawler_tjce_ray_media/n{n_media}_s{seed}"
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
-        # a marker-less dir is a partial/failed write — wipe it, or
-        # write_parquet would append duplicate part files beside the
-        # stale ones (same hazard as pages.corpus_cache_dir)
-        shutil.rmtree(out, ignore_errors=True)
-        os.makedirs(out, exist_ok=True)
-        write_media_corpus(out, n_media=n_media, seed=seed)
-        with open(marker, "w") as f:
+        # build in a process-private tmp dir, then atomically rename:
+        # two concurrent builders can't interleave writes into the
+        # final path (check-then-act on a shared dir raced)
+        tmp = f"{out}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        write_media_corpus(tmp, n_media=n_media, seed=seed)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
             f.write("ok")
+        try:
+            shutil.rmtree(out, ignore_errors=True)
+            os.rename(tmp, out)
+        except OSError:
+            # another process won the rename; its corpus is identical
+            shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -57,7 +57,11 @@ class ImageDecodeStage:
             if kind != "image":
                 continue
             if not payload.startswith(MAGIC_IMG):
+                # stub raises today; when a real codec is routed here
+                # it must append its own row — never fall through to
+                # the fake-header parser below
                 _decode_real_image(payload)
+                continue
             w, h = np.frombuffer(payload, "<u2", count=2, offset=4)
             c = payload[8]
             pix = np.frombuffer(payload, np.uint8, offset=9)
@@ -93,7 +97,9 @@ class ImageResizeStage:
                 continue
             w, h = (int(x) for x in np.frombuffer(payload, "<u2", count=2, offset=4))
             c = payload[8]
-            f = self.factor
+            # clamp: a factor larger than a dimension must yield a 1-px
+            # axis, not a reshape error
+            f = max(1, min(self.factor, w, h))
             nw, nh = max(1, w // f), max(1, h // f)
             pix = np.frombuffer(payload, np.uint8, offset=9).reshape(h, w, c)
             pix = pix[: nh * f, : nw * f]
@@ -143,8 +149,11 @@ class FrameSampleStage:
     one output row per sampled frame (row-expanding map_batches — the
     video→frames explode of a multimodal pipeline)."""
 
-    def __init__(self, stride: int = 4) -> None:
+    def __init__(self, stride: int = 4, emit_frames: bool = True) -> None:
         self.stride = stride
+        # emit_frames=False skips serializing pixel bytes through the
+        # object store when the consumer only needs frame stats
+        self.emit_frames = emit_frames
 
     def __call__(self, t: pa.Table) -> pa.Table:
         mids, fidx, blobs, means = [], [], [], []
@@ -163,14 +172,17 @@ class FrameSampleStage:
             for k in range(0, nf, self.stride):
                 mids.append(mid)
                 fidx.append(k)
-                blobs.append(frames[k].tobytes())
+                if self.emit_frames:
+                    blobs.append(frames[k].tobytes())
                 means.append(float(frames[k].mean()))
-        return pa.table({
+        cols = {
             "media_id": pa.array(mids, pa.int64()),
             "frame_idx": pa.array(fidx, pa.int64()),
-            "frame": pa.array(blobs, pa.binary()),
             "mean_intensity": pa.array(means, pa.float64()),
-        })
+        }
+        if self.emit_frames:
+            cols["frame"] = pa.array(blobs, pa.binary())
+        return pa.table(cols)
 
 
 # ---------------------------------------------------------------------------
@@ -204,9 +216,8 @@ def q_multimodal_frame_sample(sf_dir: str) -> pd.DataFrame:
         _media_ds()
         .map_batches(
             FrameSampleStage, batch_format="pyarrow", batch_size=32,
-            concurrency=2,
+            concurrency=2, fn_constructor_kwargs={"emit_frames": False},
         )
-        .drop_columns(["frame"])
         .to_pandas()
     )
     return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)

@@ -110,3 +110,21 @@ class TestVideoNN:
         assert (out["media_id"] != out["nn_media_id"]).all()
         assert (out["cosine"] <= 1.0 + 1e-9).all()
         assert out.equals(q_multimodal_video_nn(""))
+
+
+class TestReviewRegressions:
+    def test_resize_factor_larger_than_image(self):
+        """factor > dimension must yield a 1-px axis, not a reshape
+        ValueError."""
+        payload = make_image(9, seed=7)  # dims in [8, 32]
+        t = _tbl([{"media_id": 9, "kind": "image", "payload": payload}])
+        out = ImageResizeStage(factor=64)(t)
+        assert out.num_rows == 1
+        assert out["width"][0].as_py() >= 1 and out["height"][0].as_py() >= 1
+
+    def test_frame_sample_no_frames_mode(self):
+        payload = make_video(10, seed=7)
+        t = _tbl([{"media_id": 10, "kind": "video", "payload": payload}])
+        out = FrameSampleStage(stride=4, emit_frames=False)(t)
+        assert "frame" not in out.column_names
+        assert out.num_rows > 0
