@@ -48,12 +48,26 @@ def cmd_extract(args: argparse.Namespace) -> int:
         assign_global_ordem, extract_records,
     )
 
+    if args.entity and args.kind != "precatorios":
+        print(
+            f"error: --entity applies only to precatorios "
+            f"(the {args.kind} chain is not entity-partitioned)",
+            file=sys.stderr,
+        )
+        return 2
     _ensure_ray()
     corpus = args.corpus or _default_corpus()
     ds = extract_records(corpus, args.kind)
     if args.entity:
         slug = slugify(args.entity)
         ds = ds.filter(lambda r: f"/{args.kind}/{slug}/" in r["url"])
+        if ds.count() == 0:
+            print(
+                f"error: no {args.kind} pages for entity "
+                f"{args.entity!r} (slug {slug!r}) in this corpus",
+                file=sys.stderr,
+            )
+            return 2
     # reference contract: rows in crawl order, ordem ascending (O3:
     # client-side re-sort after normalize, edital_crawler.py:630-631)
     ds = assign_global_ordem(ds).drop_columns(["url"]).sort("ordem")

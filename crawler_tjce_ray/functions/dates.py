@@ -10,7 +10,7 @@ and this sandbox) the outputs are byte-identical.
 from __future__ import annotations
 
 import re
-from datetime import datetime, timedelta, timezone
+from datetime import date, datetime, timedelta, timezone
 
 # QUIRK preserved: the reference writes this pattern as a *raw* string
 # with doubled backslashes (r"datetime\\s*\\(([^)]+)\\)",
@@ -48,8 +48,9 @@ def format_date_value(value) -> str:
     value_str = str(value)
     if value is None or (not value_str.strip() or value_str.lower() == "none"):
         return ""
-    if isinstance(value, datetime):
-        return str(value)
+    # QUIRK preserved: the reference has NO datetime branch here — a
+    # datetime input stringifies, contains no "datetime(" literal,
+    # fails float(), and renders "" (crawler/crawler.py:141-233)
 
     if isinstance(value_str, str):
         if "datetime" in value_str.lower():
@@ -104,6 +105,8 @@ def clean_data_cadastro(value) -> datetime | None:
         return None
     if isinstance(value, datetime):
         return value
+    if isinstance(value, date):  # models/models.py:80-81
+        return datetime.combine(value, datetime.min.time())
 
     if isinstance(value, str):
         if "datetime" in value.lower():

@@ -139,20 +139,27 @@ def q_dedup_ngram_jaccard(sf_dir: str):
     import ray
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
-    # small-side index: ids + shingle sets, broadcast once
+    # small-side index: ids + shingle sets, broadcast once.  Tokens are
+    # split on a LITERAL space — identical to the oracle's
+    # string_split(text,' ') even on irregular whitespace.
     idx_df = docs.to_pandas().sort_values("doc_id")
     all_ids = idx_df["doc_id"].to_numpy()
-    all_grams = [ngram_set(t.split()) for t in idx_df["text"]]
+    all_grams = [ngram_set(t.split(" ")) for t in idx_df["text"]]
     ref = ray.put((all_ids, all_grams))
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         ids_b, grams_b = ray.get(ref)
-        grams = [ngram_set(t.split()) for t in df["text"]]
+        # each doc's shingles come from the broadcast index (no
+        # per-batch recompute; only doc_id flows through the map)
+        pos = {int(i): k for k, i in enumerate(ids_b)}
+        grams = [grams_b[pos[int(i)]] for i in df["doc_id"]]
         return _jaccard_pairs_against(
             df["doc_id"].to_numpy(), grams, ids_b, grams_b, JACCARD_TAU
         )
 
-    out = docs.map_batches(pairs, batch_format="pandas").to_pandas()
+    out = docs.select_columns(["doc_id"]).map_batches(
+        pairs, batch_format="pandas"
+    ).to_pandas()
     out = out.astype({"doc_a": "int64", "doc_b": "int64"})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 

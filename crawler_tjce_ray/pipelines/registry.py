@@ -47,7 +47,12 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         from crawler_tjce_ray.sources.pages import read_pages
 
         def partial(t: pa.Table) -> pa.Table:
-            return pa.table({"min_warc_ts": [pc.min(t["warc_ts"]).as_py()]})
+            ts_type = t.schema.field("warc_ts").type
+            if t.num_rows == 0:  # typed-empty, never null-typed [None]
+                return pa.table({"min_warc_ts": pa.array([], ts_type)})
+            return pa.table({
+                "min_warc_ts": pa.array([pc.min(t["warc_ts"]).as_py()], ts_type)
+            })
 
         parts = (
             read_pages(_pages(sf_dir), columns=["warc_ts"])

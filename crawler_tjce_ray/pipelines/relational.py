@@ -31,10 +31,6 @@ def _read(sf_dir: str, table: str, columns=None):
     )
 
 
-def _round2(x):
-    return float(np.round(x, 2))
-
-
 # ---------------------------------------------------------------------------
 # A: aggregations (A1-A5) — groupby + global aggregates
 # ---------------------------------------------------------------------------
@@ -127,9 +123,18 @@ def q_min_max_dates(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts"])
 
     def partial(t: pa.Table) -> pa.Table:
+        ts_type = t.schema.field("ts").type
+        if t.num_rows == 0:
+            # an empty block must emit a correctly TYPED empty table —
+            # [None] would be a null-typed column that conflicts with
+            # the timestamp blocks at schema unification
+            return pa.table({
+                "min_ts": pa.array([], ts_type),
+                "max_ts": pa.array([], ts_type),
+            })
         return pa.table({
-            "min_ts": [pc.min(t["ts"]).as_py()],
-            "max_ts": [pc.max(t["ts"]).as_py()],
+            "min_ts": pa.array([pc.min(t["ts"]).as_py()], ts_type),
+            "max_ts": pa.array([pc.max(t["ts"]).as_py()], ts_type),
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
@@ -556,7 +561,7 @@ def q_token_histogram(sf_dir: str):
     ds = _read_docs(sf_dir, ["text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        counts = df["text"].str.split().explode().value_counts()
+        counts = df["text"].str.split(" ").explode().value_counts()
         return pd.DataFrame({"tok": counts.index, "n": counts.to_numpy()})
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()

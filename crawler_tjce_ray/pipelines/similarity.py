@@ -25,10 +25,17 @@ N_QUERIES = 8  # queries = vec_id < 8 (deterministic, in-corpus)
 TOP_K = 5
 
 
-def _read_emb(sf_dir: str):
+def _read_emb(sf_dir: str, columns=("vec_id", "embedding")):
+    """Pruned, block-split read (a single-file table lands in one block
+    without ``override_num_blocks``, serializing every map stage)."""
+    import ray
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cpus = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=list(columns),
+        override_num_blocks=max(8, min(32, cpus // 2)),
+    )
 
 
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -36,13 +43,31 @@ def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     driver and broadcast."""
     import pyarrow.parquet as pq
 
-    t = (
-        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        .to_pandas()
-    )
-    t = t[t["vec_id"] < N_QUERIES].sort_values("vec_id")
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        # row-group pushdown: only the provably small query side is
+        # read from storage, never the corpus
+        filters=[("vec_id", "<", N_QUERIES)],
+    ).to_pandas()
+    t = t.sort_values("vec_id")
     q = np.stack(t["embedding"].to_numpy()).astype(np.float64)
     return t["vec_id"].to_numpy(), q
+
+
+def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-query final reduce: (cosine desc, vec_id asc) tie-break,
+    1-based rank — shared by the brute-force baseline and the IVF path
+    so their ranking semantics can never diverge."""
+    g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(TOP_K)
+    g = g.reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g[["query_id", "rank", "vec_id", "cosine"]]
+
+
+def _finalize(out: pd.DataFrame) -> pd.DataFrame:
+    out = out.astype({"query_id": "int64", "rank": "int64", "vec_id": "int64"})
+    out["cosine"] = np.round(out["cosine"], 6)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
 def _topk_scores_batch(
@@ -80,12 +105,6 @@ def q_ann_cosine_topk(sf_dir: str):
         qi, qm = ray.get(ref)
         return _topk_scores_batch(df, qi, qm, TOP_K)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(TOP_K)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "vec_id", "cosine"]]
-
     out = (
         _read_emb(sf_dir)
         .map_batches(partial, batch_format="pandas")
@@ -93,9 +112,7 @@ def q_ann_cosine_topk(sf_dir: str):
         .map_groups(final_topk, batch_format="pandas")
         .to_pandas()
     )
-    out = out.astype({"query_id": "int64", "rank": "int64", "vec_id": "int64"})
-    out["cosine"] = np.round(out["cosine"], 6)
-    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return _finalize(out)
 
 
 SQL_ANN_COSINE_TOPK = f"""
@@ -131,11 +148,14 @@ def _centroids(sf_dir: str) -> np.ndarray:
     its own small Ray job over a sample)."""
     import pyarrow.parquet as pq
 
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    step = max(1, n // N_CENTROIDS)
+    wanted = list(range(0, n, step))[:N_CENTROIDS]
     t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", wanted)],  # centroid rows only
     ).to_pandas().sort_values("vec_id")
-    step = max(1, len(t) // N_CENTROIDS)
-    sel = t.iloc[::step].head(N_CENTROIDS)
+    sel = t.head(N_CENTROIDS)
     c = np.stack(sel["embedding"].to_numpy()).astype(np.float64)
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
@@ -175,12 +195,6 @@ def q_ann_ivf_topk(sf_dir: str):
             )
         return pd.concat(outs, ignore_index=True)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(TOP_K)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "vec_id", "cosine"]]
-
     out = (
         _read_emb(sf_dir)
         .map_batches(partial, batch_format="pandas")
@@ -188,9 +202,7 @@ def q_ann_ivf_topk(sf_dir: str):
         .map_groups(final_topk, batch_format="pandas")
         .to_pandas()
     )
-    out = out.astype({"query_id": "int64", "rank": "int64", "vec_id": "int64"})
-    out["cosine"] = np.round(out["cosine"], 6)
-    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return _finalize(out)
 
 
 QUERIES = {

@@ -102,7 +102,11 @@ def q_text_quality(sf_dir: str):
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.split()
+        # literal-space split: DuckDB string_split(text,' ') keeps empty
+        # tokens on irregular whitespace (and yields 1 token for '') —
+        # pandas .str.split() without args would drop them and divide
+        # by zero on empty docs
+        toks = df["text"].str.split(" ")
         n_tokens = toks.str.len().astype("int64")
         n_alpha = (
             df["text"].str.replace(r"\s", "", regex=True).str.len().astype("int64")
@@ -163,7 +167,7 @@ def q_lang_id_confusion(sf_dir: str):
 
     def predict(df: pd.DataFrame) -> pd.DataFrame:
         preds = []
-        for ts in df["text"].str.split():
+        for ts in df["text"].str.split(" "):  # oracle-identical split
             hits = {k: sum(1 for w in ts if w in s) for k, s in stop_sets.items()}
             best = max(order, key=lambda k: (hits[k], -order.index(k)))
             preds.append(best if hits[best] > 0 else "unk")
