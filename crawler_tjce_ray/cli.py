@@ -69,8 +69,11 @@ def cmd_extract(args: argparse.Namespace) -> int:
             )
             return 2
     # reference contract: rows in crawl order, ordem ascending (O3:
-    # client-side re-sort after normalize, edital_crawler.py:630-631)
-    ds = assign_global_ordem(ds).drop_columns(["url"]).sort("ordem")
+    # client-side re-sort after normalize, edital_crawler.py:630-631).
+    # editais chains serve ordem-DESC, so their pages sequence reversed.
+    ds = assign_global_ordem(
+        ds, descending_pages=(args.kind == "editais")
+    ).drop_columns(["url"]).sort("ordem")
     n = write_display_csv(ds, args.kind, args.output)
     print(f"wrote {n} {args.kind} rows -> {args.output}")
     return 0

@@ -95,6 +95,14 @@ def extract_restart_tokens(resp_json: dict):
 # precatórios — config-driven decode (crawler/crawler.py:687-1106)
 # ---------------------------------------------------------------------------
 
+# page-invariant: formatted field defaults, computed once at import
+# (format_value is pure; rebuilding this dict per page was hot-path waste)
+_PRECATORIO_DEFAULTS = {
+    f: format_value(attrs.get("default"), attrs.get("type", "str"))
+    for f, attrs in specs.PRECATORIO_FIELD_MAPPING.items()
+}
+
+
 def decode_precatorios_page(
     resp_json: dict,
     starting_order_number: int = 0,
@@ -126,20 +134,14 @@ def decode_precatorios_page(
     if not selects:
         return [], order
     value_dicts = page["value_dicts"]
-    api_map = {}
-    for api_name, cfg in specs.API_TO_CSV.items():
-        api_map[api_name] = cfg
 
     # Pre-resolve column index -> csv config (same for every row).
     col_cfg: list[dict | None] = []
     for sel in selects:
         base = get_base_field_name(sel.get("Name") or "")
-        col_cfg.append(api_map.get(base))
+        col_cfg.append(specs.API_TO_CSV.get(base))
 
-    defaults = {
-        f: format_value(attrs.get("default"), attrs.get("type", "str"))
-        for f, attrs in specs.PRECATORIO_FIELD_MAPPING.items()
-    }
+    defaults = _PRECATORIO_DEFAULTS
 
     out: list[dict] = []
     s_schema = None

@@ -187,6 +187,13 @@ def render_date_ddmmyyyy(value) -> str:
     Parity: the ``data_cadastro`` branch of ``write_csv``
     (crawler/crawler.py:1141-1147).
     """
+    try:  # pd.NaT passes isinstance(datetime) but strftime raises
+        import pandas as _pd
+
+        if _pd.isna(value):
+            return ""
+    except (TypeError, ValueError):
+        pass
     if isinstance(value, datetime):
         return value.strftime("%d/%m/%Y")
     if value is None or str(value).strip() == "":

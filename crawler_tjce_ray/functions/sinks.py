@@ -41,7 +41,8 @@ def edital_to_csv_row(row: dict) -> dict:
         if f == "valor" and isinstance(v, Decimal):
             out[f] = format_currency_brl(float(v))
         else:
-            out[f] = str(v) if v != "-" else ""
+            # None (schema-absent field → Arrow null) blanks like "-"
+            out[f] = "" if v is None or v == "-" else str(v)
     return out
 
 
@@ -63,7 +64,7 @@ def pagamento_to_csv_row(row: dict) -> dict:
         if isinstance(v, Decimal):
             out[f] = format_currency_brl(float(v))
         else:
-            out[f] = str(v) if v != "-" else ""
+            out[f] = "" if v is None or v == "-" else str(v)
     return out
 
 

@@ -63,6 +63,7 @@ from crawler_tjce_ray.stages.fetch import (
 )
 from crawler_tjce_ray.stages.seen import ShardedSeenSet
 from crawler_tjce_ray.state.frontier import (
+    canonicalize_url,
     make_frontier_rows,
     select_wave,
     select_wave_distributed,
@@ -340,8 +341,13 @@ def run_crawl(
         # the byte-identical resume contract.  Vectorized throughout
         # (columns, never Python row loops).
         if not outlinks.empty:
+            dedup = outlinks.copy()
+            # canonicalize BEFORE dedup/membership: raw link variants
+            # ('…/x' vs '…/x/') would otherwise pass the frontier
+            # check and become duplicate canonical rows
+            dedup["out_url"] = dedup["out_url"].map(canonicalize_url)
             dedup = (
-                outlinks.sort_values(["out_url", "depth", "seed"], kind="mergesort")
+                dedup.sort_values(["out_url", "depth", "seed"], kind="mergesort")
                 .drop_duplicates("out_url")
             )
             dedup = dedup[~dedup["out_url"].isin(set(frontier["url"]))]

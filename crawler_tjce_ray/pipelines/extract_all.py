@@ -20,6 +20,7 @@ from crawler_tjce_ray.stages.extract import (
     ExtractEditais,
     ExtractPagamentos,
     ExtractPrecatorios,
+    filter_kind,
 )
 
 _EXTRACTORS = {
@@ -56,8 +57,7 @@ def extract_records(pages_path: str, kind: str = "precatorios",
     extractor = _EXTRACTORS[kind](current_year)
     ds = read_pages(pages_path, columns=["url", "html"])
     ds = ds.map_batches(
-        lambda t, k=kind: t.filter(pc.match_substring(t["url"], f"/{k}/")),
-        batch_format="pyarrow",
+        lambda t, k=kind: filter_kind(t, k), batch_format="pyarrow",
     )
     return ds.map_batches(extractor, batch_format="pyarrow", batch_size=batch_size)
 

@@ -30,7 +30,12 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     def q_extract_editais(sf_dir: str):
         from crawler_tjce_ray.pipelines.extract_all import assign_global_ordem, extract_records
 
-        return assign_global_ordem(extract_records(_pages(sf_dir), "editais"))
+        # editais serve ordem-DESC (O2); later pages hold the lowest
+        # ordem, so the global resequencing walks pages DESCENDING to
+        # end ordem-ascending like the reference's client re-sort (O3)
+        return assign_global_ordem(
+            extract_records(_pages(sf_dir), "editais"), descending_pages=True
+        )
 
     def q_extract_pagamentos(sf_dir: str):
         from crawler_tjce_ray.pipelines.extract_all import assign_global_ordem, extract_records

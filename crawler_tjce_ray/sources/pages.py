@@ -36,8 +36,10 @@ def write_pages_corpus(
     as a stateless ``map_batches`` over a ``range`` dataset — each task
     generates its slice independently (no driver-side row loop), which
     is the same pattern a 100 TB synthesis would use.  Output is a
-    directory of part files (resumable layout: a rerun with the same
-    params overwrites deterministically).
+    directory of part files.  NOTE: Ray's write_parquet APPENDS
+    uniquely-named parts — rerunning into a non-empty dir duplicates
+    the corpus; go through ``corpus_cache_dir`` (which wipes partial
+    dirs and guards with a marker) rather than calling this directly.
     """
     import ray.data as rd
 

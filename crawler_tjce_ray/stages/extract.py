@@ -109,24 +109,31 @@ class _ExtractBase:
         raise NotImplementedError
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_rows: list[dict] = []
+        tables: list[pa.Table] = []
         urls = batch["url"]
         htmls = batch["html"]
         for i in range(len(batch)):
             url = urls[i].as_py()
             # a corrupt page must never poison the batch (at corpus
             # scale malformed bodies are a certainty): skip and count,
-            # mirroring the reference's drop-invalid-row behavior
+            # mirroring the reference's drop-invalid-row behavior.
+            # The TYPED Arrow conversion happens per page INSIDE the
+            # guard — e.g. a delta row whose exhausted-C default "-"
+            # lands in an int column (a faithful reference behavior,
+            # edital_crawler.py:600) fails conversion for that page
+            # only, not for every page in the batch.
             try:
                 resp = json.loads(htmls[i].as_py())
                 page_rows = self.decode_page(resp)
+                for row in page_rows:
+                    row["url"] = url
+                tables.append(pa.Table.from_pylist(page_rows, schema=self.schema))
             except Exception:
                 self.pages_failed += 1
                 continue
-            for row in page_rows:
-                row["url"] = url
-                out_rows.append(row)
-        return pa.Table.from_pylist(out_rows, schema=self.schema)
+        if not tables:
+            return pa.Table.from_pylist([], schema=self.schema)
+        return pa.concat_tables(tables)
 
 
 class ExtractPrecatorios(_ExtractBase):

@@ -58,7 +58,11 @@ class ShardedSeenSet:
         self.actors = [SeenShardActor.remote(log2_buckets) for i in range(n_shards)]
 
     def _route(self, keys: np.ndarray) -> np.ndarray:
-        return (keys % np.uint64(self.n_shards)).astype(np.int64)
+        # route on HIGH bits: the cuckoo primary bucket is key & mask
+        # (low bits), so low-bit routing would fix those bits per shard
+        # and collapse usable i1 buckets to 1/n_shards (measured: shard
+        # overflow at ~0.72 load instead of ~0.97)
+        return ((keys >> np.uint64(32)) % np.uint64(self.n_shards)).astype(np.int64)
 
     def check_and_add(self, keys: np.ndarray) -> np.ndarray:
         """True per key ⇔ already seen; unseen keys become seen.

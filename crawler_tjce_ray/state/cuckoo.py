@@ -76,9 +76,8 @@ class CuckooFilter:
         for k, p in zip(keys, present):
             if p:
                 continue
-            self._insert_one(np.uint64(k))
+            self._insert_one(np.uint64(k))  # increments count itself
             inserted += 1
-        self.count += inserted
         return inserted
 
     def _insert_one(self, key: np.uint64) -> None:
@@ -90,6 +89,7 @@ class CuckooFilter:
             empty = np.where(row == _EMPTY)[0]
             if empty.size:
                 row[empty[0]] = fp
+                self.count += 1
                 return
         # evict deterministically
         idx = i1
@@ -102,7 +102,13 @@ class CuckooFilter:
             empty = np.where(row == _EMPTY)[0]
             if empty.size:
                 row[empty[0]] = cur
+                self.count += 1
                 return
+        # OVERFLOW CONTRACT: the partially-applied eviction chain drops
+        # one fingerprint, so the shard is no longer trustworthy — the
+        # caller must treat this as fatal and restore the shard from
+        # its last checkpoint (run_crawl does: the wave fails before
+        # its checkpoint is written, and resume reloads wave k-1).
         raise RuntimeError(
             f"cuckoo filter over capacity (count={self.count}, buckets={self.n_buckets})"
         )
@@ -122,8 +128,7 @@ class CuckooFilter:
         first_mask[first_idx] = True
         out |= ~first_mask
         for k in keys[first_mask & ~seen]:
-            self._insert_one(np.uint64(k))
-            self.count += 1
+            self._insert_one(np.uint64(k))  # increments count itself
         return out
 
     # -- delete ---------------------------------------------------------

@@ -52,3 +52,21 @@ def test_distributed_matches_driver_path(wave, wave_size, budget):
     if len(sel_rd):
         assert sel_rd.groupby("host")["url"].count().max() <= budget
     assert len(sel_rd) <= wave_size
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_identical_through_distributed_route(tmp_path):
+    """Forcing every wave through the Ray-Data selection path
+    (threshold=0) must reproduce the default crawl trace exactly."""
+    from crawler_tjce_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from crawler_tjce_ray.sources.pages import corpus_cache_dir
+
+    pages = corpus_cache_dir(n_entities=8, total_pages=40, rows_per_page=50, seed=42)
+    base = dict(wave_size=64, per_host_budget=4, max_waves=8, fetch_concurrency=2)
+    r_pd = run_crawl(pages, str(tmp_path / "pd"),
+                     config=CrawlConfig(**base))
+    r_rd = run_crawl(pages, str(tmp_path / "rd"),
+                     config=CrawlConfig(**base, distributed_select_threshold=0))
+    pd.testing.assert_frame_equal(
+        r_pd.trace.reset_index(drop=True), r_rd.trace.reset_index(drop=True)
+    )

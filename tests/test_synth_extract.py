@@ -174,3 +174,25 @@ class TestRayExtraction:
         pg = assign_global_ordem(extract_records(out, "pagamentos")).to_pandas()
         assert len(pg) == n_aux * 50
         assert pg["ordem"].is_unique
+
+
+class TestEditaisOrdering:
+    def test_global_ordem_matches_reference_ascending(self, ray_session):
+        """Editais chains serve ordem-DESC; after resequencing with
+        descending_pages=True, the global ordem must order rows by the
+        ORIGINAL chain ordem ascending (the reference's client-side
+        re-sort, edital_crawler.py:630-631)."""
+        from crawler_tjce_ray.pipelines.extract_all import (
+            assign_global_ordem, extract_records,
+        )
+        from crawler_tjce_ray.sources.pages import corpus_cache_dir
+
+        out = corpus_cache_dir(n_entities=8, total_pages=40, rows_per_page=50, seed=42)
+        raw = extract_records(out, "editais").to_pandas()
+        orig_by_key = dict(zip(raw["precatorio"], raw["ordem"]))
+        ed = assign_global_ordem(
+            extract_records(out, "editais"), descending_pages=True
+        ).to_pandas().sort_values("ordem")
+        orig_seq = [orig_by_key[p] for p in ed["precatorio"]]
+        assert orig_seq == sorted(orig_seq), "global ordem must follow original ascending"
+        assert ed["ordem"].tolist() == list(range(1, len(ed) + 1))
