@@ -11,11 +11,21 @@ cross-batch state is needed — SURVEY.md §2.2-M2).
 from __future__ import annotations
 
 import re
+from datetime import datetime, timezone
 from decimal import Decimal
 
+import numpy as np
+
 from crawler_tjce_ray.dsr import specs
+from crawler_tjce_ray.functions.dates import clean_data_cadastro, validate_ano_orcamento
 from crawler_tjce_ray.functions.format import finalize_precatorio, format_value
-from crawler_tjce_ray.functions.text import decode_unicode_escapes, is_precatorio_number
+from crawler_tjce_ray.functions.numeric import clean_decimal
+from crawler_tjce_ray.functions.text import (
+    clean_optional_string,
+    clean_processo,
+    decode_unicode_escapes,
+    is_precatorio_number,
+)
 
 # QUIRK (crawler/crawler.py:1251-1265): the reference writes the
 # aggregate-unwrapping regex as r"^[A-Za-z_0-9]+\\(([^)]+)\\)$" — the
@@ -232,6 +242,337 @@ def decode_precatorios_page(
             order += 1
             final["ordem"] = order
             out.append(final)
+    return out, order
+
+
+# ---------------------------------------------------------------------------
+# precatórios — vectorized columnar decode (same semantics, NumPy R-mask)
+# ---------------------------------------------------------------------------
+
+_INHERIT = object()  # column-cell sentinel: "copy the previous row's value"
+
+# clean_processo fast path: a value made only of [0-9A-Za-z.-] keeps
+# every character through the keep-alnum scan and strips to itself.
+_PROC_FAST_RE = re.compile(r"^[0-9A-Za-z.\-]+$")
+# clean_decimal fast path: plain US-decimal with <=2 decimals hits no
+# separator heuristic branch and parses as Decimal(cleaned) directly.
+_DEC_FAST_RE = re.compile(r"^-?\d+(?:\.\d{1,2})?$")
+
+_FINALIZERS = {
+    "comarca": clean_optional_string,
+    "natureza": clean_optional_string,
+    "tipo_classificacao": clean_optional_string,
+    "situacao": clean_optional_string,
+    "data_cadastro": clean_data_cadastro,
+}
+
+
+def _clean_processo_fast(v):
+    if type(v) is str and _PROC_FAST_RE.match(v):
+        return v
+    return clean_processo(v)
+
+
+def _clean_decimal_fast(v):
+    if type(v) is str and _DEC_FAST_RE.match(v):
+        return Decimal(v)
+    return clean_decimal(v)
+
+
+def _format_str_cell(v, ftype):
+    """``format_value(v, ftype)`` for str *v* with the non-numeric
+    branches inlined (processo/str types are a strip after the
+    empty/none guard; numeric/date delegate)."""
+    if ftype in ("int", "float", "Decimal") or ftype == "date":
+        return format_value(v, ftype)
+    s = v.strip()
+    if not s or v.lower() == "none":
+        return "-"
+    return s
+
+
+def _format_numeric_cell(v, ftype):
+    """``format_value(str(v), ftype)`` for int/float *v*, with exact
+    fast paths for the common wire shapes (plain ints within float
+    precision; floats round-trip through ``str``)."""
+    t = type(v)
+    if ftype == "int":
+        if t is int and -(2**53) < v < 2**53:
+            # downstream finalizers (validate_ano_orcamento, the ordem
+            # int(float(.)) check) treat the int and its str(v) form
+            # identically, so skip the string round-trip
+            return v
+    elif ftype in ("float", "Decimal"):
+        # NOTE: no float pass-through here — clean_decimal(float) skips
+        # the separator heuristics that clean_decimal(str) applies
+        # (e.g. "0.125" -> 125 via the trailing-3-digit quirk), so the
+        # formatted value must stay a string
+        if t is float:
+            return str(v)
+        if t is int and -(2**53) < v < 2**53:
+            return str(float(v))
+    elif ftype == "date":
+        if t is int and 100000000000 < v < 300000000000000:
+            # the epoch-millis branch of format_date_value; returning
+            # the datetime itself skips the str()->fromisoformat round
+            # trip (clean_data_cadastro passes datetimes through)
+            return datetime.fromtimestamp(v / 1000.0, tz=timezone.utc).replace(
+                tzinfo=None
+            )
+    return format_value(str(v), ftype)
+
+
+def _memo_map(values, fn):
+    """Apply a pure per-value cleaner with memoization (dict-encoded
+    columns repeat a handful of distinct values per page)."""
+    cache: dict = {}
+    out = []
+    miss = _INHERIT
+    get = cache.get
+    for v in values:
+        r = get(v, miss)
+        if r is miss:
+            r = fn(v)
+            cache[v] = r
+        out.append(r)
+    return out
+
+
+def decode_precatorios_columns(
+    resp_json: dict,
+    starting_order_number: int = 0,
+    current_year: int | None = None,
+) -> tuple[dict[str, list], int]:
+    """Vectorized twin of :func:`decode_precatorios_page` returning
+    columns instead of row dicts: ``({field -> values}, last_order)``.
+
+    Same semantics, different execution plan (SURVEY §1.2's batch
+    design; the reference's row loop is crawler/crawler.py:957-1046):
+
+    * the base row runs the scalar path (one row);
+    * delta rows build a NumPy inherit-bitmask matrix ``B[i,j]`` from
+      ``R``, compute each cleared bit's sparse-``C`` position with an
+      exclusive prefix sum, and gather raw values with one fancy
+      index per column;
+    * only *explicit* cells (those that consumed a ``C`` element and
+      resolved) pay per-cell formatting — dictionary columns memoize
+      by dictionary index, numeric/date cells use exact fast paths;
+    * inheritance is a per-column forward-fill seeded by the base row;
+    * model validation runs per column with memoized cleaners.
+
+    Equivalence with the scalar decoder (including every QUIRK) is
+    pinned by tests/test_decode_columnar.py; pages the fast path
+    cannot represent (duplicate csv-field mappings, R beyond int64)
+    fall back to the scalar decoder wholesale.
+    """
+    page = navigate_envelope(resp_json)
+    order = starting_order_number
+    empty: dict[str, list] = {f: [] for f in specs.PRECATORIO_CSV_FIELDS}
+    if page is None or not page["rows"]:
+        return empty, order
+    selects = page["selects"]
+    if not selects:
+        return empty, order
+    value_dicts = page["value_dicts"]
+    rows = page["rows"]
+
+    col_cfg: list[dict | None] = []
+    for sel in selects:
+        base = get_base_field_name(sel.get("Name") or "")
+        col_cfg.append(specs.API_TO_CSV.get(base))
+
+    # --- base row: scalar path (identical to decode_precatorios_page) ---
+    first = rows[0]
+    s_schema = first.get("S")
+    if not s_schema or not isinstance(s_schema, list):
+        return empty, order
+    c_values0 = first.get("C", [])
+    base_row = dict(_PRECATORIO_DEFAULTS)
+    base_ok = len(c_values0) == len(s_schema)
+    if base_ok:
+        for col_idx, schema_item in enumerate(s_schema):
+            if col_idx >= len(c_values0) or col_idx >= len(selects):
+                continue
+            cfg = col_cfg[col_idx]
+            if not cfg:
+                continue
+            raw_value = c_values0[col_idx]
+            dict_name = schema_item.get("DN")
+            val = None
+            resolved = False
+            if dict_name:
+                try:
+                    idx = int(raw_value)
+                    vd = value_dicts.get(dict_name)
+                    if isinstance(vd, list) and 0 <= idx < len(vd):
+                        val = vd[idx]
+                        resolved = True
+                except (ValueError, TypeError):
+                    pass
+            else:
+                val = raw_value
+                resolved = True
+            if resolved:
+                decoded = decode_unicode_escapes(str(val)) if val is not None else None
+                base_row[cfg["csv_field"]] = format_value(decoded, cfg["type"])
+    else:
+        # base-row C/S length mismatch: the scalar path clears
+        # last_row, which silences every delta row -> empty page
+        return empty, order
+
+    # configured columns in schema-index order
+    cfg_cols = [
+        j
+        for j in range(len(s_schema))
+        if j < len(selects) and col_cfg[j] is not None
+    ]
+    fields = [col_cfg[j]["csv_field"] for j in cfg_cols]
+    if len(set(fields)) != len(fields) or len(s_schema) > 62:
+        # shapes the vectorized plan cannot represent — take the
+        # scalar path for the whole page
+        out_rows, order = decode_precatorios_page(
+            resp_json, starting_order_number, current_year
+        )
+        cols = {
+            f: [r[f] for r in out_rows] for f in specs.PRECATORIO_CSV_FIELDS
+        }
+        return cols, order
+
+    m = len(rows) - 1
+    # full formatted columns (index 0 = base row), csv_field keyed
+    field_cols: dict[str, np.ndarray] = {}
+    for f, default in _PRECATORIO_DEFAULTS.items():
+        col = np.empty(m + 1, dtype=object)
+        col[:] = _INHERIT
+        col[0] = base_row[f]
+        field_cols[f] = col
+
+    if m:
+        r_list = [r.get("R") for r in rows[1:]]
+        # scalar parity for malformed R: a non-int R raises in the
+        # scalar path (page-level failure) — raise the same way here
+        # rather than letting np.fromiter silently coerce floats
+        for r in r_list:
+            if r is not None and not isinstance(r, int):
+                raise TypeError(f"R must be int, got {type(r).__name__}")
+        try:
+            # None => inherit everything; -1 has every bit set in int64
+            R = np.fromiter(
+                (-1 if r is None else r for r in r_list), dtype=np.int64, count=m
+            )
+        except OverflowError:
+            # arbitrary-precision R: scalar path handles it
+            out_rows, order = decode_precatorios_page(
+                resp_json, starting_order_number, current_year
+            )
+            return (
+                {f: [r[f] for r in out_rows] for f in specs.PRECATORIO_CSV_FIELDS},
+                order,
+            )
+        c_lists = [r.get("C", []) for r in rows[1:]]
+        clens = np.fromiter((len(c) for c in c_lists), dtype=np.int64, count=m)
+        offsets = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(clens, out=offsets[1:])
+        flat = np.empty(int(offsets[-1]), dtype=object)
+        pos = 0
+        for c in c_lists:
+            ln = len(c)
+            flat[pos : pos + ln] = c
+            pos += ln
+
+        jarr = np.array(cfg_cols, dtype=np.int64)
+        inherit_bits = ((R[:, None] >> jarr[None, :]) & 1).astype(bool)
+        consume = ~inherit_bits
+        cpos = np.cumsum(consume, axis=1) - consume  # exclusive prefix sum
+        explicit = consume & (cpos < clens[:, None])
+
+        for k, j in enumerate(cfg_cols):
+            cfg = col_cfg[j]
+            field = cfg["csv_field"]
+            ftype = cfg["type"]
+            dict_name = s_schema[j].get("DN")
+            vd = value_dicts.get(dict_name) if dict_name else None
+            rows_k = np.nonzero(explicit[:, k])[0]
+            if not len(rows_k):
+                continue
+            vals = flat[offsets[rows_k] + cpos[rows_k, k]]
+            out_col = field_cols[field]
+            fmt_cache: dict = {}
+            if dict_name:
+                vd_len = len(vd) if vd is not None else -1
+                for i, v in zip(rows_k, vals):
+                    if isinstance(v, str):
+                        f = fmt_cache.get(v)
+                        if f is None:
+                            f = fmt_cache[v] = _format_str_cell(v, ftype)
+                        out_col[i + 1] = f
+                    elif isinstance(v, (int, float)):
+                        # dict decode: int index in range, else inherit
+                        if isinstance(v, int) and 0 <= v < vd_len:
+                            f = fmt_cache.get(v)
+                            if f is None:
+                                dv = vd[v]
+                                f = fmt_cache[v] = (
+                                    _format_str_cell(dv, ftype)
+                                    if type(dv) is str
+                                    else format_value(dv, ftype)
+                                )
+                            out_col[i + 1] = f
+                    # other types: inherit
+            else:
+                for i, v in zip(rows_k, vals):
+                    if isinstance(v, str):
+                        f = fmt_cache.get(v)
+                        if f is None:
+                            f = fmt_cache[v] = _format_str_cell(v, ftype)
+                        out_col[i + 1] = f
+                    elif isinstance(v, (int, float)):
+                        out_col[i + 1] = _format_numeric_cell(v, ftype)
+                    # other types: inherit
+
+        # forward-fill every column (row 0 is always explicit)
+        idx = np.arange(m + 1)
+        for f, col in field_cols.items():
+            exp = col != _INHERIT
+            if exp.all():
+                continue
+            src = np.where(exp, idx, 0)
+            np.maximum.accumulate(src, out=src)
+            field_cols[f] = col[src]
+
+    # --- vectorized finalize_precatorio (models/models.py:25-228) ---
+    proc = [_clean_processo_fast(v) for v in field_cols["processo"]]
+    valid = np.ones(m + 1, dtype=bool)
+    for i, p in enumerate(proc):
+        if p is None:
+            valid[i] = False
+    ordem_col = field_cols["ordem"]
+    for i in range(m + 1):
+        if not valid[i]:
+            continue
+        try:
+            o = int(float(ordem_col[i] or 0))
+        except (TypeError, ValueError):
+            o = 0
+        if o < 0:
+            valid[i] = False
+    keep = np.nonzero(valid)[0]
+    n_out = len(keep)
+
+    out: dict[str, list] = {}
+    out["processo"] = [proc[i] for i in keep]
+    out["ordem"] = list(range(order + 1, order + n_out + 1))
+    order += n_out
+    year_fn = (
+        validate_ano_orcamento
+        if current_year is None
+        else (lambda v: validate_ano_orcamento(v, current_year))
+    )
+    out["ano_orcamento"] = _memo_map(field_cols["ano_orcamento"][keep], year_fn)
+    for f, fn in _FINALIZERS.items():
+        out[f] = _memo_map(field_cols[f][keep], fn)
+    for f in ("valor_original", "valor_atual"):
+        out[f] = _memo_map(field_cols[f][keep], _clean_decimal_fast)
     return out, order
 
 

@@ -22,6 +22,7 @@ import pyarrow as pa
 from crawler_tjce_ray.dsr.decode import (
     decode_editais_page,
     decode_pagamentos_page,
+    decode_precatorios_columns,
     decode_precatorios_page,
 )
 
@@ -172,6 +173,12 @@ class ExtractPrecatorios(_ExtractBase):
     def decode_page(self, resp):
         rows, _ = decode_precatorios_page(resp, 0, self.current_year)
         return rows
+
+    def decode_page_columns(self, resp):
+        # vectorized decode (NumPy R-mask + memoized finalize);
+        # equivalence with decode_page pinned by tests/test_decode_columnar.py
+        cols, _ = decode_precatorios_columns(resp, 0, self.current_year)
+        return cols, len(cols["ordem"])
 
 
 class ExtractEditais(_ExtractBase):

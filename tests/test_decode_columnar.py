@@ -1,0 +1,217 @@
+"""Equivalence of the vectorized precatório decoder with the scalar
+conformance decoder.
+
+``decode_precatorios_page`` is the reference-semantics spec (pinned
+against /root/reference fixtures by test_dsr_conformance.py);
+``decode_precatorios_columns`` is the NumPy R-mask execution plan the
+extract stage actually runs.  Every page — synthetic corpus, reference
+fixture, adversarial mutations, randomized fuzz — must produce
+identical rows (or fail identically)."""
+
+import copy
+import json
+import os
+
+import numpy as np
+import pytest
+
+from crawler_tjce_ray.dsr import specs, synth
+from crawler_tjce_ray.dsr.decode import (
+    decode_precatorios_columns,
+    decode_precatorios_page,
+)
+
+REF = "/root/reference"
+
+
+def assert_equiv(resp, start=0, year=2024):
+    scalar_exc = columnar_exc = None
+    try:
+        rows, last_s = decode_precatorios_page(copy.deepcopy(resp), start, year)
+    except Exception as e:  # noqa: BLE001 - parity includes failure
+        scalar_exc = e
+    try:
+        cols, last_c = decode_precatorios_columns(copy.deepcopy(resp), start, year)
+    except Exception as e:  # noqa: BLE001
+        columnar_exc = e
+    assert (scalar_exc is None) == (columnar_exc is None), (
+        f"failure divergence: scalar={scalar_exc!r} columnar={columnar_exc!r}"
+    )
+    if scalar_exc is not None:
+        return
+    assert last_s == last_c
+    assert len(cols["ordem"]) == len(rows)
+    for f in specs.PRECATORIO_CSV_FIELDS:
+        expect = [r[f] for r in rows]
+        got = list(cols[f])
+        assert got == expect, f"column {f}: {got[:5]} != {expect[:5]}"
+
+
+def _page(rows_per_page=50, idx=0, sum_wrapped=False):
+    plan = synth.build_page_plan(n_entities=4, total_pages=12, seed=7)
+    prec = [p for p in plan if p.kind == "precatorios"]
+    return synth.generate_precatorios_envelope(
+        prec[idx % len(prec)], rows_per_page, 7, sum_wrapped=sum_wrapped
+    )
+
+
+class TestSynthEquivalence:
+    @pytest.mark.parametrize("rows_per_page", [1, 2, 3, 50, 384])
+    @pytest.mark.parametrize("sum_wrapped", [False, True])
+    def test_corpus_pages(self, rows_per_page, sum_wrapped):
+        for idx in range(6):
+            assert_equiv(_page(rows_per_page, idx, sum_wrapped))
+
+    def test_nonzero_starting_order(self):
+        assert_equiv(_page(20), start=1234)
+
+    def test_roundtrip_through_json(self):
+        resp = json.loads(json.dumps(_page(30)))
+        assert_equiv(resp)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference snapshot absent")
+class TestFixtureEquivalence:
+    def test_response_fixture(self):
+        with open(os.path.join(REF, "examples", "response.json")) as f:
+            resp = json.load(f)
+        assert_equiv(resp, year=2026)
+
+
+def _mutate(fn):
+    resp = _page(10)
+    fn(resp)
+    return resp
+
+
+def _dm0(resp):
+    return resp["results"][0]["result"]["data"]["dsr"]["DS"][0]["PH"][0]["DM0"]
+
+
+class TestAdversarialEquivalence:
+    def test_empty_and_broken_envelopes(self):
+        assert_equiv({})
+        assert_equiv({"results": []})
+        assert_equiv(_mutate(lambda r: r["results"][0]["result"]["data"].pop("descriptor")))
+        assert_equiv(_mutate(lambda r: _dm0(r).clear() or _dm0(r).append({})))
+
+    def test_base_row_shape_errors(self):
+        assert_equiv(_mutate(lambda r: _dm0(r)[0].pop("S")))
+        assert_equiv(_mutate(lambda r: _dm0(r)[0].__setitem__("S", "bogus")))
+        assert_equiv(_mutate(lambda r: _dm0(r)[0]["C"].pop()))  # len mismatch
+        assert_equiv(_mutate(lambda r: _dm0(r)[0].__setitem__("C", [])))
+
+    def test_delta_edge_shapes(self):
+        # R missing entirely => inherit everything
+        assert_equiv(_mutate(lambda r: _dm0(r)[1].pop("R", None)))
+        # R = 0 => every column consumes
+        assert_equiv(_mutate(lambda r: _dm0(r)[1].__setitem__("R", 0)))
+        # exhausted C: clear all bits but supply few values
+        assert_equiv(_mutate(lambda r: (_dm0(r)[2].__setitem__("R", 0),
+                                        _dm0(r)[2].__setitem__("C", [1, 2]))))
+        # empty C with bits cleared
+        assert_equiv(_mutate(lambda r: (_dm0(r)[3].__setitem__("R", 5),
+                                        _dm0(r)[3].__setitem__("C", []))))
+
+    def test_dict_decode_edges(self):
+        # out-of-range dictionary index => inherit
+        assert_equiv(_mutate(lambda r: (_dm0(r)[1].__setitem__("R", 0b1111111110),
+                                        _dm0(r)[1].__setitem__("C", [99999]))))
+        # negative index => inherit
+        assert_equiv(_mutate(lambda r: (_dm0(r)[1].__setitem__("R", 0b1111111110),
+                                        _dm0(r)[1].__setitem__("C", [-3]))))
+        # float into a dict column => inherit (isinstance int fails)
+        assert_equiv(_mutate(lambda r: (_dm0(r)[1].__setitem__("R", 0b1111111110),
+                                        _dm0(r)[1].__setitem__("C", [1.5]))))
+        # direct string into a dict column => formatted literally
+        assert_equiv(_mutate(lambda r: (_dm0(r)[1].__setitem__("R", 0b1111111110),
+                                        _dm0(r)[1].__setitem__("C", ["direct"]))))
+        # None / list cells => inherit
+        assert_equiv(_mutate(lambda r: (_dm0(r)[1].__setitem__("R", 0),
+                                        _dm0(r)[1].__setitem__("C", [None, [1], {}, "x", 2.5,
+                                                                    1, 0, "y", 1, 0]))))
+
+    def test_validation_drops(self):
+        # negative ordem in the wire (column G6) drops the row in both
+        assert_equiv(_mutate(lambda r: (_dm0(r)[1].__setitem__("R", 0b1110111111),
+                                        _dm0(r)[1].__setitem__("C", [-5]))))
+
+    def test_non_int_R_fails_both(self):
+        assert_equiv(_mutate(lambda r: _dm0(r)[1].__setitem__("R", "3")))
+        assert_equiv(_mutate(lambda r: _dm0(r)[1].__setitem__("R", 3.0)))
+
+    def test_huge_R_falls_back(self):
+        assert_equiv(_mutate(lambda r: _dm0(r)[1].__setitem__("R", 1 << 80)))
+
+    def test_base_row_only(self):
+        assert_equiv(_mutate(lambda r: _dm0(r).__delitem__(slice(1, None))))
+
+    def test_sum_wrapped_quirk(self):
+        assert_equiv(_page(25, sum_wrapped=True))
+
+
+class TestFuzzEquivalence:
+    """Randomized wire pages: arbitrary R masks, heterogeneous sparse C
+    values, dict presence/absence — 200 seeds, scalar == columnar."""
+
+    NCOLS = 10
+
+    def _random_page(self, rng):
+        names = specs.PRECATORIO_SELECT_NAMES_PLAIN
+        dicts = {}
+        s = []
+        for j in range(self.NCOLS):
+            if rng.random() < 0.6:
+                dn = f"D{j}"
+                dicts[dn] = [
+                    rng.choice(["alpha", "be\\u00e9ta", "R$1.234,56", "42",
+                                "2023-01-02T03:04:05", ""])
+                    for _ in range(int(rng.integers(1, 6)))
+                ]
+                s.append({"N": f"G{j}", "T": 1, "DN": dn})
+            else:
+                s.append({"N": f"G{j}", "T": 4})
+
+        def cell(j):
+            r = rng.random()
+            if r < 0.35:
+                return int(rng.integers(-2, 8))
+            if r < 0.55:
+                return float(np.round(rng.uniform(-10, 1e6), 2))
+            if r < 0.75:
+                return rng.choice(["txt", "1.234,56", "1717171717171", "-",
+                                   "", "0007-77.2020.8.06.0001", "none"])
+            if r < 0.85:
+                return int(rng.integers(10**11 + 1, 3 * 10**11))  # epoch ms
+            if r < 0.92:
+                return None
+            return [1, 2]
+
+        n_rows = int(rng.integers(1, 12))
+        dm0 = [{"S": s, "C": [cell(j) for j in range(self.NCOLS)]}]
+        for _ in range(n_rows - 1):
+            row = {}
+            if rng.random() < 0.15:
+                pass  # R absent: inherit all
+            else:
+                mask = int(rng.integers(0, 1 << self.NCOLS))
+                row["R"] = mask
+                n_clear = self.NCOLS - bin(mask).count("1")
+                # sometimes short C (exhaustion), sometimes exact
+                n_c = n_clear if rng.random() < 0.7 else int(rng.integers(0, n_clear + 1))
+                row["C"] = [cell(j) for j in range(n_c)]
+            dm0.append(row)
+        return {
+            "results": [{"result": {"data": {
+                "descriptor": {"Select": [
+                    {"Kind": 1, "Value": f"G{i}", "Name": nm}
+                    for i, nm in enumerate(names)
+                ]},
+                "dsr": {"DS": [{"ValueDicts": dicts, "PH": [{"DM0": dm0}]}]},
+            }}}]
+        }
+
+    def test_fuzz(self):
+        for seed in range(200):
+            rng = np.random.default_rng(seed)
+            assert_equiv(self._random_page(rng), start=int(rng.integers(0, 50)))
