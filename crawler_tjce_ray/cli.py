@@ -60,7 +60,19 @@ def cmd_extract(args: argparse.Namespace) -> int:
     ds = extract_records(corpus, args.kind)
     if args.entity:
         slug = slugify(args.entity)
-        ds = ds.filter(lambda r: f"/{args.kind}/{slug}/" in r["url"])
+        frag = f"/{args.kind}/{slug}/"
+
+        # vectorized substring filter (per-row ds.filter(lambda) is the
+        # anti-pattern this repo's own stages/extract.filter_kind avoids)
+        def keep_entity(t, _f=frag):
+            import pyarrow.compute as _pc
+
+            return t.filter(_pc.match_substring(t["url"], _f))
+
+        ds = ds.map_batches(keep_entity, batch_format="pyarrow")
+        # materialize ONCE: the emptiness probe and the downstream sort
+        # must not re-execute the whole extraction pipeline
+        ds = ds.materialize()
         if ds.count() == 0:
             print(
                 f"error: no {args.kind} pages for entity "

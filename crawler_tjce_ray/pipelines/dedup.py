@@ -109,6 +109,13 @@ FROM documents GROUP BY dkey ORDER BY dkey
 
 JACCARD_TAU = 0.5
 
+# q_dedup_ngram_jaccard materializes the documents table driver-side
+# to build its broadcast shingle index and is O(n²) by design (it is
+# the LSH pipeline's *verifier*, exercised exhaustively only at oracle
+# scale).  Refuse to run it as a standalone query past this many docs
+# — the scale path is q_dedup_minhash_lsh.
+NGRAM_JACCARD_MAX_DOCS = 50_000
+
 
 def _jaccard_pairs_against(
     ids: np.ndarray, grams: list[set[str]], all_ids: np.ndarray,
@@ -139,6 +146,14 @@ def q_dedup_ngram_jaccard(sf_dir: str):
     import ray
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+    if n_docs > NGRAM_JACCARD_MAX_DOCS:
+        raise ValueError(
+            f"q_dedup_ngram_jaccard is the O(n²) small-n verifier and "
+            f"refuses {n_docs} docs (limit {NGRAM_JACCARD_MAX_DOCS}); "
+            f"use q_dedup_minhash_lsh, which calls this kernel on LSH "
+            f"candidates only"
+        )
     # small-side index: ids + shingle sets, broadcast once.  Tokens are
     # split on a LITERAL space — identical to the oracle's
     # string_split(text,' ') even on irregular whitespace.
@@ -211,6 +226,10 @@ def minhash_signature(gh: np.ndarray) -> np.ndarray:
 
 
 _GRAM_P = np.uint64(1099511628211)
+# P² mod 2^64 precomputed in exact int arithmetic: computing it as
+# _GRAM_P * _GRAM_P at call time raised a RuntimeWarning per batch
+# (the wraparound itself is intentional — it IS the rolling hash)
+_GRAM_P2 = np.uint64((int(_GRAM_P) ** 2) % (1 << 64))
 
 
 def batch_gram_hashes(texts) -> list[np.ndarray]:
@@ -233,7 +252,7 @@ def batch_gram_hashes(texts) -> list[np.ndarray]:
     th = pd.util.hash_array(flat)  # uint64, deterministic key
     out: list[np.ndarray] = []
     pos = 0
-    p2 = _GRAM_P * _GRAM_P
+    p2 = _GRAM_P2
     for toks in token_lists:
         n = len(toks)
         h = th[pos : pos + n]

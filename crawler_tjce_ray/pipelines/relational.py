@@ -232,12 +232,17 @@ def q_broadcast_join(sf_dir: str):
     import ray
 
     region = _read(sf_dir, "region").to_pandas()
-    lookup_ref = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
+    # dim table broadcast as (keys, values) Arrow arrays; the per-batch
+    # lookup is index_in + take — fully vectorized, unmatched keys null
+    lookup_ref = ray.put((
+        pa.array(region["r_regionkey"], pa.int64()),
+        pa.array(region["r_name"], pa.string()),
+    ))
 
     def join(t: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        names = [lookup.get(k) for k in t["n_regionkey"].to_pylist()]
-        return t.append_column("r_name", pa.array(names, pa.string()))
+        keys, vals = ray.get(lookup_ref)
+        idx = pc.index_in(pc.cast(t["n_regionkey"], pa.int64()), value_set=keys)
+        return t.append_column("r_name", pc.take(vals, idx))
 
     out = (
         _read(sf_dir, "nation", ["n_name", "n_regionkey"])
@@ -260,12 +265,15 @@ def q_join_agg(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     nation = _read(sf_dir, "nation").to_pandas()
-    lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    lookup_ref = ray.put((
+        pa.array(nation["n_nationkey"], pa.int64()),
+        pa.array(nation["n_name"], pa.string()),
+    ))
 
     def join(t: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        names = [lookup.get(k) for k in t["c_nationkey"].to_pylist()]
-        return t.append_column("n_name", pa.array(names, pa.string()))
+        keys, vals = ray.get(lookup_ref)
+        idx = pc.index_in(pc.cast(t["c_nationkey"], pa.int64()), value_set=keys)
+        return t.append_column("n_name", pc.take(vals, idx))
 
     out = (
         _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
@@ -293,13 +301,14 @@ def q_anti_join(sf_dir: str):
     import ray
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seen = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].tolist())
-    seen_ref = ray.put(seen)
+    seen_ref = ray.put(pa.array(
+        cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"], pa.int64()
+    ))
 
     def filt(t: pa.Table) -> pa.Table:
-        s = ray.get(seen_ref)
-        mask = [k not in s for k in t["o_custkey"].to_pylist()]
-        return t.filter(pa.array(mask, pa.bool_()))
+        seen = ray.get(seen_ref)
+        hit = pc.is_in(pc.cast(t["o_custkey"], pa.int64()), value_set=seen)
+        return t.filter(pc.invert(hit))
 
     out = (
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
@@ -322,13 +331,31 @@ ORDER BY o_orderkey
 
 def q_topk_per_user(sf_dir: str):
     """Frontier wave selection analog (O1): first k per partition key
-    in (ts, id) order — groupby(host).sort within group."""
+    in (ts, id) order.
+
+    Grouping directly on ``user_id`` dispatches one pandas group per
+    user (the tiny-group anti-pattern — a scale-killer at 10⁹ users);
+    instead the shuffle groups on 64 coarse ``user_id % 64`` buckets
+    (the same recipe as ``q_asof_join``) and the per-bucket kernel is
+    one vectorized sort + ``groupby.head(3)``."""
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
-    def head3(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts", "event_id"]).head(3)
+    def bucket(t: pa.Table) -> pa.Table:
+        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        return t.append_column("kb", kb)
 
-    out = ds.groupby("user_id").map_groups(head3, batch_format="pandas").to_pandas()
+    def head3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return g.groupby("user_id", sort=False).head(3)[
+            ["user_id", "event_id", "ts"]
+        ]
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(head3, batch_format="pandas")
+        .to_pandas()
+    )
     return out.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
 
 
@@ -516,19 +543,25 @@ ORDER BY e.event_id
 def q_sessionize(sf_dir: str):
     """Sessionization (streaming-shaped §2.9): gap-based session ids
     per user (new session when >30 min since the previous event).
-    One shuffle by user; the per-group assignment is a vectorized
-    diff + cumsum.  Key space = users, so groups stay small; salt hot
-    users at scale."""
+    One shuffle on 64 coarse ``user_id % 64`` buckets (not per-user —
+    per-user dispatch is the tiny-group anti-pattern); inside a bucket
+    the assignment is one vectorized per-user diff + cumsum."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
+    def bucket(t: pa.Table) -> pa.Table:
+        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        return t.append_column("kb", kb)
+
     def assign(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        g["session_id"] = gap.cumsum().astype("int64") + 1
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = g.reset_index(drop=True)
+        gap = g.groupby("user_id", sort=False)["ts"].diff() > pd.Timedelta(minutes=30)
+        g["session_id"] = gap.groupby(g["user_id"], sort=False).cumsum().astype("int64") + 1
         return g[["user_id", "event_id", "session_id"]]
 
     out = (
-        ds.groupby("user_id")
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
         .map_groups(assign, batch_format="pandas")
         .to_pandas()
         .astype({"user_id": "int64", "event_id": "int64", "session_id": "int64"})
@@ -579,14 +612,16 @@ GROUP BY tok ORDER BY n DESC, tok LIMIT 20
 
 
 def _md5_bucket(vals: pd.Series, mod: int) -> np.ndarray:
+    """Per-value md5 bucket (md5 is pinned by the DuckDB oracle, so the
+    digest loop stays; the int→str conversion is one vectorized pass)."""
     import hashlib
 
-    return np.array(
-        [
-            int(hashlib.md5(str(int(v)).encode()).hexdigest()[:8], 16) % mod
-            for v in vals
-        ],
+    md5 = hashlib.md5
+    strs = vals.astype("int64").astype(str).to_numpy()
+    return np.fromiter(
+        (int(md5(s.encode()).hexdigest()[:8], 16) % mod for s in strs),
         dtype=np.int64,
+        count=len(strs),
     )
 
 

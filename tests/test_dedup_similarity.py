@@ -146,3 +146,21 @@ class TestANN:
         assert np.mean(recalls) >= 0.5, f"mean recall {np.mean(recalls)}"
         # every query answered with k results
         assert (ivf.groupby("query_id")["rank"].count() >= 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNgramJaccardGuard:
+    def test_guard_trips_on_large_table(self, monkeypatch):
+        """The O(n²) verifier refuses to run standalone past the doc
+        limit instead of materializing a large corpus driver-side."""
+        from crawler_tjce_ray.pipelines import dedup
+
+        monkeypatch.setattr(dedup, "NGRAM_JACCARD_MAX_DOCS", 10)
+        with pytest.raises(ValueError, match="refuses"):
+            dedup.q_dedup_ngram_jaccard(SF_DIR)
+
+    def test_passes_under_limit(self):
+        from crawler_tjce_ray.pipelines import dedup
+
+        out = dedup.q_dedup_ngram_jaccard(SF_DIR)
+        assert {"doc_a", "doc_b", "jaccard"} <= set(out.columns)
