@@ -43,9 +43,8 @@ def _default_corpus() -> str:
 def cmd_extract(args: argparse.Namespace) -> int:
     """Extract one record kind (optionally one entity) to a display CSV."""
     from crawler_tjce_ray.functions.sinks import write_display_csv
-    from crawler_tjce_ray.functions.text import slugify
     from crawler_tjce_ray.pipelines.extract_all import (
-        assign_global_ordem, extract_records,
+        assign_global_ordem, extract_entities, extract_records,
     )
 
     if args.entity and args.kind != "precatorios":
@@ -57,9 +56,32 @@ def cmd_extract(args: argparse.Namespace) -> int:
         return 2
     _ensure_ray()
     corpus = args.corpus or _default_corpus()
+
+    if args.kind == "entities":
+        # S4/K4: the entity-list chain → single-column display CSV
+        # (reference output: data/entidades_tjce.csv, utf-8-sig)
+        out = extract_entities(corpus)[["entidade"]]
+        n = write_display_csv(out, "entities", args.output)
+        print(f"wrote {n} entities -> {args.output}")
+        return 0
+
     ds = extract_records(corpus, args.kind)
     if args.entity:
-        slug = slugify(args.entity)
+        # M9: resolve name-or-slug through the corpus-seeded registry
+        # (exact official name; slugify fallback only for unknowns)
+        from crawler_tjce_ray.state.entities import EntityRegistry
+
+        registry = EntityRegistry.from_corpus(corpus)
+        official = registry.get_api_entity_name(args.entity)
+        slug = registry.get_entity_slug(official)
+        if not registry.validate_entity_slug(slug):
+            print(
+                f"warning: entity {args.entity!r} not in the crawled "
+                f"registry; falling back to slug {slug!r}",
+                file=sys.stderr,
+            )
+        else:
+            print(f"entity: {official} (slug {slug})")
         frag = f"/{args.kind}/{slug}/"
 
         # vectorized substring filter (per-row ds.filter(lambda) is the
@@ -110,7 +132,7 @@ def main(argv: list[str] | None = None) -> int:
 
     pe = sub.add_parser("extract", help="extract records to a display CSV")
     pe.add_argument("--kind", default="precatorios",
-                    choices=["precatorios", "editais", "pagamentos"])
+                    choices=["precatorios", "editais", "pagamentos", "entities"])
     pe.add_argument("--entity", default=None,
                     help="entity name or slug (precatórios only)")
     pe.add_argument("--output", required=True)

@@ -117,6 +117,52 @@ def assign_global_ordem(records_ds, descending_pages: bool = False):
     return records_ds.map_batches(add_offset_grouped, batch_format="pyarrow")
 
 
+def extract_entities(pages_path: str):
+    """S4/K4 — the entity-list chain end-to-end: entity pages →
+    decoded names → distinct → reference order.
+
+    Reference semantics (schemas/entity_mapping_crawler.py:162-282):
+    names accumulate across cursor pages into a set and the final list
+    is ``sorted()`` — so order is name-sort, not crawl order, and the
+    placeholder "--- Selecione a Entidade" survives (only the exact
+    "--- selecione" is dropped by the page decoder; the golden
+    data/entidades_tjce.csv keeps the longer one).
+
+    Distributed shape: the decode runs as ``map_batches`` over the
+    (pruned, kind-filtered) pages; each batch emits its *distinct*
+    names (a combiner — the shuffle carries names, never pages), and
+    the driver merges the small partials.  Returns a pandas frame
+    ``(entidade, slug)`` — the slug column is the
+    ``get_and_save_entities`` mapping payload
+    (entity_mapping_crawler.py:329-336).
+    """
+    import json
+
+    import pandas as pd
+
+    from crawler_tjce_ray.dsr.decode import decode_entities_page
+    from crawler_tjce_ray.functions.text import slugify as _slugify
+
+    def decode_batch(t: pa.Table) -> pa.Table:
+        names: set[str] = set()
+        for body in t["html"]:
+            try:
+                names.update(decode_entities_page(json.loads(body.as_py())))
+            except Exception:
+                continue  # corrupt page: skip, like the record kinds
+        return pa.table({"entidade": pa.array(sorted(names), pa.string())})
+
+    ds = read_pages(pages_path, columns=["url", "html"])
+    parts = (
+        ds.map_batches(lambda t: filter_kind(t, "entities"), batch_format="pyarrow")
+        .map_batches(decode_batch, batch_size=16, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = pd.DataFrame({"entidade": sorted(set(parts["entidade"]))})
+    out["slug"] = out["entidade"].map(_slugify)
+    return out
+
+
 def run_flagship(pages_path: str, out_dir: str | None = None,
                  current_year: int | None = None):
     """The §7.2 flagship: extract precatórios with global ordering.

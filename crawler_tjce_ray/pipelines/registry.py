@@ -106,6 +106,16 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             q_crawl_trace._memo = res.trace.reset_index(drop=True)
         return q_crawl_trace._memo.copy()
 
+    def q_extract_entities(sf_dir: str):
+        """S4/K4 end-to-end: decoded entity list + slugs (rows-only —
+        the distinct-values wire format has no SQL analog).  Shape of
+        the reference's data/entidades_tjce.csv + the slug mapping of
+        get_and_save_entities."""
+        from crawler_tjce_ray.pipelines.extract_all import extract_entities
+
+        return extract_entities(_pages(sf_dir))
+
+    out["crawl_extract_entities"] = q_extract_entities
     out["crawl_extract_precatorios"] = q_extract_precatorios
     out["crawl_extract_editais"] = q_extract_editais
     out["crawl_extract_pagamentos"] = q_extract_pagamentos
