@@ -90,6 +90,10 @@ class CrawlConfig:
     # requeued, never lost).  The default never denies because the
     # authoritative budget is per_host_budget at selection time.
     actor_token_rate: int = 10**9
+    # T1 retry policy: extra attempts per transient store-read failure
+    fetch_max_retries: int = 3
+    # T6 robots-cache TTL in waves (None = cache forever)
+    robots_ttl_waves: int | None = None
 
 
 @dataclass
@@ -98,6 +102,7 @@ class CrawlResult:
     waves_run: int
     trace: pd.DataFrame               # (wave, order_in_wave, url, status, seed)
     metrics: list[dict] = field(default_factory=list)
+    actor_stats: dict = field(default_factory=dict)  # merged pool counters (T8)
 
     @property
     def records_dir(self) -> str:
@@ -121,6 +126,21 @@ def _ckpt_dir(workdir: str, wave: int) -> str:
 
 
 _CKPT_NAME_RE = None
+
+
+def _drop_record_waves(records_dir: str, start_wave: int) -> None:
+    """Delete ``records/<kind>/wave=k`` directories for k >= start_wave
+    (resume hygiene: those waves will be re-run and re-written)."""
+    if not os.path.isdir(records_dir):
+        return
+    for kind in os.listdir(records_dir):
+        kind_dir = os.path.join(records_dir, kind)
+        if not os.path.isdir(kind_dir):
+            continue
+        for name in os.listdir(kind_dir):
+            if name.startswith("wave=") and name[5:].isdigit():
+                if int(name[5:]) >= start_wave:
+                    shutil.rmtree(os.path.join(kind_dir, name), ignore_errors=True)
 
 
 def _latest_checkpoint(workdir: str) -> int | None:
@@ -232,6 +252,8 @@ def run_crawl(
         records_dir=os.path.join(workdir, "records") if cfg.extract_records else None,
         current_year=cfg.current_year,
         per_host_rate=cfg.actor_token_rate,
+        max_retries=cfg.fetch_max_retries,
+        robots_ttl_waves=cfg.robots_ttl_waves,
     )
     start_wave = 0
     if resume:
@@ -239,6 +261,12 @@ def run_crawl(
         if latest is not None:
             frontier = _load_checkpoint(workdir, latest, seen)
             start_wave = latest + 1
+            # a crash between record writes and the wave checkpoint
+            # leaves partial records for waves >= start_wave; the
+            # re-run may use a different actor count and therefore a
+            # different part layout, so stale parts would survive and
+            # duplicate that wave's records — wipe them first
+            _drop_record_waves(os.path.join(workdir, "records"), start_wave)
         else:
             resume = False
     if not resume:
@@ -259,6 +287,14 @@ def run_crawl(
             # backed between waves instead
             import ray.data as rd
 
+            # the distributed defer filters by url_key membership, so
+            # duplicate keys would silently drop rows (the pandas path
+            # defers by row index) — enforce the uniqueness invariant
+            # the frontier-update code maintains
+            if not frontier["url_key"].is_unique:
+                raise AssertionError(
+                    "frontier url_key uniqueness invariant violated"
+                )
             selected, deferred_ds = select_wave_distributed(
                 rd.from_pandas(frontier.reset_index(drop=True)),
                 wave, cfg.wave_size, cfg.per_host_budget,
@@ -386,7 +422,9 @@ def run_crawl(
     trace = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
         columns=["wave", "order_in_wave", "url", "seed", "status"]
     )
+    actor_stats = pool.stats()
     seen.shutdown()
     pool.shutdown()
     waves_run = (metrics_all[-1]["wave"] + 1) if metrics_all else start_wave
-    return CrawlResult(workdir=workdir, waves_run=waves_run, trace=trace, metrics=metrics_all)
+    return CrawlResult(workdir=workdir, waves_run=waves_run, trace=trace,
+                       metrics=metrics_all, actor_stats=actor_stats)

@@ -86,25 +86,49 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         out["n"] = out["n"].astype("int64")
         return out.sort_values("lang").reset_index(drop=True)
 
-    def q_crawl_trace(sf_dir: str):
-        """The frontier engine end-to-end, surfaced as data: run the
-        deterministic wave crawl over the small corpus and return the
-        full lineage trace (wave, order_in_wave, url, seed, status) —
-        the crawl-order contract as a queryable table.  The workdir is
-        process-private (mkdtemp): a shared path would let concurrent
-        driver/bench/test processes wipe each other's checkpoints
-        mid-crawl.  Memoized per process (the trace is deterministic)."""
+    def _crawl_run(sf_dir: str):
+        """One deterministic wave crawl over the small corpus, memoized
+        per process and shared by the trace and metrics queries.  The
+        workdir is process-private (mkdtemp): a shared path would let
+        concurrent driver/bench/test processes wipe each other's
+        checkpoints mid-crawl."""
         import tempfile
 
         from crawler_tjce_ray.pipelines.crawl import CrawlConfig, run_crawl
 
-        if not hasattr(q_crawl_trace, "_memo"):
+        if not hasattr(_crawl_run, "_memo"):
             workdir = tempfile.mkdtemp(prefix="tjce_trace_query_")
             cfg = CrawlConfig(wave_size=64, per_host_budget=8, max_waves=60,
                               fetch_concurrency=2)
-            res = run_crawl(_pages(sf_dir), workdir, config=cfg)
-            q_crawl_trace._memo = res.trace.reset_index(drop=True)
-        return q_crawl_trace._memo.copy()
+            _crawl_run._memo = run_crawl(_pages(sf_dir), workdir, config=cfg)
+        return _crawl_run._memo
+
+    def q_crawl_trace(sf_dir: str):
+        """The frontier engine end-to-end, surfaced as data: the full
+        lineage trace (wave, order_in_wave, url, seed, status) — the
+        crawl-order contract as a queryable table."""
+        return _crawl_run(sf_dir).trace.reset_index(drop=True).copy()
+
+    def q_crawl_metrics(sf_dir: str):
+        """T8 metrics surface (reference analog: the per-entity
+        Prometheus counters, metrics.py:6-70): per-wave engine counters
+        in long form (wave, metric, value) plus the pool-merged
+        per-actor lifetime counters as wave = -1 ``actors_*`` rows
+        (fetched/denied/failed-page/retry/cache counts)."""
+        import pandas as pd
+
+        res = _crawl_run(sf_dir)
+        rows = []
+        for m in res.metrics:
+            w = int(m["wave"])
+            for k, v in m.items():
+                if k != "wave":
+                    rows.append((w, k, float(v)))
+        for k, v in sorted(res.actor_stats.items()):
+            rows.append((-1, f"actors_{k}", float(v)))
+        out = pd.DataFrame(rows, columns=["wave", "metric", "value"])
+        out["wave"] = out["wave"].astype("int64")
+        return out.sort_values(["wave", "metric"]).reset_index(drop=True)
 
     def q_extract_entities(sf_dir: str):
         """S4/K4 end-to-end: decoded entity list + slugs (rows-only —
@@ -122,6 +146,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     out["crawl_pages_min_ts"] = q_pages_min_ts
     out["crawl_pages_lang_hist"] = q_pages_lang_hist
     out["crawl_trace"] = q_crawl_trace
+    out["crawl_metrics"] = q_crawl_metrics
 
     from crawler_tjce_ray.pipelines import (
         dedup, relational, similarity, sketches, textops,

@@ -85,26 +85,38 @@ def build_page_store(pages_path: str, store_dir: str, n_buckets: int = DEFAULT_S
 
 
 class RobotsCache:
-    """Per-host robots rules with caching (reference T6: SimpleCache of
-    API responses; here: the crawl-native robots.txt analog).  The
-    sandbox rule set is deterministic: any path containing
-    ``/private/`` is disallowed."""
+    """Per-host robots rules with caching and wave-based TTL
+    (reference T6: SimpleCache with CACHE_DEFAULT_TIMEOUT seconds,
+    config.py:35-40 — virtual time here is waves, one wave ≈ one
+    refill period).  The sandbox rule set is deterministic: any path
+    containing ``/private/`` is disallowed.
 
-    def __init__(self):
-        self._cache: dict[str, list[str]] = {}
+    ``ttl_waves=None`` caches forever; with a TTL, an entry fetched at
+    wave w is served through wave ``w + ttl_waves - 1`` and refetched
+    after."""
+
+    def __init__(self, ttl_waves: int | None = None):
+        self.ttl_waves = ttl_waves
+        self._cache: dict[str, tuple[list[str], int]] = {}
         self.hits = 0
         self.misses = 0
+        self.expired = 0
 
-    def _rules_for(self, host: str) -> list[str]:
-        if host in self._cache:
-            self.hits += 1
-        else:
-            self.misses += 1
-            self._cache[host] = ["/private/"]
-        return self._cache[host]
+    def _rules_for(self, host: str, wave: int = 0) -> list[str]:
+        entry = self._cache.get(host)
+        if entry is not None:
+            rules, fetched_wave = entry
+            if self.ttl_waves is None or wave - fetched_wave < self.ttl_waves:
+                self.hits += 1
+                return rules
+            self.expired += 1
+        self.misses += 1
+        rules = ["/private/"]
+        self._cache[host] = (rules, wave)
+        return rules
 
-    def allowed(self, host: str, url: str) -> bool:
-        return not any(frag in url for frag in self._rules_for(host))
+    def allowed(self, host: str, url: str, wave: int = 0) -> bool:
+        return not any(frag in url for frag in self._rules_for(host, wave))
 
 
 class TokenBucket:
@@ -155,14 +167,30 @@ class FetchActor:
     def __init__(self, store_dir: str, n_buckets: int = DEFAULT_STORE_BUCKETS,
                  per_host_rate: int = 10**9, max_cached_buckets: int = 8,
                  records_dir: str | None = None,
-                 current_year: int | None = None, actor_id: int = 0):
+                 current_year: int | None = None, actor_id: int = 0,
+                 max_retries: int = 3, retry_backoff: float = 0.05,
+                 robots_ttl_waves: int | None = None):
         self.store_dir = store_dir
         self.n_buckets = n_buckets
-        self.robots = RobotsCache()
+        self.robots = RobotsCache(ttl_waves=robots_ttl_waves)
         self.bucket_cache: dict[int, dict[str, bytes]] = {}
         self.bucket_lru: list[int] = []
         self.max_cached_buckets = max_cached_buckets
         self.bucket_loads = 0
+        # T1 retry policy (reference: tenacity stop_after_attempt(3)
+        # with exponential wait, crawler/crawler.py:252-254).  Backoff
+        # is deterministic (0.05·2^attempt) — no jitter, so retried
+        # runs stay order-identical.  ``_read_table`` is an injection
+        # point for fault-injection tests (the store IS the network
+        # in this sandbox).
+        self.max_retries = max_retries
+        self.retry_backoff = retry_backoff
+        self._read_table = pq.read_table
+        self.fetch_retries = 0
+        self.counters = {
+            "fetched_ok": 0, "missing": 0,
+            "robots_denied": 0, "budget_denied": 0,
+        }
         self.budget = TokenBucket(per_host_rate)
         self.records_dir = records_dir
         self.actor_id = actor_id
@@ -203,11 +231,28 @@ class FetchActor:
                 out, os.path.join(dest, f"part-a{self.actor_id:03d}.parquet")
             )
 
+    def _read_with_retry(self, path: str) -> pa.Table:
+        """Bounded-retry store read (T1): transient IO errors back off
+        deterministically and recover; persistent errors re-raise after
+        ``max_retries`` extra attempts."""
+        import time
+
+        attempt = 0
+        while True:
+            try:
+                return self._read_table(path, columns=["url", "html"])
+            except (OSError, pa.ArrowInvalid):
+                if attempt >= self.max_retries:
+                    raise
+                self.fetch_retries += 1
+                time.sleep(self.retry_backoff * (2**attempt))
+                attempt += 1
+
     def _bucket_lookup(self, bucket: int) -> dict[str, bytes]:
         if bucket in self.bucket_cache:
             return self.bucket_cache[bucket]
         path = os.path.join(self.store_dir, f"bucket={bucket}")
-        table = pq.read_table(path, columns=["url", "html"]) if os.path.exists(path) else pa.table(
+        table = self._read_with_retry(path) if os.path.exists(path) else pa.table(
             {"url": pa.array([], pa.string()), "html": pa.array([], pa.binary())}
         )
         lookup = dict(zip(table["url"].to_pylist(), table["html"].to_pylist()))
@@ -226,7 +271,7 @@ class FetchActor:
         statuses: list[str] = []
         links: list[list[str]] = []
         for url, host in zip(urls, hosts):
-            if not self.robots.allowed(host, url):
+            if not self.robots.allowed(host, url, wave):
                 htmls.append(None)
                 statuses.append("robots_denied")
                 links.append([])
@@ -256,6 +301,9 @@ class FetchActor:
             "status": pa.array(statuses, pa.string()),
             "links": pa.array(links, pa.list_(pa.string())),
         }
+        for s in statuses:
+            key = "fetched_ok" if s == "ok" else s
+            self.counters[key] = self.counters.get(key, 0) + 1
         if self.records_dir is not None:
             # fused parse: records written here, html stays actor-local
             self._extract_and_write(urls, htmls, statuses, wave)
@@ -266,6 +314,20 @@ class FetchActor:
             if name not in out:
                 out[name] = batch[name]
         return pa.table(out)
+
+    def stats(self) -> dict[str, int]:
+        """T8 metrics export: this actor's lifetime counters (merged
+        across the pool by ``FetchPool.stats``; the reference analog is
+        the per-entity Prometheus counters, metrics.py:6-70)."""
+        return {
+            **self.counters,
+            "pages_failed": sum(e.pages_failed for e in self.extractors.values()),
+            "fetch_retries": self.fetch_retries,
+            "bucket_loads": self.bucket_loads,
+            "robots_cache_hits": self.robots.hits,
+            "robots_cache_misses": self.robots.misses,
+            "robots_cache_expired": self.robots.expired,
+        }
 
 
 class FetchPool:
@@ -281,7 +343,9 @@ class FetchPool:
     def __init__(self, store_dir: str, n_buckets: int = DEFAULT_STORE_BUCKETS,
                  n_actors: int = 4, records_dir: str | None = None,
                  current_year: int | None = None,
-                 per_host_rate: int = 10**9):
+                 per_host_rate: int = 10**9,
+                 max_retries: int = 3,
+                 robots_ttl_waves: int | None = None):
         import ray
 
         self.n_buckets = n_buckets
@@ -300,6 +364,7 @@ class FetchPool:
                 max_cached_buckets=per_actor,
                 records_dir=records_dir, current_year=current_year,
                 actor_id=i, per_host_rate=per_host_rate,
+                max_retries=max_retries, robots_ttl_waves=robots_ttl_waves,
             )
             for i in range(n_actors)
         ]
@@ -329,6 +394,17 @@ class FetchPool:
                 )
         parts = ray.get(futures)
         return pa.concat_tables(parts)
+
+    def stats(self) -> dict[str, int]:
+        """Merged (summed) lifetime counters of every actor in the pool
+        — the queryable T8 metrics surface."""
+        import ray
+
+        merged: dict[str, int] = {}
+        for s in ray.get([a.stats.remote() for a in self.actors]):
+            for k, v in s.items():
+                merged[k] = merged.get(k, 0) + int(v)
+        return merged
 
     def shutdown(self):
         import ray
