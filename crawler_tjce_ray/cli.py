@@ -108,6 +108,34 @@ def cmd_extract(args: argparse.Namespace) -> int:
     ds = assign_global_ordem(
         ds, descending_pages=(args.kind == "editais")
     ).drop_columns(["url"]).sort("ordem")
+
+    # post-query options (reference apply_filters/sort_rows, main.py:696-737)
+    from crawler_tjce_ray.functions.postquery import apply_filters, sort_rows
+
+    has_filters = any(
+        v is not None
+        for v in (args.ano_min, args.ano_max, args.valor_min, args.valor_max,
+                  args.natureza)
+    )
+    if has_filters and args.kind != "precatorios":
+        print(
+            "error: --ano-min/--ano-max/--valor-min/--valor-max/--natureza "
+            "filter precatorio fields only",
+            file=sys.stderr,
+        )
+        return 2
+    if has_filters:
+        ds = apply_filters(
+            ds, ano_min=args.ano_min, ano_max=args.ano_max,
+            valor_min=args.valor_min, valor_max=args.valor_max,
+            natureza=args.natureza,
+        )
+    if args.sort_by:
+        if args.sort_by not in ds.schema().names:
+            print(f"error: unknown sort field {args.sort_by!r}", file=sys.stderr)
+            return 2
+        ds = sort_rows(ds, args.sort_by, args.order)
+
     n = write_display_csv(ds, args.kind, args.output)
     print(f"wrote {n} {args.kind} rows -> {args.output}")
     return 0
@@ -137,6 +165,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="entity name or slug (precatórios only)")
     pe.add_argument("--output", required=True)
     pe.add_argument("--corpus", default=None, help="pages parquet dir")
+    # post-query options (reference /api/fetch query params)
+    pe.add_argument("--ano-min", type=int, default=None)
+    pe.add_argument("--ano-max", type=int, default=None)
+    pe.add_argument("--valor-min", type=float, default=None)
+    pe.add_argument("--valor-max", type=float, default=None)
+    pe.add_argument("--natureza", default=None,
+                    help="case-insensitive natureza equality filter")
+    pe.add_argument("--sort-by", default=None, help="stable sort field")
+    pe.add_argument("--order", default="asc", choices=["asc", "desc"])
     pe.set_defaults(fn=cmd_extract)
 
     pc = sub.add_parser("crawl", help="run the frontier crawl")

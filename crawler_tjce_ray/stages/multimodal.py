@@ -198,13 +198,25 @@ def _media_ds():
     return rd.read_parquet(media_cache_dir())
 
 
+def _stage_concurrency() -> tuple[int, int]:
+    """Actor-pool size derived from the cluster, not hard-coded: an
+    autoscaling (2, cpus-2) pool — a fixed ``concurrency=2`` ran the
+    stage 2-wide on a 32-cpu node while leaving headroom for the
+    read/reduce tasks on small ones."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return (2, max(2, cpus - 2))
+
+
 def q_multimodal_image_features(sf_dir: str) -> pd.DataFrame:
-    """Actor-pool decode: small batches (binary payloads), 2 actors."""
+    """Actor-pool decode: small batches (binary payloads), pool sized
+    to the cluster."""
     out = (
         _media_ds()
         .map_batches(
             ImageDecodeStage, batch_format="pyarrow", batch_size=32,
-            concurrency=2,
+            concurrency=_stage_concurrency(),
         )
         .to_pandas()
     )
@@ -216,7 +228,8 @@ def q_multimodal_frame_sample(sf_dir: str) -> pd.DataFrame:
         _media_ds()
         .map_batches(
             FrameSampleStage, batch_format="pyarrow", batch_size=32,
-            concurrency=2, fn_constructor_kwargs={"emit_frames": False},
+            concurrency=_stage_concurrency(),
+            fn_constructor_kwargs={"emit_frames": False},
         )
         .to_pandas()
     )
@@ -228,7 +241,7 @@ def q_multimodal_audio_features(sf_dir: str) -> pd.DataFrame:
         _media_ds()
         .map_batches(
             AudioFeatureStage, batch_format="pyarrow", batch_size=32,
-            concurrency=2,
+            concurrency=_stage_concurrency(),
         )
         .to_pandas()
     )
@@ -277,28 +290,46 @@ class VideoEmbedStage:
 
 def q_multimodal_video_nn(sf_dir: str) -> pd.DataFrame:
     """End-to-end multimodal composition: decode+frame-sample+embed in
-    an actor pool, then per-video nearest neighbor by cosine (the
-    embedding near-dup recipe applied to derived media embeddings).
+    an actor pool, then per-video nearest neighbor by cosine — the
+    BLOCKED form: the small embedding index (ids + matrix, ~dim floats
+    per video — tiny next to the payloads) is ``ray.put`` once and
+    each batch computes its own rows' argmax against it inside
+    ``map_batches``.  No N×N similarity matrix ever exists and the
+    O(N²) dot products distribute across the pool; past broadcast-index
+    scale the IVF recipe (pipelines/similarity.py) takes over.
     Rows-only (binary decode isn't SQL-expressible)."""
-    emb = (
+    import ray
+
+    emb_ds = (
         _media_ds()
         .map_batches(
             VideoEmbedStage, batch_format="pyarrow", batch_size=32,
-            concurrency=2,
+            concurrency=_stage_concurrency(),
         )
-        .to_pandas()
-        .sort_values("media_id")
-        .reset_index(drop=True)
+        .materialize()
     )
-    mat = np.stack(emb["embedding"].apply(np.asarray).to_numpy())
-    sims = mat @ mat.T
-    np.fill_diagonal(sims, -np.inf)
-    nn_idx = sims.argmax(axis=1)
-    return pd.DataFrame({
-        "media_id": emb["media_id"].astype("int64"),
-        "nn_media_id": emb["media_id"].to_numpy()[nn_idx].astype("int64"),
-        "cosine": np.round(sims[np.arange(len(emb)), nn_idx], 6),
-    })
+    idx = emb_ds.to_pandas().sort_values("media_id").reset_index(drop=True)
+    ids_all = idx["media_id"].to_numpy(dtype=np.int64)
+    mat_all = np.stack(idx["embedding"].apply(np.asarray).to_numpy())
+    index_ref = ray.put((ids_all, mat_all))
+
+    def nn_batch(df: pd.DataFrame) -> pd.DataFrame:
+        ids_g, mat_g = ray.get(index_ref)
+        bids = df["media_id"].to_numpy(dtype=np.int64)
+        bmat = np.stack(df["embedding"].apply(np.asarray).to_numpy())
+        sims = bmat @ mat_g.T
+        # mask self-similarity (ids_g is sorted)
+        rows = np.arange(len(bids))
+        sims[rows, np.searchsorted(ids_g, bids)] = -np.inf
+        k = sims.argmax(axis=1)
+        return pd.DataFrame({
+            "media_id": bids,
+            "nn_media_id": ids_g[k],
+            "cosine": np.round(sims[rows, k], 6),
+        })
+
+    out = emb_ds.map_batches(nn_batch, batch_format="pandas").to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
 
 
 QUERIES = {
