@@ -63,6 +63,7 @@ def cmd_extract(args: argparse.Namespace) -> int:
         out = extract_entities(corpus)[["entidade"]]
         n = write_display_csv(out, "entities", args.output)
         print(f"wrote {n} entities -> {args.output}")
+        _maybe_upload(args)
         return 0
 
     ds = extract_records(corpus, args.kind)
@@ -138,7 +139,24 @@ def cmd_extract(args: argparse.Namespace) -> int:
 
     n = write_display_csv(ds, args.kind, args.output)
     print(f"wrote {n} {args.kind} rows -> {args.output}")
+    _maybe_upload(args)
     return 0
+
+
+def _maybe_upload(args: argparse.Namespace) -> None:
+    """K6 post-write hook: pin the written CSV into the artifact store
+    when ``--artifact-store`` is set (the reference uploads to IPFS via
+    Pinata after every write, services/pinata_uploader.py)."""
+    if not getattr(args, "artifact_store", None):
+        return
+    from crawler_tjce_ray.functions.artifacts import (
+        LocalCASUploader, post_write_upload,
+    )
+
+    receipt = post_write_upload(
+        [args.output], LocalCASUploader(args.artifact_store)
+    )[0]
+    print(f"pinned {receipt['name']} -> {receipt['cid']} ({receipt['size']} B)")
 
 
 def cmd_crawl(args: argparse.Namespace) -> int:
@@ -174,6 +192,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="case-insensitive natureza equality filter")
     pe.add_argument("--sort-by", default=None, help="stable sort field")
     pe.add_argument("--order", default="asc", choices=["asc", "desc"])
+    pe.add_argument("--artifact-store", default=None,
+                    help="post-write hook: pin the CSV into this "
+                         "content-addressed store (K6 IPFS analog)")
     pe.set_defaults(fn=cmd_extract)
 
     pc = sub.add_parser("crawl", help="run the frontier crawl")

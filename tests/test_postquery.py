@@ -74,3 +74,30 @@ class TestPostQueryOptions:
                    os.path.join(tmp_path, "x.csv"), "--corpus", _corpus(),
                    "--sort-by", "nope"])
         assert rc == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestArtifactHook:
+    def test_cas_upload_and_dedup(self, tmp_path):
+        from crawler_tjce_ray.cli import main
+        from crawler_tjce_ray.functions.artifacts import LocalCASUploader
+
+        out_file = os.path.join(tmp_path, "out.csv")
+        store = os.path.join(tmp_path, "cas")
+        rc = main(["extract", "--kind", "precatorios", "--output", out_file,
+                   "--corpus", _corpus(), "--artifact-store", store])
+        assert rc == 0
+        cid = LocalCASUploader.content_id(out_file)
+        pinned = os.path.join(store, cid)
+        assert os.path.exists(pinned)
+        with open(pinned, "rb") as a, open(out_file, "rb") as b:
+            assert a.read() == b.read()
+        # pin-once: re-upload of identical bytes dedups
+        receipt = LocalCASUploader(store).upload(out_file)
+        assert receipt["cid"] == cid and receipt["deduplicated"]
+
+    def test_pinata_stub_is_honest(self):
+        from crawler_tjce_ray.functions.artifacts import PinataUploader
+
+        with pytest.raises(NotImplementedError):
+            PinataUploader().upload("/dev/null")
