@@ -19,6 +19,13 @@ from datetime import datetime
 
 import pyarrow as pa
 
+try:  # orjson parses the ~300 KB DSR envelopes ~4x faster; same values
+    import orjson
+
+    json_loads = orjson.loads
+except ImportError:  # pragma: no cover
+    json_loads = json.loads
+
 from crawler_tjce_ray.dsr.decode import (
     decode_editais_page,
     decode_pagamentos_page,
@@ -141,12 +148,16 @@ class _ExtractBase:
                 arrays.append(pa.array(cols[field.name], field.type))
         return pa.Table.from_arrays(arrays, schema=self.schema)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def extract_parsed(self, pages: list[tuple[str, dict | None]]) -> pa.Table:
+        """Already-parsed envelopes → typed record table.
+
+        The fused fetch actor parses each page ONCE (for outlink
+        discovery) and hands the parsed dict here — no second
+        ``json.loads`` and no intermediate Arrow copy of the html
+        bytes.  A ``None`` doc marks a body that failed to parse.
+        """
         tables: list[pa.Table] = []
-        urls = batch["url"]
-        htmls = batch["html"]
-        for i in range(len(batch)):
-            url = urls[i].as_py()
+        for url, resp in pages:
             # a corrupt page must never poison the batch (at corpus
             # scale malformed bodies are a certainty): skip and count,
             # mirroring the reference's drop-invalid-row behavior.
@@ -156,7 +167,8 @@ class _ExtractBase:
             # edital_crawler.py:600) fails conversion for that page
             # only, not for every page in the batch.
             try:
-                resp = json.loads(htmls[i].as_py())
+                if resp is None:
+                    raise ValueError("unparseable page body")
                 cols, n = self.decode_page_columns(resp)
                 tables.append(self._page_table(cols, n, url))
             except Exception:
@@ -165,6 +177,18 @@ class _ExtractBase:
         if not tables:
             return pa.Table.from_pylist([], schema=self.schema)
         return pa.concat_tables(tables)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pages: list[tuple[str, dict | None]] = []
+        urls = batch["url"]
+        htmls = batch["html"]
+        for i in range(len(batch)):
+            try:
+                resp = json_loads(htmls[i].as_py())
+            except Exception:
+                resp = None
+            pages.append((urls[i].as_py(), resp))
+        return self.extract_parsed(pages)
 
 
 class ExtractPrecatorios(_ExtractBase):

@@ -21,6 +21,13 @@ from __future__ import annotations
 import json
 import os
 
+try:  # fast parse of the ~300 KB DSR envelopes (same values)
+    import orjson
+
+    json_loads = orjson.loads
+except ImportError:  # pragma: no cover
+    json_loads = json.loads
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -208,21 +215,18 @@ class FetchActor:
                 "pagamentos": ExtractPagamentos(current_year),
             }
 
-    def _extract_and_write(self, urls, htmls, statuses, wave: int) -> None:
-        ok = [
-            (u, h) for u, h, s in zip(urls, htmls, statuses) if s == "ok"
-        ]
-        if not ok:
+    def _extract_and_write(self, pages, wave: int) -> None:
+        """``pages`` = [(url, parsed_doc_or_None)] for ok fetches; the
+        body was parsed ONCE in ``__call__`` (outlink discovery) and
+        the parsed dict is reused here — no second json parse, no
+        Arrow copy of the html bytes."""
+        if not pages:
             return
         for kind, extractor in self.extractors.items():
-            sub = [(u, h) for u, h in ok if f"/{kind}/" in u]
+            sub = [(u, d) for u, d in pages if f"/{kind}/" in u]
             if not sub:
                 continue
-            tbl = pa.table({
-                "url": pa.array([u for u, _ in sub], pa.string()),
-                "html": pa.array([h for _, h in sub], pa.binary()),
-            })
-            out = extractor(tbl)
+            out = extractor.extract_parsed(sub)
             if out.num_rows == 0:
                 continue
             dest = os.path.join(self.records_dir, kind, f"wave={wave}")
@@ -270,6 +274,8 @@ class FetchActor:
         htmls: list[bytes | None] = []
         statuses: list[str] = []
         links: list[list[str]] = []
+        parsed: list[tuple[str, dict | None]] = []  # ok pages, fused path
+        fused = self.records_dir is not None
         for url, host in zip(urls, hosts):
             if not self.robots.allowed(host, url, wave):
                 htmls.append(None)
@@ -287,14 +293,19 @@ class FetchActor:
             statuses.append("ok" if html is not None else "missing")
             # outlink discovery happens HERE, in the actor pool (the
             # page is already in memory) — the driver only flattens a
-            # small list column, never re-parses page bodies serially
+            # small list column, never re-parses page bodies serially.
+            # The parse happens ONCE; the fused extract reuses the dict.
             if html is None:
                 links.append([])
             else:
                 try:
-                    links.append(list(json.loads(html).get("links", [])))
+                    doc = json_loads(html)
+                    links.append(list(doc.get("links", [])))
                 except Exception:
+                    doc = None
                     links.append([])
+                if fused:
+                    parsed.append((url, doc))
         out = {
             "url": pa.array(urls, pa.string()),
             "host": pa.array(hosts, pa.string()),
@@ -304,9 +315,9 @@ class FetchActor:
         for s in statuses:
             key = "fetched_ok" if s == "ok" else s
             self.counters[key] = self.counters.get(key, 0) + 1
-        if self.records_dir is not None:
+        if fused:
             # fused parse: records written here, html stays actor-local
-            self._extract_and_write(urls, htmls, statuses, wave)
+            self._extract_and_write(parsed, wave)
         else:
             out["html"] = pa.array(htmls, pa.binary())
         # pass through frontier bookkeeping columns (seed, depth, ...)
