@@ -479,8 +479,92 @@ WHERE rn = 1 ORDER BY vec_id
 """
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup cluster assignment: connected components over the
+    3-gram-Jaccard duplicate pairs; every doc gets the min doc_id of
+    its component as ``cluster_id`` (the canonical keep-one-per-cluster
+    step after candidate generation).
+
+    Scale shape: the EDGE list (near-dup pairs) is orders of magnitude
+    smaller than the corpus — it is the output of the LSH candidate
+    path — so the union-find runs on the driver over edges only, and
+    the per-doc cluster assignment is a broadcast-map ``map_batches``
+    over the corpus (docs never shuffle).  For edge lists beyond driver
+    memory the same converges as iterated min-label propagation
+    (groupby-min per round); the oracle is an exact recursive-CTE
+    transitive closure."""
+    import ray
+
+    pairs = q_dedup_ngram_jaccard(sf_dir)[["doc_a", "doc_b"]]
+
+    # union-find over the small edge list
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # min-root union => cluster_id is the component min doc_id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    label = {x: find(x) for x in list(parent)}
+    label_ref = ray.put(label)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        lab = ray.get(label_ref)
+        ids = df["doc_id"].astype("int64")
+        return pd.DataFrame({
+            "doc_id": ids,
+            "cluster_id": ids.map(lambda i, _l=lab: _l.get(int(i), int(i))).astype("int64"),
+        })
+
+    out = (
+        _read_docs(sf_dir, ["doc_id"])
+        .map_batches(assign, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(1, length(ws)-2)),
+             i -> ws[i] || ' ' || coalesce(ws[i+1],'') || ' ' ||
+                  coalesce(ws[i+2],''))) AS gs
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE CAST(length(list_intersect(a.gs,b.gs)) AS DOUBLE) /
+        (length(a.gs)+length(b.gs)-length(list_intersect(a.gs,b.gs)))
+          >= {JACCARD_TAU}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), cc(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, cc.comp FROM cc JOIN edges e ON e.b = cc.id
+  WHERE cc.comp < e.a
+)
+SELECT id AS doc_id, MIN(comp) AS cluster_id FROM cc GROUP BY id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -489,6 +573,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_nn": SQL_DEDUP_EMBEDDING_NN,
 }

@@ -540,6 +540,79 @@ ORDER BY e.event_id
 """
 
 
+def q_range_join(sf_dir: str):
+    """Range (interval) join — the other join shape Ray Data lacks:
+    per order, count its lineitems shipped inside the order's 90-day
+    window (key equality + range predicate on the time axis).
+
+    Distributed recipe (same skeleton as ``q_asof_join``): tag both
+    sides, ``union``, hash-shuffle ONCE on 64 coarse ``key % 64``
+    buckets; inside a bucket one vectorized ``pd.merge`` on the key
+    followed by the window filter + groupby count.  Partitioning
+    assumption: one key's order×lineitem pairs fit a group — bounded
+    by lines-per-order; salt hot keys otherwise."""
+    import ray.data as rd  # noqa: F401
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    N_BUCKETS = 64
+    cols = ["key", "kb", "side", "t"]
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["o_orderkey"].astype("int64")
+        return pd.DataFrame({
+            "key": key,
+            "kb": key % N_BUCKETS,
+            "side": np.int64(0),
+            "t": pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]"),
+        })[cols]
+
+    def tag_lines(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["l_orderkey"].astype("int64")
+        return pd.DataFrame({
+            "key": key,
+            "kb": key % N_BUCKETS,
+            "side": np.int64(1),
+            "t": pd.to_datetime(df["l_shipdate"]).astype("datetime64[us]"),
+        })[cols]
+
+    u = orders.map_batches(tag_orders, batch_format="pandas").union(
+        lines.map_batches(tag_lines, batch_format="pandas")
+    )
+
+    def count_in_window(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "t"]]
+        right = g[g["side"] == 1][["key", "t"]].rename(columns={"t": "ship"})
+        if left.empty:
+            return pd.DataFrame(columns=["o_orderkey", "n_shipped_90d"])
+        m = left.merge(right, on="key", how="left")
+        in_win = (m["ship"] >= m["t"]) & (
+            m["ship"] < m["t"] + pd.Timedelta(days=90)
+        )
+        m["hit"] = in_win.fillna(False).astype("int64")
+        out = m.groupby("key", as_index=False)["hit"].sum()
+        return pd.DataFrame({
+            "o_orderkey": out["key"].astype("int64"),
+            "n_shipped_90d": out["hit"].astype("int64"),
+        })
+
+    out = u.groupby("kb").map_groups(count_in_window, batch_format="pandas").to_pandas()
+    out = out.astype({"o_orderkey": "int64", "n_shipped_90d": "int64"})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_RANGE_JOIN = """
+SELECT o.o_orderkey, CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_shipped_90d
+FROM orders o LEFT JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND CAST(l.l_shipdate AS TIMESTAMP) >= CAST(o.o_orderdate AS TIMESTAMP)
+ AND CAST(l.l_shipdate AS TIMESTAMP)
+     < CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 90 DAY
+GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+"""
+
+
 def q_sessionize(sf_dir: str):
     """Sessionization (streaming-shaped §2.9): gap-based session ids
     per user (new session when >30 min since the previous event).
@@ -893,6 +966,7 @@ QUERIES = {
     "json_props_extract": q_json_props,
     "reason_histogram": q_reason_histogram,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "sessionize": q_sessionize,
@@ -921,6 +995,7 @@ ORACLE_SQL = {
     "json_props_extract": SQL_JSON_PROPS,
     "reason_histogram": SQL_REASON_HISTOGRAM,
     "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
     "hash_split": SQL_HASH_SPLIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "sessionize": SQL_SESSIONIZE,

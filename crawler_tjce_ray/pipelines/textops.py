@@ -313,12 +313,111 @@ def q_winnow_fingerprint(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring (Okapi) — the retrieval-scoring stage of a
+# training-data pipeline (quality-by-relevance filtering, dataset
+# curation against a query set)
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["hash", "join", "stream", "vector"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_score(sf_dir: str):
+    """Okapi BM25 of every document against a fixed query-term set.
+
+    Distributed shape (two streaming passes, nothing materializes the
+    corpus):
+
+    1. *stats pass* — each batch emits ONE partial row (n_docs,
+       total_len, df per query term); the driver sums the small
+       partials and derives idf/avg_len constants;
+    2. *score pass* — constants broadcast in the closure; each batch
+       computes its rows' scores vectorized (token explode +
+       term-membership groupby, no per-row Python).
+
+    Tokens split on a LITERAL space (the repo-wide oracle convention);
+    score rounded to 6 dp in both engines (log is the one libm-bound
+    op; rounding removes last-ulp divergence)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    terms = BM25_TERMS
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        lens = toks.str.len()
+        row = {"n_docs": len(df), "total_len": int(lens.sum())}
+        for t in terms:
+            row[f"df_{t}"] = int(toks.apply(lambda x, _t=t: _t in x).sum())
+        return pd.DataFrame([row])
+
+    parts = ds.map_batches(stats, batch_format="pandas").to_pandas().sum()
+    n_docs = int(parts["n_docs"])
+    avg_len = parts["total_len"] / n_docs
+    idf = {
+        t: np.log(1.0 + (n_docs - parts[f"df_{t}"] + 0.5) / (parts[f"df_{t}"] + 0.5))
+        for t in terms
+    }
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        lens = toks.str.len().to_numpy(dtype=np.float64)
+        ex = toks.explode()
+        hit = ex[ex.isin(terms)]
+        # tf matrix: rows = original index, cols = term
+        tf = (
+            hit.groupby([hit.index, hit]).size().unstack(fill_value=0)
+            .reindex(index=df.index, columns=terms, fill_value=0)
+            .to_numpy(dtype=np.float64)
+        )
+        denom = tf + BM25_K1 * (1 - BM25_B + BM25_B * lens[:, None] / avg_len)
+        w = np.array([idf[t] for t in terms])
+        s = (w[None, :] * tf * (BM25_K1 + 1) / denom).sum(axis=1)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "bm25": np.round(s, 6),
+        })
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _bm25_sql() -> str:
+    terms_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(length(ws)) AS avg_len FROM toks
+), tf AS (
+  SELECT t.doc_id, q.term,
+         length(list_filter(t.ws, x -> x = q.term)) AS tf,
+         length(t.ws) AS dl
+  FROM toks t CROSS JOIN (SELECT unnest([{terms_list}]) AS term) q
+), df AS (
+  SELECT term, SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id,
+       ROUND(SUM(
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf * ({BM25_K1} + 1)
+         / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / s.avg_len))
+       ), 6) AS bm25
+FROM tf JOIN df USING (term) CROSS JOIN stats s
+GROUP BY tf.doc_id ORDER BY tf.doc_id
+"""
+
+
+SQL_BM25_SCORE = _bm25_sql()
+
+
 QUERIES = {
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "lang_id_confusion": q_lang_id_confusion,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprint": q_winnow_fingerprint,
+    "bm25_score": q_bm25_score,
 }
 
 ORACLE_SQL = {
@@ -326,4 +425,5 @@ ORACLE_SQL = {
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id_confusion": SQL_LANG_ID_CONFUSION,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "bm25_score": SQL_BM25_SCORE,
 }
