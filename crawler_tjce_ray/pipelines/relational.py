@@ -724,6 +724,55 @@ FROM documents ORDER BY doc_id
 """
 
 
+#: per-language keep rates in thousandths (int thresholds keep the
+#: oracle comparison exact — no float boundary)
+WEIGHTED_SAMPLE_RATES = {"en": 900, "es": 500, "fr": 500, "de": 400}
+WEIGHTED_SAMPLE_DEFAULT = 250
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted Bernoulli sample (corpus rebalancing by
+    language — the up/down-sampling step of training-data curation):
+    keep a doc iff md5(doc_id) mod 1000 < rate(lang).  Pure per-row
+    map, no shuffle, reproducible on any cluster size — the weighted
+    generalization of ``q_hash_split``."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        b = _md5_bucket(df["doc_id"], 1000)
+        thr = (
+            df["lang"].map(WEIGHTED_SAMPLE_RATES)
+            .fillna(WEIGHTED_SAMPLE_DEFAULT).to_numpy(dtype=np.int64)
+        )
+        keep = df[b < thr]
+        return pd.DataFrame({
+            "doc_id": keep["doc_id"].astype("int64"),
+            "lang": keep["lang"],
+        })
+
+    out = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _weighted_sample_sql() -> str:
+    cases = "\n".join(
+        f"         WHEN lang = '{k}' THEN {v}"
+        for k, v in WEIGHTED_SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 1000
+      < CASE
+{cases}
+         ELSE {WEIGHTED_SAMPLE_DEFAULT} END
+ORDER BY doc_id
+"""
+
+
+SQL_WEIGHTED_SAMPLE = _weighted_sample_sql()
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic stratified sample: first 25 docs per language in
     md5 order (seeded reservoir analog with an exact oracle).  Per-group
@@ -969,6 +1018,7 @@ QUERIES = {
     "range_join": q_range_join,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
     "sessionize": q_sessionize,
     "token_histogram": q_token_histogram,
 }
@@ -998,6 +1048,7 @@ ORACLE_SQL = {
     "range_join": SQL_RANGE_JOIN,
     "hash_split": SQL_HASH_SPLIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "sessionize": SQL_SESSIONIZE,
     "token_histogram": SQL_TOKEN_HISTOGRAM,
 }

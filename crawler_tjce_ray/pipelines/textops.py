@@ -411,8 +411,139 @@ GROUP BY tf.doc_id ORDER BY tf.doc_id
 SQL_BM25_SCORE = _bm25_sql()
 
 
+# ---------------------------------------------------------------------------
+# training-sequence preparation: fixed-size chunking and sequence packing
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # = size - overlap(16)
+PACK_CAPACITY = 256
+
+
+def q_doc_chunks(sf_dir: str):
+    """Fixed-size token chunking with overlap (the context-window
+    splitter of a training pipeline): chunks of ``CHUNK_SIZE`` tokens
+    every ``CHUNK_STRIDE`` tokens, last chunk ragged.
+
+    Embarrassingly parallel per-doc map — chunk starts are pure
+    arithmetic on the token count, so the op streams block by block
+    and the output is one row per (doc, chunk)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        ids, cidx, texts, ns = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = text.split(" ")
+            n = len(toks)
+            for i, s in enumerate(range(0, max(1, n), CHUNK_STRIDE)):
+                if s >= n:
+                    break
+                piece = toks[s : s + CHUNK_SIZE]
+                ids.append(doc_id)
+                cidx.append(i)
+                texts.append(" ".join(piece))
+                ns.append(len(piece))
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "chunk_idx": pd.Series(cidx, dtype="int64"),
+            "n_tokens": pd.Series(ns, dtype="int64"),
+            "chunk_text": pd.Series(texts, dtype="object"),
+        })
+
+    out = ds.map_batches(chunks, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+SQL_DOC_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(least({CHUNK_SIZE}, length(ws) - i*{CHUNK_STRIDE}) AS BIGINT)
+         AS n_tokens,
+       array_to_string(ws[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_SIZE}], ' ')
+         AS chunk_text
+FROM toks,
+     LATERAL (SELECT unnest(generate_series(
+         0, CAST(floor((greatest(length(ws),1)-1)/{CHUNK_STRIDE}) AS INT))) AS i)
+WHERE i*{CHUNK_STRIDE} < length(ws)
+ORDER BY doc_id, chunk_idx
+"""
+
+
+def q_pack_sequences(sf_dir: str):
+    """Greedy sequence packing (§2.9 streaming-shaped): concatenate
+    docs in doc_id order into training sequences of ``PACK_CAPACITY``
+    tokens; a doc that does not fit starts the next sequence; docs
+    longer than the capacity are truncated to it.
+
+    Distributed shape: token counts are computed per batch (the only
+    pass over text); the packing fold itself is sequential by
+    definition and runs on the driver over the per-doc LENGTH vector
+    only (8 bytes/doc — never the text).  At corpus scale the same
+    fold runs per deterministic shard with shard-prefixed sequence
+    ids; the global form here is what the SQL oracle (a recursive-CTE
+    scan) can express."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def lens(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "len": df["text"].str.split(" ").str.len()
+            .clip(upper=PACK_CAPACITY).astype("int64"),
+        })
+
+    d = (
+        ds.map_batches(lens, batch_format="pandas")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    seq = np.empty(len(d), dtype=np.int64)
+    off = np.empty(len(d), dtype=np.int64)
+    cur_seq, cur_off = 0, 0
+    for i, ln in enumerate(d["len"].to_numpy()):
+        if cur_off + ln > PACK_CAPACITY and cur_off > 0:
+            cur_seq += 1
+            cur_off = 0
+        seq[i] = cur_seq
+        off[i] = cur_off
+        cur_off += ln
+    return pd.DataFrame({
+        "doc_id": d["doc_id"],
+        "seq_id": seq,
+        "offset": off,
+        "n_tokens": d["len"],
+    })
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         least(CAST(length(string_split(text, ' ')) AS BIGINT),
+               {PACK_CAPACITY}) AS len,
+         row_number() OVER (ORDER BY doc_id) AS rn
+  FROM documents
+), pack(rn, doc_id, seq_id, off, len) AS (
+  SELECT rn, doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), len
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.rn, d.doc_id,
+         CASE WHEN p.off + p.len + d.len <= {PACK_CAPACITY}
+              THEN p.seq_id ELSE p.seq_id + 1 END,
+         CASE WHEN p.off + p.len + d.len <= {PACK_CAPACITY}
+              THEN p.off + p.len ELSE CAST(0 AS BIGINT) END,
+         d.len
+  FROM pack p JOIN d ON d.rn = p.rn + 1
+)
+SELECT doc_id, seq_id, off AS "offset", len AS n_tokens
+FROM pack ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
+    "doc_chunks": q_doc_chunks,
+    "pack_sequences": q_pack_sequences,
     "text_quality": q_text_quality,
     "lang_id_confusion": q_lang_id_confusion,
     "doc_fingerprint": q_doc_fingerprint,
@@ -422,6 +553,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "token_count": SQL_TOKEN_COUNT,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id_confusion": SQL_LANG_ID_CONFUSION,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
