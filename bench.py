@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "topk_per_user",
     "resequence_ordem",
     "hourly_window",
+    "range_join",
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
@@ -50,6 +51,8 @@ BENCH_QUERIES = [
     "text_quality",
     "lang_id_confusion",
     "doc_fingerprint",
+    "bm25_score",
+    "pack_sequences",
 ]
 
 
