@@ -258,13 +258,39 @@ _PROC_FAST_RE = re.compile(r"^[0-9A-Za-z.\-]+$")
 # separator heuristic branch and parses as Decimal(cleaned) directly.
 _DEC_FAST_RE = re.compile(r"^-?\d+(?:\.\d{1,2})?$")
 
-_FINALIZERS = {
-    "comarca": clean_optional_string,
-    "natureza": clean_optional_string,
-    "tipo_classificacao": clean_optional_string,
-    "situacao": clean_optional_string,
-    "data_cadastro": clean_data_cadastro,
-}
+def _fin_ordem(v):
+    """The ordem branch of finalize_precatorio (value only; the <0
+    validity test happens on the result)."""
+    try:
+        return int(float(v or 0))
+    except (TypeError, ValueError):
+        return 0
+
+
+def _field_finalizers(current_year: int | None) -> dict:
+    """Per-field finalize_precatorio kernels (models/models.py:25-228).
+
+    The columnar plan applies these AT THE CELL level (then forward-
+    fills the finalized values): finalize-then-ffill equals
+    ffill-then-finalize because every cleaner is a pure per-value
+    function — and explicit cells are fewer than rows."""
+    year_fn = (
+        validate_ano_orcamento
+        if current_year is None
+        else (lambda v: validate_ano_orcamento(v, current_year))
+    )
+    return {
+        "ordem": _fin_ordem,
+        "processo": _clean_processo_fast,
+        "comarca": clean_optional_string,
+        "ano_orcamento": year_fn,
+        "natureza": clean_optional_string,
+        "data_cadastro": clean_data_cadastro,
+        "tipo_classificacao": clean_optional_string,
+        "valor_original": _clean_decimal_fast,
+        "valor_atual": _clean_decimal_fast,
+        "situacao": clean_optional_string,
+    }
 
 
 def _clean_processo_fast(v):
@@ -291,51 +317,33 @@ def _format_str_cell(v, ftype):
     return s
 
 
-def _format_numeric_cell(v, ftype):
-    """``format_value(str(v), ftype)`` for int/float *v*, with exact
-    fast paths for the common wire shapes (plain ints within float
-    precision; floats round-trip through ``str``)."""
+def _finalize_numeric_cell(v, ftype, fin):
+    """Fused format+finalize for int/float wire cells, with exact fast
+    paths for the common shapes (plain ints within float precision;
+    floats round-trip through ``str``).
+
+    NOTE: Decimal/float cells must finalize from the STRING form —
+    clean_decimal(float) skips the separator heuristics clean_decimal
+    (str) applies (e.g. "0.125" → 125 via the trailing-3-digit quirk).
+    The date fast path returns the datetime directly: str(dt) →
+    fromisoformat is an identity round trip and clean_data_cadastro
+    passes datetimes through."""
     t = type(v)
     if ftype == "int":
         if t is int and -(2**53) < v < 2**53:
-            # downstream finalizers (validate_ano_orcamento, the ordem
-            # int(float(.)) check) treat the int and its str(v) form
-            # identically, so skip the string round-trip
-            return v
+            # finalizers treat the int and its str(v) form identically
+            return fin(v)
     elif ftype in ("float", "Decimal"):
-        # NOTE: no float pass-through here — clean_decimal(float) skips
-        # the separator heuristics that clean_decimal(str) applies
-        # (e.g. "0.125" -> 125 via the trailing-3-digit quirk), so the
-        # formatted value must stay a string
         if t is float:
-            return str(v)
+            return fin(str(v))
         if t is int and -(2**53) < v < 2**53:
-            return str(float(v))
+            return fin(str(float(v)))
     elif ftype == "date":
         if t is int and 100000000000 < v < 300000000000000:
-            # the epoch-millis branch of format_date_value; returning
-            # the datetime itself skips the str()->fromisoformat round
-            # trip (clean_data_cadastro passes datetimes through)
             return datetime.fromtimestamp(v / 1000.0, tz=timezone.utc).replace(
                 tzinfo=None
             )
-    return format_value(str(v), ftype)
-
-
-def _memo_map(values, fn):
-    """Apply a pure per-value cleaner with memoization (dict-encoded
-    columns repeat a handful of distinct values per page)."""
-    cache: dict = {}
-    out = []
-    miss = _INHERIT
-    get = cache.get
-    for v in values:
-        r = get(v, miss)
-        if r is miss:
-            r = fn(v)
-            cache[v] = r
-        out.append(r)
-    return out
+    return fin(format_value(str(v), ftype))
 
 
 def decode_precatorios_columns(
@@ -358,7 +366,9 @@ def decode_precatorios_columns(
       resolved) pay per-cell formatting — dictionary columns memoize
       by dictionary index, numeric/date cells use exact fast paths;
     * inheritance is a per-column forward-fill seeded by the base row;
-    * model validation runs per column with memoized cleaners.
+    * model validation (finalize_precatorio) is FUSED into the cell
+      formatting — finalize-then-ffill equals ffill-then-finalize for
+      pure per-value cleaners, and explicit cells are fewer than rows.
 
     Equivalence with the scalar decoder (including every QUIRK) is
     pinned by tests/test_decode_columnar.py; pages the fast path
@@ -439,12 +449,13 @@ def decode_precatorios_columns(
         return cols, order
 
     m = len(rows) - 1
-    # full formatted columns (index 0 = base row), csv_field keyed
+    fins = _field_finalizers(current_year)
+    # full FINALIZED columns (index 0 = base row), csv_field keyed
     field_cols: dict[str, np.ndarray] = {}
-    for f, default in _PRECATORIO_DEFAULTS.items():
+    for f in _PRECATORIO_DEFAULTS:
         col = np.empty(m + 1, dtype=object)
         col[:] = _INHERIT
-        col[0] = base_row[f]
+        col[0] = fins[f](base_row[f])
         field_cols[f] = col
 
     if m:
@@ -486,10 +497,12 @@ def decode_precatorios_columns(
         cpos = np.cumsum(consume, axis=1) - consume  # exclusive prefix sum
         explicit = consume & (cpos < clens[:, None])
 
+        _MISS = _INHERIT  # cache-miss sentinel (never a finalized value)
         for k, j in enumerate(cfg_cols):
             cfg = col_cfg[j]
             field = cfg["csv_field"]
             ftype = cfg["type"]
+            fin = fins[field]
             dict_name = s_schema[j].get("DN")
             vd = value_dicts.get(dict_name) if dict_name else None
             rows_k = np.nonzero(explicit[:, k])[0]
@@ -497,22 +510,22 @@ def decode_precatorios_columns(
                 continue
             vals = flat[offsets[rows_k] + cpos[rows_k, k]]
             out_col = field_cols[field]
-            fmt_cache: dict = {}
+            cache: dict = {}
             if dict_name:
                 vd_len = len(vd) if vd is not None else -1
                 for i, v in zip(rows_k, vals):
                     if isinstance(v, str):
-                        f = fmt_cache.get(v)
-                        if f is None:
-                            f = fmt_cache[v] = _format_str_cell(v, ftype)
+                        f = cache.get(v, _MISS)
+                        if f is _MISS:
+                            f = cache[v] = fin(_format_str_cell(v, ftype))
                         out_col[i + 1] = f
                     elif isinstance(v, (int, float)):
                         # dict decode: int index in range, else inherit
                         if isinstance(v, int) and 0 <= v < vd_len:
-                            f = fmt_cache.get(v)
-                            if f is None:
+                            f = cache.get(v, _MISS)
+                            if f is _MISS:
                                 dv = vd[v]
-                                f = fmt_cache[v] = (
+                                f = cache[v] = fin(
                                     _format_str_cell(dv, ftype)
                                     if type(dv) is str
                                     else format_value(dv, ftype)
@@ -522,12 +535,12 @@ def decode_precatorios_columns(
             else:
                 for i, v in zip(rows_k, vals):
                     if isinstance(v, str):
-                        f = fmt_cache.get(v)
-                        if f is None:
-                            f = fmt_cache[v] = _format_str_cell(v, ftype)
+                        f = cache.get(v, _MISS)
+                        if f is _MISS:
+                            f = cache[v] = fin(_format_str_cell(v, ftype))
                         out_col[i + 1] = f
                     elif isinstance(v, (int, float)):
-                        out_col[i + 1] = _format_numeric_cell(v, ftype)
+                        out_col[i + 1] = _finalize_numeric_cell(v, ftype, fin)
                     # other types: inherit
 
         # forward-fill every column (row 0 is always explicit)
@@ -540,39 +553,25 @@ def decode_precatorios_columns(
             np.maximum.accumulate(src, out=src)
             field_cols[f] = col[src]
 
-    # --- vectorized finalize_precatorio (models/models.py:25-228) ---
-    proc = [_clean_processo_fast(v) for v in field_cols["processo"]]
-    valid = np.ones(m + 1, dtype=bool)
-    for i, p in enumerate(proc):
-        if p is None:
-            valid[i] = False
+    # --- row validity (the only row-level part of finalize_precatorio:
+    # empty processo drops the row; negative decoded ordem drops it) ---
+    proc_col = field_cols["processo"]
     ordem_col = field_cols["ordem"]
-    for i in range(m + 1):
-        if not valid[i]:
-            continue
-        try:
-            o = int(float(ordem_col[i] or 0))
-        except (TypeError, ValueError):
-            o = 0
-        if o < 0:
-            valid[i] = False
+    valid = np.fromiter(
+        (p is not None and o >= 0 for p, o in zip(proc_col, ordem_col)),
+        dtype=bool,
+        count=m + 1,
+    )
     keep = np.nonzero(valid)[0]
     n_out = len(keep)
 
-    out: dict[str, list] = {}
-    out["processo"] = [proc[i] for i in keep]
+    out: dict[str, list] = {
+        f: field_cols[f][keep].tolist()
+        for f in specs.PRECATORIO_CSV_FIELDS
+        if f != "ordem"
+    }
     out["ordem"] = list(range(order + 1, order + n_out + 1))
     order += n_out
-    year_fn = (
-        validate_ano_orcamento
-        if current_year is None
-        else (lambda v: validate_ano_orcamento(v, current_year))
-    )
-    out["ano_orcamento"] = _memo_map(field_cols["ano_orcamento"][keep], year_fn)
-    for f, fn in _FINALIZERS.items():
-        out[f] = _memo_map(field_cols[f][keep], fn)
-    for f in ("valor_original", "valor_atual"):
-        out[f] = _memo_map(field_cols[f][keep], _clean_decimal_fast)
     return out, order
 
 
