@@ -162,3 +162,29 @@ class TestResumeStaleParts:
             )
 
         pd.testing.assert_frame_equal(recs(full), recs(cut))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRobotsTTLIntegration:
+    def test_ttl_crawl_identical_results_with_expiry_counted(
+        self, corpus, tmp_path
+    ):
+        """A TTL only re-fetches robots rules; crawl output must be
+        identical while the expired counter shows refetches happened."""
+        from crawler_tjce_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+        base = dict(wave_size=64, per_host_budget=8, max_waves=60,
+                    fetch_concurrency=2, extract_records=False)
+        a = run_crawl(corpus, str(tmp_path / "a"),
+                      config=CrawlConfig(**base))
+        b = run_crawl(corpus, str(tmp_path / "b"),
+                      config=CrawlConfig(**base, robots_ttl_waves=1))
+        pd.testing.assert_frame_equal(
+            a.trace.reset_index(drop=True), b.trace.reset_index(drop=True)
+        )
+        assert a.actor_stats["robots_cache_expired"] == 0
+        assert b.actor_stats["robots_cache_expired"] > 0
+        assert (
+            b.actor_stats["robots_cache_misses"]
+            > a.actor_stats["robots_cache_misses"]
+        )
