@@ -11,13 +11,16 @@ cross-batch state is needed — SURVEY.md §2.2-M2).
 from __future__ import annotations
 
 import re
-from datetime import datetime, timezone
 from decimal import Decimal
 
 import numpy as np
 
 from crawler_tjce_ray.dsr import specs
-from crawler_tjce_ray.functions.dates import clean_data_cadastro, validate_ano_orcamento
+from crawler_tjce_ray.functions.dates import (
+    _from_epoch,
+    clean_data_cadastro,
+    validate_ano_orcamento,
+)
 from crawler_tjce_ray.functions.format import finalize_precatorio, format_value
 from crawler_tjce_ray.functions.numeric import clean_decimal
 from crawler_tjce_ray.functions.text import (
@@ -340,9 +343,12 @@ def _finalize_numeric_cell(v, ftype, fin):
             return fin(str(float(v)))
     elif ftype == "date":
         if t is int and 100000000000 < v < 300000000000000:
-            return datetime.fromtimestamp(v / 1000.0, tz=timezone.utc).replace(
-                tzinfo=None
-            )
+            try:
+                return _from_epoch(v / 1000.0)
+            except (ValueError, OverflowError, OSError):
+                # epoch-ms past year 9999: the slow path reproduces the
+                # scalar outcome ("" -> None) exactly
+                pass
     return fin(format_value(str(v), ftype))
 
 
@@ -353,6 +359,34 @@ def decode_precatorios_columns(
 ) -> tuple[dict[str, list], int]:
     """Vectorized twin of :func:`decode_precatorios_page` returning
     columns instead of row dicts: ``({field -> values}, last_order)``.
+
+    The scalar decoder is the spec: ANY exception inside the
+    vectorized plan (including finalize-cleaner exceptions on cells of
+    rows the scalar would have dropped before cleaning them) falls
+    back to a scalar replay of the page, which either produces the
+    spec rows or raises the spec exception.  Good pages never pay for
+    this; see tests/test_decode_columnar.py for the pinned parity.
+    """
+    try:
+        return _decode_precatorios_columns_fast(
+            resp_json, starting_order_number, current_year
+        )
+    except Exception:
+        out_rows, order = decode_precatorios_page(
+            resp_json, starting_order_number, current_year
+        )
+        return (
+            {f: [r[f] for r in out_rows] for f in specs.PRECATORIO_CSV_FIELDS},
+            order,
+        )
+
+
+def _decode_precatorios_columns_fast(
+    resp_json: dict,
+    starting_order_number: int = 0,
+    current_year: int | None = None,
+) -> tuple[dict[str, list], int]:
+    """The vectorized plan (see decode_precatorios_columns).
 
     Same semantics, different execution plan (SURVEY §1.2's batch
     design; the reference's row loop is crawler/crawler.py:957-1046):
@@ -466,20 +500,12 @@ def decode_precatorios_columns(
         for r in r_list:
             if r is not None and not isinstance(r, int):
                 raise TypeError(f"R must be int, got {type(r).__name__}")
-        try:
-            # None => inherit everything; -1 has every bit set in int64
-            R = np.fromiter(
-                (-1 if r is None else r for r in r_list), dtype=np.int64, count=m
-            )
-        except OverflowError:
-            # arbitrary-precision R: scalar path handles it
-            out_rows, order = decode_precatorios_page(
-                resp_json, starting_order_number, current_year
-            )
-            return (
-                {f: [r[f] for r in out_rows] for f in specs.PRECATORIO_CSV_FIELDS},
-                order,
-            )
+        # None => inherit everything; -1 has every bit set in int64.
+        # Arbitrary-precision R overflows int64 here and the wrapper
+        # replays the page through the scalar decoder.
+        R = np.fromiter(
+            (-1 if r is None else r for r in r_list), dtype=np.int64, count=m
+        )
         c_lists = [r.get("C", []) for r in rows[1:]]
         clens = np.fromiter((len(c) for c in c_lists), dtype=np.int64, count=m)
         offsets = np.zeros(m + 1, dtype=np.int64)

@@ -145,8 +145,10 @@ def q_dedup_ngram_jaccard(sf_dir: str):
     DuckDB."""
     import ray
 
+    # cheap guard probe: count a doc_id-only projection (parquet
+    # metadata / one thin column) instead of a full-table pass
+    n_docs = _read_docs(sf_dir, ["doc_id"]).count()
     docs = _read_docs(sf_dir, ["doc_id", "text"])
-    n_docs = docs.count()
     if n_docs > NGRAM_JACCARD_MAX_DOCS:
         raise ValueError(
             f"q_dedup_ngram_jaccard is the O(n²) small-n verifier and "
@@ -492,10 +494,19 @@ def q_dedup_clusters(sf_dir: str):
     over the corpus (docs never shuffle).  For edge lists beyond driver
     memory the same converges as iterated min-label propagation
     (groupby-min per round); the oracle is an exact recursive-CTE
-    transitive closure."""
+    transitive closure.
+
+    Pair source: the exact all-pairs verifier up to its small-n limit
+    (what the oracle expresses); past it, the LSH candidate path — the
+    standalone query stays runnable at corpus scale with approximate
+    (τ=0.8 verified) edges."""
     import ray
 
-    pairs = q_dedup_ngram_jaccard(sf_dir)[["doc_a", "doc_b"]]
+    n_docs = _read_docs(sf_dir, ["doc_id"]).count()
+    if n_docs <= NGRAM_JACCARD_MAX_DOCS:
+        pairs = q_dedup_ngram_jaccard(sf_dir)[["doc_a", "doc_b"]]
+    else:
+        pairs = q_dedup_minhash_lsh(sf_dir)[["doc_a", "doc_b"]]
 
     # union-find over the small edge list
     parent: dict[int, int] = {}
@@ -520,9 +531,11 @@ def q_dedup_clusters(sf_dir: str):
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         lab = ray.get(label_ref)
         ids = df["doc_id"].astype("int64")
+        # Series.map(dict) is the C fast path; unlabeled docs (not in
+        # any dup pair) are their own cluster
         return pd.DataFrame({
             "doc_id": ids,
-            "cluster_id": ids.map(lambda i, _l=lab: _l.get(int(i), int(i))).astype("int64"),
+            "cluster_id": ids.map(lab).fillna(ids).astype("int64"),
         })
 
     out = (

@@ -181,8 +181,12 @@ class TestFuzzEquivalence:
             if r < 0.75:
                 return rng.choice(["txt", "1.234,56", "1717171717171", "-",
                                    "", "0007-77.2020.8.06.0001", "none"])
-            if r < 0.85:
+            if r < 0.82:
                 return int(rng.integers(10**11 + 1, 3 * 10**11))  # epoch ms
+            if r < 0.86:
+                # inside the epoch-ms guard but past year 9999, or
+                # validator-overflow magnitude (review regressions)
+                return int(rng.choice([260000000000000, 10**18, 254000000000000]))
             if r < 0.92:
                 return None
             return [1, 2]
@@ -215,3 +219,31 @@ class TestFuzzEquivalence:
         for seed in range(200):
             rng = np.random.default_rng(seed)
             assert_equiv(self._random_page(rng), start=int(rng.integers(0, 50)))
+
+
+class TestReviewRegressions:
+    """Parity breaks found by differential review fuzzing: both must
+    now take the scalar-replay fallback (or exact fast-path guards)."""
+
+    def test_epoch_ms_past_year_9999_yields_none_not_page_failure(self):
+        # 2.6e14 is inside the epoch-ms guard but maps past year 9999:
+        # the scalar formatter returns "" -> None; the columnar fast
+        # path must not blow up the page with ValueError
+        assert_equiv(_mutate(lambda r: (
+            _dm0(r)[1].__setitem__("R", 0b1111110111),
+            _dm0(r)[1].__setitem__("C", [260000000000000]),
+        )))
+
+    def test_cleaner_exception_on_scalar_dropped_row(self):
+        # base row: negative ordem (scalar drops it BEFORE running the
+        # other cleaners) + an ano value whose validator raises
+        # OverflowError when eagerly cleaned; the columnar path must
+        # replay the scalar decoder, not crash the page
+        def mut(r):
+            c = _dm0(r)[0]["C"]
+            c[6] = -5           # ordem -> row dropped by finalize
+            c[1] = 10**18       # ano -> validate raises OverflowError
+        assert_equiv(_mutate(mut))
+
+    def test_huge_R_still_equivalent(self):
+        assert_equiv(_mutate(lambda r: _dm0(r)[1].__setitem__("R", 1 << 90)))
