@@ -801,6 +801,255 @@ def decode_pagamentos_page(
 
 
 # ---------------------------------------------------------------------------
+# editais / pagamentos — vectorized columnar decode (NumPy R-mask twin
+# of the positional decoders; the scalar functions above are the spec)
+# ---------------------------------------------------------------------------
+
+
+def _positional_delta_cells(rows, n_cols):
+    """Shared delta-row geometry of the positional decoders: the
+    inherit bitmask (missing R = 0 = everything cleared), the cleared
+    bits' sparse-``C`` positions, and the flattened ``C`` values.
+
+    Unlike precatórios, EVERY cleared bit is explicit (an exhausted
+    ``C`` yields a literal "-" rather than inheritance) and the
+    consume counter always advances."""
+    m = len(rows)
+    for r in rows:
+        rl = r.get("R", 0)
+        if not isinstance(rl, int):
+            # scalar parity: non-int R raises in `rulifier & (1<<j)`
+            raise TypeError(f"R must be int, got {type(rl).__name__}")
+    R = np.fromiter((r.get("R", 0) for r in rows), dtype=np.int64, count=m)
+    c_lists = [r.get("C", []) for r in rows]
+    clens = np.fromiter((len(c) for c in c_lists), dtype=np.int64, count=m)
+    offsets = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(clens, out=offsets[1:])
+    flat = np.empty(int(offsets[-1]), dtype=object)
+    pos = 0
+    for c in c_lists:
+        ln = len(c)
+        flat[pos : pos + ln] = c
+        pos += ln
+    jarr = np.arange(n_cols, dtype=np.int64)
+    inherit = ((R[:, None] >> jarr[None, :]) & 1).astype(bool)
+    cleared = ~inherit
+    cpos = np.cumsum(cleared, axis=1) - cleared
+    in_c = cleared & (cpos < clens[:, None])
+    exhausted = cleared & ~ (cpos < clens[:, None])
+    return flat, offsets, cpos, in_c, exhausted
+
+
+def _ffill_columns(cols: dict[str, np.ndarray]) -> None:
+    """In-place forward-fill of ``_INHERIT`` cells (row 0 explicit)."""
+    n = len(next(iter(cols.values())))
+    idx = np.arange(n)
+    for f, col in cols.items():
+        exp = col != _INHERIT
+        if exp.all():
+            continue
+        src = np.where(exp, idx, 0)
+        np.maximum.accumulate(src, out=src)
+        cols[f] = col[src]
+
+
+def decode_editais_columns(resp_json: dict) -> dict[str, list]:
+    """Vectorized twin of :func:`decode_editais_page` (page-local,
+    ``prior_rows=None``) returning ``{field -> values}``.  Any internal
+    exception replays the scalar spec decoder."""
+    try:
+        return _decode_editais_columns_fast(resp_json)
+    except Exception:
+        rows = decode_editais_page(resp_json)
+        return {f: [r.get(f) for r in rows] for f in specs.EDITAL_CSV_FIELDS}
+
+
+def _decode_editais_columns_fast(resp_json: dict) -> dict[str, list]:
+    empty: dict[str, list] = {f: [] for f in specs.EDITAL_CSV_FIELDS}
+    page = navigate_envelope(resp_json)
+    if page is None or not page["rows"]:
+        return empty
+    value_dicts = page["value_dicts"]
+    data_rows = page["rows"]
+    first = data_rows[0]
+    if not isinstance(first, dict) or "S" not in first or "C" not in first:
+        return empty
+    schema_list = first.get("S", [])
+    if not schema_list or not first.get("C"):
+        return empty
+    mapping = specs.EDITAL_FIELDS[: len(schema_list)]
+    n_cols = len(mapping)
+    if len(first.get("C", [])) != n_cols:
+        # skipped base row: deltas then inherit from an EMPTY dict
+        # (missing keys) in the scalar path — replay it instead
+        rows = decode_editais_page(resp_json)
+        return {f: [r.get(f) for r in rows] for f in specs.EDITAL_CSV_FIELDS}
+
+    n = len(data_rows)
+    cols: dict[str, np.ndarray] = {}
+    for name, _, _ in mapping:
+        col = np.empty(n, dtype=object)
+        col[:] = _INHERIT
+        cols[name] = col
+
+    # base row: all cells explicit, then the row-level post-processing
+    c0 = first.get("C", [])
+    for col_idx, (name, ftype, dn) in enumerate(mapping):
+        cols[name][0] = _decode_dict_or_direct(
+            c0[col_idx], dn, value_dicts, ftype, check_precatorio=True
+        )
+
+    if n > 1:
+        flat, offsets, cpos, in_c, exhausted = _positional_delta_cells(
+            data_rows[1:], n_cols
+        )
+        for k, (name, ftype, dn) in enumerate(mapping):
+            out_col = cols[name]
+            cache: dict = {}
+            rows_k = np.nonzero(in_c[:, k])[0]
+            vals = flat[offsets[rows_k] + cpos[rows_k, k]]
+            for i, v in zip(rows_k, vals):
+                key = v if isinstance(v, (str, int, float, bool, type(None))) else _INHERIT
+                if key is _INHERIT:  # unhashable cell: no memo
+                    out_col[i + 1] = _decode_dict_or_direct(
+                        v, dn, value_dicts, ftype, check_precatorio=True
+                    )
+                    continue
+                f = cache.get(key, _INHERIT)
+                if f is _INHERIT:
+                    f = cache[key] = _decode_dict_or_direct(
+                        v, dn, value_dicts, ftype, check_precatorio=True
+                    )
+                out_col[i + 1] = f
+            for i in np.nonzero(exhausted[:, k])[0]:
+                out_col[i + 1] = "-"
+
+    # row-level post-processing (crawler/edital_crawler.py:604-618),
+    # applied to EXPLICIT cells only — inherited cells come from an
+    # already-post-processed previous row, and every rule is either
+    # idempotent or (ordem) can never re-trigger on an inherited value
+    if "data_cadastro" in cols:
+        dc = cols["data_cadastro"]
+        for i in range(n):
+            if dc[i] == "-":
+                dc[i] = ""
+    if "valor" in cols:
+        va = cols["valor"]
+        for i in range(n):
+            v = va[i]
+            if v is not _INHERIT and v == 0:
+                va[i] = Decimal("0.0")
+    if "ordem" in cols:
+        od = cols["ordem"]
+        for i in range(n):
+            v = od[i]
+            if v is not _INHERIT and v == 0:
+                od[i] = i + 1  # len(out) + 1 at append time
+
+    _ffill_columns(cols)
+    return {
+        f: (cols[f].tolist() if f in cols else [None] * n)
+        for f in specs.EDITAL_CSV_FIELDS
+    }
+
+
+def decode_pagamentos_columns(
+    resp_json: dict, starting_order_number: int = 0
+) -> dict[str, list]:
+    """Vectorized twin of :func:`decode_pagamentos_page` (page-local)
+    returning ``{field -> values}`` (incl. the positional ``ordem``).
+    Any internal exception replays the scalar spec decoder."""
+    try:
+        return _decode_pagamentos_columns_fast(resp_json, starting_order_number)
+    except Exception:
+        rows = decode_pagamentos_page(resp_json, starting_order_number)
+        return {
+            f: [r.get(f) for r in rows]
+            for f in ["ordem"] + specs.PAGAMENTO_CSV_FIELDS
+        }
+
+
+_PAGAMENTO_BLANK_DASH = ("data_protocolo", "data_pagamento", "cpf_cnpj")
+_PAGAMENTO_MONEY = (
+    "valor_bruto", "previdencia", "irrf", "honorarios",
+    "valor_bruto_contratual", "rra", "valor_liquido",
+)
+
+
+def _decode_pagamentos_columns_fast(
+    resp_json: dict, starting_order_number: int
+) -> dict[str, list]:
+    out_fields = ["ordem"] + specs.PAGAMENTO_CSV_FIELDS
+    empty: dict[str, list] = {f: [] for f in out_fields}
+    page = navigate_envelope(resp_json)
+    if page is None or not page["rows"]:
+        return empty
+    value_dicts = page["value_dicts"]
+    data_rows = page["rows"]
+    first = data_rows[0]
+    if not isinstance(first, dict) or "S" not in first:
+        return empty
+    schema_list = first.get("S", [])
+    if not schema_list:
+        return empty
+    mapping = specs.PAGAMENTO_FIELDS[: len(schema_list)]
+    n_cols = len(mapping)
+
+    n = len(data_rows) - 1  # row 0 is schema-only (QUIRK)
+    if n <= 0:
+        return empty
+    cols: dict[str, np.ndarray] = {}
+    for name, ftype, _ in mapping:
+        col = np.empty(n + 1, dtype=object)
+        col[:] = _INHERIT
+        # virtual row 0 = the defaults the first delta inherits from
+        col[0] = 0 if ftype in ("int", "float", "Decimal") else "-"
+        cols[name] = col
+
+    flat, offsets, cpos, in_c, exhausted = _positional_delta_cells(
+        data_rows[1:], n_cols
+    )
+    for k, (name, ftype, dn) in enumerate(mapping):
+        out_col = cols[name]
+        cache: dict = {}
+        rows_k = np.nonzero(in_c[:, k])[0]
+        vals = flat[offsets[rows_k] + cpos[rows_k, k]]
+        for i, v in zip(rows_k, vals):
+            key = v if isinstance(v, (str, int, float, bool, type(None))) else _INHERIT
+            if key is _INHERIT:  # unhashable cell: no memo
+                out_col[i + 1] = _decode_dict_or_direct(
+                    v, dn, value_dicts, ftype, check_precatorio=False
+                )
+                continue
+            f = cache.get(key, _INHERIT)
+            if f is _INHERIT:
+                f = cache[key] = _decode_dict_or_direct(
+                    v, dn, value_dicts, ftype, check_precatorio=False
+                )
+            out_col[i + 1] = f
+        for i in np.nonzero(exhausted[:, k])[0]:
+            out_col[i + 1] = "-"
+
+    _ffill_columns(cols)
+    # post-processing (crawler/pagamentos_crawler.py:585-607) — applied
+    # AFTER the fill because the virtual defaults row is NOT
+    # post-processed in the scalar path; every rule is idempotent
+    out: dict[str, list] = {}
+    for name, ftype, _ in mapping:
+        vals = cols[name][1:].tolist()
+        if name in _PAGAMENTO_BLANK_DASH:
+            vals = ["" if v == "-" else v for v in vals]
+        elif name in _PAGAMENTO_MONEY:
+            vals = [Decimal("0.0") if v == 0 else v for v in vals]
+        out[name] = vals
+    for name in specs.PAGAMENTO_CSV_FIELDS:
+        if name not in out:  # schema shorter than the full mapping
+            out[name] = [None] * n
+    out["ordem"] = list(range(starting_order_number, starting_order_number + n))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # entity list (schemas/entity_mapping_crawler.py:123-160)
 # ---------------------------------------------------------------------------
 

@@ -27,7 +27,9 @@ except ImportError:  # pragma: no cover
     json_loads = json.loads
 
 from crawler_tjce_ray.dsr.decode import (
+    decode_editais_columns,
     decode_editais_page,
+    decode_pagamentos_columns,
     decode_pagamentos_page,
     decode_precatorios_columns,
     decode_precatorios_page,
@@ -214,12 +216,23 @@ class ExtractEditais(_ExtractBase):
         # global order is re-established by assign_global_ordem)
         return sorted(decode_editais_page(resp), key=lambda r: r.get("ordem", 0))
 
+    def decode_page_columns(self, resp):
+        cols = decode_editais_columns(resp)
+        n = len(cols["ordem"])
+        # same stable in-page ordem sort as decode_page
+        order = sorted(range(n), key=lambda i: cols["ordem"][i])
+        return {f: [v[i] for i in order] for f, v in cols.items()}, n
+
 
 class ExtractPagamentos(_ExtractBase):
     schema = PAGAMENTO_SCHEMA
 
     def decode_page(self, resp):
         return decode_pagamentos_page(resp, 0)
+
+    def decode_page_columns(self, resp):
+        cols = decode_pagamentos_columns(resp, 0)
+        return cols, len(cols["ordem"])
 
 
 def filter_kind(batch: pa.Table, kind: str) -> pa.Table:

@@ -247,3 +247,146 @@ class TestReviewRegressions:
 
     def test_huge_R_still_equivalent(self):
         assert_equiv(_mutate(lambda r: _dm0(r)[1].__setitem__("R", 1 << 90)))
+
+
+# ---------------------------------------------------------------------------
+# editais / pagamentos columnar equivalence
+# ---------------------------------------------------------------------------
+
+def _aux_page(kind, rows_per_page=40, idx=0):
+    plan = synth.build_page_plan(n_entities=4, total_pages=40, seed=11)
+    pages = [p for p in plan if p.kind == kind]
+    gen = (synth.generate_editais_envelope if kind == "editais"
+           else synth.generate_pagamentos_envelope)
+    return gen(pages[idx % len(pages)], rows_per_page, 11)
+
+
+def assert_equiv_editais(resp):
+    from crawler_tjce_ray.dsr.decode import (
+        decode_editais_columns, decode_editais_page,
+    )
+
+    se = ce = None
+    try:
+        rows = decode_editais_page(copy.deepcopy(resp))
+    except Exception as e:  # noqa: BLE001
+        se = e
+    try:
+        cols = decode_editais_columns(copy.deepcopy(resp))
+    except Exception as e:  # noqa: BLE001
+        ce = e
+    assert (se is None) == (ce is None), f"scalar={se!r} columnar={ce!r}"
+    if se is not None:
+        return
+    assert len(cols["ordem"]) == len(rows)
+    for f in specs.EDITAL_CSV_FIELDS:
+        assert list(cols[f]) == [r.get(f) for r in rows], f
+
+
+def assert_equiv_pagamentos(resp, start=0):
+    from crawler_tjce_ray.dsr.decode import (
+        decode_pagamentos_columns, decode_pagamentos_page,
+    )
+
+    se = ce = None
+    try:
+        rows = decode_pagamentos_page(copy.deepcopy(resp), start)
+    except Exception as e:  # noqa: BLE001
+        se = e
+    try:
+        cols = decode_pagamentos_columns(copy.deepcopy(resp), start)
+    except Exception as e:  # noqa: BLE001
+        ce = e
+    assert (se is None) == (ce is None), f"scalar={se!r} columnar={ce!r}"
+    if se is not None:
+        return
+    assert len(cols["ordem"]) == len(rows)
+    for f in ["ordem"] + specs.PAGAMENTO_CSV_FIELDS:
+        assert list(cols[f]) == [r.get(f) for r in rows], f
+
+
+class TestPositionalEquivalence:
+    @pytest.mark.parametrize("rows_per_page", [1, 2, 3, 40, 200])
+    def test_editais_corpus(self, rows_per_page):
+        for idx in range(2):
+            assert_equiv_editais(_aux_page("editais", rows_per_page, idx))
+
+    @pytest.mark.parametrize("rows_per_page", [1, 2, 3, 40, 200])
+    def test_pagamentos_corpus(self, rows_per_page):
+        for idx in range(2):
+            assert_equiv_pagamentos(_aux_page("pagamentos", rows_per_page, idx))
+            assert_equiv_pagamentos(
+                _aux_page("pagamentos", rows_per_page, idx), start=777
+            )
+
+    def test_adversarial_mutations(self):
+        def dm0(r):
+            return r["results"][0]["result"]["data"]["dsr"]["DS"][0]["PH"][0]["DM0"]
+
+        for kind, check in (("editais", assert_equiv_editais),
+                            ("pagamentos", assert_equiv_pagamentos)):
+            # base C/S length mismatch (editais: scalar skips base row)
+            r = _aux_page(kind, 10)
+            dm0(r)[0]["C"].pop()
+            check(r)
+            # missing R (defaults to 0 = all cleared)
+            r = _aux_page(kind, 10)
+            dm0(r)[1].pop("R", None)
+            check(r)
+            # exhausted C with bits cleared
+            r = _aux_page(kind, 10)
+            dm0(r)[2]["R"] = 0
+            dm0(r)[2]["C"] = [1]
+            check(r)
+            # non-int R fails both
+            r = _aux_page(kind, 10)
+            dm0(r)[1]["R"] = "x"
+            check(r)
+            # dict OOB index and heterogeneous junk cells
+            r = _aux_page(kind, 10)
+            dm0(r)[1]["R"] = 0
+            dm0(r)[1]["C"] = [9999, -1, None, [1], "txt", 2.5, "-", 1, 0,
+                              "0001734-46.2020.8.06.0000", 1, 0, 1, 0, 1, 0, 1]
+            check(r)
+
+    def test_fuzz_positional(self):
+        from crawler_tjce_ray.dsr import specs as sp
+
+        for seed in range(120):
+            rng = np.random.default_rng(1000 + seed)
+            kind = "editais" if seed % 2 else "pagamentos"
+            fields = sp.EDITAL_FIELDS if kind == "editais" else sp.PAGAMENTO_FIELDS
+            ncols = len(fields)
+            dicts = {
+                dn: [str(rng.integers(0, 50)), "ALFA", "R$9,99", ""]
+                for _, _, dn in fields if dn
+            }
+
+            def cell():
+                r = rng.random()
+                if r < 0.4:
+                    return int(rng.integers(-2, 6))
+                if r < 0.6:
+                    return float(np.round(rng.uniform(-5, 1e5), 2))
+                if r < 0.8:
+                    return str(rng.choice(["x", "1.234,56", "-", "",
+                                           "0001734-46.2020.8.06.0000"]))
+                if r < 0.9:
+                    return None
+                return [1]
+
+            n_rows = int(rng.integers(1, 10))
+            dm0 = [{"S": [{"N": f"G{j}"} | ({"DN": dn} if dn else {})
+                          for j, (_, _, dn) in enumerate(fields)],
+                    "C": [cell() for _ in range(ncols)]}]
+            for _ in range(n_rows - 1):
+                mask = int(rng.integers(0, 1 << ncols))
+                ncl = ncols - bin(mask).count("1")
+                nc = ncl if rng.random() < 0.7 else int(rng.integers(0, ncl + 1))
+                dm0.append({"R": mask, "C": [cell() for _ in range(nc)]})
+            resp = {"results": [{"result": {"data": {"dsr": {"DS": [{
+                "ValueDicts": dicts, "PH": [{"DM0": dm0}]}]}}}}]}
+            if kind == "editais":
+                assert_equiv_editais(resp)
+            else:
+                assert_equiv_pagamentos(resp, start=int(rng.integers(0, 9)))
