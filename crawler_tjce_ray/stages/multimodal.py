@@ -332,8 +332,35 @@ def q_multimodal_video_nn(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q_multimodal_image_resize(sf_dir: str) -> pd.DataFrame:
+    """Binary→binary thumbnailing stage end-to-end: resize by 2 and
+    report the payload-size reduction per image (rows-only)."""
+    out = (
+        _media_ds()
+        .map_batches(
+            ImageResizeStage, batch_format="pyarrow", batch_size=32,
+            concurrency=_stage_concurrency(),
+            fn_constructor_kwargs={"factor": 2},
+        )
+        .map_batches(
+            lambda t: pa.table({
+                "media_id": t["media_id"],
+                "width": t["width"],
+                "height": t["height"],
+                "payload_bytes": pa.array(
+                    [len(b) for b in t["payload"].to_pylist()], pa.int64()
+                ),
+            }),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 QUERIES = {
     "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_image_resize": q_multimodal_image_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_video_nn": q_multimodal_video_nn,
