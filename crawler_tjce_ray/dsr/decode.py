@@ -570,14 +570,7 @@ def _decode_precatorios_columns_fast(
                     # other types: inherit
 
         # forward-fill every column (row 0 is always explicit)
-        idx = np.arange(m + 1)
-        for f, col in field_cols.items():
-            exp = col != _INHERIT
-            if exp.all():
-                continue
-            src = np.where(exp, idx, 0)
-            np.maximum.accumulate(src, out=src)
-            field_cols[f] = col[src]
+        _ffill_columns(field_cols)
 
     # --- row validity (the only row-level part of finalize_precatorio:
     # empty processo drops the row; negative decoded ordem drops it) ---
@@ -840,6 +833,33 @@ def _positional_delta_cells(rows, n_cols):
     return flat, offsets, cpos, in_c, exhausted
 
 
+def _fill_positional_column(
+    out_col, rows_k, vals, exhausted_rows, dn, value_dicts, ftype,
+    check_precatorio: bool,
+) -> None:
+    """Shared explicit-cell writer of the positional decoders: decode
+    each consumed ``C`` value (memoized — cache keys carry the value's
+    TYPE because ``1``, ``1.0`` and ``True`` hash equal but format
+    differently for str columns), and write the literal ``"-"`` into
+    exhausted cells."""
+    cache: dict = {}
+    for i, v in zip(rows_k, vals):
+        key = (type(v), v) if isinstance(v, (str, int, float, bool, type(None))) else None
+        if key is None:  # unhashable cell: no memo
+            out_col[i + 1] = _decode_dict_or_direct(
+                v, dn, value_dicts, ftype, check_precatorio=check_precatorio
+            )
+            continue
+        f = cache.get(key, _INHERIT)
+        if f is _INHERIT:
+            f = cache[key] = _decode_dict_or_direct(
+                v, dn, value_dicts, ftype, check_precatorio=check_precatorio
+            )
+        out_col[i + 1] = f
+    for i in exhausted_rows:
+        out_col[i + 1] = "-"
+
+
 def _ffill_columns(cols: dict[str, np.ndarray]) -> None:
     """In-place forward-fill of ``_INHERIT`` cells (row 0 explicit)."""
     n = len(next(iter(cols.values())))
@@ -904,25 +924,12 @@ def _decode_editais_columns_fast(resp_json: dict) -> dict[str, list]:
             data_rows[1:], n_cols
         )
         for k, (name, ftype, dn) in enumerate(mapping):
-            out_col = cols[name]
-            cache: dict = {}
             rows_k = np.nonzero(in_c[:, k])[0]
-            vals = flat[offsets[rows_k] + cpos[rows_k, k]]
-            for i, v in zip(rows_k, vals):
-                key = v if isinstance(v, (str, int, float, bool, type(None))) else _INHERIT
-                if key is _INHERIT:  # unhashable cell: no memo
-                    out_col[i + 1] = _decode_dict_or_direct(
-                        v, dn, value_dicts, ftype, check_precatorio=True
-                    )
-                    continue
-                f = cache.get(key, _INHERIT)
-                if f is _INHERIT:
-                    f = cache[key] = _decode_dict_or_direct(
-                        v, dn, value_dicts, ftype, check_precatorio=True
-                    )
-                out_col[i + 1] = f
-            for i in np.nonzero(exhausted[:, k])[0]:
-                out_col[i + 1] = "-"
+            _fill_positional_column(
+                cols[name], rows_k, flat[offsets[rows_k] + cpos[rows_k, k]],
+                np.nonzero(exhausted[:, k])[0], dn, value_dicts, ftype,
+                check_precatorio=True,
+            )
 
     # row-level post-processing (crawler/edital_crawler.py:604-618),
     # applied to EXPLICIT cells only — inherited cells come from an
@@ -1010,25 +1017,12 @@ def _decode_pagamentos_columns_fast(
         data_rows[1:], n_cols
     )
     for k, (name, ftype, dn) in enumerate(mapping):
-        out_col = cols[name]
-        cache: dict = {}
         rows_k = np.nonzero(in_c[:, k])[0]
-        vals = flat[offsets[rows_k] + cpos[rows_k, k]]
-        for i, v in zip(rows_k, vals):
-            key = v if isinstance(v, (str, int, float, bool, type(None))) else _INHERIT
-            if key is _INHERIT:  # unhashable cell: no memo
-                out_col[i + 1] = _decode_dict_or_direct(
-                    v, dn, value_dicts, ftype, check_precatorio=False
-                )
-                continue
-            f = cache.get(key, _INHERIT)
-            if f is _INHERIT:
-                f = cache[key] = _decode_dict_or_direct(
-                    v, dn, value_dicts, ftype, check_precatorio=False
-                )
-            out_col[i + 1] = f
-        for i in np.nonzero(exhausted[:, k])[0]:
-            out_col[i + 1] = "-"
+        _fill_positional_column(
+            cols[name], rows_k, flat[offsets[rows_k] + cpos[rows_k, k]],
+            np.nonzero(exhausted[:, k])[0], dn, value_dicts, ftype,
+            check_precatorio=False,
+        )
 
     _ffill_columns(cols)
     # post-processing (crawler/pagamentos_crawler.py:585-607) — applied

@@ -502,10 +502,10 @@ def q_dedup_clusters(sf_dir: str):
     (τ=0.8 verified) edges."""
     import ray
 
-    n_docs = _read_docs(sf_dir, ["doc_id"]).count()
-    if n_docs <= NGRAM_JACCARD_MAX_DOCS:
+    try:
         pairs = q_dedup_ngram_jaccard(sf_dir)[["doc_a", "doc_b"]]
-    else:
+    except ValueError:
+        # past the all-pairs guard: the LSH candidate path
         pairs = q_dedup_minhash_lsh(sf_dir)[["doc_a", "doc_b"]]
 
     # union-find over the small edge list
@@ -526,17 +526,25 @@ def q_dedup_clusters(sf_dir: str):
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     label = {x: find(x) for x in list(parent)}
-    label_ref = ray.put(label)
+    # broadcast the label map as sorted parallel int64 arrays: the
+    # per-batch join is a searchsorted — pure int64 end to end
+    # (Series.map(dict) goes through float64 when there are misses,
+    # which silently rounds ids above 2^53)
+    lk = np.fromiter(label.keys(), dtype=np.int64, count=len(label))
+    lv = np.fromiter(label.values(), dtype=np.int64, count=len(label))
+    o = np.argsort(lk)
+    label_ref = ray.put((lk[o], lv[o]))
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
-        lab = ray.get(label_ref)
-        ids = df["doc_id"].astype("int64")
-        # Series.map(dict) is the C fast path; unlabeled docs (not in
-        # any dup pair) are their own cluster
-        return pd.DataFrame({
-            "doc_id": ids,
-            "cluster_id": ids.map(lab).fillna(ids).astype("int64"),
-        })
+        keys, vals = ray.get(label_ref)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        out = ids.copy()  # unlabeled docs are their own cluster
+        if len(keys):
+            pos = np.searchsorted(keys, ids)
+            pos_c = np.clip(pos, 0, len(keys) - 1)
+            hit = keys[pos_c] == ids
+            out[hit] = vals[pos_c[hit]]
+        return pd.DataFrame({"doc_id": ids, "cluster_id": out})
 
     out = (
         _read_docs(sf_dir, ["doc_id"])

@@ -390,3 +390,33 @@ class TestPositionalEquivalence:
                 assert_equiv_editais(resp)
             else:
                 assert_equiv_pagamentos(resp, start=int(rng.integers(0, 9)))
+
+
+class TestPositionalReviewRegressions:
+    def test_memo_key_type_collision(self):
+        """1, 1.0 and True hash equal but format differently in str
+        columns — the memo cache must key on (type, value)."""
+        fields_e = specs.EDITAL_FIELDS
+        dm0 = [
+            {"S": [{"N": f"G{j}"} for j in range(len(fields_e))],
+             "C": [0, 2020, "nat", "x", "p", "s", 1.5]},
+            # data_cadastro (idx 3, str type, no dict here): int 1
+            {"R": 0b1110111, "C": [1]},
+            # then float 1.0 — must format to '1.0', not reuse '1'
+            {"R": 0b1110111, "C": [1.0]},
+            {"R": 0b1110111, "C": [True]},
+        ]
+        resp = {"results": [{"result": {"data": {"dsr": {"DS": [{
+            "ValueDicts": {}, "PH": [{"DM0": dm0}]}]}}}}]}
+        assert_equiv_editais(resp)
+
+        fields_p = specs.PAGAMENTO_FIELDS
+        dm0p = [
+            {"S": [{"N": f"G{j}"} for j in range(len(fields_p))]},
+            {"R": (1 << len(fields_p)) - 1 - (1 << 4), "C": [1]},
+            {"R": (1 << len(fields_p)) - 1 - (1 << 4), "C": [1.0]},
+            {"R": (1 << len(fields_p)) - 1 - (1 << 4), "C": [True]},
+        ]
+        respp = {"results": [{"result": {"data": {"dsr": {"DS": [{
+            "ValueDicts": {}, "PH": [{"DM0": dm0p}]}]}}}}]}
+        assert_equiv_pagamentos(respp)
