@@ -452,6 +452,51 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_sliding_window(sf_dir: str):
+    """Sliding (3-hour, 1-hour step) windowed aggregate — the overlap
+    generalization of ``q_hourly_window``: per-batch hourly partials
+    (the only pass over events; shuffle carries O(blocks × hours)),
+    then the window roll runs over the tiny hourly table on the driver
+    with gap-aware reindexing (a RANGE frame, not a row frame)."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(df["ts"].dt.floor("h")).agg(
+            n=("value", "size"), tv=("value", "sum")
+        )
+        return g.reset_index(names="hour_start")
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    hourly = parts.groupby("hour_start", as_index=False).sum()
+    hourly = hourly.set_index("hour_start").sort_index()
+    # gap-aware: reindex to the continuous hour range so a 3-bucket
+    # rolling sum equals the oracle's RANGE 2h-preceding frame
+    full = pd.date_range(hourly.index.min(), hourly.index.max(), freq="h")
+    dense = hourly.reindex(full, fill_value=0)
+    roll = dense.rolling(3, min_periods=1).sum()
+    out = roll.loc[hourly.index]  # only hours that actually have events
+    return pd.DataFrame({
+        "hour_start": out.index,
+        "n_3h": out["n"].astype("int64").to_numpy(),
+        "value_3h": np.round(out["tv"].to_numpy(), 2),
+    }).reset_index(drop=True)
+
+
+SQL_SLIDING_WINDOW = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour_start,
+         COUNT(*) AS n, SUM(value) AS tv
+  FROM events GROUP BY 1)
+SELECT hour_start,
+       CAST(SUM(n) OVER w AS BIGINT) AS n_3h,
+       ROUND(SUM(tv) OVER w, 2) AS value_3h
+FROM h
+WINDOW w AS (ORDER BY hour_start
+             RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY hour_start
+"""
+
+
 def q_asof_join(sf_dir: str):
     """As-of join (custom operator Ray Data lacks): each event matched
     to the user's latest order at or before the event time.
@@ -1007,6 +1052,7 @@ QUERIES = {
     "topk_per_user": q_topk_per_user,
     "resequence_ordem": q_resequence,
     "hourly_window": q_hourly_window,
+    "sliding_window": q_sliding_window,
     "slugify_kernel": q_slugify,
     "digits_only_kernel": q_digits_only,
     "zero_pad_kernel": q_zero_pad,
@@ -1037,6 +1083,7 @@ ORACLE_SQL = {
     "topk_per_user": SQL_TOPK_PER_USER,
     "resequence_ordem": SQL_RESEQUENCE,
     "hourly_window": SQL_HOURLY_WINDOW,
+    "sliding_window": SQL_SLIDING_WINDOW,
     "slugify_kernel": SQL_SLUGIFY,
     "digits_only_kernel": SQL_DIGITS_ONLY,
     "zero_pad_kernel": SQL_ZERO_PAD,
