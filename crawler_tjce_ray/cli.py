@@ -66,7 +66,8 @@ def cmd_extract(args: argparse.Namespace) -> int:
         _maybe_upload(args)
         return 0
 
-    ds = extract_records(corpus, args.kind)
+    frag = None
+    slug = None
     if args.entity:
         # M9: resolve name-or-slug through the corpus-seeded registry
         # (exact official name; slugify fallback only for unknowns)
@@ -85,14 +86,10 @@ def cmd_extract(args: argparse.Namespace) -> int:
             print(f"entity: {official} (slug {slug})")
         frag = f"/{args.kind}/{slug}/"
 
-        # vectorized substring filter (per-row ds.filter(lambda) is the
-        # anti-pattern this repo's own stages/extract.filter_kind avoids)
-        def keep_entity(t, _f=frag):
-            import pyarrow.compute as _pc
-
-            return t.filter(_pc.match_substring(t["url"], _f))
-
-        ds = ds.map_batches(keep_entity, batch_format="pyarrow")
+    # the entity predicate prunes pages BEFORE the DSR decode — other
+    # entities' pages are never parsed
+    ds = extract_records(corpus, args.kind, url_contains=frag)
+    if args.entity:
         # materialize ONCE: the emptiness probe and the downstream sort
         # must not re-execute the whole extraction pipeline
         ds = ds.materialize()

@@ -46,11 +46,14 @@ def crawl_order_key(url: str) -> tuple[str, int]:
 
 
 def extract_records(pages_path: str, kind: str = "precatorios",
-                    current_year: int | None = None, batch_size: int = 16):
+                    current_year: int | None = None, batch_size: int = 16,
+                    url_contains: str | None = None):
     """pages parquet → typed record Dataset for one record kind.
 
     Columns are pruned at the read (url + html only); the kind filter
-    is a vectorized substring match; extraction is a stateless
+    — and any extra ``url_contains`` predicate (e.g. one entity's
+    chain) — is a vectorized substring match applied BEFORE the decode,
+    so non-matching pages are never parsed; extraction is a stateless
     ``map_batches`` (pure function of the page → plain tasks, no actor
     pool needed).
     """
@@ -59,6 +62,13 @@ def extract_records(pages_path: str, kind: str = "precatorios",
     ds = ds.map_batches(
         lambda t, k=kind: filter_kind(t, k), batch_format="pyarrow",
     )
+    if url_contains:
+        ds = ds.map_batches(
+            lambda t, frag=url_contains: t.filter(
+                pc.match_substring(t["url"], frag)
+            ),
+            batch_format="pyarrow",
+        )
     return ds.map_batches(extractor, batch_format="pyarrow", batch_size=batch_size)
 
 
