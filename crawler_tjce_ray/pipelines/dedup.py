@@ -583,9 +583,98 @@ SELECT id AS doc_id, MIN(comp) AS cluster_id FROM cc GROUP BY id ORDER BY doc_id
 """
 
 
+def cluster_labels_distributed(sf_dir: str, pairs: pd.DataFrame,
+                               max_rounds: int = 64):
+    """Distributed min-label propagation: connected components without
+    ANY driver-side graph state — the scale path when even the dup-pair
+    edge list exceeds driver memory.
+
+    Per round (labels and edges both live as Datasets, bucketed on
+    ``node % 64`` — never per-node groups):
+
+    1. bucket-local join of edges with their source node's label emits
+       ``(neighbor, label)`` messages plus the node's own label;
+    2. bucket-local min per node becomes the new label.
+
+    Labels decrease monotonically to the component min; convergence is
+    detected with a cheap ``sum(label)`` aggregate (stable sum ⇒ fixed
+    point).  Rounds needed = graph diameter.  Equivalence with the
+    driver union-find is pinned by tests."""
+    import ray.data as rd
+
+    docs = _read_docs(sf_dir, ["doc_id"])
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        return pd.DataFrame({"node": ids, "label": ids, "nbr": np.int64(-1),
+                             "kind": np.int64(0), "kb": ids % 64})
+
+    labels = docs.map_batches(init_labels, batch_format="pandas")
+    if pairs.empty:
+        out = labels.to_pandas()[["node", "label"]]
+        return out.rename(columns={"node": "doc_id", "label": "cluster_id"})
+
+    a = pairs["doc_a"].astype("int64")
+    b = pairs["doc_b"].astype("int64")
+    edges_pd = pd.DataFrame({
+        "node": pd.concat([a, b], ignore_index=True),
+        "label": np.int64(-1),
+        "nbr": pd.concat([b, a], ignore_index=True),
+        "kind": np.int64(1),
+    })
+    edges_pd["kb"] = edges_pd["node"] % 64
+    edges = rd.from_pandas(edges_pd)
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["kind"] == 0][["node", "label"]]
+        ed = g[g["kind"] == 1][["node", "nbr"]]
+        msgs = ed.merge(lab, on="node")[["nbr", "label"]].rename(
+            columns={"nbr": "node"}
+        )
+        out = pd.concat([lab, msgs], ignore_index=True)
+        out["kb"] = out["node"] % 64
+        return out
+
+    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["label"].min()
+        out["nbr"] = np.int64(-1)
+        out["kind"] = np.int64(0)
+        out["kb"] = out["node"] % 64
+        return out
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        msgs = labels.union(edges).groupby("kb").map_groups(
+            propagate, batch_format="pandas"
+        )
+        labels = msgs.groupby("kb").map_groups(
+            reduce_min, batch_format="pandas"
+        ).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:  # fixed point (labels only decrease)
+            break
+        prev_sum = cur_sum
+    out = labels.to_pandas()[["node", "label"]]
+    return out.rename(columns={"node": "doc_id", "label": "cluster_id"})
+
+
+def q_dedup_clusters_distributed(sf_dir: str):
+    """Same result as ``q_dedup_clusters`` computed by the distributed
+    label-propagation path (shares the exact-pairs oracle)."""
+    try:
+        pairs = q_dedup_ngram_jaccard(sf_dir)[["doc_a", "doc_b"]]
+    except ValueError:
+        pairs = q_dedup_minhash_lsh(sf_dir)[["doc_a", "doc_b"]]
+    out = cluster_labels_distributed(sf_dir, pairs)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_distributed": q_dedup_clusters_distributed,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -595,6 +684,7 @@ QUERIES = {
 ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_clusters_distributed": SQL_DEDUP_CLUSTERS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_nn": SQL_DEDUP_EMBEDDING_NN,
 }

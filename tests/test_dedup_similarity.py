@@ -164,3 +164,29 @@ class TestNgramJaccardGuard:
 
         out = dedup.q_dedup_ngram_jaccard(SF_DIR)
         assert {"doc_a", "doc_b", "jaccard"} <= set(out.columns)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedClusterLabels:
+    def test_matches_union_find_and_runs_multi_round(self):
+        from crawler_tjce_ray.pipelines import dedup
+
+        a = dedup.q_dedup_clusters(SF_DIR)
+        b = dedup.q_dedup_clusters_distributed(SF_DIR)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_chain_graph_converges_to_component_min(self):
+        """A long path graph needs multiple propagation rounds — the
+        label must still reach the component min everywhere."""
+        from crawler_tjce_ray.pipelines.dedup import cluster_labels_distributed
+
+        # chain over existing doc ids: 0-1-2-...-9 (component min 0)
+        pairs = pd.DataFrame({
+            "doc_a": list(range(9)),
+            "doc_b": list(range(1, 10)),
+        })
+        out = cluster_labels_distributed(SF_DIR, pairs)
+        chain = out[out["doc_id"] < 10]
+        assert (chain["cluster_id"] == 0).all()
+        rest = out[out["doc_id"] >= 10]
+        assert (rest["cluster_id"] == rest["doc_id"]).all()
