@@ -516,6 +516,54 @@ def q_pack_sequences(sf_dir: str):
     })
 
 
+def q_pack_sequences_sharded(sf_dir: str, n_shards: int = 16):
+    """The corpus-scale form of ``q_pack_sequences``: the greedy fold
+    runs independently per deterministic ``doc_id % n_shards`` shard
+    (coarse groups, vectorized length pass), and sequence ids are
+    shard-prefixed (``shard << 40 | local``) so no cross-shard
+    coordination exists at any point.  Rows-only (the shard split is
+    an execution choice, not SQL semantics); packing invariants are
+    pinned by tests."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def lens(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        return pd.DataFrame({
+            "doc_id": ids,
+            "shard": ids % n_shards,
+            "len": df["text"].str.split(" ").str.len()
+            .clip(upper=PACK_CAPACITY).astype("int64"),
+        })
+
+    def pack_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        shard = int(g["shard"].iloc[0])
+        seq = np.empty(len(g), dtype=np.int64)
+        off = np.empty(len(g), dtype=np.int64)
+        cur_seq, cur_off = 0, 0
+        for i, ln in enumerate(g["len"].to_numpy()):
+            if cur_off + ln > PACK_CAPACITY and cur_off > 0:
+                cur_seq += 1
+                cur_off = 0
+            seq[i] = cur_seq
+            off[i] = cur_off
+            cur_off += ln
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "seq_id": (np.int64(shard) << 40) | seq,
+            "offset": off,
+            "n_tokens": g["len"],
+        })
+
+    out = (
+        ds.map_batches(lens, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(pack_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 SQL_PACK_SEQUENCES = f"""
 WITH RECURSIVE d AS (
   SELECT doc_id,
@@ -544,6 +592,7 @@ QUERIES = {
     "token_count": q_token_count,
     "doc_chunks": q_doc_chunks,
     "pack_sequences": q_pack_sequences,
+    "pack_sequences_sharded": q_pack_sequences_sharded,
     "text_quality": q_text_quality,
     "lang_id_confusion": q_lang_id_confusion,
     "doc_fingerprint": q_doc_fingerprint,

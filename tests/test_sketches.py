@@ -54,3 +54,32 @@ class TestSketchQueries:
             v = df[df["event_type"] == row["event_type"]]["value"].to_numpy()
             assert row["p50"] == pytest.approx(np.quantile(v, 0.5), abs=1e-6)
             assert row["p99"] == pytest.approx(np.quantile(v, 0.99), abs=1e-6)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShardedPacking:
+    def test_invariants_and_determinism(self):
+        import numpy as np
+
+        from crawler_tjce_ray.pipelines.textops import (
+            PACK_CAPACITY, q_pack_sequences, q_pack_sequences_sharded,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        exact = q_pack_sequences(sf)
+        sharded = q_pack_sequences_sharded(sf)
+        # every doc packed exactly once, token counts agree with the
+        # global packer (truncation rule is shard-independent)
+        assert sorted(sharded["doc_id"]) == sorted(exact["doc_id"])
+        merged = sharded.merge(exact, on="doc_id", suffixes=("_s", "_g"))
+        assert (merged["n_tokens_s"] == merged["n_tokens_g"]).all()
+        # capacity invariant per sequence
+        per_seq = sharded.groupby("seq_id")["n_tokens"].sum()
+        assert (per_seq <= PACK_CAPACITY).all()
+        # offsets are the running sum within each sequence (doc order)
+        for _, g in sharded.sort_values(["seq_id", "doc_id"]).groupby("seq_id"):
+            expect = np.concatenate([[0], g["n_tokens"].cumsum().to_numpy()[:-1]])
+            assert (g["offset"].to_numpy() == expect).all()
+        # deterministic across runs
+        again = q_pack_sequences_sharded(sf)
+        pd.testing.assert_frame_equal(sharded, again)
