@@ -502,11 +502,7 @@ def q_dedup_clusters(sf_dir: str):
     (τ=0.8 verified) edges."""
     import ray
 
-    try:
-        pairs = q_dedup_ngram_jaccard(sf_dir)[["doc_a", "doc_b"]]
-    except ValueError:
-        # past the all-pairs guard: the LSH candidate path
-        pairs = q_dedup_minhash_lsh(sf_dir)[["doc_a", "doc_b"]]
+    pairs = _dup_pairs(sf_dir)
 
     # union-find over the small edge list
     parent: dict[int, int] = {}
@@ -583,23 +579,30 @@ SELECT id AS doc_id, MIN(comp) AS cluster_id FROM cc GROUP BY id ORDER BY doc_id
 """
 
 
-def cluster_labels_distributed(sf_dir: str, pairs: pd.DataFrame,
+def cluster_labels_distributed(sf_dir: str, pairs,
                                max_rounds: int = 64):
-    """Distributed min-label propagation: connected components without
-    ANY driver-side graph state — the scale path when even the dup-pair
-    edge list exceeds driver memory.
+    """Distributed min-label propagation with pointer jumping:
+    connected components where labels, edges and messages all live as
+    Datasets bucketed on ``node % 64`` (never per-node groups).
 
-    Per round (labels and edges both live as Datasets, bucketed on
-    ``node % 64`` — never per-node groups):
+    Per round:
 
-    1. bucket-local join of edges with their source node's label emits
-       ``(neighbor, label)`` messages plus the node's own label;
-    2. bucket-local min per node becomes the new label.
+    1. *edge step* — bucket-local join of edges with their source
+       node's label emits ``(neighbor, label)`` messages; bucket-local
+       min per node becomes the new label;
+    2. *shortcut step* (pointer jumping) — every node asks its label's
+       owner for THAT node's label (``label[label[node]]``), squaring
+       pointer depth so a path graph converges in O(log diameter)
+       rounds rather than O(diameter).
 
-    Labels decrease monotonically to the component min; convergence is
-    detected with a cheap ``sum(label)`` aggregate (stable sum ⇒ fixed
-    point).  Rounds needed = graph diameter.  Equivalence with the
-    driver union-find is pinned by tests."""
+    Labels decrease monotonically to the component min; the fixed
+    point is detected with a cheap ``sum(label)`` aggregate.  Raises
+    ``RuntimeError`` if ``max_rounds`` is exhausted before convergence
+    — silent partial labels would be wrong data.
+
+    ``pairs`` may be a pandas DataFrame (small candidate lists) or a
+    Dataset with ``doc_a``/``doc_b`` columns; the bidirectional edge
+    expansion runs inside ``map_batches`` either way."""
     import ray.data as rd
 
     docs = _read_docs(sf_dir, ["doc_id"])
@@ -610,20 +613,25 @@ def cluster_labels_distributed(sf_dir: str, pairs: pd.DataFrame,
                              "kind": np.int64(0), "kb": ids % 64})
 
     labels = docs.map_batches(init_labels, batch_format="pandas")
-    if pairs.empty:
-        out = labels.to_pandas()[["node", "label"]]
-        return out.rename(columns={"node": "doc_id", "label": "cluster_id"})
+    if isinstance(pairs, pd.DataFrame):
+        if pairs.empty:
+            out = labels.to_pandas()[["node", "label"]]
+            return out.rename(columns={"node": "doc_id", "label": "cluster_id"})
+        pairs = rd.from_pandas(pairs.reset_index(drop=True))
 
-    a = pairs["doc_a"].astype("int64")
-    b = pairs["doc_b"].astype("int64")
-    edges_pd = pd.DataFrame({
-        "node": pd.concat([a, b], ignore_index=True),
-        "label": np.int64(-1),
-        "nbr": pd.concat([b, a], ignore_index=True),
-        "kind": np.int64(1),
-    })
-    edges_pd["kb"] = edges_pd["node"] % 64
-    edges = rd.from_pandas(edges_pd)
+    def both_directions(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].astype("int64")
+        b = df["doc_b"].astype("int64")
+        out = pd.DataFrame({
+            "node": pd.concat([a, b], ignore_index=True),
+            "label": np.int64(-1),
+            "nbr": pd.concat([b, a], ignore_index=True),
+            "kind": np.int64(1),
+        })
+        out["kb"] = out["node"] % 64
+        return out
+
+    edges = pairs.map_batches(both_directions, batch_format="pandas")
 
     def propagate(g: pd.DataFrame) -> pd.DataFrame:
         lab = g[g["kind"] == 0][["node", "label"]]
@@ -635,6 +643,29 @@ def cluster_labels_distributed(sf_dir: str, pairs: pd.DataFrame,
         out["kb"] = out["node"] % 64
         return out
 
+    def shortcut(g: pd.DataFrame) -> pd.DataFrame:
+        # kind 0 = label-owner state; kind 2 = "what is YOUR label"
+        # queries addressed to the requester's current label
+        lab = g[g["kind"] == 0][["node", "label"]]
+        q = g[g["kind"] == 2][["node", "nbr"]]  # node = queried label owner
+        ans = q.merge(lab, on="node")[["nbr", "label"]].rename(
+            columns={"nbr": "node"}
+        )
+        out = pd.concat([lab, ans], ignore_index=True)
+        out["kb"] = out["node"] % 64
+        return out
+
+    def make_queries(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["kind"] == 0]
+        q = pd.DataFrame({
+            "node": lab["label"],          # addressed to the label owner
+            "label": np.int64(-1),
+            "nbr": lab["node"],            # requester
+            "kind": np.int64(2),
+        })
+        q["kb"] = q["node"] % 64
+        return pd.concat([lab, q], ignore_index=True)
+
     def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("node", as_index=False)["label"].min()
         out["nbr"] = np.int64(-1)
@@ -643,29 +674,48 @@ def cluster_labels_distributed(sf_dir: str, pairs: pd.DataFrame,
         return out
 
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
+        # edge step
         msgs = labels.union(edges).groupby("kb").map_groups(
             propagate, batch_format="pandas"
         )
-        labels = msgs.groupby("kb").map_groups(
+        labels = msgs.groupby("kb").map_groups(reduce_min, batch_format="pandas")
+        # pointer-jumping step
+        with_q = labels.map_batches(make_queries, batch_format="pandas")
+        shortcuts = with_q.groupby("kb").map_groups(
+            shortcut, batch_format="pandas"
+        )
+        labels = shortcuts.groupby("kb").map_groups(
             reduce_min, batch_format="pandas"
         ).materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:  # fixed point (labels only decrease)
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds; "
+            f"raise max_rounds (components deeper than 2^rounds exist)"
+        )
     out = labels.to_pandas()[["node", "label"]]
     return out.rename(columns={"node": "doc_id", "label": "cluster_id"})
+
+
+def _dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Shared pair source for cluster assignment: exact all-pairs up to
+    the guard, the LSH candidate path past it."""
+    try:
+        return q_dedup_ngram_jaccard(sf_dir)[["doc_a", "doc_b"]]
+    except ValueError:
+        return q_dedup_minhash_lsh(sf_dir)[["doc_a", "doc_b"]]
 
 
 def q_dedup_clusters_distributed(sf_dir: str):
     """Same result as ``q_dedup_clusters`` computed by the distributed
     label-propagation path (shares the exact-pairs oracle)."""
-    try:
-        pairs = q_dedup_ngram_jaccard(sf_dir)[["doc_a", "doc_b"]]
-    except ValueError:
-        pairs = q_dedup_minhash_lsh(sf_dir)[["doc_a", "doc_b"]]
-    out = cluster_labels_distributed(sf_dir, pairs)
+    out = cluster_labels_distributed(sf_dir, _dup_pairs(sf_dir))
     out["doc_id"] = out["doc_id"].astype("int64")
     out["cluster_id"] = out["cluster_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)

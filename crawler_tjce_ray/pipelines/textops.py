@@ -472,6 +472,31 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def _doc_lens(df: pd.DataFrame) -> pd.Series:
+    """Per-doc token count clipped to the packing capacity (the
+    truncation rule shared by the global and sharded packers)."""
+    return (
+        df["text"].str.split(" ").str.len()
+        .clip(upper=PACK_CAPACITY).astype("int64")
+    )
+
+
+def _greedy_pack(lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """The sequential greedy fold: lengths (in order) → (seq, offset).
+    A doc that does not fit starts the next sequence."""
+    seq = np.empty(len(lengths), dtype=np.int64)
+    off = np.empty(len(lengths), dtype=np.int64)
+    cur_seq, cur_off = 0, 0
+    for i, ln in enumerate(lengths):
+        if cur_off + ln > PACK_CAPACITY and cur_off > 0:
+            cur_seq += 1
+            cur_off = 0
+        seq[i] = cur_seq
+        off[i] = cur_off
+        cur_off += ln
+    return seq, off
+
+
 def q_pack_sequences(sf_dir: str):
     """Greedy sequence packing (§2.9 streaming-shaped): concatenate
     docs in doc_id order into training sequences of ``PACK_CAPACITY``
@@ -490,24 +515,14 @@ def q_pack_sequences(sf_dir: str):
     def lens(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "doc_id": df["doc_id"].astype("int64"),
-            "len": df["text"].str.split(" ").str.len()
-            .clip(upper=PACK_CAPACITY).astype("int64"),
+            "len": _doc_lens(df),
         })
 
     d = (
         ds.map_batches(lens, batch_format="pandas")
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
-    seq = np.empty(len(d), dtype=np.int64)
-    off = np.empty(len(d), dtype=np.int64)
-    cur_seq, cur_off = 0, 0
-    for i, ln in enumerate(d["len"].to_numpy()):
-        if cur_off + ln > PACK_CAPACITY and cur_off > 0:
-            cur_seq += 1
-            cur_off = 0
-        seq[i] = cur_seq
-        off[i] = cur_off
-        cur_off += ln
+    seq, off = _greedy_pack(d["len"].to_numpy())
     return pd.DataFrame({
         "doc_id": d["doc_id"],
         "seq_id": seq,
@@ -531,23 +546,13 @@ def q_pack_sequences_sharded(sf_dir: str, n_shards: int = 16):
         return pd.DataFrame({
             "doc_id": ids,
             "shard": ids % n_shards,
-            "len": df["text"].str.split(" ").str.len()
-            .clip(upper=PACK_CAPACITY).astype("int64"),
+            "len": _doc_lens(df),
         })
 
     def pack_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id").reset_index(drop=True)
         shard = int(g["shard"].iloc[0])
-        seq = np.empty(len(g), dtype=np.int64)
-        off = np.empty(len(g), dtype=np.int64)
-        cur_seq, cur_off = 0, 0
-        for i, ln in enumerate(g["len"].to_numpy()):
-            if cur_off + ln > PACK_CAPACITY and cur_off > 0:
-                cur_seq += 1
-                cur_off = 0
-            seq[i] = cur_seq
-            off[i] = cur_off
-            cur_off += ln
+        seq, off = _greedy_pack(g["len"].to_numpy())
         return pd.DataFrame({
             "doc_id": g["doc_id"],
             "seq_id": (np.int64(shard) << 40) | seq,

@@ -175,18 +175,29 @@ class TestDistributedClusterLabels:
         b = dedup.q_dedup_clusters_distributed(SF_DIR)
         pd.testing.assert_frame_equal(a, b)
 
-    def test_chain_graph_converges_to_component_min(self):
-        """A long path graph needs multiple propagation rounds — the
-        label must still reach the component min everywhere."""
+    def test_long_chain_converges_via_pointer_jumping(self):
+        """A 150-node path graph: plain min-propagation needs 150
+        rounds; with pointer jumping it must converge well inside the
+        default budget and label every node with the component min."""
         from crawler_tjce_ray.pipelines.dedup import cluster_labels_distributed
 
-        # chain over existing doc ids: 0-1-2-...-9 (component min 0)
+        n = 150
         pairs = pd.DataFrame({
-            "doc_a": list(range(9)),
-            "doc_b": list(range(1, 10)),
+            "doc_a": list(range(n - 1)),
+            "doc_b": list(range(1, n)),
         })
-        out = cluster_labels_distributed(SF_DIR, pairs)
-        chain = out[out["doc_id"] < 10]
+        out = cluster_labels_distributed(SF_DIR, pairs, max_rounds=16)
+        chain = out[out["doc_id"] < n]
         assert (chain["cluster_id"] == 0).all()
-        rest = out[out["doc_id"] >= 10]
+        rest = out[out["doc_id"] >= n]
         assert (rest["cluster_id"] == rest["doc_id"]).all()
+
+    def test_exhaustion_raises_instead_of_silent_partial(self):
+        from crawler_tjce_ray.pipelines.dedup import cluster_labels_distributed
+
+        pairs = pd.DataFrame({
+            "doc_a": list(range(60)),
+            "doc_b": list(range(1, 61)),
+        })
+        with pytest.raises(RuntimeError, match="did not converge"):
+            cluster_labels_distributed(SF_DIR, pairs, max_rounds=2)

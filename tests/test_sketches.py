@@ -59,13 +59,11 @@ class TestSketchQueries:
 @pytest.mark.usefixtures("ray_session")
 class TestShardedPacking:
     def test_invariants_and_determinism(self):
-        import numpy as np
-
         from crawler_tjce_ray.pipelines.textops import (
             PACK_CAPACITY, q_pack_sequences, q_pack_sequences_sharded,
         )
 
-        sf = "/root/testdata/sf0.001"
+        sf = SF_DIR
         exact = q_pack_sequences(sf)
         sharded = q_pack_sequences_sharded(sf)
         # every doc packed exactly once, token counts agree with the
