@@ -294,6 +294,96 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+def q_supplier_region(sf_dir: str):
+    """Two-level broadcast join (supplier ⋈ nation ⋈ region): both dim
+    tables are composed into ONE broadcast suppkey-side lookup chain —
+    nation→region resolves driver-side (tiny), the fact table sees a
+    single vectorized index_in/take pass."""
+    import ray
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    n2r = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )[["n_nationkey", "r_name"]]
+    lookup_ref = ray.put((
+        pa.array(n2r["n_nationkey"], pa.int64()),
+        pa.array(n2r["r_name"], pa.string()),
+    ))
+
+    def join(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(lookup_ref)
+        idx = pc.index_in(pc.cast(t["s_nationkey"], pa.int64()), value_set=keys)
+        return t.append_column("r_name", pc.take(vals, idx))
+
+    from ray.data.aggregate import Count, Max
+
+    out = (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(join, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_suppliers"),
+                   Max(on="s_acctbal", alias_name="max_acctbal"))
+        .to_pandas()
+    )
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    out["max_acctbal"] = out["max_acctbal"].round(2)
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+SQL_SUPPLIER_REGION = """
+SELECT r_name, COUNT(*) AS n_suppliers,
+       ROUND(MAX(s_acctbal), 2) AS max_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q_brand_revenue(sf_dir: str):
+    """Fact-to-dimension revenue rollup (lineitem ⋈ part → brand):
+    the canonical combiner+broadcast composition — each batch
+    pre-aggregates revenue per partkey (the combiner; the shuffle
+    carries O(blocks × partkeys-in-block), never line items), the
+    partkey→brand map is broadcast once, and the final brand rollup is
+    a tiny driver merge."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brand_ref = ray.put((
+        pa.array(part["p_partkey"], pa.int64()),
+        pa.array(part["p_brand"], pa.string()),
+    ))
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]),
+        )
+        keys, brands = ray.get(brand_ref)
+        idx = pc.index_in(pc.cast(t["l_partkey"], pa.int64()), value_set=keys)
+        tt = pa.table({"p_brand": pc.take(brands, idx), "rev": rev})
+        return tt.group_by("p_brand").aggregate([("rev", "sum")]).rename_columns(
+            ["p_brand", "rev"]
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.groupby("p_brand", as_index=False)["rev"].sum()
+    out["revenue"] = out["rev"].round(2)
+    return out[["p_brand", "revenue"]].sort_values("p_brand").reset_index(drop=True)
+
+
+SQL_BRAND_REVENUE = """
+SELECT p_brand, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 def q_anti_join(sf_dir: str):
     """D1/T5 analog: the URL-seen anti-join — membership set broadcast
     (a sharded cuckoo filter at 10^10 scale; exact set here), filter
@@ -1048,6 +1138,8 @@ QUERIES = {
     "filter_range_agg": q_filter_range_agg,
     "broadcast_join": q_broadcast_join,
     "join_agg": q_join_agg,
+    "supplier_region": q_supplier_region,
+    "brand_revenue": q_brand_revenue,
     "anti_join_seen": q_anti_join,
     "topk_per_user": q_topk_per_user,
     "resequence_ordem": q_resequence,
@@ -1079,6 +1171,8 @@ ORACLE_SQL = {
     "filter_range_agg": SQL_FILTER_RANGE,
     "broadcast_join": SQL_BROADCAST_JOIN,
     "join_agg": SQL_JOIN_AGG,
+    "supplier_region": SQL_SUPPLIER_REGION,
+    "brand_revenue": SQL_BRAND_REVENUE,
     "anti_join_seen": SQL_ANTI_JOIN,
     "topk_per_user": SQL_TOPK_PER_USER,
     "resequence_ordem": SQL_RESEQUENCE,
