@@ -226,23 +226,36 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 # J: joins / lookups (J1-J4) — broadcast small sides, never shuffle
 # ---------------------------------------------------------------------------
 
-def q_broadcast_join(sf_dir: str):
-    """J1/J2: slug↔name style broadcast lookup — the dimension table is
-    ray.put once and resolved per batch (no shuffle join)."""
+def _broadcast_inner_lookup(dim_keys, dim_vals, fact_col: str, out_col: str):
+    """The canonical broadcast-dim join: the (keys, values) Arrow
+    arrays are ``ray.put`` once; the returned ``map_batches`` callable
+    resolves ``fact_col`` → ``out_col`` with a vectorized
+    ``index_in``/``take`` and DROPS unmatched rows — inner-join
+    semantics, matching the SQL oracles even on referentially broken
+    data (a kept null key would otherwise become a phantom group)."""
     import ray
 
-    region = _read(sf_dir, "region").to_pandas()
-    # dim table broadcast as (keys, values) Arrow arrays; the per-batch
-    # lookup is index_in + take — fully vectorized, unmatched keys null
-    lookup_ref = ray.put((
-        pa.array(region["r_regionkey"], pa.int64()),
-        pa.array(region["r_name"], pa.string()),
+    ref = ray.put((
+        pa.array(dim_keys, pa.int64()),
+        pa.array(dim_vals, pa.string()),
     ))
 
     def join(t: pa.Table) -> pa.Table:
-        keys, vals = ray.get(lookup_ref)
-        idx = pc.index_in(pc.cast(t["n_regionkey"], pa.int64()), value_set=keys)
-        return t.append_column("r_name", pc.take(vals, idx))
+        keys, vals = ray.get(ref)
+        idx = pc.index_in(pc.cast(t[fact_col], pa.int64()), value_set=keys)
+        t = t.append_column(out_col, pc.take(vals, idx))
+        return t.filter(pc.is_valid(t[out_col]))
+
+    return join
+
+
+def q_broadcast_join(sf_dir: str):
+    """J1/J2: slug↔name style broadcast lookup — the dimension table is
+    ray.put once and resolved per batch (no shuffle join)."""
+    region = _read(sf_dir, "region").to_pandas()
+    join = _broadcast_inner_lookup(
+        region["r_regionkey"], region["r_name"], "n_regionkey", "r_name"
+    )
 
     out = (
         _read(sf_dir, "nation", ["n_name", "n_regionkey"])
@@ -261,19 +274,12 @@ ORDER BY n_name
 def q_join_agg(sf_dir: str):
     """J1 + A: broadcast join then grouped aggregate (customers per
     nation with balances)."""
-    import ray
     from ray.data.aggregate import Count, Sum
 
     nation = _read(sf_dir, "nation").to_pandas()
-    lookup_ref = ray.put((
-        pa.array(nation["n_nationkey"], pa.int64()),
-        pa.array(nation["n_name"], pa.string()),
-    ))
-
-    def join(t: pa.Table) -> pa.Table:
-        keys, vals = ray.get(lookup_ref)
-        idx = pc.index_in(pc.cast(t["c_nationkey"], pa.int64()), value_set=keys)
-        return t.append_column("n_name", pc.take(vals, idx))
+    join = _broadcast_inner_lookup(
+        nation["n_nationkey"], nation["n_name"], "c_nationkey", "n_name"
+    )
 
     out = (
         _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
@@ -295,26 +301,18 @@ GROUP BY n_name ORDER BY n_name
 
 
 def q_supplier_region(sf_dir: str):
-    """Two-level broadcast join (supplier ⋈ nation ⋈ region): both dim
-    tables are composed into ONE broadcast suppkey-side lookup chain —
-    nation→region resolves driver-side (tiny), the fact table sees a
-    single vectorized index_in/take pass."""
-    import ray
-
+    """Two-level broadcast join (supplier ⋈ nation ⋈ region): the two
+    dim tables compose driver-side (both tiny) into ONE broadcast
+    nationkey→region-name lookup, so the fact table pays a single
+    vectorized index_in/take pass."""
     nation = _read(sf_dir, "nation").to_pandas()
     region = _read(sf_dir, "region").to_pandas()
     n2r = nation.merge(
         region, left_on="n_regionkey", right_on="r_regionkey"
     )[["n_nationkey", "r_name"]]
-    lookup_ref = ray.put((
-        pa.array(n2r["n_nationkey"], pa.int64()),
-        pa.array(n2r["r_name"], pa.string()),
-    ))
-
-    def join(t: pa.Table) -> pa.Table:
-        keys, vals = ray.get(lookup_ref)
-        idx = pc.index_in(pc.cast(t["s_nationkey"], pa.int64()), value_set=keys)
-        return t.append_column("r_name", pc.take(vals, idx))
+    join = _broadcast_inner_lookup(
+        n2r["n_nationkey"], n2r["r_name"], "s_nationkey", "r_name"
+    )
 
     from ray.data.aggregate import Count, Max
 
@@ -342,38 +340,36 @@ GROUP BY r_name ORDER BY r_name
 
 def q_brand_revenue(sf_dir: str):
     """Fact-to-dimension revenue rollup (lineitem ⋈ part → brand):
-    the canonical combiner+broadcast composition — each batch
-    pre-aggregates revenue per partkey (the combiner; the shuffle
-    carries O(blocks × partkeys-in-block), never line items), the
-    partkey→brand map is broadcast once, and the final brand rollup is
-    a tiny driver merge."""
-    import ray
-
+    each batch resolves the broadcast partkey→brand map and
+    pre-aggregates revenue per BRAND (25 keys — the per-batch partial
+    is tiny); no shuffle exists at all, the small partials flow
+    straight to a driver-side rollup.  Line items with no part match
+    are dropped by the inner-join lookup (mirrors the oracle)."""
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
-    brand_ref = ray.put((
-        pa.array(part["p_partkey"], pa.int64()),
-        pa.array(part["p_brand"], pa.string()),
-    ))
+    join = _broadcast_inner_lookup(
+        part["p_partkey"], part["p_brand"], "l_partkey", "p_brand"
+    )
 
     def partial(t: pa.Table) -> pa.Table:
+        t = join(t)
         rev = pc.multiply(
             t["l_extendedprice"],
             pc.subtract(pa.scalar(1.0), t["l_discount"]),
         )
-        keys, brands = ray.get(brand_ref)
-        idx = pc.index_in(pc.cast(t["l_partkey"], pa.int64()), value_set=keys)
-        tt = pa.table({"p_brand": pc.take(brands, idx), "rev": rev})
-        return tt.group_by("p_brand").aggregate([("rev", "sum")]).rename_columns(
-            ["p_brand", "rev"]
-        )
+        tt = pa.table({"p_brand": t["p_brand"], "rev": rev})
+        # pyarrow group_by column ORDER is version-dependent; select by
+        # the documented "<col>_<agg>" NAME instead of renaming by
+        # position
+        agg = tt.group_by("p_brand").aggregate([("rev", "sum")])
+        return agg.select(["p_brand", "rev_sum"])
 
     parts = (
         _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
         .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
     )
-    out = parts.groupby("p_brand", as_index=False)["rev"].sum()
-    out["revenue"] = out["rev"].round(2)
+    out = parts.groupby("p_brand", as_index=False)["rev_sum"].sum()
+    out["revenue"] = out["rev_sum"].round(2)
     return out[["p_brand", "revenue"]].sort_values("p_brand").reset_index(drop=True)
 
 
