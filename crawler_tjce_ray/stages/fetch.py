@@ -30,7 +30,6 @@ except ImportError:  # pragma: no cover
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from crawler_tjce_ray.state.frontier import url_sha1_64
