@@ -344,7 +344,12 @@ def q_brand_revenue(sf_dir: str):
     pre-aggregates revenue per BRAND (25 keys — the per-batch partial
     is tiny); no shuffle exists at all, the small partials flow
     straight to a driver-side rollup.  Line items with no part match
-    are dropped by the inner-join lookup (mirrors the oracle)."""
+    are dropped by the inner-join lookup (mirrors the oracle).
+
+    Scale note: broadcast holds while the part dim fits the object
+    store comfortably (~20 MB at sf1); past that, hash-bucket BOTH
+    sides on ``partkey % k`` (the asof/range-join union recipe) and
+    keep the per-brand combine inside each bucket."""
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
     join = _broadcast_inner_lookup(
         part["p_partkey"], part["p_brand"], "l_partkey", "p_brand"
