@@ -176,6 +176,13 @@ class FetchActor:
                  current_year: int | None = None, actor_id: int = 0,
                  max_retries: int = 3, retry_backoff: float = 0.05,
                  robots_ttl_waves: int | None = None):
+        # cap this actor PROCESS's Arrow threadpools: with ~30 actors
+        # each defaulting to machine-width pools (32 threads apiece for
+        # parquet writes/reads), the node runs ~1000 runnable threads
+        # during wave IO; 1 compute + 2 IO threads per actor measures
+        # ~9% faster on the headline (A/B, alternating reps)
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
         self.store_dir = store_dir
         self.n_buckets = n_buckets
         self.robots = RobotsCache(ttl_waves=robots_ttl_waves)
