@@ -420,3 +420,16 @@ class TestPositionalReviewRegressions:
         respp = {"results": [{"result": {"data": {"dsr": {"DS": [{
             "ValueDicts": {}, "PH": [{"DM0": dm0p}]}]}}}}]}
         assert_equiv_pagamentos(respp)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference snapshot absent")
+class TestPositionalFixtureEquivalence:
+    def test_edital_fixture(self):
+        with open(os.path.join(REF, "examples", "response_edital.json")) as f:
+            assert_equiv_editais(json.load(f))
+
+    def test_pagamentos_fixture(self):
+        with open(os.path.join(REF, "examples", "response_pagamentos.json")) as f:
+            resp = json.load(f)
+        assert_equiv_pagamentos(resp)
+        assert_equiv_pagamentos(resp, start=500)
