@@ -433,3 +433,27 @@ class TestPositionalFixtureEquivalence:
             resp = json.load(f)
         assert_equiv_pagamentos(resp)
         assert_equiv_pagamentos(resp, start=500)
+
+
+class TestFastPathActuallyRuns:
+    """The replay-on-exception wrapper would mask a fast path that
+    always throws (results stay correct via scalar, silently slow) —
+    pin that the fast implementations handle normal corpus pages
+    without falling back."""
+
+    def test_precatorios_fast_path_direct(self):
+        from crawler_tjce_ray.dsr.decode import _decode_precatorios_columns_fast
+
+        cols, last = _decode_precatorios_columns_fast(_page(50), 0, 2024)
+        assert last == len(cols["ordem"]) == 50
+
+    def test_positional_fast_paths_direct(self):
+        from crawler_tjce_ray.dsr.decode import (
+            _decode_editais_columns_fast, _decode_pagamentos_columns_fast,
+        )
+
+        cols = _decode_editais_columns_fast(_aux_page("editais", 40))
+        assert len(cols["ordem"]) == 40
+        # synth emits rows_per_page data rows after the schema-only row
+        cols = _decode_pagamentos_columns_fast(_aux_page("pagamentos", 40), 0)
+        assert len(cols["ordem"]) == 40
