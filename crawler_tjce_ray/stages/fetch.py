@@ -175,14 +175,20 @@ class FetchActor:
                  records_dir: str | None = None,
                  current_year: int | None = None, actor_id: int = 0,
                  max_retries: int = 3, retry_backoff: float = 0.05,
-                 robots_ttl_waves: int | None = None):
-        # cap this actor PROCESS's Arrow threadpools: with ~30 actors
-        # each defaulting to machine-width pools (32 threads apiece for
-        # parquet writes/reads), the node runs ~1000 runnable threads
-        # during wave IO; 1 compute + 2 IO threads per actor measures
-        # ~9% faster on the headline (A/B, alternating reps)
-        pa.set_cpu_count(1)
-        pa.set_io_thread_count(2)
+                 robots_ttl_waves: int | None = None,
+                 cap_arrow_threads: bool = False):
+        if cap_arrow_threads:
+            # cap this actor PROCESS's Arrow threadpools: with ~30
+            # actors each defaulting to machine-width pools (32 threads
+            # apiece for parquet writes/reads), the node runs ~1000
+            # runnable threads during wave IO; 1 compute + 2 IO threads
+            # per actor measures ~9% faster on the headline (A/B,
+            # alternating reps).  Opt-in (FetchPool sets it for its
+            # dedicated actor processes) because the settings are
+            # process-global — an in-process construction (tests,
+            # driver debugging) must not serialize the whole process
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
         self.store_dir = store_dir
         self.n_buckets = n_buckets
         self.robots = RobotsCache(ttl_waves=robots_ttl_waves)
@@ -382,6 +388,7 @@ class FetchPool:
                 records_dir=records_dir, current_year=current_year,
                 actor_id=i, per_host_rate=per_host_rate,
                 max_retries=max_retries, robots_ttl_waves=robots_ttl_waves,
+                cap_arrow_threads=True,  # dedicated actor process
             )
             for i in range(n_actors)
         ]

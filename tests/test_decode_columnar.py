@@ -446,6 +446,29 @@ class TestFastPathActuallyRuns:
 
         cols, last = _decode_precatorios_columns_fast(_page(50), 0, 2024)
         assert last == len(cols["ordem"]) == 50
+        # sum-wrapped quirk shape and nonzero starting order
+        cols, last = _decode_precatorios_columns_fast(
+            _page(25, sum_wrapped=True), 1000, 2024
+        )
+        assert last == 1025 and len(cols["ordem"]) == 25
+
+    @pytest.mark.skipif(not os.path.isdir(REF), reason="reference absent")
+    def test_fast_paths_direct_on_reference_fixtures(self):
+        from crawler_tjce_ray.dsr.decode import (
+            _decode_editais_columns_fast,
+            _decode_pagamentos_columns_fast,
+            _decode_precatorios_columns_fast,
+        )
+
+        with open(os.path.join(REF, "examples", "response.json")) as f:
+            cols, last = _decode_precatorios_columns_fast(json.load(f), 0, 2026)
+        assert last == 500
+        with open(os.path.join(REF, "examples", "response_edital.json")) as f:
+            assert len(_decode_editais_columns_fast(json.load(f))["ordem"]) == 158
+        with open(os.path.join(REF, "examples", "response_pagamentos.json")) as f:
+            assert len(
+                _decode_pagamentos_columns_fast(json.load(f), 0)["ordem"]
+            ) == 499
 
     def test_positional_fast_paths_direct(self):
         from crawler_tjce_ray.dsr.decode import (
