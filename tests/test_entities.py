@@ -112,3 +112,55 @@ class TestEntityListEndToEnd:
         with open(out_file, encoding="utf-8") as f:
             rows = list(csv.DictReader(f))
         assert len(rows) > 0
+
+
+REF = "/root/reference"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference snapshot absent")
+class TestGoldenEntityConformance:
+    def _golden_names(self):
+        import csv as _csv
+
+        with open(os.path.join(REF, "data", "entidades_tjce.csv"),
+                  encoding="utf-8-sig", newline="") as f:
+            return [r["entidade"] for r in _csv.DictReader(f)]
+
+    def test_registry_over_real_entity_list(self):
+        """Seed the registry from the reference's actual 224-entity
+        crawl output and verify the accent-sensitive lookups the static
+        table exists for."""
+        names = self._golden_names()
+        assert len(names) == 224
+        reg = EntityRegistry.from_entity_list(names)
+        # the crawled truth differs from the reference's static table
+        # (e.g. golden has "MUNICÍPIO DE TAUA", the table "MUNICÍPIO DE
+        # TAUÁ") — the registry must return the CRAWLED exact string
+        assert reg.get_api_entity_name("municipio-de-taua") == "MUNICÍPIO DE TAUA"
+        # every accent-carrying golden entity (unslugify-lossy names)
+        # resolves exactly; and every name round-trips name→slug→name
+        lossy = [n for n in names if not n.startswith("---")
+                 and n != n.encode("ascii", "ignore").decode()]
+        assert len(lossy) > 100  # the accented majority
+        for n in lossy:
+            assert reg.get_api_entity_name(reg.get_entity_slug(n)) == n
+        for n in names:
+            if not n.startswith("---"):
+                assert reg.get_api_entity_name(reg.get_entity_slug(n)) == n
+
+    def test_csv_writer_byte_identical_roundtrip(self, tmp_path):
+        """K4 writer golden conformance: writing the golden list back
+        reproduces data/entidades_tjce.csv byte for byte (BOM, CRLF,
+        quoting)."""
+        import pandas as pd
+
+        from crawler_tjce_ray.functions.sinks import write_display_csv
+
+        names = self._golden_names()
+        out_file = os.path.join(tmp_path, "entidades.csv")
+        write_display_csv(pd.DataFrame({"entidade": names}), "entities", out_file)
+        with open(os.path.join(REF, "data", "entidades_tjce.csv"), "rb") as f:
+            golden = f.read()
+        with open(out_file, "rb") as f:
+            mine = f.read()
+        assert mine == golden
