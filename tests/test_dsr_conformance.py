@@ -149,3 +149,40 @@ class TestEnvelopeEdges:
             "MUNICÍPIO DE TAUÁ",
             "ESTADO DO CEARA",
         ]
+
+
+@needs_reference
+class TestByteGoldenCsvRoundTrip:
+    """Full-file conformance: decode the reference wire fixtures and
+    write the display CSVs — the bytes must match the reference's own
+    golden outputs (BOM, CRLF, quoting, field formatting)."""
+
+    def test_editais_csv_bytes(self, tmp_path):
+        import pandas as pd
+
+        from crawler_tjce_ray.functions.sinks import write_display_csv
+
+        rows = sorted(decode_editais_page(_load("response_edital.json")),
+                      key=lambda r: r["ordem"])
+        out_file = os.path.join(tmp_path, "editais.csv")
+        write_display_csv(pd.DataFrame(rows), "editais", out_file)
+        with open(os.path.join(REF, "data", "editais_tjce.csv"), "rb") as f:
+            golden = f.read()
+        with open(out_file, "rb") as f:
+            assert f.read() == golden
+
+    def test_pagamentos_csv_first_page_bytes(self, tmp_path):
+        import pandas as pd
+
+        from crawler_tjce_ray.functions.sinks import write_display_csv
+
+        rows = decode_pagamentos_page(_load("response_pagamentos.json"))
+        out_file = os.path.join(tmp_path, "pagamentos.csv")
+        write_display_csv(pd.DataFrame(rows), "pagamentos", out_file)
+        with open(os.path.join(REF, "data", "pagamentos_tjce.csv"), "rb") as f:
+            golden_lines = f.read().split(b"\r\n")
+        with open(out_file, "rb") as f:
+            mine_lines = f.read().split(b"\r\n")
+        # the golden holds the full multi-page crawl; the fixture is
+        # its first page (499 rows) — header + those rows must match
+        assert mine_lines[:500] == golden_lines[:500]
