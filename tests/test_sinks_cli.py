@@ -92,3 +92,39 @@ class TestCLI:
         assert proc.returncode == 0, proc.stderr[-2000:]
         assert out.read_bytes().startswith(b"\xef\xbb\xbf")
         assert len(pd.read_csv(out, encoding="utf-8-sig")) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPartitionedCsvSink:
+    def test_dir_sink_matches_single_file_rows(self, tmp_path):
+        """The scale path (partitioned ds.write_csv) carries the same
+        display rows as the bounded single-file writer."""
+        import csv
+        import glob
+        import os
+
+        from crawler_tjce_ray.functions.sinks import (
+            write_display_csv, write_display_csv_dir,
+        )
+        from crawler_tjce_ray.pipelines.extract_all import extract_records
+        from crawler_tjce_ray.sources.pages import corpus_cache_dir
+
+        corpus = corpus_cache_dir(n_entities=8, total_pages=40,
+                                  rows_per_page=50, seed=42)
+        ds = extract_records(corpus, "precatorios", current_year=2026)
+        ds = ds.drop_columns(["url"]).materialize()
+
+        single = os.path.join(tmp_path, "single.csv")
+        write_display_csv(ds, "precatorios", single)
+        out_dir = os.path.join(tmp_path, "parts")
+        write_display_csv_dir(ds, "precatorios", out_dir)
+
+        with open(single, encoding="utf-8") as f:
+            single_rows = list(csv.DictReader(f))
+        part_rows = []
+        for p in sorted(glob.glob(os.path.join(out_dir, "*"))):
+            with open(p, encoding="utf-8") as f:
+                part_rows.extend(csv.DictReader(f))
+        assert len(part_rows) == len(single_rows) > 0
+        key = lambda r: (r["processo"], r["ordem"])  # noqa: E731
+        assert sorted(part_rows, key=key) == sorted(single_rows, key=key)
