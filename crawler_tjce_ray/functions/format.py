@@ -8,23 +8,15 @@ stages can run them vectorized without Pydantic.
 
 from __future__ import annotations
 
-from datetime import datetime
-from decimal import Decimal
-
 from crawler_tjce_ray.functions.dates import (
     clean_data_cadastro,
     format_date_value,
     validate_ano_orcamento,
 )
-from crawler_tjce_ray.functions.numeric import (
-    clean_decimal,
-    clean_decimal_simple,
-    format_numeric_value,
-)
+from crawler_tjce_ray.functions.numeric import clean_decimal, format_numeric_value
 from crawler_tjce_ray.functions.text import (
     clean_optional_string,
     clean_processo,
-    digits_only,
     zero_pad_processo,
 )
 
@@ -92,57 +84,7 @@ def finalize_precatorio(row: dict, current_year: int | None = None) -> dict | No
     }
 
 
-def finalize_pagamento(row: dict) -> dict:
-    """Apply the ``Pagamento`` model validators (models/models.py:292-360).
-
-    All fields default rather than reject, so every row survives.
-    """
-
-    def _opt(v):
-        if v is None or (isinstance(v, str) and not v.strip()):
-            return "-"
-        return v.strip() if isinstance(v, str) else str(v).strip()
-
-    out = {
-        "ordem": int(row.get("ordem", 0) or 0),
-        "quantidade": int(row.get("quantidade", 0) or 0),
-        "modalidade": _opt(row.get("modalidade")),
-        "natureza": _opt(row.get("natureza")),
-        "exercicio": int(row.get("exercicio", 0) or 0),
-        "data_protocolo": str(row.get("data_protocolo", "") or ""),
-        "precatorio": row.get("precatorio", "-"),
-        "credor_beneficiario": row.get("credor_beneficiario", "-"),
-        "tipo": _opt(row.get("tipo")),
-        "data_pagamento": str(row.get("data_pagamento", "") or ""),
-        "cpf_cnpj": digits_only(row.get("cpf_cnpj")),
-    }
-    for f in (
-        "valor_bruto",
-        "previdencia",
-        "irrf",
-        "honorarios",
-        "valor_bruto_contratual",
-        "rra",
-        "valor_liquido",
-    ):
-        out[f] = clean_decimal_simple(row.get(f))
-    return out
-
-
-def precatorio_to_display(row: dict) -> dict:
-    """Canonical row → CSV display row (dd/MM/yyyy dates, R$ currency).
-
-    Parity: ``write_csv`` formatting (crawler/crawler.py:1134-1162).
-    """
-    from crawler_tjce_ray.functions.dates import render_date_ddmmyyyy
-    from crawler_tjce_ray.functions.numeric import format_currency_brl
-
-    out = dict(row)
-    out["data_cadastro"] = render_date_ddmmyyyy(row.get("data_cadastro"))
-    for f in ("valor_original", "valor_atual"):
-        v = row.get(f)
-        if isinstance(v, Decimal):
-            out[f] = format_currency_brl(float(v))
-        elif v is None:
-            out[f] = format_currency_brl(0.0)
-    return out
+# NOTE: the display-row converters (dd/MM/yyyy dates, R$ currency)
+# live in functions/sinks.py next to the CSV writers that apply them;
+# the pagamento post-processing lives inline in dsr/decode.py where
+# the reference applies it (pagamentos_crawler.py:585-607).
