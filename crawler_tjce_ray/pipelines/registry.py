@@ -149,7 +149,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     out["crawl_metrics"] = q_crawl_metrics
 
     from crawler_tjce_ray.pipelines import (
-        dedup, relational, similarity, sketches, textops,
+        dedup, relational, similarity, sketches, textops, webtext,
     )
     from crawler_tjce_ray.stages import multimodal
 
@@ -157,6 +157,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(textops.QUERIES)
+    out.update(webtext.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(sketches.QUERIES)
     return out
@@ -164,12 +165,13 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 
 def build_oracle_sql() -> dict[str, str]:
     from crawler_tjce_ray.pipelines import (
-        dedup, relational, similarity, sketches, textops,
+        dedup, relational, similarity, sketches, textops, webtext,
     )
 
     sql = dict(relational.ORACLE_SQL)
     sql.update(dedup.ORACLE_SQL)
     sql.update(similarity.ORACLE_SQL)
     sql.update(textops.ORACLE_SQL)
+    sql.update(webtext.ORACLE_SQL)
     sql.update(sketches.ORACLE_SQL)
     return sql

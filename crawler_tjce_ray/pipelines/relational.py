@@ -1129,6 +1129,169 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+def q_hash_join_big(sf_dir: str):
+    """Big-big repartition (shuffle hash) join: orders ⋈ lineitem on
+    orderkey with NEITHER side broadcast — the join class
+    ``broadcast_join``/``join_agg`` cannot cover when both sides are
+    corpus-sized.  Same single-shuffle recipe as ``q_asof_join``: tag
+    each side, union, ONE groupby on 64 coarse key buckets, vectorized
+    ``pd.merge`` + per-bucket partial aggregation inside the bucket,
+    tiny driver-side final reduce.  Shuffle volume is the pruned
+    columns only; the per-bucket output is O(groups), never the joined
+    rows."""
+    import ray.data as rd
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    line = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["o_orderkey"].astype("int64"),
+            "priority": df["o_orderpriority"],
+            "price": np.nan,
+            "disc": np.nan,
+            "flag": pd.Series([pd.NA] * len(df), dtype="string"),
+            "side": np.int8(0),
+        })
+
+    def tag_line(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["l_orderkey"].astype("int64"),
+            "priority": pd.Series([pd.NA] * len(df), dtype="string"),
+            "price": df["l_extendedprice"],
+            "disc": df["l_discount"],
+            "flag": df["l_returnflag"].astype("string"),
+            "side": np.int8(1),
+        })
+
+    both = orders.map_batches(tag_orders, batch_format="pandas").union(
+        line.map_batches(tag_line, batch_format="pandas")
+    )
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["kb"] = (df["key"] % 64).astype("int64")
+        return df
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "priority"]]
+        right = g[g["side"] == 1][["key", "price", "disc", "flag"]]
+        j = right.merge(left, on="key", how="inner")
+        j["rev"] = j["price"] * (1.0 - j["disc"])
+        return j.groupby(["priority", "flag"], as_index=False).agg(
+            revenue=("rev", "sum"), n_items=("rev", "size")
+        )
+
+    parts = (
+        both.map_batches(bucket, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(join_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["priority", "flag"], as_index=False).agg(
+        revenue=("revenue", "sum"), n_items=("n_items", "sum")
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    out = out.rename(columns={"priority": "o_orderpriority", "flag": "l_returnflag"})
+    out["l_returnflag"] = out["l_returnflag"].astype(object)
+    out["o_orderpriority"] = out["o_orderpriority"].astype(object)
+    return out.sort_values(["o_orderpriority", "l_returnflag"]).reset_index(drop=True)
+
+
+SQL_HASH_JOIN_BIG = """
+SELECT o_orderpriority, l_returnflag,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority, l_returnflag
+ORDER BY o_orderpriority, l_returnflag
+"""
+
+
+def _bucketed_orders_window(sf_dir: str, kernel):
+    """Shared shell for per-customer window functions: ONE shuffle on
+    64 coarse ``o_custkey`` buckets (the q_asof_join recipe — never
+    per-customer dispatch), then a vectorized kernel over each bucket
+    sorted by (custkey, date, key)."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        kb = pc.bit_wise_and(pc.cast(t["o_custkey"], pa.int64()), 63)
+        return t.append_column("kb", kb)
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort").reset_index(drop=True)
+        return kernel(g)
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(run, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_running_total(sf_dir: str):
+    """§2.9-style running aggregate: per-customer cumulative order
+    value in (date, key) order — the streaming-window class (cumsum
+    over a partitioned, ordered stream).  Sums run in exact int64
+    cents so the result is bit-identical to the oracle's window SUM
+    regardless of either engine's float summation order."""
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(g["o_totalprice"].to_numpy() * 100.0).astype("int64")
+        running = pd.Series(cents).groupby(g["o_custkey"].to_numpy()).cumsum()
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"],
+            "o_custkey": g["o_custkey"],
+            "running_cents": running.astype("int64"),
+        })
+
+    return _bucketed_orders_window(sf_dir, kernel)
+
+
+SQL_RUNNING_TOTAL = """
+SELECT o_orderkey, o_custkey,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def q_order_gap_days(sf_dir: str):
+    """LAG window: days since the customer's previous order (-1 for
+    the first).  ``o_orderdate`` is midnight-aligned in this corpus,
+    so pandas' 24h-period ``.dt.days`` equals DuckDB's
+    boundary-counting ``date_diff('day', …)``."""
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        prev = g.groupby("o_custkey")["o_orderdate"].shift()
+        gap = (g["o_orderdate"] - prev).dt.days
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"],
+            "o_custkey": g["o_custkey"],
+            "gap_days": gap.fillna(-1).astype("int64"),
+        })
+
+    return _bucketed_orders_window(sf_dir, kernel)
+
+
+SQL_ORDER_GAP_DAYS = """
+SELECT o_orderkey, o_custkey,
+       CAST(COALESCE(date_diff('day',
+         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey),
+         o_orderdate), -1) AS BIGINT) AS gap_days
+FROM orders ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "groupby_count": q_groupby_count,
@@ -1160,6 +1323,9 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "sessionize": q_sessionize,
     "token_histogram": q_token_histogram,
+    "hash_join_big": q_hash_join_big,
+    "running_total": q_running_total,
+    "order_gap_days": q_order_gap_days,
 }
 
 ORACLE_SQL = {
@@ -1193,4 +1359,7 @@ ORACLE_SQL = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "sessionize": SQL_SESSIONIZE,
     "token_histogram": SQL_TOKEN_HISTOGRAM,
+    "hash_join_big": SQL_HASH_JOIN_BIG,
+    "running_total": SQL_RUNNING_TOTAL,
+    "order_gap_days": SQL_ORDER_GAP_DAYS,
 }

@@ -1,0 +1,408 @@
+"""Web-corpus curation operators over the ``documents`` table — the
+filter/scrub stages a webtext training-data pipeline runs between
+crawl and tokenization: PII scrubbing, Gopher-style repetition
+filters, benchmark decontamination, and percentile-based quality
+cuts.
+
+Same discipline as ``textops``: every stage is a stateless
+``map_batches`` over Arrow/pandas batches with vectorized kernels
+(RE2 via pyarrow.compute, pandas explode/groupby — no Python loop
+over rows); cross-doc state (the benchmark n-gram set, the n_chars
+histogram) is either broadcast once via ``ray.put`` or reduced from
+per-batch partials.  At 100 TB every query here streams block by
+block; the only driver-side state is O(distinct n-grams of the
+benchmark set) and O(distinct n_chars values).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from crawler_tjce_ray.pipelines.textops import _read_docs
+
+# ---------------------------------------------------------------------------
+# PII redaction (email / IPv4 / phone)
+# ---------------------------------------------------------------------------
+
+# Both pyarrow.compute and DuckDB run RE2, so counts and replacements
+# are byte-identical between the Ray pipeline and the oracle.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}"
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrub: count and redact emails, IPv4 addresses and
+    phone-shaped numbers per document.  Counts are taken on the
+    original text; replacements apply in a fixed order
+    (email → ip → phone) so the oracle's nested ``regexp_replace``
+    chain produces the same bytes."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        clean = pc.replace_substring_regex(text, EMAIL_RE, "<EMAIL>")
+        clean = pc.replace_substring_regex(clean, IPV4_RE, "<IP>")
+        clean = pc.replace_substring_regex(clean, PHONE_RE, "<PHONE>")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_emails": pc.cast(pc.count_substring_regex(text, EMAIL_RE), pa.int64()),
+            "n_ipv4": pc.cast(pc.count_substring_regex(text, IPV4_RE), pa.int64()),
+            "n_phones": pc.cast(pc.count_substring_regex(text, PHONE_RE), pa.int64()),
+            "clean_text": clean,
+        })
+
+    out = ds.map_batches(scrub, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PII_REDACT = rf"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(length(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ipv4,
+       CAST(length(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{IPV4_RE}', '<IP>', 'g'),
+         '{PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style repetition statistics
+# ---------------------------------------------------------------------------
+
+def q_repetition_stats(sf_dir: str):
+    """Repetition filter inputs (Gopher §A1.1 analog): per document,
+    the fraction of lines that are duplicates of an earlier line and
+    the fraction of characters sitting inside duplicated lines.
+
+    Vectorized per batch: split → ``explode`` → one
+    ``groupby(doc_id, line)`` — never a Python loop over rows.  All
+    ratios are IEEE divisions of exact integer counts."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        ex = pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "line": df["text"].str.split("\n"),
+        }).explode("line", ignore_index=True)
+        ex["len"] = ex["line"].str.len().astype("int64")
+        g = ex.groupby(["doc_id", "line"], as_index=False, sort=False).agg(
+            c=("len", "size"), len=("len", "first")
+        )
+        g["cl"] = g["c"] * g["len"]
+        g["dup_cl"] = np.where(g["c"] > 1, g["cl"], 0)
+        a = g.groupby("doc_id", as_index=False).agg(
+            n_lines=("c", "sum"),
+            n_distinct=("c", "size"),
+            dup_chars=("dup_cl", "sum"),
+            tot_chars=("cl", "sum"),
+        )
+        return pd.DataFrame({
+            "doc_id": a["doc_id"],
+            "n_lines": a["n_lines"].astype("int64"),
+            "dup_line_frac": 1.0 - a["n_distinct"].to_numpy(np.float64)
+            / a["n_lines"].to_numpy(np.float64),
+            "dup_char_frac": np.where(
+                a["tot_chars"] > 0,
+                a["dup_chars"].to_numpy(np.float64)
+                / np.maximum(a["tot_chars"].to_numpy(np.float64), 1.0),
+                0.0,
+            ),
+        })
+
+    out = ds.map_batches(stats, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_REPETITION_STATS = """
+WITH l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+), g AS (
+  SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+  FROM l GROUP BY doc_id, line
+), a AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_lines,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         SUM(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_chars,
+         SUM(c * len) AS tot_chars
+  FROM g GROUP BY doc_id
+)
+SELECT doc_id, n_lines,
+       1.0 - CAST(n_distinct AS DOUBLE) / n_lines AS dup_line_frac,
+       CASE WHEN tot_chars = 0 THEN 0.0
+            ELSE CAST(dup_chars AS DOUBLE) / tot_chars END AS dup_char_frac
+FROM a ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# top word-bigram character fraction (Gopher §A1.1)
+# ---------------------------------------------------------------------------
+
+WORD_RE = r"[a-z0-9]+"
+
+
+def _explode_words(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, word) rows in document order — pandas explode, with
+    per-doc order preserved so groupby().shift() forms n-grams."""
+    words = df["text"].str.lower().str.findall(WORD_RE)
+    ex = pd.DataFrame({"doc_id": df["doc_id"], "w": words}).explode(
+        "w", ignore_index=True
+    )
+    return ex.dropna(subset=["w"])
+
+
+def q_top_bigram_frac(sf_dir: str):
+    """Fraction of a document's word-characters covered by its most
+    frequent word bigram (ties broken by lexicographic bigram).  Docs
+    with fewer than two words are excluded (no bigram exists).
+
+    N-grams are formed by ``groupby(doc_id).shift(-1)`` on the
+    exploded word table — vectorized, and safe because each input row
+    is one whole document (a doc never spans batches)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def top_bigram(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_words(df)
+        if ex.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "top_bigram": pd.Series([], dtype="object"),
+                "top_bigram_frac": pd.Series([], dtype="float64"),
+            })
+        ex["wlen"] = ex["w"].str.len().astype("int64")
+        tot = ex.groupby("doc_id", as_index=False).agg(total=("wlen", "sum"))
+        ex["nxt"] = ex.groupby("doc_id")["w"].shift(-1)
+        bi = ex.dropna(subset=["nxt"]).copy()
+        bi["bg"] = bi["w"] + " " + bi["nxt"]
+        bi["bl"] = bi["wlen"] + bi["nxt"].str.len().astype("int64")
+        cnt = bi.groupby(["doc_id", "bg"], as_index=False).agg(
+            c=("bl", "size"), bl=("bl", "first")
+        )
+        top = (
+            cnt.sort_values(["doc_id", "c", "bg"], ascending=[True, False, True],
+                            kind="mergesort")
+            .drop_duplicates("doc_id")
+            .merge(tot, on="doc_id")
+        )
+        return pd.DataFrame({
+            "doc_id": top["doc_id"],
+            "top_bigram": top["bg"],
+            "top_bigram_frac": (top["c"] * top["bl"]).to_numpy(np.float64)
+            / top["total"].to_numpy(np.float64),
+        })
+
+    out = ds.map_batches(top_bigram, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TOP_BIGRAM = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS ws FROM documents
+), pos AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w WHERE len(ws) >= 2
+), b AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg,
+         length(ws[i]) + length(ws[i + 1]) AS bl
+  FROM pos
+), c AS (
+  SELECT doc_id, bg, COUNT(*) AS c, MIN(bl) AS bl FROM b GROUP BY doc_id, bg
+), ranked AS (
+  SELECT doc_id, bg, c, bl,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS rn
+  FROM c
+), tot AS (
+  SELECT doc_id, SUM(length(x)) AS total
+  FROM (SELECT doc_id, unnest(ws) AS x FROM w) GROUP BY doc_id
+)
+SELECT ranked.doc_id, bg AS top_bigram,
+       CAST(c * bl AS DOUBLE) / total AS top_bigram_frac
+FROM ranked JOIN tot ON ranked.doc_id = tot.doc_id
+WHERE rn = 1 ORDER BY ranked.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+DECON_N = 5  # words per contamination shingle
+DECON_MOD = 97  # doc_id % DECON_MOD == 0 → benchmark member
+
+
+def _doc_ngrams(df: pd.DataFrame, n: int) -> pd.DataFrame:
+    """Distinct word n-grams per doc as (doc_id, ng) rows — exploded
+    words + (n-1) groupby shifts, all vectorized."""
+    ex = _explode_words(df)
+    if ex.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "ng": pd.Series([], dtype="object")})
+    ng = ex["w"].copy()
+    grp = ex.groupby("doc_id")["w"]
+    for k in range(1, n):
+        ng = ng + " " + grp.shift(-k)
+    out = pd.DataFrame({"doc_id": ex["doc_id"], "ng": ng}).dropna(subset=["ng"])
+    return out.drop_duplicates(["doc_id", "ng"])
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag corpus documents sharing any
+    word 5-gram with the held-out benchmark slice
+    (``doc_id % 97 == 0`` — a deterministic stand-in for an eval set).
+
+    Two streaming passes: (1) the benchmark slice's distinct 5-grams
+    are reduced from per-batch partials and broadcast once via
+    ``ray.put`` (eval sets are tiny next to the corpus); (2) each
+    batch counts its docs' distinct 5-grams hitting that set.  The
+    corpus itself never shuffles."""
+    import ray
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        part = df[df["doc_id"] % DECON_MOD == 0]
+        grams = _doc_ngrams(part, DECON_N)[["ng"]].drop_duplicates()
+        # "string" dtype (not object) so Ray can size empty blocks
+        return grams.astype({"ng": "string"})
+
+    bench = set(
+        ds.map_batches(bench_grams, batch_format="pandas").to_pandas()["ng"]
+    )
+    bench_ref = ray.put(bench)
+
+    def hits(df: pd.DataFrame) -> pd.DataFrame:
+        bset = ray.get(bench_ref)
+        tgt = df[df["doc_id"] % DECON_MOD != 0]
+        grams = _doc_ngrams(tgt, DECON_N)
+        if grams.empty:
+            shared = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                   "n_shared": pd.Series([], dtype="int64")})
+        else:
+            grams["hit"] = grams["ng"].isin(bset)
+            shared = grams.groupby("doc_id", as_index=False).agg(
+                n_shared=("hit", "sum")
+            )
+        out = tgt[["doc_id"]].merge(shared, on="doc_id", how="left")
+        out["n_shared"] = out["n_shared"].fillna(0).astype("int64")
+        out["contaminated"] = (out["n_shared"] > 0).astype("int64")
+        return out
+
+    out = ds.map_batches(hits, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DECONTAMINATE = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS ws FROM documents
+), pos AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws) - {DECON_N - 2})) AS i
+  FROM w WHERE len(ws) >= {DECON_N}
+), g AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS ng
+  FROM pos
+), bench AS (
+  SELECT DISTINCT ng FROM g WHERE doc_id % {DECON_MOD} = 0
+), hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM g JOIN bench USING (ng)
+  WHERE doc_id % {DECON_MOD} <> 0 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_shared, 0) AS n_shared,
+       CAST(COALESCE(h.n_shared, 0) > 0 AS BIGINT) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {DECON_MOD} <> 0) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# percentile-based quality cut
+# ---------------------------------------------------------------------------
+
+QUANTILE_Q = 0.10
+
+
+def _quantile_disc(counts: pd.DataFrame, q: float) -> int:
+    """DuckDB ``quantile_disc`` over a (value, n) histogram: the value
+    at 1-based rank ``ceil(q * n_total)`` of the sorted multiset."""
+    counts = counts.sort_values("value").reset_index(drop=True)
+    total = int(counts["n"].sum())
+    rank = max(1, math.ceil(q * total))
+    cum = counts["n"].cumsum()
+    return int(counts.loc[(cum >= rank).idxmax(), "value"])
+
+
+def q_quantile_filter(sf_dir: str):
+    """Percentile quality cut: drop documents below the corpus p10 of
+    ``n_chars``, report survivors per language.  The exact discrete
+    quantile is computed from a distributed value-count histogram
+    (per-batch partials over the *integer* n_chars column — O(distinct
+    lengths) driver state, never a global sort), then the threshold
+    broadcast into a vectorized filter pass."""
+    ds = _read_docs(sf_dir, ["lang", "n_chars"])
+
+    def val_counts(t: pa.Table) -> pa.Table:
+        vc = t["n_chars"].value_counts()
+        return pa.table({
+            "value": pc.cast(pc.struct_field(vc, "values"), pa.int64()),
+            "n": pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
+        })
+
+    hist = (
+        ds.map_batches(val_counts, batch_format="pyarrow")
+        .to_pandas().groupby("value", as_index=False).sum()
+    )
+    p10 = _quantile_disc(hist, QUANTILE_Q)
+
+    def survivors(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.greater_equal(t["n_chars"], p10))
+        vc = kept["lang"].value_counts()
+        return pa.table({
+            "lang": pc.cast(pc.struct_field(vc, "values"), pa.string()),
+            "n_kept": pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(survivors, batch_format="pyarrow")
+        .to_pandas().groupby("lang", as_index=False).sum()
+    )
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["p10"] = np.int64(p10)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_QUANTILE_FILTER = f"""
+WITH thr AS (SELECT quantile_disc(n_chars, {QUANTILE_Q}) AS p10 FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept, CAST(p10 AS BIGINT) AS p10
+FROM documents, thr WHERE n_chars >= p10
+GROUP BY lang, p10 ORDER BY lang
+"""
+
+
+QUERIES = {
+    "pii_redact": q_pii_redact,
+    "repetition_stats": q_repetition_stats,
+    "top_bigram_frac": q_top_bigram_frac,
+    "decontaminate": q_decontaminate,
+    "quantile_filter": q_quantile_filter,
+}
+
+ORACLE_SQL = {
+    "pii_redact": SQL_PII_REDACT,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "top_bigram_frac": SQL_TOP_BIGRAM,
+    "decontaminate": SQL_DECONTAMINATE,
+    "quantile_filter": SQL_QUANTILE_FILTER,
+}
