@@ -1153,14 +1153,14 @@ def q_hash_join_big(sf_dir: str):
             "priority": df["o_orderpriority"],
             "price": np.nan,
             "disc": np.nan,
-            "flag": pd.Series([pd.NA] * len(df), dtype="string"),
+            "flag": pd.Series(pd.NA, index=df.index, dtype="string"),
             "side": np.int8(0),
         })
 
     def tag_line(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "key": df["l_orderkey"].astype("int64"),
-            "priority": pd.Series([pd.NA] * len(df), dtype="string"),
+            "priority": pd.Series(pd.NA, index=df.index, dtype="string"),
             "price": df["l_extendedprice"],
             "disc": df["l_discount"],
             "flag": df["l_returnflag"].astype("string"),
