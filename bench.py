@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "bm25_score",
     "pack_sequences",
+    "hash_join_big",
+    "left_join_counts",
+    "running_total",
+    "pii_redact",
+    "repetition_stats",
+    "decontaminate",
 ]
 
 

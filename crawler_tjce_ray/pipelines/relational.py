@@ -273,21 +273,28 @@ ORDER BY n_name
 
 def q_join_agg(sf_dir: str):
     """J1 + A: broadcast join then grouped aggregate (customers per
-    nation with balances)."""
-    from ray.data.aggregate import Count, Sum
-
+    nation with balances).  The group key space is |nations| (tiny),
+    so each batch pre-reduces to per-nation partials and the only
+    cross-node traffic is O(blocks × nations) partial rows — no
+    all-to-all shuffle (the q_pricing_summary combiner recipe)."""
     nation = _read(sf_dir, "nation").to_pandas()
     join = _broadcast_inner_lookup(
         nation["n_nationkey"], nation["n_name"], "c_nationkey", "n_name"
     )
 
-    out = (
+    def partial(t: pa.Table) -> pa.Table:
+        df = join(t).to_pandas()
+        g = df.groupby("n_name", as_index=False).agg(
+            num_customers=("c_acctbal", "size"), total_acctbal=("c_acctbal", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (
         _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
-        .map_batches(join, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(Count(alias_name="num_customers"), Sum("c_acctbal", alias_name="total_acctbal"))
+        .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
     )
+    out = parts.groupby("n_name", as_index=False).sum()
     out["num_customers"] = out["num_customers"].astype("int64")
     out["total_acctbal"] = out["total_acctbal"].round(2)
     return out.sort_values("n_name").reset_index(drop=True)
@@ -314,15 +321,22 @@ def q_supplier_region(sf_dir: str):
         n2r["n_nationkey"], n2r["r_name"], "s_nationkey", "r_name"
     )
 
-    from ray.data.aggregate import Count, Max
+    def partial(t: pa.Table) -> pa.Table:
+        df = join(t).to_pandas()
+        g = df.groupby("r_name", as_index=False).agg(
+            n_suppliers=("s_acctbal", "size"), max_acctbal=("s_acctbal", "max")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (
+    # |regions| group keys: per-batch partials + driver rollup, no
+    # shuffle (same combiner recipe as q_join_agg / q_pricing_summary)
+    parts = (
         _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
-        .map_batches(join, batch_format="pyarrow")
-        .groupby("r_name")
-        .aggregate(Count(alias_name="n_suppliers"),
-                   Max(on="s_acctbal", alias_name="max_acctbal"))
+        .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
+    )
+    out = parts.groupby("r_name", as_index=False).agg(
+        n_suppliers=("n_suppliers", "sum"), max_acctbal=("max_acctbal", "max")
     )
     out["n_suppliers"] = out["n_suppliers"].astype("int64")
     out["max_acctbal"] = out["max_acctbal"].round(2)
@@ -1212,6 +1226,63 @@ ORDER BY o_orderpriority, l_returnflag
 """
 
 
+def q_left_join_counts(sf_dir: str):
+    """LEFT OUTER join shape: every customer with their order count,
+    zero-order customers included.  The big (orders) side pre-reduces
+    per batch to (custkey, n) partials BEFORE the single 64-bucket
+    shuffle, so the exchange carries counts, not orders; outer
+    semantics come from the in-bucket left merge + fillna(0)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["c_custkey"].astype("int64")
+        return pd.DataFrame({
+            "key": key, "kb": key % 64,
+            "seg": df["c_mktsegment"].astype("string"),
+            "n": np.int64(0), "side": np.int8(0),
+        })
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).size()
+        key = g["o_custkey"].astype("int64")
+        return pd.DataFrame({
+            "key": key, "kb": key % 64,
+            "seg": pd.Series(pd.NA, index=g.index, dtype="string"),
+            "n": g["size"].astype("int64"), "side": np.int8(1),
+        })
+
+    u = cust.map_batches(tag_cust, batch_format="pandas").union(
+        orders.map_batches(partial_counts, batch_format="pandas")
+    )
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "seg"]]
+        right = (
+            g[g["side"] == 1].groupby("key", as_index=False)["n"].sum()
+        )
+        m = left.merge(right, on="key", how="left")
+        return pd.DataFrame({
+            "c_custkey": m["key"].astype("int64"),
+            "c_mktsegment": m["seg"].astype(object),
+            "n_orders": m["n"].fillna(0).astype("int64"),
+        })
+
+    out = (
+        u.groupby("kb")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_LEFT_JOIN_COUNTS = """
+SELECT c_custkey, c_mktsegment, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey
+"""
+
+
 def _bucketed_orders_window(sf_dir: str, kernel):
     """Shared shell for per-customer window functions: ONE shuffle on
     64 coarse ``o_custkey`` buckets (the q_asof_join recipe — never
@@ -1324,6 +1395,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "token_histogram": q_token_histogram,
     "hash_join_big": q_hash_join_big,
+    "left_join_counts": q_left_join_counts,
     "running_total": q_running_total,
     "order_gap_days": q_order_gap_days,
 }
@@ -1360,6 +1432,7 @@ ORACLE_SQL = {
     "sessionize": SQL_SESSIONIZE,
     "token_histogram": SQL_TOKEN_HISTOGRAM,
     "hash_join_big": SQL_HASH_JOIN_BIG,
+    "left_join_counts": SQL_LEFT_JOIN_COUNTS,
     "running_total": SQL_RUNNING_TOTAL,
     "order_gap_days": SQL_ORDER_GAP_DAYS,
 }

@@ -391,8 +391,80 @@ GROUP BY lang, p10 ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# per-group discrete quantile (median doc length per language)
+# ---------------------------------------------------------------------------
+
+def q_lang_median_chars(sf_dir: str):
+    """Group-wise exact median: per-language ``quantile_disc(0.5)`` of
+    doc length, computed from per-batch (lang, n_chars) count partials
+    — driver state is O(langs × distinct lengths), the corpus never
+    shuffles or sorts."""
+    ds = _read_docs(sf_dir, ["lang", "n_chars"])
+
+    def val_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        return g.rename(columns={"n_chars": "value", "size": "n"})
+
+    hist = (
+        ds.map_batches(val_counts, batch_format="pandas")
+        .to_pandas().groupby(["lang", "value"], as_index=False).sum()
+    )
+    out = (
+        hist.groupby("lang")
+        .apply(lambda g: _quantile_disc(g, 0.5), include_groups=False)
+        .rename("median_chars").reset_index()
+    )
+    out["median_chars"] = out["median_chars"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_LANG_MEDIAN_CHARS = """
+SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS median_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# character entropy (low-entropy gibberish / boilerplate signal)
+# ---------------------------------------------------------------------------
+
+def q_char_entropy(sf_dir: str):
+    """Shannon entropy (base 2) of each document's character
+    distribution — the classic low-entropy boilerplate/gibberish
+    filter signal.  Per doc: one ``encode('utf-32-le')`` +
+    ``np.unique`` over the codepoint array (C-speed per doc, only the
+    O(docs-per-batch) outer loop is Python — the hashlib-digest
+    precedent)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def entropy(df: pd.DataFrame) -> pd.DataFrame:
+        vals = np.empty(len(df), dtype=np.float64)
+        for i, s in enumerate(df["text"].to_numpy()):
+            if not s:
+                vals[i] = 0.0
+                continue
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            _, counts = np.unique(cp, return_counts=True)
+            p = counts / counts.sum()
+            vals[i] = float(-(p * np.log2(p)).sum())
+        return pd.DataFrame({"doc_id": df["doc_id"], "char_entropy": vals})
+
+    out = ds.map_batches(entropy, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_CHAR_ENTROPY = """
+SELECT doc_id, entropy(c) AS char_entropy
+FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pii_redact": q_pii_redact,
+    "lang_median_chars": q_lang_median_chars,
+    "char_entropy": q_char_entropy,
     "repetition_stats": q_repetition_stats,
     "top_bigram_frac": q_top_bigram_frac,
     "decontaminate": q_decontaminate,
@@ -401,6 +473,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "pii_redact": SQL_PII_REDACT,
+    "lang_median_chars": SQL_LANG_MEDIAN_CHARS,
+    "char_entropy": SQL_CHAR_ENTROPY,
     "repetition_stats": SQL_REPETITION_STATS,
     "top_bigram_frac": SQL_TOP_BIGRAM,
     "decontaminate": SQL_DECONTAMINATE,
