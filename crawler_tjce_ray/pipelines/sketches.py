@@ -126,9 +126,92 @@ def q_approx_distinct_users(sf_dir: str):
     })
 
 
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_D = 4       # hash rows
+CMS_W = 2048    # counters per row
+CMS_TOPK = 20
+CMS_CAND_PER_BATCH = 50
+
+
+def cms_hash_rows(tokens: np.ndarray) -> np.ndarray:
+    """(d, n) int64 column indices — d independent 16-bit slices of
+    one md5 per token (deterministic across processes, unlike
+    Python's salted hash())."""
+    idx = np.empty((CMS_D, len(tokens)), dtype=np.int64)
+    for i, t in enumerate(tokens):
+        dig = hashlib.md5(str(t).encode()).digest()
+        for d in range(CMS_D):
+            idx[d, i] = int.from_bytes(dig[2 * d: 2 * d + 2], "big") % CMS_W
+    return idx
+
+
+def cms_add(counts: pd.Series) -> np.ndarray:
+    """One (d, w) int64 CMS from a token→count series — additive, so
+    per-batch partials merge by matrix sum."""
+    sk = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    if len(counts) == 0:
+        return sk
+    idx = cms_hash_rows(counts.index.to_numpy())
+    c = counts.to_numpy(dtype=np.int64)
+    for d in range(CMS_D):
+        np.add.at(sk[d], idx[d], c)
+    return sk
+
+
+def cms_estimate(sk: np.ndarray, tokens: np.ndarray) -> np.ndarray:
+    """Point estimates: min over the d rows (never under-counts)."""
+    if len(tokens) == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = cms_hash_rows(tokens)
+    ests = np.stack([sk[d][idx[d]] for d in range(CMS_D)])
+    return ests.min(axis=0)
+
+
+def q_cms_heavy_hitters(sf_dir: str):
+    """Heavy hitters via Count-Min sketch — the sketch counterpart of
+    the exact ``token_histogram``: each batch emits ONE (d×w) int64
+    matrix partial plus its local top candidates; the merge is a
+    matrix sum, so shuffle volume is O(blocks × d × w) regardless of
+    vocabulary size (the 100-TB path where an exact vocab groupby
+    would be the bottleneck).  Estimates are one-sided
+    (est ≥ true; est ≤ true + εN w.h.p.) — pinned in
+    tests/test_sketches.py; rows-only for the driver."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            df["text"].str.lower().str.findall(r"[a-z0-9]+").explode().dropna()
+        )
+        counts = toks.value_counts()
+        sk = cms_add(counts)
+        cand = counts.head(CMS_CAND_PER_BATCH)
+        return pd.DataFrame({
+            "sketch": [sk.tobytes()],
+            "cand": [list(cand.index)],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    sk = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    cands: set[str] = set()
+    for blob, cand in zip(parts["sketch"], parts["cand"]):
+        sk += np.frombuffer(blob, dtype=np.int64).reshape(CMS_D, CMS_W)
+        cands.update(cand)
+    cand_arr = np.array(sorted(cands), dtype=object)
+    est = cms_estimate(sk, cand_arr)
+    out = pd.DataFrame({"token": cand_arr, "est_count": est.astype("int64")})
+    out = out.sort_values(["est_count", "token"], ascending=[False, True])
+    return out.head(CMS_TOPK).reset_index(drop=True)
+
+
 QUERIES = {
     "value_quantiles": q_value_quantiles,
     "approx_distinct_users": q_approx_distinct_users,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
 ORACLE_SQL = {

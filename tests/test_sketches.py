@@ -81,3 +81,62 @@ class TestShardedPacking:
         # deterministic across runs
         again = q_pack_sequences_sharded(sf)
         pd.testing.assert_frame_equal(sharded, again)
+
+
+class TestCMSKernel:
+    def test_additive_merge(self):
+        from crawler_tjce_ray.pipelines.sketches import cms_add, cms_estimate
+
+        a = pd.Series({"x": 5, "y": 3})
+        b = pd.Series({"x": 2, "z": 7})
+        merged = cms_add(a) + cms_add(b)
+        union = cms_add(pd.Series({"x": 7, "y": 3, "z": 7}))
+        assert (merged == union).all()
+        est = cms_estimate(merged, np.array(["x", "y", "z"], dtype=object))
+        # one-sided guarantee: never under-counts
+        assert (est >= np.array([7, 3, 7])).all()
+
+    def test_one_sided_error_bound(self):
+        from crawler_tjce_ray.pipelines.sketches import (
+            CMS_W, cms_add, cms_estimate,
+        )
+
+        rng = np.random.default_rng(7)
+        # Zipf-ish stream: ~2k distinct tokens, N total
+        toks = [f"t{int(z)}" for z in rng.zipf(1.3, size=20000) if z < 2000]
+        counts = pd.Series(toks).value_counts()
+        sk = cms_add(counts)
+        keys = counts.index.to_numpy()
+        est = cms_estimate(sk, keys)
+        true = counts.to_numpy(dtype=np.int64)
+        assert (est >= true).all()
+        # CMS bound: overshoot <= e*N/w with prob 1-e^-d; assert a
+        # loose multiple to keep the test deterministic-safe
+        n_total = int(true.sum())
+        assert (est - true).max() <= 8 * n_total / CMS_W
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCMSQuery:
+    def test_top_tokens_match_exact(self):
+        """The sketch's top-k must agree with the exact token counts on
+        the small corpus (estimates over-count at most slightly; the
+        head of a Zipf distribution is unambiguous)."""
+        from crawler_tjce_ray.pipelines.sketches import q_cms_heavy_hitters
+
+        out = q_cms_heavy_hitters(SF_DIR)
+        texts = (
+            pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+            .to_pandas()["text"]
+        )
+        exact = (
+            texts.str.lower().str.findall(r"[a-z0-9]+").explode().value_counts()
+        )
+        top = out.set_index("token")["est_count"]
+        # every reported estimate >= its true count (one-sided)
+        for tok, est in top.items():
+            assert est >= exact.get(tok, 0), (tok, est, exact.get(tok, 0))
+        # the exact top-5 tokens all appear in the sketch's top-20
+        assert set(exact.head(5).index) <= set(top.index)
+        # deterministic
+        pd.testing.assert_frame_equal(out, q_cms_heavy_hitters(SF_DIR))
