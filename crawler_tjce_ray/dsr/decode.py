@@ -11,6 +11,7 @@ cross-batch state is needed — SURVEY.md §2.2-M2).
 from __future__ import annotations
 
 import re
+from datetime import datetime
 from decimal import Decimal
 
 import numpy as np
@@ -254,6 +255,17 @@ def decode_precatorios_page(
 
 _INHERIT = object()  # column-cell sentinel: "copy the previous row's value"
 
+# last epoch-microsecond fromtimestamp can represent (datetime.max,
+# UTC): the vectorized date path must refuse exactly where the scalar
+# path's OverflowError fallback begins
+_EPOCH_US_MAX = (
+    (datetime(9999, 12, 31, 23, 59, 59, 999999) - datetime(1970, 1, 1)).days
+    * 86_400_000_000
+    + ((datetime(9999, 12, 31, 23, 59, 59, 999999) - datetime(1970, 1, 1)).seconds)
+    * 1_000_000
+    + (datetime(9999, 12, 31, 23, 59, 59, 999999) - datetime(1970, 1, 1)).microseconds
+)
+
 # clean_processo fast path: a value made only of [0-9A-Za-z.-] keeps
 # every character through the keep-alnum scan and strips to itself.
 _PROC_FAST_RE = re.compile(r"^[0-9A-Za-z.\-]+$")
@@ -356,6 +368,7 @@ def decode_precatorios_columns(
     resp_json: dict,
     starting_order_number: int = 0,
     current_year: int | None = None,
+    memo: dict | None = None,
 ) -> tuple[dict[str, list], int]:
     """Vectorized twin of :func:`decode_precatorios_page` returning
     columns instead of row dicts: ``({field -> values}, last_order)``.
@@ -366,10 +379,18 @@ def decode_precatorios_columns(
     back to a scalar replay of the page, which either produces the
     spec rows or raises the spec exception.  Good pages never pay for
     this; see tests/test_decode_columnar.py for the pinned parity.
+
+    ``memo`` (optional) is a CROSS-PAGE finalized-string cache
+    ``{csv_field: {resolved_str: finalized}}`` owned by the caller
+    (one per extract actor, built once in ``__init__``): dictionary
+    values (comarca/situacao/natureza names…) repeat heavily across
+    pages of a crawl, and every finalizer here is a pure function of
+    the resolved string, so sharing hits across pages is semantics-
+    free.  The per-page decode stays correct with ``memo=None``.
     """
     try:
         return _decode_precatorios_columns_fast(
-            resp_json, starting_order_number, current_year
+            resp_json, starting_order_number, current_year, memo
         )
     except Exception:
         out_rows, order = decode_precatorios_page(
@@ -385,6 +406,7 @@ def _decode_precatorios_columns_fast(
     resp_json: dict,
     starting_order_number: int = 0,
     current_year: int | None = None,
+    memo: dict | None = None,
 ) -> tuple[dict[str, list], int]:
     """The vectorized plan (see decode_precatorios_columns).
 
@@ -537,33 +559,222 @@ def _decode_precatorios_columns_fast(
             vals = flat[offsets[rows_k] + cpos[rows_k, k]]
             out_col = field_cols[field]
             cache: dict = {}
+            # cross-page memo for this field (pure string finalizers)
+            gmemo = memo.setdefault(field, {}) if memo is not None else None
             if dict_name:
                 vd_len = len(vd) if vd is not None else -1
-                for i, v in zip(rows_k, vals):
+                # finalize the WHOLE dictionary once (memoized across
+                # pages): int-index cells — the overwhelming majority —
+                # then resolve with one fancy-index gather instead of a
+                # per-cell Python loop.  Entries whose finalizer raises
+                # get the _MISS sentinel; a cell referencing one takes
+                # the per-cell path below and raises exactly like the
+                # scalar decoder (→ page replay).
+                fvd = has_miss = None
+                fkey = fvd_cache = None
+                if memo is not None and vd is not None:
+                    try:  # whole-dict memo: full-content key, no
+                        # collision risk (tuple equality IS equality)
+                        fkey = (field, tuple(vd))
+                        fvd_cache = memo.setdefault("__fvd__", {})
+                        hit = fvd_cache.get(fkey)
+                        if hit is not None:
+                            fvd, has_miss = hit
+                    except TypeError:  # unhashable dict entry
+                        fkey = None
+                if fvd is None:
+                    has_miss = False
+                    fvd = np.empty(max(vd_len, 0), dtype=object)
+                    for di in range(max(vd_len, 0)):
+                        dv = vd[di]
+                        if gmemo is not None and type(dv) is str:
+                            f = gmemo.get(dv, _MISS)
+                            if f is _MISS:
+                                try:
+                                    f = gmemo[dv] = fin(
+                                        _format_str_cell(dv, ftype)
+                                    )
+                                except Exception:
+                                    f = _MISS
+                                    has_miss = True
+                            fvd[di] = f
+                        else:
+                            try:
+                                fvd[di] = fin(
+                                    _format_str_cell(dv, ftype)
+                                    if type(dv) is str
+                                    else format_value(dv, ftype)
+                                )
+                            except Exception:
+                                fvd[di] = _MISS
+                                has_miss = True
+                    if fkey is not None:
+                        fvd_cache[fkey] = (fvd, has_miss)
+                is_idx = np.fromiter(
+                    (type(v) is int and 0 <= v < vd_len for v in vals),
+                    dtype=bool, count=len(vals),
+                )
+                if is_idx.any():
+                    gathered = fvd[vals[is_idx].astype(np.int64)]
+                    if has_miss:
+                        ok = np.fromiter(
+                            (g is not _MISS for g in gathered),
+                            dtype=bool, count=len(gathered),
+                        )
+                        out_col[rows_k[is_idx][ok] + 1] = gathered[ok]
+                        rem = ~is_idx
+                        rem[np.nonzero(is_idx)[0][~ok]] = True
+                    else:
+                        out_col[rows_k[is_idx] + 1] = gathered
+                        rem = ~is_idx
+                else:
+                    rem = np.ones(len(vals), dtype=bool)
+                for n_idx in np.nonzero(rem)[0]:
+                    i, v = rows_k[n_idx], vals[n_idx]
+                    if isinstance(v, str):
+                        f = cache.get(v, _MISS)
+                        if f is _MISS:
+                            if gmemo is not None:
+                                f = gmemo.get(v, _MISS)
+                                if f is _MISS:
+                                    f = gmemo[v] = fin(_format_str_cell(v, ftype))
+                            else:
+                                f = fin(_format_str_cell(v, ftype))
+                            cache[v] = f
+                        out_col[i + 1] = f
+                    elif isinstance(v, (int, float)):
+                        # dict decode: int index in range, else inherit
+                        # (bools reach here: True ≡ index 1, as scalar)
+                        if isinstance(v, int) and 0 <= v < vd_len:
+                            dv = vd[v]
+                            out_col[i + 1] = fin(
+                                _format_str_cell(dv, ftype)
+                                if type(dv) is str
+                                else format_value(dv, ftype)
+                            )
+                    # other types: inherit
+            elif ftype == "date":
+                # epoch-ms int cells vectorized: exact replication of
+                # _from_epoch's fromtimestamp (modf + round-half-even
+                # to microseconds — np.rint ties-to-even matches
+                # CPython round()); everything else per-cell
+                is_i = np.fromiter(
+                    (type(v) is int for v in vals), dtype=bool, count=len(vals)
+                )
+                done = np.zeros(len(vals), dtype=bool)
+                if is_i.any():
+                    iv = vals[is_i].astype(np.int64)  # >int64 -> page replay
+                    rng = (iv > 100000000000) & (iv < 300000000000000)
+                    if rng.any():
+                        s = iv[rng] / 1000.0
+                        whole = np.trunc(s)
+                        us = whole.astype(np.int64) * 1_000_000 + np.rint(
+                            (s - whole) * 1e6
+                        ).astype(np.int64)
+                        ok = us <= _EPOCH_US_MAX  # year 9999 cap, as
+                        # fromtimestamp raises past datetime.max
+                        if ok.any():
+                            dts = us[ok].astype("datetime64[us]").tolist()
+                            arr = np.empty(len(dts), dtype=object)
+                            arr[:] = dts
+                            tgt = rows_k[is_i][rng][ok]
+                            out_col[tgt + 1] = arr
+                            sel = np.nonzero(is_i)[0][rng][ok]
+                            done[sel] = True
+                for n_idx in np.nonzero(~done)[0]:
+                    i, v = rows_k[n_idx], vals[n_idx]
                     if isinstance(v, str):
                         f = cache.get(v, _MISS)
                         if f is _MISS:
                             f = cache[v] = fin(_format_str_cell(v, ftype))
                         out_col[i + 1] = f
                     elif isinstance(v, (int, float)):
-                        # dict decode: int index in range, else inherit
-                        if isinstance(v, int) and 0 <= v < vd_len:
-                            f = cache.get(v, _MISS)
-                            if f is _MISS:
-                                dv = vd[v]
-                                f = cache[v] = fin(
-                                    _format_str_cell(dv, ftype)
-                                    if type(dv) is str
-                                    else format_value(dv, ftype)
-                                )
-                            out_col[i + 1] = f
-                    # other types: inherit
-            else:
-                for i, v in zip(rows_k, vals):
+                        out_col[i + 1] = _finalize_numeric_cell(v, ftype, fin)
+            elif ftype == "int":
+                # int wire cells vectorized: ordem's int(float(v)) is
+                # the identity within float precision; ano_orcamento
+                # passes plain years straight through — only cells
+                # outside the identity ranges pay the scalar kernel
+                is_i = np.fromiter(
+                    (type(v) is int for v in vals), dtype=bool, count=len(vals)
+                )
+                done = np.zeros(len(vals), dtype=bool)
+                if is_i.any():
+                    iv = vals[is_i].astype(np.int64)
+                    if field == "ordem":
+                        idy = (iv > -(2**53)) & (iv < 2**53)
+                    else:  # validate_ano_orcamento plain-year band
+                        yr = (
+                            current_year
+                            if current_year is not None
+                            else datetime.now().year
+                        )
+                        idy = (iv >= 1900) & (iv <= yr + 5)
+                    if idy.any():
+                        tgt = rows_k[is_i][idy]
+                        out_col[tgt + 1] = vals[is_i][idy]
+                        sel = np.nonzero(is_i)[0][idy]
+                        done[sel] = True
+                for n_idx in np.nonzero(~done)[0]:
+                    i, v = rows_k[n_idx], vals[n_idx]
                     if isinstance(v, str):
                         f = cache.get(v, _MISS)
                         if f is _MISS:
                             f = cache[v] = fin(_format_str_cell(v, ftype))
+                        out_col[i + 1] = f
+                    elif isinstance(v, (int, float)):
+                        out_col[i + 1] = _finalize_numeric_cell(v, ftype, fin)
+            else:
+                done = np.zeros(len(vals), dtype=bool)
+                if ftype in ("float", "Decimal") and fin is _clean_decimal_fast:
+                    # decimal cells vectorized: a float (or exact int)
+                    # whose shortest repr has ≤2 decimals goes through
+                    # _clean_decimal_fast as Decimal(str(v)) — exponent
+                    # -1 when v == round(v, 1) (float str always shows
+                    # one decimal), else -2.  v == np.round(v, k) is
+                    # precisely "v is the nearest double to a k-decimal
+                    # value", so Decimal(int(v·10^k)).scaleb(-k)
+                    # reproduces Decimal(str(v)) digits-exactly.
+                    is_num = np.fromiter(
+                        (type(v) is float or type(v) is int for v in vals),
+                        dtype=bool, count=len(vals),
+                    )
+                    if is_num.any():
+                        fv = vals[is_num].astype(np.float64)
+                        safe = (
+                            np.isfinite(fv)
+                            & (np.abs(fv) < 2**53)
+                            & ~((fv == 0.0) & np.signbit(fv))
+                        )
+                        d1 = safe & (fv == np.round(fv, 1))
+                        d2 = safe & ~d1 & (fv == np.round(fv, 2))
+                        src = np.nonzero(is_num)[0]
+                        if d1.any():
+                            tgt = rows_k[is_num][d1]
+                            tens = np.round(fv[d1] * 10.0).astype(np.int64)
+                            dec = np.empty(len(tens), dtype=object)
+                            dec[:] = [Decimal(int(c)).scaleb(-1) for c in tens]
+                            out_col[tgt + 1] = dec
+                            done[src[d1]] = True
+                        if d2.any():
+                            tgt = rows_k[is_num][d2]
+                            cents = np.round(fv[d2] * 100.0).astype(np.int64)
+                            dec = np.empty(len(cents), dtype=object)
+                            dec[:] = [Decimal(int(c)).scaleb(-2) for c in cents]
+                            out_col[tgt + 1] = dec
+                            done[src[d2]] = True
+                for n_idx in np.nonzero(~done)[0]:
+                    i, v = rows_k[n_idx], vals[n_idx]
+                    if isinstance(v, str):
+                        f = cache.get(v, _MISS)
+                        if f is _MISS:
+                            if gmemo is not None:
+                                f = gmemo.get(v, _MISS)
+                                if f is _MISS:
+                                    f = gmemo[v] = fin(_format_str_cell(v, ftype))
+                            else:
+                                f = fin(_format_str_cell(v, ftype))
+                            cache[v] = f
                         out_col[i + 1] = f
                     elif isinstance(v, (int, float)):
                         out_col[i + 1] = _finalize_numeric_cell(v, ftype, fin)
@@ -835,15 +1046,108 @@ def _positional_delta_cells(rows, n_cols):
 
 def _fill_positional_column(
     out_col, rows_k, vals, exhausted_rows, dn, value_dicts, ftype,
-    check_precatorio: bool,
+    check_precatorio: bool, memo: dict | None = None,
 ) -> None:
-    """Shared explicit-cell writer of the positional decoders: decode
-    each consumed ``C`` value (memoized — cache keys carry the value's
-    TYPE because ``1``, ``1.0`` and ``True`` hash equal but format
-    differently for str columns), and write the literal ``"-"`` into
-    exhausted cells."""
+    """Shared explicit-cell writer of the positional decoders.
+
+    Vectorized paths (the scalar ``_decode_dict_or_direct`` chain is
+    the spec; the precatório guard only ever fires on *str* cells —
+    ``str(int)``/``str(float)`` cannot match the NNNNNNN-DD.… pattern
+    — so int/float cells are guard-free):
+
+    * dictionary columns: the whole ValueDict pre-formats ONCE
+      (``_format_positional_value`` is total — no exceptions), with an
+      extra out-of-range slot holding the formatted ``"-"``; int and
+      float cells (``int(raw)`` truncates floats, as scalar) resolve
+      with one clipped fancy-index gather.  The formatted dict is
+      memoized across pages keyed on its full content.
+    * direct numeric columns: identity / truncate / cents-exact
+      Decimal bulk conversions per type mask.
+
+    Everything else (strings, bools, None, unhashables) keeps the
+    per-cell spec path with the per-page (type, value) cache."""
+    n = len(vals)
+    done = np.zeros(n, dtype=bool)
+    tcode = np.fromiter(
+        (1 if type(v) is int else 2 if type(v) is float else 0 for v in vals),
+        dtype=np.uint8, count=n,
+    )
+    is_int = tcode == 1
+    is_flt = tcode == 2
+    has_dict = bool(dn) and dn in value_dicts
+    if has_dict:
+        vd = value_dicts[dn]
+        vd_len = len(vd)
+        fvd = fkey = fvd_cache = None
+        if memo is not None:
+            try:
+                fkey = (ftype, tuple(vd))
+                fvd_cache = memo.setdefault("__pos_fvd__", {})
+                fvd = fvd_cache.get(fkey)
+            except TypeError:  # unhashable dict entry
+                fkey = None
+        if fvd is None:
+            fvd = np.empty(vd_len + 1, dtype=object)
+            for di in range(vd_len):
+                fvd[di] = _format_positional_value(vd[di], ftype)
+            fvd[vd_len] = _format_positional_value("-", ftype)
+            if fkey is not None:
+                fvd_cache[fkey] = fvd
+        num = is_int | is_flt
+        if num.any():
+            # int(raw): floats truncate toward zero; overflow/NaN
+            # raises -> page replays through the scalar spec
+            iv = vals[num].astype(np.float64)
+            safe = np.isfinite(iv) & (np.abs(iv) < 2**53)
+            idx = np.clip(iv[safe].astype(np.int64), -1, vd_len)
+            idx[idx < 0] = vd_len  # negative index -> formatted "-"
+            src = np.nonzero(num)[0][safe]
+            out_col[rows_k[src] + 1] = fvd[idx]
+            done[src] = True
+    else:
+        num = is_int | is_flt
+        if num.any() and ftype in ("int", "float", "Decimal"):
+            iv = vals[num].astype(np.float64)
+            safe = np.isfinite(iv) & (np.abs(iv) < 2**53)
+            src = np.nonzero(num)[0][safe]
+            if ftype == "int":
+                conv = iv[safe].astype(np.int64)
+                arr = np.empty(len(conv), dtype=object)
+                arr[:] = conv.tolist()
+                out_col[rows_k[src] + 1] = arr
+                done[src] = True
+            elif ftype == "float":
+                arr = np.empty(len(src), dtype=object)
+                arr[:] = iv[safe].tolist()
+                out_col[rows_k[src] + 1] = arr
+                done[src] = True
+            else:  # Decimal: Decimal(str(v)) digit-exact
+                fv = iv[safe]
+                int_src = is_int[num][safe]
+                neg_zero = (fv == 0.0) & np.signbit(fv)
+                d1 = ~int_src & ~neg_zero & (fv == np.round(fv, 1))
+                d2 = ~int_src & ~neg_zero & ~d1 & (fv == np.round(fv, 2))
+                if int_src.any():
+                    ints = vals[num][safe][int_src]
+                    arr = np.empty(len(ints), dtype=object)
+                    arr[:] = [Decimal(int(x)) for x in ints]
+                    out_col[rows_k[src[int_src]] + 1] = arr
+                    done[src[int_src]] = True
+                if d1.any():
+                    tens = np.round(fv[d1] * 10.0).astype(np.int64)
+                    arr = np.empty(len(tens), dtype=object)
+                    arr[:] = [Decimal(int(c)).scaleb(-1) for c in tens]
+                    out_col[rows_k[src[d1]] + 1] = arr
+                    done[src[d1]] = True
+                if d2.any():
+                    cents = np.round(fv[d2] * 100.0).astype(np.int64)
+                    arr = np.empty(len(cents), dtype=object)
+                    arr[:] = [Decimal(int(c)).scaleb(-2) for c in cents]
+                    out_col[rows_k[src[d2]] + 1] = arr
+                    done[src[d2]] = True
     cache: dict = {}
-    for i, v in zip(rows_k, vals):
+    for n_idx in np.nonzero(~done)[0]:
+        i, v = rows_k[n_idx], vals[n_idx]
         key = (type(v), v) if isinstance(v, (str, int, float, bool, type(None))) else None
         if key is None:  # unhashable cell: no memo
             out_col[i + 1] = _decode_dict_or_direct(
@@ -873,18 +1177,24 @@ def _ffill_columns(cols: dict[str, np.ndarray]) -> None:
         cols[f] = col[src]
 
 
-def decode_editais_columns(resp_json: dict) -> dict[str, list]:
+def decode_editais_columns(
+    resp_json: dict, memo: dict | None = None
+) -> dict[str, list]:
     """Vectorized twin of :func:`decode_editais_page` (page-local,
     ``prior_rows=None``) returning ``{field -> values}``.  Any internal
-    exception replays the scalar spec decoder."""
+    exception replays the scalar spec decoder.  ``memo`` is the
+    caller-owned cross-page formatted-ValueDict cache (see
+    :func:`_fill_positional_column`)."""
     try:
-        return _decode_editais_columns_fast(resp_json)
+        return _decode_editais_columns_fast(resp_json, memo)
     except Exception:
         rows = decode_editais_page(resp_json)
         return {f: [r.get(f) for r in rows] for f in specs.EDITAL_CSV_FIELDS}
 
 
-def _decode_editais_columns_fast(resp_json: dict) -> dict[str, list]:
+def _decode_editais_columns_fast(
+    resp_json: dict, memo: dict | None = None
+) -> dict[str, list]:
     empty: dict[str, list] = {f: [] for f in specs.EDITAL_CSV_FIELDS}
     page = navigate_envelope(resp_json)
     if page is None or not page["rows"]:
@@ -928,7 +1238,7 @@ def _decode_editais_columns_fast(resp_json: dict) -> dict[str, list]:
             _fill_positional_column(
                 cols[name], rows_k, flat[offsets[rows_k] + cpos[rows_k, k]],
                 np.nonzero(exhausted[:, k])[0], dn, value_dicts, ftype,
-                check_precatorio=True,
+                check_precatorio=True, memo=memo,
             )
 
     # row-level post-processing (crawler/edital_crawler.py:604-618),
@@ -961,13 +1271,17 @@ def _decode_editais_columns_fast(resp_json: dict) -> dict[str, list]:
 
 
 def decode_pagamentos_columns(
-    resp_json: dict, starting_order_number: int = 0
+    resp_json: dict, starting_order_number: int = 0,
+    memo: dict | None = None,
 ) -> dict[str, list]:
     """Vectorized twin of :func:`decode_pagamentos_page` (page-local)
     returning ``{field -> values}`` (incl. the positional ``ordem``).
-    Any internal exception replays the scalar spec decoder."""
+    Any internal exception replays the scalar spec decoder.  ``memo``
+    is the caller-owned cross-page formatted-ValueDict cache."""
     try:
-        return _decode_pagamentos_columns_fast(resp_json, starting_order_number)
+        return _decode_pagamentos_columns_fast(
+            resp_json, starting_order_number, memo
+        )
     except Exception:
         rows = decode_pagamentos_page(resp_json, starting_order_number)
         return {
@@ -984,7 +1298,8 @@ _PAGAMENTO_MONEY = (
 
 
 def _decode_pagamentos_columns_fast(
-    resp_json: dict, starting_order_number: int
+    resp_json: dict, starting_order_number: int,
+    memo: dict | None = None,
 ) -> dict[str, list]:
     out_fields = ["ordem"] + specs.PAGAMENTO_CSV_FIELDS
     empty: dict[str, list] = {f: [] for f in out_fields}
@@ -1021,7 +1336,7 @@ def _decode_pagamentos_columns_fast(
         _fill_positional_column(
             cols[name], rows_k, flat[offsets[rows_k] + cpos[rows_k, k]],
             np.nonzero(exhausted[:, k])[0], dn, value_dicts, ftype,
-            check_precatorio=False,
+            check_precatorio=False, memo=memo,
         )
 
     _ffill_columns(cols)

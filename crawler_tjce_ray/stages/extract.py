@@ -196,6 +196,17 @@ class _ExtractBase:
 class ExtractPrecatorios(_ExtractBase):
     schema = PRECATORIO_SCHEMA
 
+    # cross-page finalized-string memo bound: dictionary vocabularies
+    # (comarca/situacao/natureza/processo strings) are far smaller
+    # than this in practice; the cap only guards a pathological corpus
+    _MEMO_MAX = 500_000
+
+    def __init__(self, current_year: int | None = None):
+        super().__init__(current_year)
+        # per-actor state, built once (the actor-pool contract): the
+        # cross-page finalize memo lives for the actor's lifetime
+        self._memo: dict = {}
+
     def decode_page(self, resp):
         rows, _ = decode_precatorios_page(resp, 0, self.current_year)
         return rows
@@ -203,12 +214,22 @@ class ExtractPrecatorios(_ExtractBase):
     def decode_page_columns(self, resp):
         # vectorized decode (NumPy R-mask + memoized finalize);
         # equivalence with decode_page pinned by tests/test_decode_columnar.py
-        cols, _ = decode_precatorios_columns(resp, 0, self.current_year)
+        if sum(len(m) for m in self._memo.values()) > self._MEMO_MAX:
+            self._memo.clear()
+        cols, _ = decode_precatorios_columns(
+            resp, 0, self.current_year, memo=self._memo
+        )
         return cols, len(cols["ordem"])
 
 
 class ExtractEditais(_ExtractBase):
     schema = EDITAL_SCHEMA
+
+    _MEMO_MAX = 500_000
+
+    def __init__(self, current_year: int | None = None):
+        super().__init__(current_year)
+        self._memo: dict = {}  # cross-page formatted-ValueDict cache
 
     def decode_page(self, resp):
         # in-page sort by ordem asc (the reference's final sort,
@@ -217,7 +238,9 @@ class ExtractEditais(_ExtractBase):
         return sorted(decode_editais_page(resp), key=lambda r: r.get("ordem", 0))
 
     def decode_page_columns(self, resp):
-        cols = decode_editais_columns(resp)
+        if sum(len(m) for m in self._memo.values()) > self._MEMO_MAX:
+            self._memo.clear()
+        cols = decode_editais_columns(resp, memo=self._memo)
         n = len(cols["ordem"])
         # same stable in-page ordem sort as decode_page
         order = sorted(range(n), key=lambda i: cols["ordem"][i])
@@ -227,11 +250,19 @@ class ExtractEditais(_ExtractBase):
 class ExtractPagamentos(_ExtractBase):
     schema = PAGAMENTO_SCHEMA
 
+    _MEMO_MAX = 500_000
+
+    def __init__(self, current_year: int | None = None):
+        super().__init__(current_year)
+        self._memo: dict = {}  # cross-page formatted-ValueDict cache
+
     def decode_page(self, resp):
         return decode_pagamentos_page(resp, 0)
 
     def decode_page_columns(self, resp):
-        cols = decode_pagamentos_columns(resp, 0)
+        if sum(len(m) for m in self._memo.values()) > self._MEMO_MAX:
+            self._memo.clear()
+        cols = decode_pagamentos_columns(resp, 0, memo=self._memo)
         return cols, len(cols["ordem"])
 
 

@@ -24,6 +24,12 @@ from crawler_tjce_ray.dsr.decode import (
 REF = "/root/reference"
 
 
+# ONE memo shared by every assert_equiv in the session — the worst
+# case for cross-page contamination: a stale/wrong memo entry from any
+# earlier page would corrupt a later page's decode
+_SHARED_MEMO: dict = {}
+
+
 def assert_equiv(resp, start=0, year=2024):
     scalar_exc = columnar_exc = None
     try:
@@ -34,17 +40,29 @@ def assert_equiv(resp, start=0, year=2024):
         cols, last_c = decode_precatorios_columns(copy.deepcopy(resp), start, year)
     except Exception as e:  # noqa: BLE001
         columnar_exc = e
+    memo_exc = None
+    try:
+        mcols, last_m = decode_precatorios_columns(
+            copy.deepcopy(resp), start, year, memo=_SHARED_MEMO
+        )
+    except Exception as e:  # noqa: BLE001
+        memo_exc = e
     assert (scalar_exc is None) == (columnar_exc is None), (
         f"failure divergence: scalar={scalar_exc!r} columnar={columnar_exc!r}"
     )
+    assert (scalar_exc is None) == (memo_exc is None), (
+        f"failure divergence (memo): scalar={scalar_exc!r} memo={memo_exc!r}"
+    )
     if scalar_exc is not None:
         return
-    assert last_s == last_c
+    assert last_s == last_c == last_m
     assert len(cols["ordem"]) == len(rows)
     for f in specs.PRECATORIO_CSV_FIELDS:
         expect = [r[f] for r in rows]
         got = list(cols[f])
         assert got == expect, f"column {f}: {got[:5]} != {expect[:5]}"
+        got_m = list(mcols[f])
+        assert got_m == expect, f"memo column {f}: {got_m[:5]} != {expect[:5]}"
 
 
 def _page(rows_per_page=50, idx=0, sum_wrapped=False):
@@ -261,12 +279,16 @@ def _aux_page(kind, rows_per_page=40, idx=0):
     return gen(pages[idx % len(pages)], rows_per_page, 11)
 
 
+# session-shared positional memo (worst case for cross-page pollution)
+_SHARED_POS_MEMO: dict = {}
+
+
 def assert_equiv_editais(resp):
     from crawler_tjce_ray.dsr.decode import (
         decode_editais_columns, decode_editais_page,
     )
 
-    se = ce = None
+    se = ce = me = None
     try:
         rows = decode_editais_page(copy.deepcopy(resp))
     except Exception as e:  # noqa: BLE001
@@ -275,12 +297,20 @@ def assert_equiv_editais(resp):
         cols = decode_editais_columns(copy.deepcopy(resp))
     except Exception as e:  # noqa: BLE001
         ce = e
+    try:
+        mcols = decode_editais_columns(
+            copy.deepcopy(resp), memo=_SHARED_POS_MEMO
+        )
+    except Exception as e:  # noqa: BLE001
+        me = e
     assert (se is None) == (ce is None), f"scalar={se!r} columnar={ce!r}"
+    assert (se is None) == (me is None), f"scalar={se!r} memo={me!r}"
     if se is not None:
         return
     assert len(cols["ordem"]) == len(rows)
     for f in specs.EDITAL_CSV_FIELDS:
         assert list(cols[f]) == [r.get(f) for r in rows], f
+        assert list(mcols[f]) == [r.get(f) for r in rows], f"memo {f}"
 
 
 def assert_equiv_pagamentos(resp, start=0):
@@ -288,7 +318,7 @@ def assert_equiv_pagamentos(resp, start=0):
         decode_pagamentos_columns, decode_pagamentos_page,
     )
 
-    se = ce = None
+    se = ce = me = None
     try:
         rows = decode_pagamentos_page(copy.deepcopy(resp), start)
     except Exception as e:  # noqa: BLE001
@@ -297,12 +327,20 @@ def assert_equiv_pagamentos(resp, start=0):
         cols = decode_pagamentos_columns(copy.deepcopy(resp), start)
     except Exception as e:  # noqa: BLE001
         ce = e
+    try:
+        mcols = decode_pagamentos_columns(
+            copy.deepcopy(resp), start, memo=_SHARED_POS_MEMO
+        )
+    except Exception as e:  # noqa: BLE001
+        me = e
     assert (se is None) == (ce is None), f"scalar={se!r} columnar={ce!r}"
+    assert (se is None) == (me is None), f"scalar={se!r} memo={me!r}"
     if se is not None:
         return
     assert len(cols["ordem"]) == len(rows)
     for f in ["ordem"] + specs.PAGAMENTO_CSV_FIELDS:
         assert list(cols[f]) == [r.get(f) for r in rows], f
+        assert list(mcols[f]) == [r.get(f) for r in rows], f"memo {f}"
 
 
 class TestPositionalEquivalence:
