@@ -518,3 +518,61 @@ class TestFastPathActuallyRuns:
         # synth emits rows_per_page data rows after the schema-only row
         cols = _decode_pagamentos_columns_fast(_aux_page("pagamentos", 40), 0)
         assert len(cols["ordem"]) == 40
+
+
+class TestVectorKernelSweeps:
+    """Dense numeric sweeps pinning the vectorized cell kernels to
+    their scalar spec functions (beyond what page-level fuzz hits)."""
+
+    def test_epoch_vector_path_matches_from_epoch(self):
+        from crawler_tjce_ray.dsr.decode import _EPOCH_US_MAX
+        from crawler_tjce_ray.functions.dates import _from_epoch
+
+        rng = np.random.default_rng(0)
+        vs = np.concatenate([
+            rng.integers(10**11 + 1, 3 * 10**14, size=20000),
+            np.arange(10**11 + 1, 10**11 + 1000),
+            np.arange(3 * 10**14 - 1000, 3 * 10**14),
+            np.array([253402300799999, 253402300800000]),  # year-9999 edge
+        ])
+        s = vs / 1000.0
+        whole = np.trunc(s)
+        us = whole.astype(np.int64) * 1_000_000 + np.rint(
+            (s - whole) * 1e6
+        ).astype(np.int64)
+        ok = us <= _EPOCH_US_MAX
+        dts = iter(us[ok].astype("datetime64[us]").tolist())
+        for v, o in zip(vs, ok):
+            if not o:
+                with pytest.raises((ValueError, OverflowError, OSError)):
+                    _from_epoch(v / 1000.0)
+                continue
+            assert next(dts) == _from_epoch(v / 1000.0), v
+
+    def test_decimal_cents_path_matches_str_decimal(self):
+        from decimal import Decimal
+
+        rng = np.random.default_rng(1)
+        vals = []
+        for mag in (1, 100, 1e4, 1e8, 1e11):
+            vals += list(np.round(rng.uniform(-mag, mag, 8000), 2))
+            vals += list(np.round(rng.uniform(-mag, mag, 4000), 1))
+            vals += list(np.trunc(rng.uniform(-mag, mag, 2000)))
+        vals += [0.0, 5.0, -5.0, 0.1, 0.25]
+        checked = 0
+        for v in vals:
+            v = float(v)
+            if not (np.isfinite(v) and abs(v) < 2**53) or (
+                v == 0.0 and np.signbit(v)
+            ):
+                continue
+            if v == np.round(v, 1):
+                got = Decimal(int(np.round(v * 10.0))).scaleb(-1)
+            elif v == np.round(v, 2):
+                got = Decimal(int(np.round(v * 100.0))).scaleb(-2)
+            else:
+                continue
+            want = Decimal(str(v))
+            assert got == want and got.as_tuple() == want.as_tuple(), v
+            checked += 1
+        assert checked > 50000
