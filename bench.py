@@ -151,7 +151,13 @@ def run_headline(workdir: str, num_cpus: int, scaling_mode: bool = False) -> dic
 
 
 def run_queries(sf_dir: str) -> dict[str, float]:
+    import ray.data as rd
+
     from crawler_tjce_ray.pipelines.registry import build_queries
+
+    # warm-up op so the FIRST query doesn't absorb Ray Data session
+    # startup (worker spin-up, object-store init) in its own number
+    rd.range(1000).map_batches(lambda b: b).materialize()
 
     qs = build_queries()
     out: dict[str, float] = {}

@@ -1226,6 +1226,51 @@ ORDER BY o_orderpriority, l_returnflag
 """
 
 
+def q_zscore_events(sf_dir: str):
+    """Group-wise normalization (feature scaling): z-score each event's
+    value within its event_type.  Two streaming passes: per-batch
+    (n, Σv, Σv²) moment partials reduce driver-side to O(|types|)
+    constants, which broadcast into a vectorized normalize pass — the
+    value stream never shuffles."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(v2=df["value"] * df["value"])
+        return df.groupby("event_type", as_index=False).agg(
+            n=("value", "size"), s=("value", "sum"), s2=("v2", "sum")
+        )
+
+    parts = ds.map_batches(moments, batch_format="pandas").to_pandas()
+    stats = parts.groupby("event_type", as_index=False).sum()
+    stats["mean"] = stats["s"] / stats["n"]
+    stats["sd"] = np.sqrt(
+        (stats["s2"] - stats["s"] ** 2 / stats["n"])
+        / np.maximum(stats["n"] - 1, 1)
+    )
+    mean = dict(zip(stats["event_type"], stats["mean"]))
+    sd = dict(zip(stats["event_type"], stats["sd"]))
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].map(mean).to_numpy(np.float64)
+        s = df["event_type"].map(sd).to_numpy(np.float64)
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "event_type": df["event_type"],
+            "z": (df["value"].to_numpy(np.float64) - m) / s,
+        })
+
+    out = ds.map_batches(normalize, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_ZSCORE_EVENTS = """
+SELECT event_id, event_type,
+       (value - AVG(value) OVER (PARTITION BY event_type))
+         / STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS z
+FROM events ORDER BY event_id
+"""
+
+
 def q_left_join_counts(sf_dir: str):
     """LEFT OUTER join shape: every customer with their order count,
     zero-order customers included.  The big (orders) side pre-reduces
@@ -1396,6 +1441,7 @@ QUERIES = {
     "token_histogram": q_token_histogram,
     "hash_join_big": q_hash_join_big,
     "left_join_counts": q_left_join_counts,
+    "zscore_events": q_zscore_events,
     "running_total": q_running_total,
     "order_gap_days": q_order_gap_days,
 }
@@ -1433,6 +1479,7 @@ ORACLE_SQL = {
     "token_histogram": SQL_TOKEN_HISTOGRAM,
     "hash_join_big": SQL_HASH_JOIN_BIG,
     "left_join_counts": SQL_LEFT_JOIN_COUNTS,
+    "zscore_events": SQL_ZSCORE_EVENTS,
     "running_total": SQL_RUNNING_TOTAL,
     "order_gap_days": SQL_ORDER_GAP_DAYS,
 }

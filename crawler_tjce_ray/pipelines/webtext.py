@@ -392,6 +392,90 @@ GROUP BY lang, p10 ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# unigram-LM scoring (perplexity-style quality signal)
+# ---------------------------------------------------------------------------
+
+def q_unigram_logprob(sf_dir: str):
+    """Unigram language-model score per document: mean ln P(token)
+    under the corpus's own unigram distribution (add-one smoothed) —
+    the cheap stand-in for model-based perplexity filtering.
+
+    Two streaming passes, same shape as BM25: (1) per-batch token
+    count partials reduce to the global vocabulary (driver state
+    O(vocab)); (2) the log-prob table broadcasts once via ``ray.put``
+    and each batch computes its docs' mean scores vectorized.  Tokens
+    sum in document order on both engines (ordered token stream), so
+    only the usual float tail differs (within the checker's 1e-6)."""
+    import ray
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _explode_words(df)
+        if toks.empty:
+            return pd.DataFrame({"w": pd.Series([], dtype="string"),
+                                 "n": pd.Series([], dtype="int64")})
+        g = toks.groupby("w", as_index=False).size()
+        return pd.DataFrame({"w": g["w"].astype("string"),
+                             "n": g["size"].astype("int64")})
+
+    vocab = (
+        ds.map_batches(counts, batch_format="pandas")
+        .to_pandas().groupby("w", as_index=False).sum()
+    )
+    total = int(vocab["n"].sum())
+    vsize = len(vocab)
+    logp = np.log((vocab["n"].to_numpy(np.float64) + 1.0) / (total + vsize))
+    table = dict(zip(vocab["w"], logp))
+    table_ref = ray.put(table)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tbl = ray.get(table_ref)
+        ex = _explode_words(df)
+        if ex.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_tokens": pd.Series([], dtype="int64"),
+                                 "mean_logprob": pd.Series([], dtype="float64")})
+        ex["lp"] = ex["w"].map(tbl)  # every token is in-vocab (self-corpus)
+        g = ex.groupby("doc_id", as_index=False).agg(
+            n_tokens=("lp", "size"), sum_lp=("lp", "sum")
+        )
+        out = df[["doc_id"]].merge(g, on="doc_id", how="left")
+        out["n_tokens"] = out["n_tokens"].fillna(0).astype("int64")
+        out["mean_logprob"] = np.where(
+            out["n_tokens"] > 0, out["sum_lp"] / out["n_tokens"], 0.0
+        )
+        return out[["doc_id", "n_tokens", "mean_logprob"]]
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_UNIGRAM_LOGPROB = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, COUNT(*) AS n FROM toks GROUP BY w
+), consts AS (
+  SELECT SUM(n) AS total, COUNT(*) AS vsize FROM vocab
+), scored AS (
+  SELECT t.doc_id, ln((v.n + 1.0) / (c.total + c.vsize)) AS lp
+  FROM toks t JOIN vocab v USING (w), consts c
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       COALESCE(s.mean_lp, 0.0) AS mean_logprob
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n_tokens, AVG(lp) AS mean_lp
+  FROM scored GROUP BY doc_id
+) s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # per-group discrete quantile (median doc length per language)
 # ---------------------------------------------------------------------------
 
@@ -465,6 +549,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "lang_median_chars": q_lang_median_chars,
     "char_entropy": q_char_entropy,
+    "unigram_logprob": q_unigram_logprob,
     "repetition_stats": q_repetition_stats,
     "top_bigram_frac": q_top_bigram_frac,
     "decontaminate": q_decontaminate,
@@ -475,6 +560,7 @@ ORACLE_SQL = {
     "pii_redact": SQL_PII_REDACT,
     "lang_median_chars": SQL_LANG_MEDIAN_CHARS,
     "char_entropy": SQL_CHAR_ENTROPY,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "repetition_stats": SQL_REPETITION_STATS,
     "top_bigram_frac": SQL_TOP_BIGRAM,
     "decontaminate": SQL_DECONTAMINATE,
