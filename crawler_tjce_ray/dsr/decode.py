@@ -364,6 +364,92 @@ def _finalize_numeric_cell(v, ftype, fin):
     return fin(format_value(str(v), ftype))
 
 
+def _build_money_fvd(vd, ftype):
+    """Bulk-finalize a ValueDict whose entries are money strings —
+    the seed-page hot path (valor dictionaries are page-unique, so no
+    memo ever hits and every entry pays the scalar chain
+    ``format_numeric_value → _clean_decimal_fast``).
+
+    Vectorized with pyarrow.compute string kernels (pandas object
+    ``.str`` ops are per-element Python loops — measured SLOWER than
+    the scalar chain).  Exact parity: string entries that (a) pass
+    ``format_value``'s blank/none guard handling, (b) normalize to a
+    plain ``-?\\d+(\\.\\d+)?`` decimal, and (c) whose CPython
+    ``float()`` parse (the spec's parser — run per entry, C-speed)
+    lands on the digits-exact scaleb fast path, finalize in bulk;
+    everything else is left to the scalar loop.
+
+    Returns ``(fvd, done)``; ``done[i]`` False means entry *i* still
+    needs the scalar spec chain.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    n = len(vd)
+    fvd = np.empty(n, dtype=object)
+    done = np.zeros(n, dtype=bool)
+    if n == 0:
+        return fvd, done
+    is_str = np.fromiter((type(x) is str for x in vd), dtype=bool, count=n)
+    if not is_str.any():
+        return fvd, done
+    idx = np.nonzero(is_str)[0]
+    arr = pa.array([vd[i] for i in idx], pa.string())
+    # format_value's empty/none guard → "0" → Decimal("0")
+    blank = _pc.or_(
+        _pc.equal(_pc.utf8_trim_whitespace(arr), ""),
+        _pc.equal(_pc.utf8_lower(arr), "none"),
+    ).to_numpy(zero_copy_only=False)
+    if blank.any():
+        zero = _clean_decimal_fast("0")
+        fvd[idx[blank]] = zero
+        done[idx[blank]] = True
+    # normalize_decimal_separators, vectorized (the swap rule
+    # "rfind('.') < rfind(',')" ⟺ no '.' after the LAST ',')
+    t = _pc.utf8_trim_whitespace(_pc.replace_substring(arr, "R$", ""))
+    hasc = _pc.match_substring(t, ",")
+    hasd = _pc.match_substring(t, ".")
+    swap = _pc.and_(_pc.and_(hasc, hasd),
+                    _pc.match_substring_regex(t, r",[^.]*$"))
+    swapped = _pc.replace_substring(
+        _pc.replace_substring(t, ".", ""), ",", "."
+    )
+    lone = _pc.and_(hasc, _pc.invert(hasd))
+    t = _pc.if_else(swap, swapped,
+                    _pc.if_else(lone, _pc.replace_substring(t, ",", "."), t))
+    safe = _pc.and_(
+        _pc.match_substring_regex(t, r"^-?\d+(\.\d+)?$"),
+        _pc.invert(pa.array(blank)),
+    ).to_numpy(zero_copy_only=False)
+    if safe.any():
+        sub = t.filter(pa.array(safe)).to_pylist()
+        # CPython float() per entry (C strtod — the spec's own parser;
+        # vectorized parsers can differ in the last ulp)
+        fv = np.fromiter((float(x) for x in sub), dtype=np.float64,
+                         count=len(sub))
+        pos = idx[safe]
+        okf = (
+            np.isfinite(fv)
+            & (np.abs(fv) < 2**53)
+            & ~((fv == 0.0) & np.signbit(fv))
+        )
+        d1 = okf & (fv == np.round(fv, 1))
+        d2 = okf & ~d1 & (fv == np.round(fv, 2))
+        if d1.any():
+            tens = np.round(fv[d1] * 10.0).astype(np.int64)
+            out = np.empty(len(tens), dtype=object)
+            out[:] = [Decimal(int(c)).scaleb(-1) for c in tens]
+            fvd[pos[d1]] = out
+            done[pos[d1]] = True
+        if d2.any():
+            cents = np.round(fv[d2] * 100.0).astype(np.int64)
+            out = np.empty(len(cents), dtype=object)
+            out[:] = [Decimal(int(c)).scaleb(-2) for c in cents]
+            fvd[pos[d2]] = out
+            done[pos[d2]] = True
+    return fvd, done
+
+
 def decode_precatorios_columns(
     resp_json: dict,
     starting_order_number: int = 0,
@@ -584,8 +670,18 @@ def _decode_precatorios_columns_fast(
                         fkey = None
                 if fvd is None:
                     has_miss = False
-                    fvd = np.empty(max(vd_len, 0), dtype=object)
+                    pre_done = None
+                    if (
+                        fin is _clean_decimal_fast
+                        and ftype in ("float", "Decimal")
+                        and vd_len > 0
+                    ):
+                        fvd, pre_done = _build_money_fvd(vd, ftype)
+                    else:
+                        fvd = np.empty(max(vd_len, 0), dtype=object)
                     for di in range(max(vd_len, 0)):
+                        if pre_done is not None and pre_done[di]:
+                            continue
                         dv = vd[di]
                         if gmemo is not None and type(dv) is str:
                             f = gmemo.get(dv, _MISS)
