@@ -205,9 +205,88 @@ def q_ann_ivf_topk(sf_dir: str):
     return _finalize(out)
 
 
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH variant (bucket-prefilter scale path)
+# ---------------------------------------------------------------------------
+
+LSH_BITS = 8          # hyperplanes → 2^8 buckets
+LSH_HAMMING = 3       # probe buckets within this Hamming radius
+# (radius 3 probes 93/256 ≈ 36% of buckets → ~0.6 top-5 recall on the
+# synthetic 64-d vectors; radius is THE recall/cost knob — at corpus
+# scale use more bits with multi-table OR-construction instead)
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes (fixed seed — every task and
+    every run derives the identical hash family)."""
+    rng = np.random.default_rng(20260817)
+    h = rng.standard_normal((LSH_BITS, dim))
+    return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+
+def _lsh_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit codes: code = Σ (x·hᵢ > 0) << i — one matmul."""
+    bits = (mat @ planes.T) > 0
+    return (bits.astype(np.uint32) << np.arange(LSH_BITS, dtype=np.uint32)).sum(
+        axis=1
+    )
+
+
+# 8-bit popcount table (numpy<2 has no bitwise_count)
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def q_ann_lsh_topk(sf_dir: str):
+    """Random-hyperplane LSH ANN: vectors hash to sign-bit buckets
+    inside ``map_batches`` (one matmul vs the broadcast hyperplane
+    matrix); each query scores only vectors whose bucket lies within
+    Hamming radius ``LSH_HAMMING`` of the query's bucket (cosine
+    similarity ⇔ few hyperplane sign disagreements), then the same
+    partial-top-k + shared ``final_topk`` reduce.  Approximate →
+    rows-only; recall vs brute force pinned in
+    tests/test_dedup_similarity.py."""
+    import ray
+
+    qids, qmat = _query_matrix(sf_dir)
+    dim = qmat.shape[1]
+    planes = _hyperplanes(dim)
+    qcodes = _lsh_codes(qmat.astype(np.float64), planes)
+    ref = ray.put((qids, qmat, planes, qcodes))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qi, qm, pl, qc = ray.get(ref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        codes = _lsh_codes(mat, pl)
+        outs = []
+        for k in range(len(qi)):
+            ham = _POPCNT8[(codes ^ qc[k]) & 0xFF]
+            mask = ham <= LSH_HAMMING
+            if not mask.any():
+                continue
+            sub = df.iloc[np.nonzero(mask)[0]]
+            outs.append(
+                _topk_scores_batch(sub, qi[k : k + 1], qm[k : k + 1], TOP_K)
+            )
+        if not outs:
+            return pd.DataFrame(columns=["query_id", "vec_id", "cosine"]).astype(
+                {"query_id": "int64", "vec_id": "int64", "cosine": "float64"}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    out = (
+        _read_emb(sf_dir)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return _finalize(out)
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
 }
 
 ORACLE_SQL = {

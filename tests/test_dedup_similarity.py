@@ -147,6 +147,26 @@ class TestANN:
         # every query answered with k results
         assert (ivf.groupby("query_id")["rank"].count() >= 1).all()
 
+    def test_lsh_recall_vs_bruteforce(self):
+        from crawler_tjce_ray.pipelines.similarity import (
+            q_ann_cosine_topk, q_ann_lsh_topk,
+        )
+
+        brute = q_ann_cosine_topk(SF_DIR)
+        lsh = q_ann_lsh_topk(SF_DIR)
+        recalls = []
+        for qid, g in brute.groupby("query_id"):
+            truth = set(g["vec_id"])
+            approx = set(lsh[lsh["query_id"] == qid]["vec_id"])
+            recalls.append(len(truth & approx) / len(truth))
+        # 8 hyperplanes / Hamming<=3 probes ~93/256 of the space; the
+        # query's own bucket is always probed (self-hit at rank 1)
+        assert np.mean(recalls) >= 0.5, f"mean recall {np.mean(recalls)}"
+        assert (lsh.groupby("query_id")["rank"].count() >= 1).all()
+        # deterministic across runs (fixed hash family)
+        import pandas as pd
+        pd.testing.assert_frame_equal(lsh, q_ann_lsh_topk(SF_DIR))
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestNgramJaccardGuard:
