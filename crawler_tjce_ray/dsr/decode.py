@@ -428,9 +428,15 @@ def _build_money_fvd(vd, ftype):
         fv = np.fromiter((float(x) for x in sub), dtype=np.float64,
                          count=len(sub))
         pos = idx[safe]
+        # 2**46, NOT 2**53: the scaleb path multiplies by 10/100, and
+        # beyond 2**46 the float product can round to a neighbor of the
+        # true integer (ulp(100·v) ≥ 1 while 100·ε can exceed 1/2),
+        # silently corrupting the last digit — confirmed at
+        # 9007199254740990 (review finding); larger values take the
+        # scalar spec chain instead
         okf = (
             np.isfinite(fv)
-            & (np.abs(fv) < 2**53)
+            & (np.abs(fv) < 2**46)
             & ~((fv == 0.0) & np.signbit(fv))
         )
         d1 = okf & (fv == np.round(fv, 1))
@@ -705,6 +711,12 @@ def _decode_precatorios_columns_fast(
                                 fvd[di] = _MISS
                                 has_miss = True
                     if fkey is not None:
+                        # each entry retains a whole ValueDict (tuple
+                        # key + finalized array, ~KBs) — bound by
+                        # ENTRY count here, not the extractor's string
+                        # cap, or page-unique dicts grow unbounded
+                        if len(fvd_cache) >= 512:
+                            fvd_cache.clear()
                         fvd_cache[fkey] = (fvd, has_miss)
                 is_idx = np.fromiter(
                     (type(v) is int and 0 <= v < vd_len for v in vals),
@@ -839,7 +851,7 @@ def _decode_precatorios_columns_fast(
                         fv = vals[is_num].astype(np.float64)
                         safe = (
                             np.isfinite(fv)
-                            & (np.abs(fv) < 2**53)
+                            & (np.abs(fv) < 2**46)
                             & ~((fv == 0.0) & np.signbit(fv))
                         )
                         d1 = safe & (fv == np.round(fv, 1))
@@ -1188,6 +1200,9 @@ def _fill_positional_column(
                 fvd[di] = _format_positional_value(vd[di], ftype)
             fvd[vd_len] = _format_positional_value("-", ftype)
             if fkey is not None:
+                # bound by entry count — each holds a full ValueDict
+                if len(fvd_cache) >= 512:
+                    fvd_cache.clear()
                 fvd_cache[fkey] = fvd
         num = is_int | is_flt
         if num.any():
@@ -1221,8 +1236,15 @@ def _fill_positional_column(
                 fv = iv[safe]
                 int_src = is_int[num][safe]
                 neg_zero = (fv == 0.0) & np.signbit(fv)
-                d1 = ~int_src & ~neg_zero & (fv == np.round(fv, 1))
-                d2 = ~int_src & ~neg_zero & ~d1 & (fv == np.round(fv, 2))
+                # 2**46 cap on the ×10/×100 scaleb paths: past it the
+                # float product can round away from the true integer
+                # (see _build_money_fvd); bigger floats go per-cell
+                small = np.abs(fv) < 2**46
+                d1 = ~int_src & ~neg_zero & small & (fv == np.round(fv, 1))
+                d2 = (
+                    ~int_src & ~neg_zero & small & ~d1
+                    & (fv == np.round(fv, 2))
+                )
                 if int_src.any():
                     ints = vals[num][safe][int_src]
                     arr = np.empty(len(ints), dtype=object)

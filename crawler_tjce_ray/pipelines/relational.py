@@ -1234,21 +1234,37 @@ def q_zscore_events(sf_dir: str):
     value stream never shuffles."""
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
 
-    def moments(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(v2=df["value"] * df["value"])
+    # Two passes instead of the one-pass (Σv² − (Σv)²/n) formula: that
+    # form cancels catastrophically for near-constant groups (variance
+    # lands at a tiny NEGATIVE float → sqrt → NaN) while DuckDB's
+    # STDDEV_SAMP is Welford-stable.  Pass 1 reduces means; pass 2
+    # reduces centered squares — both are per-batch partials.
+    def sums(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("event_type", as_index=False).agg(
-            n=("value", "size"), s=("value", "sum"), s2=("v2", "sum")
+            n=("value", "size"), s=("value", "sum")
         )
 
-    parts = ds.map_batches(moments, batch_format="pandas").to_pandas()
-    stats = parts.groupby("event_type", as_index=False).sum()
-    stats["mean"] = stats["s"] / stats["n"]
-    stats["sd"] = np.sqrt(
-        (stats["s2"] - stats["s"] ** 2 / stats["n"])
-        / np.maximum(stats["n"] - 1, 1)
+    parts = ds.map_batches(sums, batch_format="pandas").to_pandas()
+    st = parts.groupby("event_type", as_index=False).sum()
+    st["mean"] = st["s"] / st["n"]
+    mean = dict(zip(st["event_type"], st["mean"]))
+
+    def centered(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].map(mean).to_numpy(np.float64)
+        d = df["value"].to_numpy(np.float64) - m
+        return pd.DataFrame({"event_type": df["event_type"], "ssd": d * d}) \
+            .groupby("event_type", as_index=False).sum()
+
+    ssd = (
+        ds.map_batches(centered, batch_format="pandas")
+        .to_pandas().groupby("event_type", as_index=False).sum()
     )
-    mean = dict(zip(stats["event_type"], stats["mean"]))
-    sd = dict(zip(stats["event_type"], stats["sd"]))
+    st = st.merge(ssd, on="event_type")
+    # n < 2 → NULL stddev in SQL → NaN here (divide-by-NaN propagates)
+    st["sd"] = np.sqrt(
+        np.where(st["n"] > 1, st["ssd"] / np.maximum(st["n"] - 1, 1), np.nan)
+    )
+    sd = dict(zip(st["event_type"], st["sd"]))
 
     def normalize(df: pd.DataFrame) -> pd.DataFrame:
         m = df["event_type"].map(mean).to_numpy(np.float64)

@@ -257,21 +257,26 @@ def q_ann_lsh_topk(sf_dir: str):
         qi, qm, pl, qc = ray.get(ref)
         mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         codes = _lsh_codes(mat, pl)
-        outs = []
+        # stack + norms ONCE per batch; per-query work is a slice +
+        # one masked matvec (not a re-stack per query)
+        vnorm = np.linalg.norm(mat, axis=1)
+        qnorm = np.linalg.norm(qm, axis=1)
+        ids = df["vec_id"].to_numpy()
+        rows = []
         for k in range(len(qi)):
             ham = _POPCNT8[(codes ^ qc[k]) & 0xFF]
             mask = ham <= LSH_HAMMING
             if not mask.any():
                 continue
-            sub = df.iloc[np.nonzero(mask)[0]]
-            outs.append(
-                _topk_scores_batch(sub, qi[k : k + 1], qm[k : k + 1], TOP_K)
+            sims = (mat[mask] @ qm[k]) / (vnorm[mask] * qnorm[k])
+            sub_ids = ids[mask]
+            take = np.lexsort((sub_ids, -sims))[: min(TOP_K, len(sub_ids))]
+            rows.extend(
+                (int(qi[k]), int(sub_ids[r]), sims[r]) for r in take
             )
-        if not outs:
-            return pd.DataFrame(columns=["query_id", "vec_id", "cosine"]).astype(
-                {"query_id": "int64", "vec_id": "int64", "cosine": "float64"}
-            )
-        return pd.concat(outs, ignore_index=True)
+        return pd.DataFrame(
+            rows, columns=["query_id", "vec_id", "cosine"]
+        ).astype({"query_id": "int64", "vec_id": "int64", "cosine": "float64"})
 
     out = (
         _read_emb(sf_dir)

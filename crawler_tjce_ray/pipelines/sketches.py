@@ -179,9 +179,11 @@ def q_cms_heavy_hitters(sf_dir: str):
     would be the bottleneck).  Estimates are one-sided
     (est ≥ true; est ≤ true + εN w.h.p.) — pinned in
     tests/test_sketches.py; rows-only for the driver."""
-    import ray.data as rd
+    from crawler_tjce_ray.pipelines.textops import _read_docs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    # block-split read (a bare read_parquet of the single-file table
+    # would land in ONE block and serialize the sketch stage)
+    ds = _read_docs(sf_dir, ["text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = (

@@ -576,3 +576,30 @@ class TestVectorKernelSweeps:
             assert got == want and got.as_tuple() == want.as_tuple(), v
             checked += 1
         assert checked > 50000
+
+    def test_scaleb_guard_near_2_53(self):
+        """Review regression: magnitudes in (2**46, 2**53) must NOT
+        take the scaleb fast path — fv*10/fv*100 rounds away from the
+        true integer there (9007199254740990.0 reproduced a silent
+        last-digit corruption)."""
+        from crawler_tjce_ray.dsr.decode import _build_money_fvd
+        from crawler_tjce_ray.dsr.decode import _clean_decimal_fast
+        from crawler_tjce_ray.dsr.decode import _format_str_cell
+
+        bad = ["9007199254740990", "9007199254740990.4",
+               "70368744177665.5", "140737488355328.2"]
+        ok = ["12345.67", "0.1", "70368744177663.9"]  # < 2**46
+        fvd, done = _build_money_fvd(bad + ok, "Decimal")
+        for i, s in enumerate(bad + ok):
+            want = _clean_decimal_fast(_format_str_cell(s, "Decimal"))
+            if done[i]:
+                got = fvd[i]
+                assert got == want and got.as_tuple() == want.as_tuple(), (
+                    s, got, want
+                )
+        # the known-bad magnitudes must have been left to the scalar
+        # path (done=False) or produced the exact spec value
+        for i in range(len(bad)):
+            if done[i]:
+                want = _clean_decimal_fast(_format_str_cell(bad[i], "Decimal"))
+                assert fvd[i].as_tuple() == want.as_tuple()
