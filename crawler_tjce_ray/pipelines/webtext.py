@@ -392,6 +392,114 @@ GROUP BY lang, p10 ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# C4-style line filter (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+LINE_MIN_WORDS = 3
+
+
+def q_line_filter(sf_dir: str):
+    """C4-style boilerplate scrub: drop lines with fewer than
+    ``LINE_MIN_WORDS`` words, reassemble the surviving lines in
+    original order.  Docs left with zero lines are dropped.
+
+    Per batch: split → ``explode`` (line index via groupby-cumcount)
+    → one vectorized regex count per line → filter → ``groupby`` +
+    join.  Stateless per doc; the corpus streams."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        ex = pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "line": df["text"].str.split("\n"),
+        }).explode("line", ignore_index=True)
+        ex["i"] = ex.groupby("doc_id").cumcount()
+        nwords = ex["line"].str.lower().str.count(WORD_RE)
+        kept = ex[nwords >= LINE_MIN_WORDS]
+        if kept.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_kept_lines": pd.Series([], dtype="int64"),
+                "clean_text": pd.Series([], dtype="string"),
+            })
+        g = kept.sort_values(["doc_id", "i"]).groupby("doc_id")
+        out = pd.DataFrame({
+            "n_kept_lines": g["line"].size().astype("int64"),
+            "clean_text": g["line"].agg("\n".join).astype("string"),
+        }).reset_index()
+        return out[["doc_id", "n_kept_lines", "clean_text"]]
+
+    out = ds.map_batches(scrub, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_LINE_FILTER = rf"""
+WITH s AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+), l AS (
+  SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM s
+), kept AS (
+  SELECT doc_id, i, ls[i] AS line FROM l
+  WHERE length(regexp_extract_all(lower(ls[i]), '{WORD_RE}')) >= {LINE_MIN_WORDS}
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_kept_lines,
+       string_agg(line, chr(10) ORDER BY i) AS clean_text
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source token share (mixture accounting)
+# ---------------------------------------------------------------------------
+
+def q_source_token_share(sf_dir: str):
+    """Training-mixture accounting: whitespace tokens per source and
+    each source's share of the corpus — the input to mixture
+    reweighting.  Per-batch (source, n_docs, n_tokens) partials; the
+    share divides by the driver-side total (tiny)."""
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.cast(
+            pc.count_substring_regex(t["text"], r"\S+"), pa.int64()
+        )
+        df = pd.DataFrame({
+            "source": t["source"].to_pandas(), "tok": toks.to_pandas()
+        })
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("tok", "size"), n_tokens=("tok", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas().groupby("source", as_index=False).sum()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    total = float(out["n_tokens"].sum())
+    out["token_share"] = out["n_tokens"].to_numpy(np.float64) / total
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_SOURCE_TOKEN_SHARE = r"""
+WITH d AS (
+  SELECT source,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok
+  FROM documents
+), g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS n_tokens
+  FROM d GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM g) AS token_share
+FROM g ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # unigram-LM scoring (perplexity-style quality signal)
 # ---------------------------------------------------------------------------
 
@@ -550,6 +658,8 @@ QUERIES = {
     "lang_median_chars": q_lang_median_chars,
     "char_entropy": q_char_entropy,
     "unigram_logprob": q_unigram_logprob,
+    "line_filter": q_line_filter,
+    "source_token_share": q_source_token_share,
     "repetition_stats": q_repetition_stats,
     "top_bigram_frac": q_top_bigram_frac,
     "decontaminate": q_decontaminate,
@@ -561,6 +671,8 @@ ORACLE_SQL = {
     "lang_median_chars": SQL_LANG_MEDIAN_CHARS,
     "char_entropy": SQL_CHAR_ENTROPY,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "line_filter": SQL_LINE_FILTER,
+    "source_token_share": SQL_SOURCE_TOKEN_SHARE,
     "repetition_stats": SQL_REPETITION_STATS,
     "top_bigram_frac": SQL_TOP_BIGRAM,
     "decontaminate": SQL_DECONTAMINATE,
