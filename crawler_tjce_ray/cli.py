@@ -54,6 +54,25 @@ def cmd_extract(args: argparse.Namespace) -> int:
             file=sys.stderr,
         )
         return 2
+    # validate post-query flags BEFORE any kind-specific early return:
+    # the entity list has no filterable/sortable fields, so silently
+    # ignoring the flags there would hide user errors
+    if args.kind != "precatorios" and any(
+        v is not None
+        for v in (args.ano_min, args.ano_max, args.valor_min, args.valor_max,
+                  args.natureza)
+    ):
+        print(
+            "error: --ano-min/--ano-max/--valor-min/--valor-max/--natureza "
+            "filter precatorio fields only",
+            file=sys.stderr,
+        )
+        return 2
+    if args.kind == "entities" and args.sort_by:
+        print("error: --sort-by does not apply to the entity list",
+              file=sys.stderr)
+        return 2
+
     _ensure_ray()
     corpus = args.corpus or _default_corpus()
 
@@ -115,13 +134,6 @@ def cmd_extract(args: argparse.Namespace) -> int:
         for v in (args.ano_min, args.ano_max, args.valor_min, args.valor_max,
                   args.natureza)
     )
-    if has_filters and args.kind != "precatorios":
-        print(
-            "error: --ano-min/--ano-max/--valor-min/--valor-max/--natureza "
-            "filter precatorio fields only",
-            file=sys.stderr,
-        )
-        return 2
     if has_filters:
         ds = apply_filters(
             ds, ano_min=args.ano_min, ano_max=args.ano_max,

@@ -665,9 +665,11 @@ def _decode_precatorios_columns_fast(
                 fvd = has_miss = None
                 fkey = fvd_cache = None
                 if memo is not None and vd is not None:
-                    try:  # whole-dict memo: full-content key, no
-                        # collision risk (tuple equality IS equality)
-                        fkey = (field, tuple(vd))
+                    try:  # whole-dict memo: the key carries each
+                        # entry's TYPE — 1 == 1.0 == True hash-equal
+                        # but format differently, so a value-only
+                        # tuple key would silently cross-contaminate
+                        fkey = (field, tuple((type(x), x) for x in vd))
                         fvd_cache = memo.setdefault("__fvd__", {})
                         hit = fvd_cache.get(fkey)
                         if hit is not None:
@@ -1189,7 +1191,9 @@ def _fill_positional_column(
         fvd = fkey = fvd_cache = None
         if memo is not None:
             try:
-                fkey = (ftype, tuple(vd))
+                # type-qualified entries: 1 == 1.0 == True hash-equal
+                # but _format_positional_value is type-sensitive
+                fkey = (ftype, tuple((type(x), x) for x in vd))
                 fvd_cache = memo.setdefault("__pos_fvd__", {})
                 fvd = fvd_cache.get(fkey)
             except TypeError:  # unhashable dict entry

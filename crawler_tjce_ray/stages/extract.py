@@ -19,12 +19,9 @@ from datetime import datetime
 
 import pyarrow as pa
 
-try:  # orjson parses the ~300 KB DSR envelopes ~4x faster; same values
-    import orjson
-
-    json_loads = orjson.loads
-except ImportError:  # pragma: no cover
-    json_loads = json.loads
+# orjson fast path with stdlib-exact fallback for big-int/NaN bodies
+# (orjson silently floats >64-bit ints and rejects NaN/Infinity)
+from crawler_tjce_ray.functions.jsonio import loads_exact as json_loads
 
 from crawler_tjce_ray.dsr.decode import (
     decode_editais_columns,

@@ -21,12 +21,9 @@ from __future__ import annotations
 import json
 import os
 
-try:  # fast parse of the ~300 KB DSR envelopes (same values)
-    import orjson
-
-    json_loads = orjson.loads
-except ImportError:  # pragma: no cover
-    json_loads = json.loads
+# orjson fast path with stdlib-exact fallback for big-int/NaN bodies
+# (orjson silently floats >64-bit ints and rejects NaN/Infinity)
+from crawler_tjce_ray.functions.jsonio import loads_exact as json_loads
 
 import numpy as np
 import pyarrow as pa

@@ -603,3 +603,72 @@ class TestVectorKernelSweeps:
             if done[i]:
                 want = _clean_decimal_fast(_format_str_cell(bad[i], "Decimal"))
                 assert fvd[i].as_tuple() == want.as_tuple()
+
+
+class TestMemoKeyTypeSensitivity:
+    """Review regression: 1 == 1.0 == True hash-equal, but the
+    formatters are type-sensitive — memo keys must carry entry types
+    or value-equal ValueDicts cross-contaminate across pages."""
+
+    def test_precatorios_fvd_memo_no_cross_type_contamination(self):
+        memo = {}
+        def page(dict_entries):
+            names = specs.PRECATORIO_SELECT_NAMES_PLAIN
+            return {"results": [{"result": {"data": {
+                "descriptor": {"Select": [
+                    {"Kind": 1, "Value": f"G{i}", "Name": nm}
+                    for i, nm in enumerate(names)
+                ]},
+                "dsr": {"DS": [{
+                    "ValueDicts": {"D2": dict_entries},
+                    "PH": [{"DM0": [
+                        {"S": [{"N": "G0", "T": 4}, {"N": "G1", "T": 4},
+                               {"N": "G2", "T": 1, "DN": "D2"},
+                               {"N": "G3", "T": 4}, {"N": "G4", "T": 4},
+                               {"N": "G5", "T": 4}, {"N": "G6", "T": 4},
+                               {"N": "G7", "T": 4}, {"N": "G8", "T": 4},
+                               {"N": "G9", "T": 4}],
+                         "C": ["p1", 2020, 0, "x", 1717171717171,
+                               "t", 1, "s", "c", "9.99"]},
+                    ]}],
+                }]},
+            }}}]}
+        # page 1 seeds the memo with the FLOAT entry; page 2's INT
+        # entry must not resolve through it
+        r1f, _ = decode_precatorios_columns(page([1.0]), 0, 2024, memo=memo)
+        r2i, _ = decode_precatorios_columns(page([1]), 0, 2024, memo=memo)
+        s1f, _ = decode_precatorios_page(page([1.0]), 0, 2024)
+        s2i, _ = decode_precatorios_page(page([1]), 0, 2024)
+        for f in specs.PRECATORIO_CSV_FIELDS:
+            assert list(r1f[f]) == [r[f] for r in s1f], f
+            assert list(r2i[f]) == [r[f] for r in s2i], f
+
+    def test_positional_fvd_memo_no_cross_type_contamination(self):
+        from crawler_tjce_ray.dsr.decode import (
+            decode_pagamentos_columns, decode_pagamentos_page,
+        )
+
+        memo = {}
+        def page(entry):
+            n = len(specs.PAGAMENTO_FIELDS)
+            s = [{"N": f"G{i}", "T": 4} for i in range(n)]
+            # column 2 (a str-typed field) dictionary-encoded
+            s[2] = {"N": "G2", "T": 1, "DN": "D2"}
+            base = {"S": s, "C": [0] * n}
+            delta = {"R": 0, "C": [0] * n}
+            return {"results": [{"result": {"data": {
+                "descriptor": {"Select": []},
+                "dsr": {"DS": [{
+                    "ValueDicts": {"D2": [entry]},
+                    "PH": [{"DM0": [{"S": s}, base, delta]}],
+                }]},
+            }}}]}
+        for e1, e2 in [(1.0, 1), (True, 1), (1, 1.0)]:
+            memo.clear()
+            m1 = decode_pagamentos_columns(page(e1), 0, memo=memo)
+            m2 = decode_pagamentos_columns(page(e2), 0, memo=memo)
+            s1 = decode_pagamentos_page(page(e1), 0)
+            s2 = decode_pagamentos_page(page(e2), 0)
+            for f in ["ordem"] + specs.PAGAMENTO_CSV_FIELDS:
+                assert list(m1[f]) == [r.get(f) for r in s1], (e1, f)
+                assert list(m2[f]) == [r.get(f) for r in s2], (e1, e2, f)
