@@ -721,8 +721,84 @@ def q_dedup_clusters_distributed(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dedup_paragraphs(sf_dir: str):
+    """Paragraph-level exact dedup across the corpus: each distinct
+    paragraph (newline-delimited) survives only at its GLOBAL first
+    occurrence — ordered by (doc_id, position) — and every document
+    reassembles from its surviving paragraphs (docs left empty drop).
+    The classic boilerplate-paragraph removal pass of a webtext
+    pipeline.
+
+    Fully distributed, zero driver state: (1) explode paragraphs with
+    positions; (2) ONE shuffle on 64 paragraph-hash buckets — every
+    occurrence of a paragraph lands in the same bucket, so the winner
+    (min (doc_id, position)) is decided in-bucket with a vectorized
+    sort + drop_duplicates, no join; (3) ONE shuffle on 64 doc-id
+    buckets to reassemble each document's survivors in order."""
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ex = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "para": df["text"].str.split("\n"),
+        }).explode("para", ignore_index=True)
+        ex["i"] = (ex.groupby("doc_id").cumcount() + 1).astype("int64")
+        # deterministic cross-process hash (pandas siphash, fixed key)
+        ex["kb"] = (
+            pd.util.hash_array(ex["para"].to_numpy(object)) % 64
+        ).astype("int64")
+        return ex
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["para", "doc_id", "i"], kind="mergesort")
+        return g.drop_duplicates("para")[["doc_id", "i", "para"]]
+
+    def bucket_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["db"] = (df["doc_id"] % 64).astype("int64")
+        return df
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "i"], kind="mergesort")
+        gg = g.groupby("doc_id")
+        out = pd.DataFrame({
+            "n_kept": gg["para"].size().astype("int64"),
+            "text_deduped": gg["para"].agg("\n".join),
+        }).reset_index()
+        return out[["doc_id", "n_kept", "text_deduped"]]
+
+    out = (
+        docs.map_batches(explode, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(keep_first, batch_format="pandas")
+        .map_batches(bucket_doc, batch_format="pandas")
+        .groupby("db")
+        .map_groups(reassemble, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DEDUP_PARAGRAPHS = """
+WITH s AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ps FROM documents
+), p AS (
+  SELECT doc_id, i, ps[i] AS para
+  FROM (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i FROM s)
+), r AS (
+  SELECT doc_id, i, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, i) AS rn
+  FROM p
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       string_agg(para, chr(10) ORDER BY i) AS text_deduped
+FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_distributed": q_dedup_clusters_distributed,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -733,6 +809,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_clusters_distributed": SQL_DEDUP_CLUSTERS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
