@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "pii_redact",
     "repetition_stats",
     "decontaminate",
+    "line_filter",
+    "dedup_paragraphs",
 ]
 
 
