@@ -1226,6 +1226,134 @@ ORDER BY o_orderpriority, l_returnflag
 """
 
 
+def q_rollup_revenue(sf_dir: str):
+    """ROLLUP aggregation: revenue at (returnflag, linestatus), per
+    returnflag, and grand total in one result.  Only the finest level
+    is computed distributed (the usual per-batch combiner); the
+    super-aggregate levels derive from those few rows driver-side —
+    rollups never rescan the fact table."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rev=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            revenue=("rev", "sum"), n_items=("rev", "size")
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+    )
+    lvl1 = fine.groupby("l_returnflag", as_index=False).agg(
+        revenue=("revenue", "sum"), n_items=("n_items", "sum")
+    )
+    lvl1["l_linestatus"] = None
+    total = pd.DataFrame({
+        "l_returnflag": [None], "l_linestatus": [None],
+        "revenue": [fine["revenue"].sum()], "n_items": [fine["n_items"].sum()],
+    })
+    out = pd.concat([fine, lvl1, total], ignore_index=True)
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    out = out[["l_returnflag", "l_linestatus", "revenue", "n_items"]]
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], na_position="last"
+    ).reset_index(drop=True)
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+"""
+
+
+def q_pivot_status(sf_dir: str):
+    """Pivot (conditional aggregation): orders counted per priority
+    with one column per order status.  Statuses are a tiny CLOSED set,
+    so the pivot is per-batch conditional counts — the combiner
+    carries |priorities| × |statuses| partials, no shuffle."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    statuses = ["F", "O", "P"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", as_index=False)
+        out = g.size().rename(columns={"size": "n_total"})
+        for s in statuses:
+            cnt = (
+                df[df["o_orderstatus"] == s]
+                .groupby("o_orderpriority", as_index=False).size()
+                .rename(columns={"size": f"n_{s}"})
+            )
+            out = out.merge(cnt, on="o_orderpriority", how="left")
+        return out.fillna(0)
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas().groupby("o_orderpriority", as_index=False).sum()
+    )
+    for c in ["n_total"] + [f"n_{s}" for s in statuses]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_PIVOT_STATUS = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_F,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_O,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_P
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_chars_percent_rank(sf_dir: str):
+    """PERCENT_RANK over the whole corpus WITHOUT a global sort: the
+    integer ``n_chars`` column reduces to a value-count histogram
+    (per-batch partials, O(distinct values) driver state), the exact
+    min-rank CDF broadcasts, and a second vectorized pass maps every
+    doc — the distributed recipe for rank-style windows on
+    low-cardinality keys."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def val_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_chars", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    hist = (
+        ds.map_batches(val_counts, batch_format="pandas")
+        .to_pandas().groupby("n_chars", as_index=False).sum()
+        .sort_values("n_chars").reset_index(drop=True)
+    )
+    total = int(hist["n"].sum())
+    # SQL PERCENT_RANK = (rank - 1) / (n - 1), ties share the min rank
+    hist["rank_min"] = hist["n"].cumsum().shift(fill_value=0) + 1
+    pr = dict(zip(
+        hist["n_chars"],
+        (hist["rank_min"].to_numpy(np.float64) - 1.0) / max(total - 1, 1),
+    ))
+
+    def rank_map(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "pct_rank": df["n_chars"].map(pr).astype("float64"),
+        })
+
+    out = ds.map_batches(rank_map, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_CHARS_PERCENT_RANK = """
+SELECT doc_id, PERCENT_RANK() OVER (ORDER BY n_chars) AS pct_rank
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_zscore_events(sf_dir: str):
     """Group-wise normalization (feature scaling): z-score each event's
     value within its event_type.  Two streaming passes: per-batch
@@ -1458,6 +1586,9 @@ QUERIES = {
     "hash_join_big": q_hash_join_big,
     "left_join_counts": q_left_join_counts,
     "zscore_events": q_zscore_events,
+    "rollup_revenue": q_rollup_revenue,
+    "pivot_status": q_pivot_status,
+    "chars_percent_rank": q_chars_percent_rank,
     "running_total": q_running_total,
     "order_gap_days": q_order_gap_days,
 }
@@ -1496,6 +1627,9 @@ ORACLE_SQL = {
     "hash_join_big": SQL_HASH_JOIN_BIG,
     "left_join_counts": SQL_LEFT_JOIN_COUNTS,
     "zscore_events": SQL_ZSCORE_EVENTS,
+    "rollup_revenue": SQL_ROLLUP_REVENUE,
+    "pivot_status": SQL_PIVOT_STATUS,
+    "chars_percent_rank": SQL_CHARS_PERCENT_RANK,
     "running_total": SQL_RUNNING_TOTAL,
     "order_gap_days": SQL_ORDER_GAP_DAYS,
 }
