@@ -164,3 +164,41 @@ class TestDateKernels:
         from crawler_tjce_ray.functions.dates import format_date_value
 
         assert format_date_value(str(x)) == ""
+
+
+class TestMoneyFvdProperty:
+    """The vectorized ValueDict money finalizer must agree with the
+    scalar spec chain on ARBITRARY strings: wherever it claims an
+    entry done, the value must be digit-exact; undone entries are the
+    scalar path's job by construction."""
+
+    money_str = st.one_of(
+        st.integers(0, 10**13).map(lambda c: f"{Decimal(c) / 100:,.2f}"),
+        st.integers(0, 10**13).map(
+            lambda c: f"R$ {Decimal(c) / 100:,.2f}".replace(
+                ",", "@").replace(".", ",").replace("@", ".")
+        ),
+        st.integers(-10**14, 10**14).map(str),
+        st.floats(allow_nan=False, allow_infinity=False,
+                  min_value=-1e15, max_value=1e15).map(str),
+        st.text(alphabet="0123456789.,-R$ eE", max_size=24),
+        st.sampled_from(["", "-", "none", "None", " NaN ", "inf",
+                         "1_000", "+5", ".5", "5."]),
+    )
+
+    @given(st.lists(money_str, min_size=1, max_size=12))
+    @settings(max_examples=400, deadline=None)
+    def test_done_entries_match_scalar_chain(self, vd):
+        from crawler_tjce_ray.dsr.decode import (
+            _build_money_fvd, _clean_decimal_fast, _format_str_cell,
+        )
+
+        fvd, done = _build_money_fvd(vd, "Decimal")
+        for i, dv in enumerate(vd):
+            if not done[i]:
+                continue
+            want = _clean_decimal_fast(_format_str_cell(dv, "Decimal"))
+            got = fvd[i]
+            assert got == want and got.as_tuple() == want.as_tuple(), (
+                dv, got, want
+            )
