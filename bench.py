@@ -125,12 +125,12 @@ def run_headline(workdir: str, num_cpus: int, scaling_mode: bool = False) -> dic
         fetch_concurrency=max(2, n_actors),
         fetch_batch_size=64,
     )
-    # best-of-2: full-machine runs vary up to ~1.7x with hypervisor
-    # co-tenants (identical config measures 870-1460 urls/s back to
-    # back); noise only SUBTRACTS capacity, so max-over-reps is the
+    # best-of-3: full-machine runs vary up to ~2x with hypervisor
+    # co-tenants (identical config measures 526-1460 urls/s across a
+    # day); noise only SUBTRACTS capacity, so max-over-reps is the
     # unbiased capability estimate (same rationale as --scaling's
     # best-of-3 per level)
-    reps = 1 if scaling_mode else 2
+    reps = 1 if scaling_mode else 3
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
