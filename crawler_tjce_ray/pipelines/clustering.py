@@ -1,0 +1,170 @@
+"""Distributed spherical k-means over the embeddings table.
+
+Lloyd's iterations expressed Ray-Data-first: each iteration is ONE
+streaming pass over the corpus — ``map_batches`` assigns every vector
+to its nearest centroid against a broadcast centroid matrix (one
+matmul per batch) and emits per-centroid partials ``(cluster_id, n,
+inertia, sum-vector)``; the driver reduces the tiny ``O(blocks × k)``
+partial table and re-normalizes the means into the next centroid set.
+The corpus itself never shuffles and never materializes — the only
+data crossing the object store per pass is ``blocks × k × (d + 2)``
+floats, independent of corpus size.
+
+Scale notes (100 TB): the pass count is the cost knob — this runs a
+fixed ``ITERS`` full passes, which is the honest streaming form; at
+corpus scale switch to mini-batch k-means (same partial shape over a
+deterministic sample per round) or cache the normalized matrix column
+once via ``materialize()`` when aggregate cluster memory allows.
+Trained centroids are what a production IVF index would use in place
+of ``similarity._centroids``'s strided sample (kept there for
+determinism of the pinned recall tests).
+
+Determinism: float summation order is fixed by canonically sorting
+the partial rows before the driver reduce, so two runs over the same
+corpus produce bit-identical centroids regardless of Ray's block
+arrival order.
+
+Reference parity: the reference engine has no clustering stage — this
+is one of the beyond-reference LLM-data-pipeline operators (embedding
+clustering for semantic dedup / corpus mixing, SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from crawler_tjce_ray.pipelines.similarity import _read_emb
+
+KMEANS_K = 8
+KMEANS_ITERS = 6
+
+
+def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
+    """Deterministic init: every (n//k)-th vector by vec_id, read via
+    parquet row filters (never the whole table), L2-normalized."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    step = max(1, n // k)
+    wanted = list(range(0, n, step))[:k]
+    t = (
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+            filters=[("vec_id", "in", wanted)],
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(k)
+    )
+    c = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _assign_partials(df: pd.DataFrame, cents: np.ndarray) -> pd.DataFrame:
+    """Per-batch partials: one row per centroid present in the batch —
+    ``(cluster_id, n, inertia, s0..s{d-1})``.  Assignment is a single
+    matmul; inertia is Σ(1 − cos) over the batch's members."""
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ cents.T                       # B × k
+    cell = sims.argmax(axis=1)
+    k, d = cents.shape
+    rows = []
+    for c in np.unique(cell):
+        m = cell == c
+        rows.append(
+            {
+                "cluster_id": int(c),
+                "n": int(m.sum()),
+                "inertia": float((1.0 - sims[m, c]).sum()),
+                **{f"s{j}": v for j, v in enumerate(mat[m].sum(axis=0))},
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _reduce_partials(parts: pd.DataFrame, cents: np.ndarray):
+    """Driver reduce of the tiny partial table.  Rows are canonically
+    sorted first so float summation order (and thus the next centroid
+    set) is bit-identical across runs; empty clusters keep their
+    previous centroid."""
+    k, d = cents.shape
+    scols = [f"s{j}" for j in range(d)]
+    parts = parts.sort_values(["cluster_id", "n", "inertia", *scols], kind="mergesort")
+    g = parts.groupby("cluster_id", sort=True).sum()
+    nxt = cents.copy()
+    sizes = np.zeros(k, dtype=np.int64)
+    inertia = 0.0
+    for cid, row in g.iterrows():
+        sizes[int(cid)] = int(row["n"])
+        inertia += float(row["inertia"])
+        mean = row[scols].to_numpy(dtype=np.float64)
+        norm = np.linalg.norm(mean)
+        if norm > 0:
+            nxt[int(cid)] = mean / norm
+    return nxt, sizes, inertia
+
+
+def train_kmeans(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """Run ``iters`` Lloyd's passes; returns ``(centroids, sizes,
+    inertia_history)``.  ``inertia_history[i]`` is the corpus inertia
+    measured AGAINST the centroids of pass ``i`` (so it is
+    non-increasing for spherical k-means up to float round-off)."""
+    import ray
+
+    cents = _init_centroids(sf_dir, k)
+    history = []
+    sizes = np.zeros(k, dtype=np.int64)
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            return _assign_partials(df, ray.get(_ref))
+
+        parts = (
+            _read_emb(sf_dir)
+            .map_batches(partial, batch_format="pandas")
+            .to_pandas()
+        )
+        cents, sizes, inertia = _reduce_partials(parts, cents)
+        history.append(inertia)
+    return cents, sizes, history
+
+
+def q_kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Per-cluster summary of the trained spherical k-means model:
+    ``(cluster_id, size, inertia)`` with inertia from the FINAL
+    assignment pass (one extra streaming pass against the trained
+    centroids).  Iterative and approximate → no SQL oracle
+    (rows-only); convergence, determinism, and local-Lloyd's
+    equivalence are pinned in tests/test_clustering.py."""
+    import ray
+
+    cents, _, _ = train_kmeans(sf_dir)
+    ref = ray.put(cents)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return _assign_partials(df, ray.get(ref))
+
+    parts = (
+        _read_emb(sf_dir).map_batches(partial, batch_format="pandas").to_pandas()
+    )
+    scols = [c for c in parts.columns if c.startswith("s")]
+    parts = parts.sort_values(["cluster_id", "n", "inertia", *scols], kind="mergesort")
+    g = (
+        parts.groupby("cluster_id", sort=True)
+        .agg(size=("n", "sum"), inertia=("inertia", "sum"))
+        .reset_index()
+    )
+    g["cluster_id"] = g["cluster_id"].astype("int64")
+    g["size"] = g["size"].astype("int64")
+    g["inertia"] = g["inertia"].round(6)
+    return g.sort_values("cluster_id").reset_index(drop=True)
+
+
+QUERIES = {
+    "kmeans_embeddings": q_kmeans_embeddings,
+}
+
+ORACLE_SQL: dict[str, str] = {}

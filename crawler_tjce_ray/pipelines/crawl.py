@@ -63,6 +63,7 @@ from crawler_tjce_ray.stages.fetch import (
 )
 from crawler_tjce_ray.stages.seen import ShardedSeenSet
 from crawler_tjce_ray.state.frontier import (
+    assert_frontier_unique,
     canonicalize_url,
     make_frontier_rows,
     select_wave,
@@ -291,10 +292,7 @@ def run_crawl(
             # duplicate keys would silently drop rows (the pandas path
             # defers by row index) — enforce the uniqueness invariant
             # the frontier-update code maintains
-            if not frontier["url_key"].is_unique:
-                raise AssertionError(
-                    "frontier url_key uniqueness invariant violated"
-                )
+            assert_frontier_unique(frontier)
             selected, deferred_ds = select_wave_distributed(
                 rd.from_pandas(frontier.reset_index(drop=True)),
                 wave, cfg.wave_size, cfg.per_host_budget,

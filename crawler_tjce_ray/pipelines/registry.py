@@ -149,7 +149,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     out["crawl_metrics"] = q_crawl_metrics
 
     from crawler_tjce_ray.pipelines import (
-        dedup, relational, similarity, sketches, textops, webtext,
+        clustering, dedup, relational, similarity, sketches, textops, webtext,
     )
     from crawler_tjce_ray.stages import multimodal
 
@@ -160,12 +160,13 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     out.update(webtext.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(sketches.QUERIES)
+    out.update(clustering.QUERIES)
     return out
 
 
 def build_oracle_sql() -> dict[str, str]:
     from crawler_tjce_ray.pipelines import (
-        dedup, relational, similarity, sketches, textops, webtext,
+        clustering, dedup, relational, similarity, sketches, textops, webtext,
     )
 
     sql = dict(relational.ORACLE_SQL)
@@ -174,4 +175,5 @@ def build_oracle_sql() -> dict[str, str]:
     sql.update(textops.ORACLE_SQL)
     sql.update(webtext.ORACLE_SQL)
     sql.update(sketches.ORACLE_SQL)
+    sql.update(clustering.ORACLE_SQL)
     return sql

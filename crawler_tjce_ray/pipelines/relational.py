@@ -1552,6 +1552,126 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+def q_corr_qty_price(sf_dir: str):
+    """Distributed Pearson correlation / population covariance /
+    stddevs of (l_quantity, l_extendedprice) — the two-streaming-pass
+    moment recipe (same family as ``bm25_score``'s df pass): pass 1
+    reduces per-batch ``(n, Σx, Σy)`` partials to the global means;
+    pass 2 sums CENTERED second moments against the broadcast means.
+    Centering first avoids the ``nΣxy − ΣxΣy`` catastrophic
+    cancellation of the one-pass formula, so the result agrees with
+    DuckDB's two-pass aggregates to well past the rounded 6 decimals.
+    Values never shuffle; each pass ships ``O(blocks × 4)`` floats."""
+    import ray
+
+    cols = ["l_quantity", "l_extendedprice"]
+
+    def p1(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy(dtype=np.float64)
+        y = df["l_extendedprice"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {"n": [float(len(x))], "sx": [x.sum()], "sy": [y.sum()]}
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", columns=cols)
+        .map_batches(p1, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["n", "sx", "sy"], kind="mergesort")
+    )
+    n = parts["n"].sum()
+    mx, my = parts["sx"].sum() / n, parts["sy"].sum() / n
+    ref = ray.put((mx, my))
+
+    def p2(df: pd.DataFrame) -> pd.DataFrame:
+        cx, cy = ray.get(ref)
+        x = df["l_quantity"].to_numpy(dtype=np.float64) - cx
+        y = df["l_extendedprice"].to_numpy(dtype=np.float64) - cy
+        return pd.DataFrame(
+            {"sxx": [(x * x).sum()], "syy": [(y * y).sum()], "sxy": [(x * y).sum()]}
+        )
+
+    m = (
+        _read(sf_dir, "lineitem", columns=cols)
+        .map_batches(p2, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["sxx", "syy", "sxy"], kind="mergesort")
+        .sum()
+    )
+    return pd.DataFrame(
+        {
+            "n_rows": [int(n)],
+            "corr_qp": [round(m["sxy"] / np.sqrt(m["sxx"] * m["syy"]), 6)],
+            "covar_pop_qp": [round(m["sxy"] / n, 6)],
+            "stddev_pop_q": [round(np.sqrt(m["sxx"] / n), 6)],
+            "stddev_pop_p": [round(np.sqrt(m["syy"] / n), 6)],
+        }
+    )
+
+
+SQL_CORR_QTY_PRICE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+       round(covar_pop(l_quantity, l_extendedprice), 6) AS covar_pop_qp,
+       round(stddev_pop(l_quantity), 6) AS stddev_pop_q,
+       round(stddev_pop(l_extendedprice), 6) AS stddev_pop_p
+FROM lineitem
+"""
+
+
+def q_mode_qty_per_flag(sf_dir: str):
+    """Group-wise MODE with a deterministic min-value tie-break:
+    the most frequent l_quantity per l_returnflag.  Per-batch
+    ``(flag, qty, count)`` partials combine on the driver (the key
+    space is |flags| × |distinct qty| ≈ tiny, independent of row
+    count — the same combiner discipline as ``token_histogram``);
+    the raw rows never shuffle.  Exact integer counts → exact
+    oracle."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["l_returnflag", "l_quantity"], as_index=False)
+            .agg(c=("l_quantity", "size"))
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["l_returnflag", "l_quantity"], as_index=False)["c"]
+        .sum()
+    )
+    # min-qty among max-count ties, per flag (deterministic)
+    parts = parts.sort_values(
+        ["l_returnflag", "c", "l_quantity"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    out = parts.groupby("l_returnflag", as_index=False).first()
+    return pd.DataFrame(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "mode_qty": out["l_quantity"].round(2),
+            "mode_count": out["c"].astype("int64"),
+        }
+    ).sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_MODE_QTY_PER_FLAG = """
+SELECT l_returnflag,
+       round(MIN(l_quantity), 2) AS mode_qty,
+       CAST(MAX(c) AS BIGINT) AS mode_count
+FROM (
+  SELECT l_returnflag, l_quantity,
+         COUNT(*) AS c,
+         MAX(COUNT(*)) OVER (PARTITION BY l_returnflag) AS mx
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+)
+WHERE c = mx
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "groupby_count": q_groupby_count,
@@ -1591,6 +1711,8 @@ QUERIES = {
     "chars_percent_rank": q_chars_percent_rank,
     "running_total": q_running_total,
     "order_gap_days": q_order_gap_days,
+    "corr_qty_price": q_corr_qty_price,
+    "mode_qty_per_flag": q_mode_qty_per_flag,
 }
 
 ORACLE_SQL = {
@@ -1632,4 +1754,6 @@ ORACLE_SQL = {
     "chars_percent_rank": SQL_CHARS_PERCENT_RANK,
     "running_total": SQL_RUNNING_TOTAL,
     "order_gap_days": SQL_ORDER_GAP_DAYS,
+    "corr_qty_price": SQL_CORR_QTY_PRICE,
+    "mode_qty_per_flag": SQL_MODE_QTY_PER_FLAG,
 }

@@ -26,6 +26,20 @@ FRONTIER_COLUMNS = [
 ]
 
 
+def assert_frontier_unique(frontier: pd.DataFrame) -> None:
+    """Enforce the frontier's url_key-uniqueness invariant.
+
+    ``select_wave_distributed`` defers by url_key SET membership while
+    the pandas ``select_wave`` defers by row index: if duplicate
+    url_key rows ever coexisted, the distributed path would silently
+    drop the non-selected duplicate and the two paths would diverge.
+    The frontier-update code maintains uniqueness (seen-filter +
+    within-wave outlink dedup + pending-url anti-join), so a duplicate
+    here means corrupted state — fail loudly before selection."""
+    if not frontier["url_key"].is_unique:
+        raise AssertionError("frontier url_key uniqueness invariant violated")
+
+
 def canonicalize_url(url: str) -> str:
     """Lowercase scheme/host, drop fragments and default ports, strip
     trailing slashes on paths, collapse empty query (the M8

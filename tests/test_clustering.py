@@ -1,0 +1,90 @@
+"""Distributed spherical k-means: convergence, determinism, and
+equivalence with a single-machine Lloyd's reference."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from crawler_tjce_ray.pipelines.clustering import (
+    KMEANS_ITERS,
+    KMEANS_K,
+    _init_centroids,
+    q_kmeans_embeddings,
+    train_kmeans,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _local_lloyds(sf_dir: str, k: int, iters: int):
+    """Driver-side reference: identical init, plain numpy Lloyd's."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cents = _init_centroids(sf_dir, k)
+    history = []
+    sizes = None
+    for _ in range(iters):
+        sims = mat @ cents.T
+        cell = sims.argmax(axis=1)
+        history.append(float((1.0 - sims[np.arange(len(mat)), cell]).sum()))
+        nxt = cents.copy()
+        sizes = np.zeros(k, dtype=np.int64)
+        for c in range(k):
+            m = cell == c
+            sizes[c] = int(m.sum())
+            if m.any():
+                mean = mat[m].sum(axis=0)
+                nxt[c] = mean / np.linalg.norm(mean)
+        cents = nxt
+    return cents, sizes, history
+
+
+@pytest.fixture(scope="module")
+def trained(ray_session):
+    return train_kmeans(SF, KMEANS_K, KMEANS_ITERS)
+
+
+def test_inertia_monotone_nonincreasing(trained):
+    _, _, history = trained
+    assert len(history) == KMEANS_ITERS
+    for a, b in zip(history, history[1:]):
+        assert b <= a + 1e-9
+    # and training actually helped (strict improvement over init)
+    assert history[-1] < history[0]
+
+
+def test_sizes_cover_corpus(trained):
+    _, sizes, _ = trained
+    n = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    assert sizes.sum() == n
+    # the synthetic embeddings are label-clustered: no empty clusters
+    assert (sizes > 0).all()
+
+
+def test_matches_local_lloyds(trained):
+    cents, sizes, history = trained
+    lc, ls, lh = _local_lloyds(SF, KMEANS_K, KMEANS_ITERS)
+    np.testing.assert_allclose(cents, lc, rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(sizes, ls)
+    np.testing.assert_allclose(history, lh, rtol=1e-9)
+
+
+def test_deterministic_across_runs(ray_session, trained):
+    c1, s1, h1 = trained
+    c2, s2, h2 = train_kmeans(SF, KMEANS_K, KMEANS_ITERS)
+    # canonical partial-sort makes the reduce order fixed → bit-identical
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(s1, s2)
+    assert h1 == h2
+
+
+def test_query_summary_shape(ray_session):
+    out = q_kmeans_embeddings(SF)
+    assert list(out.columns) == ["cluster_id", "size", "inertia"]
+    assert out["size"].sum() == pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    assert (out["inertia"] >= 0).all()
+    assert out["cluster_id"].is_monotonic_increasing
+    out2 = q_kmeans_embeddings(SF)
+    pd.testing.assert_frame_equal(out, out2)

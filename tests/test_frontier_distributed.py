@@ -70,3 +70,16 @@ def test_crawl_identical_through_distributed_route(tmp_path):
     pd.testing.assert_frame_equal(
         r_pd.trace.reset_index(drop=True), r_rd.trace.reset_index(drop=True)
     )
+
+
+def test_frontier_uniqueness_guard():
+    """The distributed defer filters by url_key membership; duplicate
+    keys would silently drop the non-selected duplicate, so the crawl
+    loop's pre-selection guard must fail loudly on corrupted state."""
+    from crawler_tjce_ray.state.frontier import assert_frontier_unique
+
+    f = _skewed_frontier(50)
+    assert_frontier_unique(f)  # unique frontier passes
+    dup = pd.concat([f, f.iloc[[3]]], ignore_index=True)
+    with pytest.raises(AssertionError, match="uniqueness invariant"):
+        assert_frontier_unique(dup)
