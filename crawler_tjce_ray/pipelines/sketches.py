@@ -210,8 +210,85 @@ def q_cms_heavy_hitters(sf_dir: str):
     return out.head(CMS_TOPK).reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# mergeable quantile summary (the value_quantiles scale path)
+# ---------------------------------------------------------------------------
+
+QSK_K = 256  # order statistics kept per (block, group)
+
+
+def quantile_summary(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One block's summary: ``QSK_K`` evenly spaced order statistics,
+    each carrying weight ``n/K`` (all values with weight 1 when the
+    block is smaller than K).  Deterministic — no random compaction.
+
+    Error bound: within one block the rank of any value is known to
+    ±n_b/(2K); rank errors add across blocks, so a merged estimate
+    over N total rows is within ±N/(2K) ranks of exact — a fixed
+    ε = 1/(2K) RANK error, independent of value distribution and of
+    how rows were split into blocks.  The shuffle carries
+    O(blocks × K) pairs no matter the corpus size."""
+    v = np.sort(values.astype(np.float64))
+    n = len(v)
+    if n <= QSK_K:
+        return v, np.ones(n, dtype=np.float64)
+    pos = ((np.arange(QSK_K) + 0.5) * n / QSK_K).astype(np.int64)
+    return v[pos], np.full(QSK_K, n / QSK_K)
+
+
+def quantile_summary_query(summary_v: np.ndarray, summary_w: np.ndarray,
+                           qs: list[float]) -> list[float]:
+    """Weighted-quantile lookup over merged (value, weight) pairs."""
+    order = np.argsort(summary_v, kind="mergesort")
+    v, w = summary_v[order], summary_w[order]
+    cw = np.cumsum(w)
+    total = cw[-1]
+    out = []
+    for q in qs:
+        i = int(np.searchsorted(cw, q * total, side="left"))
+        out.append(float(v[min(i, len(v) - 1)]))
+    return out
+
+
+def q_approx_value_quantiles(sf_dir: str):
+    """Approximate per-group quantiles via the mergeable summary —
+    the 100-TB form of ``value_quantiles``: per-batch ``groupby`` →
+    K weighted order statistics per (block, event_type); the merge
+    is a concat + one weighted-quantile pass over O(blocks × K)
+    pairs on the driver.  Raw values never shuffle.  Rows-only
+    (estimates are not SQL-equal); the ε = 1/(2K) rank bound vs the
+    exact quantiles is pinned in tests/test_sketches.py."""
+    ds = _read_events(sf_dir, ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for t, g in df.groupby("event_type", sort=True):
+            v, w = quantile_summary(g["value"].to_numpy())
+            outs.append(pd.DataFrame({"event_type": t, "v": v, "w": w}))
+        if not outs:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "v": pd.Series([], dtype=np.float64),
+                "w": pd.Series([], dtype=np.float64),
+            })
+        return pd.concat(outs, ignore_index=True)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rows = []
+    for t, g in parts.groupby("event_type", sort=True):
+        est = quantile_summary_query(
+            g["v"].to_numpy(), g["w"].to_numpy(), QUANTILES
+        )
+        rows.append({
+            "event_type": t,
+            **{f"p{int(q * 100)}": round(e, 6) for q, e in zip(QUANTILES, est)},
+        })
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
 QUERIES = {
     "value_quantiles": q_value_quantiles,
+    "approx_value_quantiles": q_approx_value_quantiles,
     "approx_distinct_users": q_approx_distinct_users,
     "cms_heavy_hitters": q_cms_heavy_hitters,
 }

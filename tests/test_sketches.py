@@ -140,3 +140,71 @@ class TestCMSQuery:
         assert set(exact.head(5).index) <= set(top.index)
         # deterministic
         pd.testing.assert_frame_equal(out, q_cms_heavy_hitters(SF_DIR))
+
+
+class TestQuantileSummaryKernel:
+    def test_rank_error_bound(self):
+        from crawler_tjce_ray.pipelines.sketches import (
+            QSK_K, quantile_summary, quantile_summary_query,
+        )
+
+        rng = np.random.RandomState(11)
+        data = rng.lognormal(0, 2, size=40_000)
+        # simulate arbitrary block splits, merge the per-block summaries
+        splits = np.array_split(data, 13)
+        vs, ws = [], []
+        for blk in splits:
+            v, w = quantile_summary(blk)
+            vs.append(v)
+            ws.append(w)
+        v, w = np.concatenate(vs), np.concatenate(ws)
+        exact = np.sort(data)
+        n = len(exact)
+        for q in (0.05, 0.5, 0.9, 0.99):
+            (est,) = quantile_summary_query(v, w, [q])
+            lo = np.searchsorted(exact, est, side="left")
+            hi = np.searchsorted(exact, est, side="right")
+            eps = 1.0 / (2 * QSK_K)
+            assert lo - n * eps <= q * n <= hi + n * eps, (q, est)
+
+    def test_small_block_exact(self):
+        from crawler_tjce_ray.pipelines.sketches import (
+            quantile_summary, quantile_summary_query,
+        )
+
+        data = np.arange(100, dtype=np.float64)
+        v, w = quantile_summary(data)
+        assert (w == 1.0).all() and len(v) == 100  # below K -> lossless
+        (med,) = quantile_summary_query(v, w, [0.5])
+        assert med == np.sort(data)[49]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestApproxQuantilesQuery:
+    def test_close_to_exact_and_deterministic(self):
+        from crawler_tjce_ray.pipelines.sketches import (
+            QSK_K, QUANTILES, q_approx_value_quantiles,
+        )
+
+        out = q_approx_value_quantiles(SF_DIR)
+        out2 = q_approx_value_quantiles(SF_DIR)
+        pd.testing.assert_frame_equal(out, out2)  # deterministic
+
+        ev = pq.read_table(
+            f"{SF_DIR}/events.parquet", columns=["event_type", "value"]
+        ).to_pandas()
+        eps = 1.0 / (2 * QSK_K)
+        for _, row in out.iterrows():
+            g = np.sort(
+                ev.loc[ev["event_type"] == row["event_type"], "value"].to_numpy()
+            )
+            n = len(g)
+            for q in QUANTILES:
+                est = row[f"p{int(q * 100)}"]
+                lo = np.searchsorted(g, est, side="left")
+                hi = np.searchsorted(g, est, side="right")
+                # blocks at sf0.001 are small -> generous 4x slack on
+                # the per-block midpoint rounding
+                assert lo - n * 4 * eps - 1 <= q * n <= hi + n * 4 * eps + 1, (
+                    row["event_type"], q, est,
+                )
