@@ -1552,6 +1552,158 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+_BLOOM_M = 1 << 17   # bits per filter (16 KiB packed)
+_BLOOM_K = 4         # probes per key (double hashing)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixing constants)
+    — deterministic across processes, unlike Python's salted hash."""
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(k, n) bit positions via double hashing h1 + i·h2 mod m."""
+    u = keys.astype(np.uint64)
+    h1 = _splitmix64(u)
+    h2 = _splitmix64(u ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    with np.errstate(over="ignore"):
+        return np.stack([
+            ((h1 + np.uint64(i) * h2) % np.uint64(_BLOOM_M)).astype(np.int64)
+            for i in range(_BLOOM_K)
+        ])
+
+
+def _bloom_build(keys: np.ndarray) -> np.ndarray:
+    """Packed bit array (uint8[m/8]) — per-batch partials OR-merge."""
+    bits = np.zeros(_BLOOM_M, dtype=bool)
+    if len(keys):
+        bits[_bloom_positions(keys).ravel()] = True
+    return np.packbits(bits)
+
+
+def _bloom_test(packed: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Membership mask — no false negatives, ~(1-e^{-kn/m})^k FPs."""
+    if not len(keys):
+        return np.zeros(0, dtype=bool)
+    bits = np.unpackbits(packed).astype(bool)
+    return bits[_bloom_positions(keys)].all(axis=0)
+
+
+def q_bloom_anti_join(sf_dir: str):
+    """Big-big ANTI-join via a Bloom prefilter: orders whose customer
+    is NOT on the blocklist (negative-balance customers), per order
+    priority.  The big-big form of ``anti_join_seen``: when the right
+    side is too large to broadcast exactly, broadcast a fixed-size
+    Bloom filter instead — built from per-batch OR-merged partials
+    (O(blocks × m/8) bytes, independent of blocklist cardinality).
+    Bloom NEGATIVES are definitely not blocked, so they pre-aggregate
+    inside the same ``map_batches`` pass and never shuffle; only the
+    ~1% of Bloom POSITIVES (true members + false positives) flow into
+    the exact verification — the ``q_hash_join_big`` 64-coarse-bucket
+    union shuffle against the real blocklist — making the final result
+    EXACT (oracle-checked), with shuffle volume proportional to the
+    blocklist, not the corpus."""
+    import ray.data as rd
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[df["c_acctbal"] < 0, "c_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({"bloom": [_bloom_build(keys).tobytes()]})
+
+    parts = cust.map_batches(bloom_partial, batch_format="pandas").to_pandas()
+    packed = np.zeros(_BLOOM_M // 8, dtype=np.uint8)
+    for blob in parts["bloom"]:
+        packed |= np.frombuffer(blob, dtype=np.uint8)
+    import ray
+
+    bloom_ref = ray.put(packed)
+
+    # one pass over orders: definite-keeps pre-aggregate in place
+    # (side 2), Bloom positives become verification candidates (side 0)
+    def split_orders(df: pd.DataFrame) -> pd.DataFrame:
+        bloom = ray.get(bloom_ref)
+        keys = df["o_custkey"].to_numpy(np.int64)
+        pos = _bloom_test(bloom, keys)
+        keep = (
+            df.loc[~pos].groupby("o_orderpriority", as_index=False)
+            .agg(n=("o_custkey", "size"))
+        )
+        cand = df.loc[pos]
+        return pd.concat(
+            [
+                pd.DataFrame({
+                    "kb": np.int64(0),
+                    "side": np.int8(2),
+                    "custkey": np.int64(-1),
+                    "priority": keep["o_orderpriority"],
+                    "n": keep["n"].astype("int64"),
+                }),
+                pd.DataFrame({
+                    "kb": cand["o_custkey"].to_numpy(np.int64) % 64,
+                    "side": np.int8(0),
+                    "custkey": cand["o_custkey"].astype("int64"),
+                    "priority": cand["o_orderpriority"],
+                    "n": np.int64(1),
+                }),
+            ],
+            ignore_index=True,
+        )
+
+    def tag_blocklist(df: pd.DataFrame) -> pd.DataFrame:
+        b = df.loc[df["c_acctbal"] < 0]
+        return pd.DataFrame({
+            "kb": b["c_custkey"].to_numpy(np.int64) % 64,
+            "side": np.int8(1),
+            "custkey": b["c_custkey"].astype("int64"),
+            "priority": pd.Series(pd.NA, index=b.index, dtype="string"),
+            "n": np.int64(0),
+        })
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    both = orders.map_batches(split_orders, batch_format="pandas").union(
+        cust.map_batches(tag_blocklist, batch_format="pandas")
+    )
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        blocked = g.loc[g["side"] == 1, "custkey"].to_numpy(np.int64)
+        cand = g[g["side"] == 0]
+        ok = cand.loc[~np.isin(cand["custkey"].to_numpy(np.int64), blocked)]
+        pre = g[g["side"] == 2]
+        out = pd.concat(
+            [ok[["priority", "n"]], pre[["priority", "n"]]], ignore_index=True
+        )
+        return out.groupby("priority", as_index=False)["n"].sum()
+
+    parts = (
+        both.groupby("kb").map_groups(verify_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("priority", as_index=False)["n"].sum()
+    return (
+        pd.DataFrame({
+            "o_orderpriority": out["priority"].astype(str),
+            "n_orders": out["n"].astype("int64"),
+        })
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+
+
+SQL_BLOOM_ANTI_JOIN = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q_corr_qty_price(sf_dir: str):
     """Distributed Pearson correlation / population covariance /
     stddevs of (l_quantity, l_extendedprice) — the two-streaming-pass
@@ -1713,6 +1865,7 @@ QUERIES = {
     "order_gap_days": q_order_gap_days,
     "corr_qty_price": q_corr_qty_price,
     "mode_qty_per_flag": q_mode_qty_per_flag,
+    "bloom_anti_join": q_bloom_anti_join,
 }
 
 ORACLE_SQL = {
@@ -1756,4 +1909,5 @@ ORACLE_SQL = {
     "order_gap_days": SQL_ORDER_GAP_DAYS,
     "corr_qty_price": SQL_CORR_QTY_PRICE,
     "mode_qty_per_flag": SQL_MODE_QTY_PER_FLAG,
+    "bloom_anti_join": SQL_BLOOM_ANTI_JOIN,
 }

@@ -208,3 +208,32 @@ class TestApproxQuantilesQuery:
                 assert lo - n * 4 * eps - 1 <= q * n <= hi + n * 4 * eps + 1, (
                     row["event_type"], q, est,
                 )
+
+
+class TestBloomKernel:
+    def test_no_false_negatives_and_fp_rate(self):
+        from crawler_tjce_ray.pipelines.relational import (
+            _BLOOM_K, _BLOOM_M, _bloom_build, _bloom_test,
+        )
+
+        members = np.arange(0, 5000, dtype=np.int64)
+        others = np.arange(100_000, 140_000, dtype=np.int64)
+        bf = _bloom_build(members)
+        assert _bloom_test(bf, members).all()  # never a false negative
+        fp = _bloom_test(bf, others).mean()
+        expect = (1 - np.exp(-_BLOOM_K * len(members) / _BLOOM_M)) ** _BLOOM_K
+        assert fp < 3 * expect + 1e-3, (fp, expect)
+
+    def test_or_merge_equals_union(self):
+        from crawler_tjce_ray.pipelines.relational import _bloom_build
+
+        a = np.arange(0, 1000, dtype=np.int64)
+        b = np.arange(500, 1500, dtype=np.int64)
+        merged = _bloom_build(a) | _bloom_build(b)
+        assert (merged == _bloom_build(np.arange(0, 1500, dtype=np.int64))).all()
+
+    def test_deterministic_across_calls(self):
+        from crawler_tjce_ray.pipelines.relational import _bloom_positions
+
+        keys = np.array([1, 2**40, -7, 0], dtype=np.int64)
+        np.testing.assert_array_equal(_bloom_positions(keys), _bloom_positions(keys))
