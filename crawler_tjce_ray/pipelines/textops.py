@@ -94,39 +94,42 @@ FROM documents ORDER BY doc_id
 # quality scoring
 # ---------------------------------------------------------------------------
 
+def quality_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc quality stats + keep/drop flag for a (doc_id, text)
+    batch — shared by ``q_text_quality`` and the composed
+    ``curation_pipeline``.  All ratios are exact IEEE divisions of
+    integer counts, so the doubles are bit-identical to the DuckDB
+    oracle (no rounding needed)."""
+    # literal-space split: DuckDB string_split(text,' ') keeps empty
+    # tokens on irregular whitespace (and yields 1 token for '') —
+    # pandas .str.split() without args would drop them and divide
+    # by zero on empty docs
+    toks = df["text"].str.split(" ")
+    n_tokens = toks.str.len().astype("int64")
+    n_alpha = (
+        df["text"].str.replace(r"\s", "", regex=True).str.len().astype("int64")
+    )
+    stop_hits = toks.map(
+        lambda ts: sum(1 for w in ts if w in EN_STOPWORDS)
+    ).astype("int64")
+    out = pd.DataFrame({
+        "doc_id": df["doc_id"],
+        "n_chars": df["text"].str.len().astype("int64"),
+        "n_tokens": n_tokens,
+        "mean_token_len": n_alpha / n_tokens,
+        "stopword_ratio": stop_hits / n_tokens,
+    })
+    out["quality_ok"] = (
+        (out["n_tokens"] >= 20) & (out["stopword_ratio"] >= 0.02)
+    ).astype("int64")
+    return out
+
+
 def q_text_quality(sf_dir: str):
     """Quality scoring: length / mean-token-length / stopword-ratio
-    per document plus a keep/drop flag.  All ratios are exact IEEE
-    divisions of integer counts, so the doubles are bit-identical to
-    the DuckDB oracle (no rounding needed)."""
+    per document plus a keep/drop flag (kernel: ``quality_frame``)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        # literal-space split: DuckDB string_split(text,' ') keeps empty
-        # tokens on irregular whitespace (and yields 1 token for '') —
-        # pandas .str.split() without args would drop them and divide
-        # by zero on empty docs
-        toks = df["text"].str.split(" ")
-        n_tokens = toks.str.len().astype("int64")
-        n_alpha = (
-            df["text"].str.replace(r"\s", "", regex=True).str.len().astype("int64")
-        )
-        stop_hits = toks.map(
-            lambda ts: sum(1 for w in ts if w in EN_STOPWORDS)
-        ).astype("int64")
-        out = pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "n_chars": df["text"].str.len().astype("int64"),
-            "n_tokens": n_tokens,
-            "mean_token_len": n_alpha / n_tokens,
-            "stopword_ratio": stop_hits / n_tokens,
-        })
-        out["quality_ok"] = (
-            (out["n_tokens"] >= 20) & (out["stopword_ratio"] >= 0.02)
-        ).astype("int64")
-        return out
-
-    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    out = ds.map_batches(quality_frame, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

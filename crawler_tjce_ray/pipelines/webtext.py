@@ -653,6 +653,157 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# composed end-to-end curation pipeline
+# ---------------------------------------------------------------------------
+
+def q_curation_pipeline(sf_dir: str):
+    """The composed webtext curation flagship — what a user actually
+    runs between crawl and tokenization, as ONE Ray pipeline:
+
+        quality filter → benchmark decontamination → exact dedup
+        → per-language token accounting
+
+    reusing the individually-oracle-checked kernels (``quality_frame``,
+    ``_doc_ngrams``/bench broadcast, md5-of-normalized-text dedup,
+    BPE-ish RE2 token count).  Structure:
+
+    1. one tiny pass over the benchmark slice (``doc_id % 97 == 0``)
+       reduces its distinct 5-grams from partials → ``ray.put`` once;
+    2. one streaming pass over the corpus FUSES quality scoring,
+       contamination check and the per-batch dedup combiner — text
+       never leaves the map stage; each batch emits only
+       ``(dkey, doc_id, lang, n_re_tokens)`` for its batch-local
+       winners;
+    3. the 64-coarse-bucket shuffle of those fixed-width records picks
+       global winners (min doc_id per dkey) and pre-aggregates per
+       language INSIDE the bucket, so the driver reduce sees
+       O(buckets × langs) rows.
+
+    Shuffle volume is O(surviving docs × ~50 bytes) — proportional to
+    the corpus row count but never its text — and every stage
+    streams.  Output: per-language doc and token counts of the final
+    curated corpus (exact; DuckDB-oracle-checked end-to-end)."""
+    import hashlib
+
+    import ray
+
+    from crawler_tjce_ray.pipelines.textops import (
+        BPE_TOKEN_RE, normalize_text_series, quality_frame,
+    )
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        part = df[df["doc_id"] % DECON_MOD == 0]
+        grams = _doc_ngrams(part, DECON_N)[["ng"]].drop_duplicates()
+        return grams.astype({"ng": "string"})
+
+    bench = set(
+        ds.map_batches(bench_grams, batch_format="pandas").to_pandas()["ng"]
+    )
+    bench_ref = ray.put(bench)
+
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_frame(df)
+        keep = (q["quality_ok"].to_numpy() == 1) & (
+            df["doc_id"].to_numpy() % DECON_MOD != 0
+        )
+        sub = df.loc[keep]
+        if len(sub):
+            grams = _doc_ngrams(sub, DECON_N)
+            bset = ray.get(bench_ref)
+            if len(grams):
+                bad = set(grams.loc[grams["ng"].isin(bset), "doc_id"])
+                sub = sub.loc[~sub["doc_id"].isin(bad)]
+        norm = normalize_text_series(sub["text"])
+        digests = [hashlib.md5(x.encode()).digest() for x in norm]
+        n_re = pc.cast(
+            pc.count_substring_regex(
+                pc.utf8_lower(pa.array(sub["text"].astype(str))), BPE_TOKEN_RE
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        out = pd.DataFrame({
+            "kb": pd.Series(
+                [int.from_bytes(d[:8], "big") % 64 for d in digests],
+                dtype="int64",
+            ),
+            "dkey": pd.Series([d.hex() for d in digests], dtype="string"),
+            "doc_id": pd.Series(
+                sub["doc_id"].to_numpy(dtype=np.int64), dtype="int64"
+            ),
+            "lang": sub["lang"].astype("string").reset_index(drop=True),
+            "n_re_tokens": pd.Series(n_re, dtype="int64"),
+        })
+        # batch-local combiner: only batch winners enter the shuffle
+        return out.sort_values("doc_id", kind="mergesort").drop_duplicates("dkey")
+
+    def bucket_agg(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.sort_values("doc_id", kind="mergesort").drop_duplicates("dkey")
+        return w.groupby("lang", as_index=False).agg(
+            n_docs=("doc_id", "size"), n_tokens=("n_re_tokens", "sum")
+        )
+
+    parts = (
+        ds.map_batches(survivors, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(bucket_agg, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("lang", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum")
+    )
+    out["lang"] = out["lang"].astype(str)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _sql_curation() -> str:
+    from crawler_tjce_ray.pipelines.textops import _EN_SQL_LIST
+
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         CAST(length(string_split(text,' ')) AS BIGINT) AS n_tok_sp,
+         CAST(length(list_filter(string_split(text,' '),
+              x -> x IN ({_EN_SQL_LIST}))) AS BIGINT) AS stop_hits,
+         CAST(length(regexp_extract_all(lower(text),
+              '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_re_tokens,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS dkey
+  FROM documents
+), q AS (
+  SELECT * FROM t
+  WHERE n_tok_sp >= 20
+    AND CAST(stop_hits AS DOUBLE)/n_tok_sp >= 0.02
+    AND doc_id % {DECON_MOD} <> 0
+), w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS ws FROM documents
+), pos AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws) - {DECON_N - 2})) AS i
+  FROM w WHERE len(ws) >= {DECON_N}
+), g AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS ng
+  FROM pos
+), bench AS (
+  SELECT DISTINCT ng FROM g WHERE doc_id % {DECON_MOD} = 0
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM g JOIN bench USING (ng)
+  WHERE doc_id % {DECON_MOD} <> 0
+), surv AS (
+  SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), winners AS (
+  SELECT MIN(doc_id) AS doc_id FROM surv GROUP BY dkey
+)
+SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s.n_re_tokens) AS BIGINT) AS n_tokens
+FROM surv s JOIN winners USING (doc_id)
+GROUP BY s.lang ORDER BY s.lang
+"""
+
+
 QUERIES = {
     "pii_redact": q_pii_redact,
     "lang_median_chars": q_lang_median_chars,
@@ -664,6 +815,7 @@ QUERIES = {
     "top_bigram_frac": q_top_bigram_frac,
     "decontaminate": q_decontaminate,
     "quantile_filter": q_quantile_filter,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 ORACLE_SQL = {
@@ -677,4 +829,5 @@ ORACLE_SQL = {
     "top_bigram_frac": SQL_TOP_BIGRAM,
     "decontaminate": SQL_DECONTAMINATE,
     "quantile_filter": SQL_QUANTILE_FILTER,
+    "curation_pipeline": _sql_curation(),
 }
