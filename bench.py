@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "decontaminate",
     "line_filter",
     "dedup_paragraphs",
+    "bloom_anti_join",
+    "corr_qty_price",
+    "kmeans_embeddings",
+    "curation_pipeline",
 ]
 
 
