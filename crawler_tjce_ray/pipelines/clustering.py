@@ -65,11 +65,18 @@ def _assign_partials(df: pd.DataFrame, cents: np.ndarray) -> pd.DataFrame:
     """Per-batch partials: one row per centroid present in the batch —
     ``(cluster_id, n, inertia, s0..s{d-1})``.  Assignment is a single
     matmul; inertia is Σ(1 − cos) over the batch's members."""
+    k, d = cents.shape
+    if not len(df):  # Ray may hand an empty block (e.g. tiny tables)
+        return pd.DataFrame({
+            "cluster_id": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "inertia": pd.Series([], dtype="float64"),
+            **{f"s{j}": pd.Series([], dtype="float64") for j in range(d)},
+        })
     mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     sims = mat @ cents.T                       # B × k
     cell = sims.argmax(axis=1)
-    k, d = cents.shape
     rows = []
     for c in np.unique(cell):
         m = cell == c

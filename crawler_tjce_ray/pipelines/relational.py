@@ -1552,8 +1552,20 @@ FROM orders ORDER BY o_orderkey
 """
 
 
-_BLOOM_M = 1 << 17   # bits per filter (16 KiB packed)
+_BLOOM_M = 1 << 17   # minimum bits per filter (16 KiB packed)
 _BLOOM_K = 4         # probes per key (double hashing)
+
+
+def _bloom_size(n_keys: int) -> int:
+    """Bits for ~0.24% FP at k=4: m ≥ 16·n, power of two, floored at
+    ``_BLOOM_M``.  Sized from the blocklist count so the filter never
+    saturates as the blocklist grows — a fixed m would degrade to
+    ~100% false positives (and corpus-sized verification shuffles)
+    once kn/m ≫ 1."""
+    m = _BLOOM_M
+    while m < 16 * max(1, n_keys):
+        m <<= 1
+    return m
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -1566,23 +1578,23 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
-def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+def _bloom_positions(keys: np.ndarray, m: int = _BLOOM_M) -> np.ndarray:
     """(k, n) bit positions via double hashing h1 + i·h2 mod m."""
     u = keys.astype(np.uint64)
     h1 = _splitmix64(u)
     h2 = _splitmix64(u ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
     with np.errstate(over="ignore"):
         return np.stack([
-            ((h1 + np.uint64(i) * h2) % np.uint64(_BLOOM_M)).astype(np.int64)
+            ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
             for i in range(_BLOOM_K)
         ])
 
 
-def _bloom_build(keys: np.ndarray) -> np.ndarray:
+def _bloom_build(keys: np.ndarray, m: int = _BLOOM_M) -> np.ndarray:
     """Packed bit array (uint8[m/8]) — per-batch partials OR-merge."""
-    bits = np.zeros(_BLOOM_M, dtype=bool)
+    bits = np.zeros(m, dtype=bool)
     if len(keys):
-        bits[_bloom_positions(keys).ravel()] = True
+        bits[_bloom_positions(keys, m).ravel()] = True
     return np.packbits(bits)
 
 
@@ -1591,16 +1603,17 @@ def _bloom_test(packed: np.ndarray, keys: np.ndarray) -> np.ndarray:
     if not len(keys):
         return np.zeros(0, dtype=bool)
     bits = np.unpackbits(packed).astype(bool)
-    return bits[_bloom_positions(keys)].all(axis=0)
+    return bits[_bloom_positions(keys, len(bits))].all(axis=0)
 
 
 def q_bloom_anti_join(sf_dir: str):
     """Big-big ANTI-join via a Bloom prefilter: orders whose customer
     is NOT on the blocklist (negative-balance customers), per order
     priority.  The big-big form of ``anti_join_seen``: when the right
-    side is too large to broadcast exactly, broadcast a fixed-size
-    Bloom filter instead — built from per-batch OR-merged partials
-    (O(blocks × m/8) bytes, independent of blocklist cardinality).
+    side is too large to broadcast exactly, broadcast a Bloom filter
+    instead — sized from a cheap count pass (m ≈ 16·n bits → ~0.24%
+    FPs at any blocklist cardinality) and built from per-batch
+    OR-merged partials of O(m/8) bytes each.
     Bloom NEGATIVES are definitely not blocked, so they pre-aggregate
     inside the same ``map_batches`` pass and never shuffle; only the
     ~1% of Bloom POSITIVES (true members + false positives) flow into
@@ -1612,12 +1625,22 @@ def q_bloom_anti_join(sf_dir: str):
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
 
+    # cheap count pass sizes the filter so it never saturates as the
+    # blocklist grows (fixed m would trend to ~100% FPs at kn/m >> 1)
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int((df["c_acctbal"] < 0).sum())]})
+
+    n_block = int(
+        cust.map_batches(count_partial, batch_format="pandas").to_pandas()["n"].sum()
+    )
+    m = _bloom_size(n_block)
+
     def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
         keys = df.loc[df["c_acctbal"] < 0, "c_custkey"].to_numpy(np.int64)
-        return pd.DataFrame({"bloom": [_bloom_build(keys).tobytes()]})
+        return pd.DataFrame({"bloom": [_bloom_build(keys, m).tobytes()]})
 
     parts = cust.map_batches(bloom_partial, batch_format="pandas").to_pandas()
-    packed = np.zeros(_BLOOM_M // 8, dtype=np.uint8)
+    packed = np.zeros(m // 8, dtype=np.uint8)
     for blob in parts["bloom"]:
         packed |= np.frombuffer(blob, dtype=np.uint8)
     import ray

@@ -70,11 +70,20 @@ def _finalize(out: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _empty_scores() -> pd.DataFrame:
+    """Typed empty partial — Ray may hand a map stage an empty block."""
+    return pd.DataFrame(columns=["query_id", "vec_id", "cosine"]).astype(
+        {"query_id": "int64", "vec_id": "int64", "cosine": "float64"}
+    )
+
+
 def _topk_scores_batch(
     df: pd.DataFrame, qids: np.ndarray, qmat: np.ndarray, k: int
 ) -> pd.DataFrame:
     """One batch × all queries: float64 matmul, per-batch top-k per
     query (partial combine)."""
+    if not len(df):
+        return _empty_scores()
     mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     vnorm = np.linalg.norm(mat, axis=1)
     qnorm = np.linalg.norm(qmat, axis=1)
@@ -176,6 +185,8 @@ def q_ann_ivf_topk(sf_dir: str):
     ref = ray.put((qids, qmat, cents, probes))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty_scores()
         qi, qm, cc, pr = ray.get(ref)
         mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -190,9 +201,7 @@ def q_ann_ivf_topk(sf_dir: str):
                 _topk_scores_batch(sub, qi[k : k + 1], qm[k : k + 1], TOP_K)
             )
         if not outs:
-            return pd.DataFrame(columns=["query_id", "vec_id", "cosine"]).astype(
-                {"query_id": "int64", "vec_id": "int64", "cosine": "float64"}
-            )
+            return _empty_scores()
         return pd.concat(outs, ignore_index=True)
 
     out = (
@@ -254,6 +263,8 @@ def q_ann_lsh_topk(sf_dir: str):
     ref = ray.put((qids, qmat, planes, qcodes))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty_scores()
         qi, qm, pl, qc = ray.get(ref)
         mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         codes = _lsh_codes(mat, pl)

@@ -255,6 +255,25 @@ def _doc_ngrams(df: pd.DataFrame, n: int) -> pd.DataFrame:
     return out.drop_duplicates(["doc_id", "ng"])
 
 
+def _bench_gram_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch distinct 5-grams of the benchmark slice
+    (``doc_id % DECON_MOD == 0``) — shared by ``decontaminate`` and
+    ``curation_pipeline`` so both agree on the benchmark set."""
+    part = df[df["doc_id"] % DECON_MOD == 0]
+    grams = _doc_ngrams(part, DECON_N)[["ng"]].drop_duplicates()
+    # "string" dtype (not object) so Ray can size empty blocks
+    return grams.astype({"ng": "string"})
+
+
+def _collect_bench_grams(ds) -> set:
+    """Reduce the benchmark slice's distinct 5-grams from per-batch
+    partials (eval sets are tiny next to the corpus)."""
+    return set(
+        ds.map_batches(_bench_gram_partial, batch_format="pandas")
+        .to_pandas()["ng"]
+    )
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag corpus documents sharing any
     word 5-gram with the held-out benchmark slice
@@ -268,17 +287,7 @@ def q_decontaminate(sf_dir: str):
     import ray
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-
-    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
-        part = df[df["doc_id"] % DECON_MOD == 0]
-        grams = _doc_ngrams(part, DECON_N)[["ng"]].drop_duplicates()
-        # "string" dtype (not object) so Ray can size empty blocks
-        return grams.astype({"ng": "string"})
-
-    bench = set(
-        ds.map_batches(bench_grams, batch_format="pandas").to_pandas()["ng"]
-    )
-    bench_ref = ray.put(bench)
+    bench_ref = ray.put(_collect_bench_grams(ds))
 
     def hits(df: pd.DataFrame) -> pd.DataFrame:
         bset = ray.get(bench_ref)
@@ -693,16 +702,7 @@ def q_curation_pipeline(sf_dir: str):
     )
 
     ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
-
-    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
-        part = df[df["doc_id"] % DECON_MOD == 0]
-        grams = _doc_ngrams(part, DECON_N)[["ng"]].drop_duplicates()
-        return grams.astype({"ng": "string"})
-
-    bench = set(
-        ds.map_batches(bench_grams, batch_format="pandas").to_pandas()["ng"]
-    )
-    bench_ref = ray.put(bench)
+    bench_ref = ray.put(_collect_bench_grams(ds))
 
     def survivors(df: pd.DataFrame) -> pd.DataFrame:
         q = quality_frame(df)

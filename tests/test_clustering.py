@@ -88,3 +88,16 @@ def test_query_summary_shape(ray_session):
     assert out["cluster_id"].is_monotonic_increasing
     out2 = q_kmeans_embeddings(SF)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_empty_batch_partial():
+    """Ray may hand a map stage an empty block — the partial must
+    return a typed empty frame, not crash in np.stack."""
+    from crawler_tjce_ray.pipelines.clustering import _assign_partials
+
+    cents = np.eye(4, 8)
+    out = _assign_partials(pd.DataFrame({"embedding": []}), cents)
+    assert len(out) == 0
+    assert list(out.columns) == ["cluster_id", "n", "inertia"] + [
+        f"s{j}" for j in range(8)
+    ]

@@ -237,3 +237,21 @@ class TestBloomKernel:
 
         keys = np.array([1, 2**40, -7, 0], dtype=np.int64)
         np.testing.assert_array_equal(_bloom_positions(keys), _bloom_positions(keys))
+
+
+def test_bloom_sizing_tracks_blocklist():
+    """m grows with the blocklist so the filter never saturates
+    (fixed m would hit ~100% FPs once kn/m >> 1)."""
+    from crawler_tjce_ray.pipelines.relational import (
+        _BLOOM_M, _bloom_build, _bloom_size, _bloom_test,
+    )
+
+    assert _bloom_size(0) == _BLOOM_M
+    assert _bloom_size(1_000_000) >= 16_000_000
+    # FP rate stays low even at a cardinality that saturates _BLOOM_M
+    n = 200_000
+    members = np.arange(n, dtype=np.int64)
+    bf = _bloom_build(members, _bloom_size(n))
+    others = np.arange(10_000_000, 10_040_000, dtype=np.int64)
+    assert _bloom_test(bf, members).all()
+    assert _bloom_test(bf, others).mean() < 0.01
