@@ -170,8 +170,69 @@ def q_kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     return g.sort_values("cluster_id").reset_index(drop=True)
 
 
+def q_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label mean embedding (class centroids — the supervised
+    sibling of k-means, used for prototype classifiers and per-class
+    corpus diagnostics).  Per-batch ``(label, n, Σvec)`` partials —
+    the corpus never shuffles, O(blocks × labels × d) floats move —
+    then a canonical-sorted driver reduce.  Output is long-form
+    ``(label, dim, centroid)`` so the DuckDB oracle can unnest the
+    list column positionally."""
+    ds = _read_emb(sf_dir, columns=("label", "embedding"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "label": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "sums": pd.Series([], dtype=object),
+            })
+        rows = []
+        for lab, g in df.groupby("label", sort=True):
+            mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            rows.append({
+                "label": int(lab), "n": len(g), "sums": mat.sum(axis=0).tolist()
+            })
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(["label", "n"], kind="mergesort")
+    out_rows = []
+    for lab, g in parts.groupby("label", sort=True):
+        n = int(g["n"].sum())
+        s = np.sum(np.stack([np.asarray(v) for v in g["sums"]]), axis=0)
+        c = s / n
+        for j, v in enumerate(c):
+            out_rows.append({
+                "label": int(lab), "dim": j + 1,
+                "centroid": round(float(v), 6), "n_vectors": n,
+            })
+    out = pd.DataFrame(out_rows).astype(
+        {"label": "int64", "dim": "int64", "n_vectors": "int64"}
+    )
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(dim AS BIGINT) AS dim,
+       round(AVG(e), 6) AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS e
+  FROM embeddings
+)
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
 QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
+    "label_centroids": q_label_centroids,
 }
 
-ORACLE_SQL: dict[str, str] = {}
+ORACLE_SQL: dict[str, str] = {
+    "label_centroids": SQL_LABEL_CENTROIDS,
+}

@@ -663,6 +663,101 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def q_tfidf_keywords(sf_dir: str):
+    """Top-``TFIDF_TOPK`` keywords per document by TF-IDF
+    (tf × ln(N/df)) — keyword extraction for corpus diagnostics and
+    topic labeling.  Same two-pass shape as ``unigram_logprob``:
+    (1) per-batch distinct-(doc, word) partials reduce to the global
+    document-frequency table (driver state O(vocab)); (2) the idf
+    table broadcasts once and each batch ranks its own docs' terms
+    vectorized (sort + ``groupby.head``) — docs never shuffle.
+    Ranking uses the 6-decimal-rounded score with a lexicographic
+    tie-break so both engines pick identical terms."""
+    import pyarrow.parquet as pq_
+
+    import ray
+
+    n_docs = pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_words(df).drop_duplicates(["doc_id", "w"])
+        if ex.empty:
+            return pd.DataFrame({"w": pd.Series([], dtype="string"),
+                                 "c": pd.Series([], dtype="int64")})
+        g = ex.groupby("w", as_index=False).size()
+        return pd.DataFrame({"w": g["w"].astype("string"),
+                             "c": g["size"].astype("int64")})
+
+    dfc = (
+        ds.map_batches(df_partial, batch_format="pandas")
+        .to_pandas().groupby("w")["c"].sum()
+    )
+    idf = dict(zip(dfc.index, np.log(float(n_docs) / dfc.to_numpy(np.float64))))
+    idf_ref = ray.put(idf)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        tbl = ray.get(idf_ref)
+        ex = _explode_words(df)
+        if ex.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+                "term": pd.Series([], dtype="string"),
+                "score": pd.Series([], dtype="float64"),
+            })
+        tf = ex.groupby(["doc_id", "w"], as_index=False).size()
+        tf["score"] = np.round(
+            tf["size"].to_numpy(np.float64) * tf["w"].map(tbl).to_numpy(np.float64),
+            6,
+        )
+        tf = tf.sort_values(
+            ["doc_id", "score", "w"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = tf.groupby("doc_id", sort=False).head(TFIDF_TOPK).copy()
+        top["rank"] = top.groupby("doc_id", sort=False).cumcount() + 1
+        return pd.DataFrame({
+            "doc_id": top["doc_id"].astype("int64"),
+            "rank": top["rank"].astype("int64"),
+            "term": top["w"].astype("string"),
+            "score": top["score"].astype("float64"),
+        })
+
+    out = ds.map_batches(topk, batch_format="pandas").to_pandas()
+    out["term"] = out["term"].astype(str)
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+SQL_TFIDF_KEYWORDS = rf"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY doc_id, w
+), df AS (
+  SELECT w, COUNT(DISTINCT doc_id) AS dfc FROM w GROUP BY w
+), s AS (
+  SELECT tf.doc_id, tf.w,
+         round(tf.c * ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / df.dfc), 6) AS score
+  FROM tf JOIN df USING (w)
+), r AS (
+  SELECT doc_id, w, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rn
+  FROM s
+)
+SELECT doc_id, CAST(rn AS BIGINT) AS rank, w AS term, score
+FROM r WHERE rn <= {TFIDF_TOPK} ORDER BY doc_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # composed end-to-end curation pipeline
 # ---------------------------------------------------------------------------
 
@@ -816,6 +911,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "quantile_filter": q_quantile_filter,
     "curation_pipeline": q_curation_pipeline,
+    "tfidf_keywords": q_tfidf_keywords,
 }
 
 ORACLE_SQL = {
@@ -830,4 +926,5 @@ ORACLE_SQL = {
     "decontaminate": SQL_DECONTAMINATE,
     "quantile_filter": SQL_QUANTILE_FILTER,
     "curation_pipeline": _sql_curation(),
+    "tfidf_keywords": SQL_TFIDF_KEYWORDS,
 }
