@@ -1,0 +1,415 @@
+"""Graph and sequence-analytics operators — the capability classes the
+engine did not yet cover: an iterative graph algorithm (PageRank over
+the part-succession graph), funnel conversion over ordered event
+streams, a Markov transition matrix, and inverted-index construction
+(token posting lists).
+
+Same discipline as the rest of the engine: vectorized batch kernels,
+per-batch partials before any shuffle, ONE coarse 64-bucket shuffle
+per query (never per-key dispatch), and driver state bounded by
+O(result), O(#buckets) or — for PageRank's rank vector — O(#nodes),
+the same honestly-documented broadcast pattern as the k-means
+centroids in ``pipelines/clustering.py`` (at 10^9+ nodes the rank
+vector would shard on the same bucket key as the edges; the iteration
+structure is unchanged).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from crawler_tjce_ray.pipelines.relational import _read
+from crawler_tjce_ray.pipelines.textops import _read_docs
+from crawler_tjce_ray.pipelines.webtext import WORD_RE, _explode_words
+
+# ---------------------------------------------------------------------------
+# PageRank over the part-succession graph
+# ---------------------------------------------------------------------------
+
+PR_DAMPING = 0.85
+PR_ITERS = 5
+
+
+def _edges_ds_and_nodes(sf_dir: str):
+    """Weighted directed edges (src part → next part within an order)
+    as a materialized Ray Dataset, plus the sorted node array.  An
+    order's lineitems may span read blocks, so adjacency is recovered
+    with ONE 64-bucket shuffle on the order key (an order lives wholly
+    in its bucket); edge weights finalize per bucket — a (src, dst)
+    pair may appear in several buckets, which is fine because every
+    consumer is linear in w.  The edge list itself never lands on the
+    driver."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ob"] = df["l_orderkey"].astype("int64") & 63
+        return df
+
+    def edges_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # (orderkey, linenumber) is NOT unique in the synthetic data;
+        # adding partkey makes the VALUE sequence — and therefore the
+        # adjacency multiset — a deterministic function of the table
+        g = g.sort_values(
+            ["l_orderkey", "l_linenumber", "l_partkey"], kind="mergesort"
+        )
+        nxt = g["l_partkey"].shift(-1)
+        same = (g["l_orderkey"].shift(-1) == g["l_orderkey"]).to_numpy()
+        e = pd.DataFrame({
+            "src": g["l_partkey"][same].astype("int64"),
+            "dst": nxt[same].astype("int64"),
+        })
+        e = e.groupby(["src", "dst"], as_index=False).agg(w=("src", "size"))
+        e["w"] = e["w"].astype("float64")
+        return e
+
+    edges = (
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("ob")
+        .map_groups(edges_in_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+    node_parts = ds.map_batches(
+        lambda df: pd.DataFrame({"node": df["l_partkey"].unique()}),
+        batch_format="pandas",
+    ).to_pandas()
+    nodes = np.sort(node_parts["node"].astype("int64").unique())
+    return edges, nodes
+
+
+def q_pagerank_parts(sf_dir: str):
+    """PageRank (damping 0.85, {PR_ITERS} synchronous iterations, no
+    dangling-mass redistribution — the spec both engines implement)
+    over the directed graph "part A is followed by part B on the next
+    line of the same order", with edge multiplicity as weight.
+
+    Distributed recipe: the edge Dataset is built once (see
+    ``_edges_ds_and_nodes``), node indices are attached to the edge
+    blocks once, and each iteration is one streaming ``map_batches``
+    pass over the edge blocks — a NumPy gather of the broadcast
+    scaled-rank vector (pr/outdeg, ``ray.put`` per iteration) and a
+    per-block (dst, contribution) partial; the driver folds O(blocks ×
+    nodes-touched) partials into the O(#nodes) rank vector.  Edges
+    never materialize on the driver; the rank vector is the broadcast
+    state (kmeans-centroid pattern — shard it on the edge bucket key
+    past ~10^8 nodes)."""
+    import ray
+
+    edges, nodes = _edges_ds_and_nodes(sf_dir)
+    n = len(nodes)
+    idx_ref = ray.put(pd.Series(np.arange(n, dtype="int64"), index=nodes))
+
+    def add_idx(df: pd.DataFrame) -> pd.DataFrame:
+        idx = ray.get(idx_ref)
+        return pd.DataFrame({
+            "src_i": idx[df["src"].to_numpy()].to_numpy(),
+            "dst_i": idx[df["dst"].to_numpy()].to_numpy(),
+            "w": df["w"].to_numpy(np.float64),
+        })
+
+    edges_idx = edges.map_batches(add_idx, batch_format="pandas").materialize()
+
+    deg_parts = edges_idx.map_batches(
+        lambda df: df.groupby("src_i", as_index=False)["w"].sum(),
+        batch_format="pandas",
+    ).to_pandas()
+    outdeg = np.zeros(n, dtype=np.float64)
+    np.add.at(outdeg, deg_parts["src_i"].to_numpy(), deg_parts["w"].to_numpy())
+
+    pr = np.full(n, 1.0 / n, dtype=np.float64)
+    for _ in range(PR_ITERS):
+        scaled = np.divide(pr, outdeg, out=np.zeros_like(pr), where=outdeg > 0)
+        sref = ray.put(scaled)
+
+        def contrib(df: pd.DataFrame, _sref=sref) -> pd.DataFrame:
+            s = ray.get(_sref)
+            c = s[df["src_i"].to_numpy()] * df["w"].to_numpy(np.float64)
+            p = pd.DataFrame({"dst_i": df["dst_i"].to_numpy(), "c": c})
+            return p.groupby("dst_i", as_index=False)["c"].sum()
+
+        parts = edges_idx.map_batches(contrib, batch_format="pandas").to_pandas()
+        cv = np.zeros(n, dtype=np.float64)
+        np.add.at(cv, parts["dst_i"].to_numpy(), parts["c"].to_numpy())
+        pr = (1.0 - PR_DAMPING) / n + PR_DAMPING * cv
+
+    return pd.DataFrame({"part_key": nodes, "pr": pr})
+
+
+def _sql_pagerank() -> str:
+    head = f"""
+WITH seq AS (
+  SELECT l_partkey AS src,
+         LEAD(l_partkey) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+         ) AS dst
+  FROM lineitem
+), e AS (
+  SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+), nodes AS (
+  SELECT DISTINCT l_partkey AS node FROM lineitem
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), deg AS (
+  SELECT src, SUM(w) AS od FROM e GROUP BY src
+), r0 AS (
+  SELECT node, 1.0 / nn.n AS pr FROM nodes, nn
+)"""
+    steps = []
+    for k in range(1, PR_ITERS + 1):
+        steps.append(f""", r{k} AS (
+  SELECT nodes.node,
+         (1.0 - {PR_DAMPING}) / nn.n
+           + {PR_DAMPING} * COALESCE(SUM(r.pr / deg.od * e.w), 0.0) AS pr
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN e ON e.dst = nodes.node
+  LEFT JOIN r{k - 1} r ON r.node = e.src
+  LEFT JOIN deg ON deg.src = e.src
+  GROUP BY nodes.node, nn.n
+)""")
+    return head + "".join(steps) + f"""
+SELECT node AS part_key, pr FROM r{PR_ITERS} ORDER BY part_key
+"""
+
+
+SQL_PAGERANK_PARTS = _sql_pagerank()
+
+
+# ---------------------------------------------------------------------------
+# funnel conversion (signup → click → purchase)
+# ---------------------------------------------------------------------------
+
+FUNNEL = ["signup", "click", "purchase"]
+
+
+def _funnel_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-user ordered-stage mins, vectorized: t1 = first signup,
+    t2 = first click strictly after t1, t3 = first purchase strictly
+    after t2.  Emits one additive (n1, n2, n3) partial row."""
+    t1 = g.loc[g["event_type"] == FUNNEL[0]].groupby("user_id")["ts"].min()
+    c = g.loc[g["event_type"] == FUNNEL[1], ["user_id", "ts"]].copy()
+    c["t1"] = c["user_id"].map(t1)
+    t2 = c.loc[c["ts"] > c["t1"]].groupby("user_id")["ts"].min()
+    p = g.loc[g["event_type"] == FUNNEL[2], ["user_id", "ts"]].copy()
+    p["t2"] = p["user_id"].map(t2)
+    t3 = p.loc[p["ts"] > p["t2"]].groupby("user_id")["ts"].min()
+    return pd.DataFrame({
+        "n1": [int(t1.size)], "n2": [int(t2.size)], "n3": [int(t3.size)],
+    })
+
+
+def q_event_funnel(sf_dir: str):
+    """Three-stage funnel over the events stream: users who signed
+    up, then clicked strictly after their first signup, then purchased
+    strictly after that first qualifying click — with the per-stage
+    conversion rate from the previous stage.
+
+    Recipe: filter to the three relevant event types at the read (the
+    rest of the stream never moves) → ONE 64-bucket shuffle on user_id
+    so each user's stage history is complete in its bucket → vectorized
+    in-bucket stage mins → additive per-bucket counts, driver sums a
+    64×3 table.  No per-user dispatch anywhere."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def relevant(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["event_type"].isin(FUNNEL)].copy()
+        df["ub"] = df["user_id"].astype("int64") & 63
+        return df
+
+    parts = (
+        ds.map_batches(relevant, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(_funnel_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    n = [int(parts["n1"]), int(parts["n2"]), int(parts["n3"])]
+    prev = [n[0], n[0], n[1]]
+    return pd.DataFrame({
+        "stage": pd.Series([1, 2, 3], dtype="int64"),
+        "event": ["signup", "click_after_signup", "purchase_after_click"],
+        "n_users": pd.Series(n, dtype="int64"),
+        "conv": [n[i] / prev[i] if prev[i] else 0.0 for i in range(3)],
+    })
+
+
+SQL_EVENT_FUNNEL = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s ON e.user_id = s.user_id AND e.ts > s.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), counts AS (
+  SELECT * FROM (VALUES
+    (1, 'signup', (SELECT COUNT(*) FROM s), (SELECT COUNT(*) FROM s)),
+    (2, 'click_after_signup', (SELECT COUNT(*) FROM c), (SELECT COUNT(*) FROM s)),
+    (3, 'purchase_after_click', (SELECT COUNT(*) FROM p), (SELECT COUNT(*) FROM c))
+  ) AS t(stage, event, n, prev)
+)
+SELECT CAST(stage AS BIGINT) AS stage, event,
+       CAST(n AS BIGINT) AS n_users,
+       CASE WHEN prev = 0 THEN 0.0 ELSE CAST(n AS DOUBLE) / prev END AS conv
+FROM counts ORDER BY stage
+"""
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event types
+# ---------------------------------------------------------------------------
+
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition matrix of event types per user:
+    count of (event, next event) adjacencies in each user's stream
+    ordered by (ts, event_id), row-normalized to P(next | current).
+
+    Recipe: ONE 64-bucket shuffle on user_id (each user's stream is
+    complete in its bucket) → in-bucket sort + groupby-shift adjacency
+    (vectorized) → additive (src, dst, n) partials → driver merge of
+    ≤ 64 × |types|² rows and one exact integer division."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ub"] = df["user_id"].astype("int64") & 63
+        return df
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        nxt = g["event_type"].shift(-1)
+        same = (g["user_id"].shift(-1) == g["user_id"]).to_numpy()
+        p = pd.DataFrame({"src": g["event_type"][same], "dst": nxt[same]})
+        return p.groupby(["src", "dst"], as_index=False).agg(n=("src", "size"))
+
+    parts = (
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["src", "dst"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    out["p"] = out["n"].to_numpy(np.float64) / out.groupby("src")["n"].transform(
+        "sum"
+    ).to_numpy(np.float64)
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS nxt
+  FROM events
+)
+SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS p
+FROM o WHERE nxt IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# inverted index (token posting lists)
+# ---------------------------------------------------------------------------
+
+IDX_TOPK = 30
+IDX_POSTINGS = 10
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index head: the {IDX_TOPK} highest-document-frequency
+    tokens with their df and the first {IDX_POSTINGS} posting doc_ids
+    (ascending, comma-joined).
+
+    Recipe: per-batch distinct (token, doc_id) pairs — each document
+    is one row, so batch-local dedup is globally exact → ONE 64-bucket
+    shuffle on md5(token) (a token's full posting set lands in one
+    bucket; the pairs ARE the index content, so this shuffle is the
+    irreducible minimum) → in-bucket df + sorted posting-head build,
+    per-bucket top-k → driver merge of ≤ 64·k candidate rows."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    md5 = hashlib.md5
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_words(df)
+        if ex.empty:
+            return pd.DataFrame({
+                "tok": pd.Series([], dtype="object"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "tb": pd.Series([], dtype="int64"),
+            })
+        p = ex.drop_duplicates(["doc_id", "w"]).rename(columns={"w": "tok"})
+        uw = pd.unique(p["tok"])
+        bmap = {t: int(md5(t.encode()).hexdigest()[:2], 16) & 63 for t in uw}
+        return pd.DataFrame({
+            "tok": p["tok"],
+            "doc_id": p["doc_id"].astype("int64"),
+            "tb": p["tok"].map(bmap).astype("int64"),
+        })
+
+    def bucket_index(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tok", "doc_id"], kind="mergesort")
+        df_ = g.groupby("tok", as_index=False).agg(df=("doc_id", "size"))
+        heads = (
+            g.groupby("tok")
+            .head(IDX_POSTINGS)
+            .groupby("tok", as_index=False)
+            .agg(postings=("doc_id", lambda s: ",".join(map(str, s))))
+        )
+        m = df_.merge(heads, on="tok")
+        return m.sort_values(["df", "tok"], ascending=[False, True],
+                             kind="mergesort").head(IDX_TOPK)
+
+    cand = (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(bucket_index, batch_format="pandas")
+        .to_pandas()
+    )
+    top = cand.sort_values(["df", "tok"], ascending=[False, True],
+                           kind="mergesort").head(IDX_TOPK).reset_index(drop=True)
+    top["df"] = top["df"].astype("int64")
+    return top[["tok", "df", "postings"]]
+
+
+SQL_INVERTED_INDEX = rf"""
+WITH raw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS tok
+  FROM documents
+), w AS (
+  SELECT DISTINCT doc_id, tok FROM raw
+), f AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+         array_to_string(
+           list_slice(list(doc_id ORDER BY doc_id), 1, {IDX_POSTINGS}), ','
+         ) AS postings
+  FROM w GROUP BY tok
+)
+SELECT tok, df, postings FROM f ORDER BY df DESC, tok LIMIT {IDX_TOPK}
+"""
+
+
+QUERIES = {
+    "pagerank_parts": q_pagerank_parts,
+    "event_funnel": q_event_funnel,
+    "event_transitions": q_event_transitions,
+    "inverted_index": q_inverted_index,
+}
+
+ORACLE_SQL = {
+    "pagerank_parts": SQL_PAGERANK_PARTS,
+    "event_funnel": SQL_EVENT_FUNNEL,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "inverted_index": SQL_INVERTED_INDEX,
+}

@@ -149,13 +149,14 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     out["crawl_metrics"] = q_crawl_metrics
 
     from crawler_tjce_ray.pipelines import (
-        clustering, dedup, relational, similarity, sketches, textops, training,
-        webtext,
+        clustering, dedup, graph, relational, similarity, sketches, textops,
+        training, webtext,
     )
     from crawler_tjce_ray.stages import multimodal
 
     out.update(relational.QUERIES)
     out.update(training.QUERIES)
+    out.update(graph.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(textops.QUERIES)
@@ -168,12 +169,13 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 
 def build_oracle_sql() -> dict[str, str]:
     from crawler_tjce_ray.pipelines import (
-        clustering, dedup, relational, similarity, sketches, textops, training,
-        webtext,
+        clustering, dedup, graph, relational, similarity, sketches, textops,
+        training, webtext,
     )
 
     sql = dict(relational.ORACLE_SQL)
     sql.update(training.ORACLE_SQL)
+    sql.update(graph.ORACLE_SQL)
     sql.update(dedup.ORACLE_SQL)
     sql.update(similarity.ORACLE_SQL)
     sql.update(textops.ORACLE_SQL)
