@@ -85,6 +85,94 @@ CSV_SINKS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# K6 analog: post-write artifact hooks
+# (reference: services/pinata_uploader.py:10-159 — after the CSV is
+# written, POST it to Pinata/IPFS and record the returned CID)
+# ---------------------------------------------------------------------------
+
+_POST_WRITE_HOOKS: list = []
+
+
+def register_post_write_hook(fn):
+    """Register ``fn(path, kind, n_rows)`` to run after every
+    single-file CSV write.  Hooks run in registration order; an
+    exception propagates (the reference likewise surfaces upload
+    failures).  Returns ``fn`` so it can be used as a decorator."""
+    _POST_WRITE_HOOKS.append(fn)
+    return fn
+
+
+def clear_post_write_hooks() -> None:
+    _POST_WRITE_HOOKS.clear()
+
+
+def manifest_hook(path: str, kind: str, n_rows: int) -> dict:
+    """Default artifact hook: writes ``<path>.manifest.json`` with the
+    sha256 content address, byte size, row count and kind — the
+    offline analog of the reference's pinned-CID record (a CID is a
+    content hash; sha256 is the sandbox-reproducible equivalent)."""
+    import hashlib
+    import json
+    import os
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    manifest = {
+        "file": os.path.basename(path),
+        "kind": kind,
+        "rows": int(n_rows),
+        "bytes": os.path.getsize(path),
+        "sha256": h.hexdigest(),
+    }
+    with open(path + ".manifest.json", "w", encoding="utf-8") as f:
+        json.dump(manifest, f, sort_keys=True)
+    return manifest
+
+
+class PinataUploader:
+    """K6 parity shell for the reference's Pinata/IPFS upload
+    (``services/pinata_uploader.py:10-159``: multipart POST of the
+    finished CSV to ``pinFileToIPFS``, keyed by a JWT, returning the
+    CID).  This environment has no network, so the HTTP transport is
+    injected: ``post_fn(filename, content_bytes, jwt) -> dict`` must
+    return a Pinata-shaped ``{"IpfsHash": ...}`` response.  Without an
+    injected transport the hook raises at call time with a clear
+    message instead of silently pretending to pin."""
+
+    GATEWAY = "https://gateway.pinata.cloud/ipfs/"
+
+    def __init__(self, jwt: str | None = None, post_fn=None):
+        self.jwt = jwt
+        self.post_fn = post_fn
+        self.pinned: list[dict] = []
+
+    def __call__(self, path: str, kind: str, n_rows: int) -> dict:
+        import os
+
+        if self.post_fn is None:
+            raise RuntimeError(
+                "PinataUploader has no transport: network is unavailable "
+                "in this environment — inject post_fn(filename, content, "
+                "jwt) to enable uploads (reference "
+                "services/pinata_uploader.py)."
+            )
+        with open(path, "rb") as f:
+            resp = self.post_fn(os.path.basename(path), f.read(), self.jwt)
+        cid = resp["IpfsHash"]
+        record = {
+            "file": os.path.basename(path),
+            "kind": kind,
+            "rows": int(n_rows),
+            "cid": cid,
+            "url": self.GATEWAY + cid,
+        }
+        self.pinned.append(record)
+        return record
+
+
 def write_display_csv(ds, kind: str, out_file: str) -> int:
     """Write one reference-shaped CSV display file from a records
     Dataset.  Returns the row count.
@@ -115,6 +203,8 @@ def write_display_csv(ds, kind: str, out_file: str) -> int:
         writer.writeheader()
         for row in display.to_dict("records"):
             writer.writerow(row)
+    for hook in _POST_WRITE_HOOKS:
+        hook(out_file, kind, len(display))
     return len(display)
 
 

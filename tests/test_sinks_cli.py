@@ -128,3 +128,59 @@ class TestPartitionedCsvSink:
         assert len(part_rows) == len(single_rows) > 0
         key = lambda r: (r["processo"], r["ordem"])  # noqa: E731
         assert sorted(part_rows, key=key) == sorted(single_rows, key=key)
+
+
+class TestPostWriteHooks:
+    """K6 analog: artifact hooks fire after the single-file CSV write
+    (reference services/pinata_uploader.py uploads the finished CSV)."""
+
+    @pytest.fixture(autouse=True)
+    def _clean_hooks(self):
+        from crawler_tjce_ray.functions import sinks
+
+        sinks.clear_post_write_hooks()
+        yield
+        sinks.clear_post_write_hooks()
+
+    def test_manifest_hook_records_content_address(self, tmp_path):
+        import hashlib
+        import json
+
+        from crawler_tjce_ray.functions import sinks
+
+        sinks.register_post_write_hook(sinks.manifest_hook)
+        out = tmp_path / "e.csv"
+        df = pd.DataFrame([{f: "x" for f in EDITAL_CSV_FIELDS}])
+        n = write_display_csv(df, "editais", str(out))
+        m = json.loads((tmp_path / "e.csv.manifest.json").read_text())
+        assert m["rows"] == n == 1
+        assert m["kind"] == "editais"
+        assert m["sha256"] == hashlib.sha256(out.read_bytes()).hexdigest()
+        assert m["bytes"] == out.stat().st_size
+
+    def test_pinata_shell_uses_injected_transport(self, tmp_path):
+        from crawler_tjce_ray.functions import sinks
+
+        calls = []
+
+        def fake_post(filename, content, jwt):
+            calls.append((filename, len(content), jwt))
+            return {"IpfsHash": "Qmfake123"}
+
+        up = sinks.PinataUploader(jwt="tok", post_fn=fake_post)
+        sinks.register_post_write_hook(up)
+        out = tmp_path / "p.csv"
+        write_display_csv(pd.DataFrame(columns=EDITAL_CSV_FIELDS), "editais", str(out))
+        assert calls and calls[0][0] == "p.csv" and calls[0][2] == "tok"
+        assert up.pinned[0]["cid"] == "Qmfake123"
+        assert up.pinned[0]["url"].endswith("Qmfake123")
+
+    def test_pinata_shell_refuses_without_transport(self, tmp_path):
+        from crawler_tjce_ray.functions import sinks
+
+        sinks.register_post_write_hook(sinks.PinataUploader())
+        out = tmp_path / "q.csv"
+        with pytest.raises(RuntimeError, match="no transport"):
+            write_display_csv(
+                pd.DataFrame(columns=EDITAL_CSV_FIELDS), "editais", str(out)
+            )
