@@ -65,6 +65,15 @@ BENCH_QUERIES = [
     "corr_qty_price",
     "kmeans_embeddings",
     "curation_pipeline",
+    "epoch_shuffle",
+    "dup_ngram_docs",
+    "bigram_lm",
+    "retention",
+    "pagerank_parts",
+    "event_transitions",
+    "inverted_index",
+    "triangle_count",
+    "cumulative_users",
 ]
 
 

@@ -400,11 +400,232 @@ SELECT tok, df, postings FROM f ORDER BY df DESC, tok LIMIT {IDX_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# triangle counting / global clustering coefficient
+# ---------------------------------------------------------------------------
+
+def q_triangle_count(sf_dir: str):
+    """Triangles, wedges and the global clustering coefficient of the
+    undirected part-succession graph (self-loops dropped, edges
+    deduplicated as u < v).
+
+    Distributed recipe (node-order orientation): bucket the distinct
+    (u, v) edges on u so each node's higher-neighbor list is complete
+    in one bucket → per-bucket self-merge emits the candidate wedges
+    (v, w), v < w, opened at u → ONE second 64-bucket shuffle lands
+    each wedge with the edge set keyed by ITS lower endpoint v, where
+    a vectorized inner merge closes triangles.  Wedge volume is the
+    standard hub-node hazard; at web scale the orientation would flip
+    to degree order (strictly fewer wedges), same two-shuffle shape."""
+    edges_ds, _nodes = _edges_ds_and_nodes(sf_dir)
+
+    def undirect(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["src"].to_numpy()
+        d = df["dst"].to_numpy()
+        keep = s != d
+        u = np.minimum(s[keep], d[keep])
+        v = np.maximum(s[keep], d[keep])
+        e = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        e["ub"] = e["u"] & 63
+        return e
+
+    # per-bucket dedup is exact for wedge generation (u lives in one
+    # bucket); cross-bucket (u,v) duplicates from the weighted edge
+    # parts are removed in-bucket below
+    und = (
+        edges_ds.map_batches(undirect, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(
+            lambda g: g.drop_duplicates(["u", "v"]), batch_format="pandas"
+        )
+        .materialize()
+    )
+
+    def wedges_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="u", suffixes=("_a", "_b"))
+        m = m.loc[m["v_a"] < m["v_b"]]
+        w = pd.DataFrame({"u": m["v_a"], "v": m["v_b"]})
+        w["wb"] = w["u"] & 63
+        return w
+
+    wedges = (
+        und.groupby("ub")
+        .map_groups(wedges_in_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+    # the reported wedge count is the standard full-degree one
+    # (sum over nodes of d*(d-1)/2, both edge directions), NOT the
+    # oriented candidate set above: additive per-bucket degree
+    # partials, O(#buckets) rows to the driver
+    def degree_partials(df: pd.DataFrame) -> pd.DataFrame:
+        n = pd.concat([df["u"], df["v"]], ignore_index=True)
+        p = n.value_counts().rename_axis("node").reset_index(name="d")
+        p["nb"] = p["node"].astype("int64") & 63
+        return p
+
+    deg_parts = (
+        und.map_batches(degree_partials, batch_format="pandas")
+        .groupby("nb")
+        .map_groups(
+            lambda g: pd.DataFrame({
+                "w": [
+                    int(
+                        (lambda d: (d * (d - 1) // 2).sum())(
+                            g.groupby("node")["d"].sum()
+                        )
+                    )
+                ]
+            }),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    n_wedges = int(deg_parts["w"].sum())
+
+    def tag(name):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["u", "v"]].copy()
+            out["t"] = name
+            out["wb"] = out["u"].astype("int64") & 63
+            return out
+        return f
+
+    def close_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.loc[g["t"] == "e", ["u", "v"]].drop_duplicates()
+        w = g.loc[g["t"] == "w", ["u", "v"]]
+        n = len(w.merge(e, on=["u", "v"]))
+        return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+
+    tagged = und.map_batches(tag("e"), batch_format="pandas").union(
+        wedges.map_batches(tag("w"), batch_format="pandas")
+    )
+    tri_parts = (
+        tagged.groupby("wb")
+        .map_groups(close_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    n_tri = int(tri_parts["n"].sum())
+    return pd.DataFrame({
+        "n_triangles": pd.Series([n_tri], dtype="int64"),
+        "n_wedges": pd.Series([int(n_wedges)], dtype="int64"),
+        "clustering": [3.0 * n_tri / n_wedges if n_wedges else 0.0],
+    })
+
+
+SQL_TRIANGLE_COUNT = """
+WITH seq AS (
+  SELECT l_partkey AS src,
+         LEAD(l_partkey) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+         ) AS dst
+  FROM lineitem
+), und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM seq WHERE dst IS NOT NULL AND src <> dst
+), tri AS (
+  SELECT COUNT(*) AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+), deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und
+  ) GROUP BY n
+), wed AS (
+  SELECT SUM(d * (d - 1) / 2) AS c FROM deg
+)
+SELECT CAST(tri.c AS BIGINT) AS n_triangles,
+       CAST(wed.c AS BIGINT) AS n_wedges,
+       CASE WHEN wed.c = 0 THEN 0.0
+            ELSE 3.0 * tri.c / wed.c END AS clustering
+FROM tri, wed
+"""
+
+
+# ---------------------------------------------------------------------------
+# cumulative unique users (new vs returning)
+# ---------------------------------------------------------------------------
+
+def q_cumulative_users(sf_dir: str):
+    """Per calendar day: how many users were seen for the FIRST time
+    that day, and the running total of distinct users to date.
+
+    Recipe: per-batch (user, min day) partials → ONE 64-bucket user
+    shuffle finalizes each user's first day → additive per-day
+    new-user counts → driver cumsum over O(#days) rows.  Active days
+    with zero new users still appear (per-batch distinct-day partials
+    carry them)."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame({
+            "day": df["ts"].dt.normalize(),
+            "user_id": df["user_id"].astype("int64"),
+        })
+        p = p.groupby("user_id", as_index=False)["day"].min()
+        p["ub"] = p["user_id"] & 63
+        return p
+
+    first_parts = (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(
+            lambda g: g.groupby("user_id", as_index=False)["day"].min(),
+            batch_format="pandas",
+        )
+        .map_batches(
+            lambda df: df.groupby("day", as_index=False).agg(
+                n_new=("user_id", "size")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    new_by_day = first_parts.groupby("day", as_index=False)["n_new"].sum()
+
+    days = (
+        ds.map_batches(
+            lambda df: pd.DataFrame({"day": df["ts"].dt.normalize().unique()}),
+            batch_format="pandas",
+        )
+        .to_pandas()["day"]
+        .drop_duplicates()
+        .sort_values()
+    )
+    out = pd.DataFrame({"day": days}).merge(new_by_day, on="day", how="left")
+    out["n_new"] = out["n_new"].fillna(0).astype("int64")
+    out = out.sort_values("day").reset_index(drop=True)
+    out["cum_users"] = out["n_new"].cumsum().astype("int64")
+    out["day"] = out["day"].dt.strftime("%Y-%m-%d")
+    return out
+
+
+SQL_CUMULATIVE_USERS = """
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+), nu AS (
+  SELECT d, COUNT(*) AS n_new FROM f GROUP BY d
+), days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       CAST(COALESCE(nu.n_new, 0) AS BIGINT) AS n_new,
+       CAST(SUM(COALESCE(nu.n_new, 0)) OVER (
+         ORDER BY days.d ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS cum_users
+FROM days LEFT JOIN nu ON nu.d = days.d
+ORDER BY day
+"""
+
+
 QUERIES = {
     "pagerank_parts": q_pagerank_parts,
     "event_funnel": q_event_funnel,
     "event_transitions": q_event_transitions,
     "inverted_index": q_inverted_index,
+    "triangle_count": q_triangle_count,
+    "cumulative_users": q_cumulative_users,
 }
 
 ORACLE_SQL = {
@@ -412,4 +633,6 @@ ORACLE_SQL = {
     "event_funnel": SQL_EVENT_FUNNEL,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "inverted_index": SQL_INVERTED_INDEX,
+    "triangle_count": SQL_TRIANGLE_COUNT,
+    "cumulative_users": SQL_CUMULATIVE_USERS,
 }
