@@ -90,3 +90,60 @@ def test_inverted_index_postings_sorted():
         assert ids == sorted(ids)
         assert len(ids) == min(df_, 10)
         assert len(set(ids)) == len(ids)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_matches_brute_force():
+    """Pin triangles/wedges against an all-pairs local reference on the
+    sf0.001 part-succession graph (small enough to brute-force)."""
+    from crawler_tjce_ray.pipelines.graph import (
+        _edges_ds_and_nodes,
+        q_triangle_count,
+    )
+
+    edges_ds, _ = _edges_ds_and_nodes(SF_DIR)
+    e = edges_ds.to_pandas()
+    e = e.loc[e["src"] != e["dst"]]
+    und = set()
+    for s, d in zip(e["src"], e["dst"]):
+        und.add((min(s, d), max(s, d)))
+    adj: dict[int, set[int]] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = sum(
+        1
+        for u, v in und
+        for w in adj[u]
+        if w > v and w in adj[v]
+    )
+    wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+
+    out = q_triangle_count(SF_DIR)
+    assert int(out["n_triangles"].iloc[0]) == tri
+    assert int(out["n_wedges"].iloc[0]) == wedges
+    if wedges:
+        np.testing.assert_allclose(
+            out["clustering"].iloc[0], 3.0 * tri / wedges, rtol=1e-12
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cumulative_users_invariants():
+    """cum_users is the running sum of n_new, ends at the distinct user
+    count, and every active day appears exactly once."""
+    from crawler_tjce_ray.pipelines.graph import q_cumulative_users
+
+    out = q_cumulative_users(SF_DIR)
+    assert (out["cum_users"].to_numpy() == out["n_new"].cumsum().to_numpy()).all()
+    assert out["day"].is_monotonic_increasing and out["day"].is_unique
+
+    import duckdb
+
+    con = duckdb.connect()
+    n_users, n_days = con.execute(
+        f"SELECT COUNT(DISTINCT user_id), COUNT(DISTINCT CAST(ts AS DATE)) "
+        f"FROM '{SF_DIR}/events.parquet'"
+    ).fetchone()
+    assert int(out["cum_users"].iloc[-1]) == int(n_users)
+    assert len(out) == int(n_days)
