@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "range_join",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_jaccard_prefix",
     "ann_cosine_topk",
     "token_count",
     "text_quality",

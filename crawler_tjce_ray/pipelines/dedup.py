@@ -796,12 +796,251 @@ FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# exact Jaccard self-join via prefix filtering (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+def q_dedup_jaccard_prefix(sf_dir: str):
+    """Exact all-pairs word-3-gram Jaccard ≥ τ WITHOUT the O(n²)
+    broadcast: prefix filtering (the PPJoin principle, public
+    literature).  Same output as ``q_dedup_ngram_jaccard`` — this is
+    the scale path for the exact join.
+
+    Why it works: order grams by global rarity (document frequency,
+    digest tie-break).  If J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·|A|⌉, so the
+    rarity-prefix of length |S| − ⌈τ·|S|⌉ + 1 of each set must share a
+    gram with its partner's prefix — only docs sharing a *prefix* gram
+    ever become candidates, and a size filter (τ·max ≤ min) prunes
+    further before exact verification.
+
+    Distributed recipe (shuffles carry 8-byte digests, never text):
+    distinct (doc, gram) digest pairs → ONE gram-bucket shuffle
+    attaches each gram's global df in-bucket → ONE doc-bucket shuffle
+    selects each doc's rarity prefix vectorized → ONE gram-bucket
+    shuffle pairs docs sharing a prefix gram (size-filtered) → pair
+    dedup in a pair-bucket shuffle → verification: candidate doc ids
+    are broadcast (``ray.put``, candidate-bounded ≪ corpus) to
+    semi-join the gram table down, then two aligned-schema
+    union-shuffles (the ``q_asof_join`` recipe — every column a
+    scalar int64, sentinel-filled) count |A∩B| as an exploded
+    (pair, gram) merge: bucket by doc_a to attach A's grams, re-bucket
+    by doc_b to inner-merge against B's grams; the per-pair match
+    count IS the exact intersection.  Driver state is O(candidates)."""
+    import pyarrow as pa
+    import ray
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def doc_gram_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids, gks, sizes = [], [], []
+        for i, t in zip(df["doc_id"], df["text"]):
+            h = gram_hashes(ngram_set(t.split(" ")))
+            ids.append(np.full(len(h), int(i), dtype=np.int64))
+            gks.append(h)
+            sizes.append(np.full(len(h), len(h), dtype=np.int64))
+        out = pd.DataFrame({
+            "doc_id": np.concatenate(ids) if ids else np.array([], np.int64),
+            "gkey": np.concatenate(gks) if gks else np.array([], np.uint64),
+            "s": np.concatenate(sizes) if sizes else np.array([], np.int64),
+        })
+        out["gb"] = (out["gkey"] & np.uint64(63)).astype(np.int64)
+        return out
+
+    pairs = ds.map_batches(doc_gram_pairs, batch_format="pandas").materialize()
+
+    # 1) global df per gram, attached in-bucket (pairs are distinct per
+    #    (doc, gram) by construction → group size == document frequency)
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["df"] = g.groupby("gkey")["gkey"].transform("size")
+        g["db"] = g["doc_id"] & 63
+        return g[["doc_id", "gkey", "s", "df", "db"]]
+
+    with_df = (
+        pairs.groupby("gb").map_groups(attach_df, batch_format="pandas")
+        .materialize()
+    )
+
+    # 2) per-doc rarity prefix: len = s - ceil(tau*s) + 1
+    def prefix_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "df", "gkey"], kind="mergesort")
+        rank = g.groupby("doc_id").cumcount().to_numpy()
+        s = g["s"].to_numpy()
+        plen = s - np.ceil(JACCARD_TAU * s).astype(np.int64) + 1
+        out = g.loc[rank < plen, ["gkey", "doc_id", "s"]].copy()
+        out["gb"] = (out["gkey"] & np.uint64(63)).astype(np.int64)
+        return out
+
+    prefixes = (
+        with_df.groupby("db").map_groups(prefix_in_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+    # 3) candidate pairs: docs sharing a prefix gram, size-compatible
+    def cands_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="gkey", suffixes=("_a", "_b"))
+        m = m.loc[m["doc_id_a"] < m["doc_id_b"]]
+        mn = np.minimum(m["s_a"], m["s_b"])
+        mx = np.maximum(m["s_a"], m["s_b"])
+        m = m.loc[mn >= np.ceil(JACCARD_TAU * mx)]
+        out = m[["doc_id_a", "doc_id_b", "s_a", "s_b"]].drop_duplicates(
+            ["doc_id_a", "doc_id_b"]
+        )
+        out["pb"] = out["doc_id_a"] & 63
+        return out
+
+    cands = (
+        prefixes.groupby("gb").map_groups(cands_in_bucket, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(
+            lambda g: g.drop_duplicates(["doc_id_a", "doc_id_b"]),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    # 4) semi-join the gram table down to candidate docs (broadcast the
+    #    candidate id set once — candidate-bounded, not corpus-bounded)
+    cand_ids_df = cands.to_pandas()
+    if cand_ids_df.empty:
+        return pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        })
+    cand_doc_ids = np.unique(
+        np.concatenate([
+            cand_ids_df["doc_id_a"].to_numpy(np.int64),
+            cand_ids_df["doc_id_b"].to_numpy(np.int64),
+        ])
+    )
+    ids_ref = ray.put(cand_doc_ids)
+
+    def semi(df: pd.DataFrame) -> pd.DataFrame:
+        keep = np.isin(df["doc_id"].to_numpy(np.int64), ray.get(ids_ref))
+        out = df.loc[keep, ["doc_id", "gkey"]].copy()
+        out["db"] = out["doc_id"] & 63
+        return out
+
+    cand_grams = pairs.map_batches(semi, batch_format="pandas").materialize()
+
+    # 5) exact |A∩B| without list columns: explode each pair against
+    #    A's grams in a doc_a-bucket union, inner-merge against B's
+    #    grams in a doc_b-bucket union, count matches per pair.  Both
+    #    unions use IDENTICAL all-int64 schemas (sentinel-filled), the
+    #    same discipline as q_asof_join.  gkey travels as the int64
+    #    bit-view of the uint64 digest (equality- and bucket-preserving).
+    COLS = ["k", "db", "side", "doc_b", "s_a", "s_b", "gkey"]
+
+    def tag_pairs_a(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["doc_id_a"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": k,
+            "db": k & 63,
+            "side": np.int64(0),
+            "doc_b": df["doc_id_b"].to_numpy(np.int64),
+            "s_a": df["s_a"].to_numpy(np.int64),
+            "s_b": df["s_b"].to_numpy(np.int64),
+            "gkey": np.int64(0),
+        })[COLS]
+
+    def tag_grams(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": k,
+            "db": k & 63,
+            "side": np.int64(1),
+            "doc_b": np.int64(-1),
+            "s_a": np.int64(-1),
+            "s_b": np.int64(-1),
+            "gkey": df["gkey"].to_numpy(np.uint64).view(np.int64),
+        })[COLS]
+
+    def explode_a(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.loc[g["side"] == 0, ["k", "doc_b", "s_a", "s_b"]]
+        gr = g.loc[g["side"] == 1, ["k", "gkey"]]
+        if p.empty or gr.empty:
+            return pd.DataFrame({
+                "k": pd.Series([], dtype="int64"),
+                "db": pd.Series([], dtype="int64"),
+                "side": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "s_a": pd.Series([], dtype="int64"),
+                "s_b": pd.Series([], dtype="int64"),
+                "gkey": pd.Series([], dtype="int64"),
+            })[COLS]
+        m = p.merge(gr, on="k")  # one row per (pair, gram-of-A)
+        out = pd.DataFrame({
+            # re-keyed by doc_b for the second bucket shuffle
+            "k": m["doc_b"].to_numpy(np.int64),
+            "db": m["doc_b"].to_numpy(np.int64) & 63,
+            "side": np.int64(0),
+            "doc_b": m["k"].to_numpy(np.int64),  # carries doc_a now
+            "s_a": m["s_a"].to_numpy(np.int64),
+            "s_b": m["s_b"].to_numpy(np.int64),
+            "gkey": m["gkey"].to_numpy(np.int64),
+        })
+        return out[COLS]
+
+    exploded = (
+        cands.map_batches(tag_pairs_a, batch_format="pandas")
+        .union(cand_grams.map_batches(tag_grams, batch_format="pandas"))
+        .groupby("db")
+        .map_groups(explode_a, batch_format="pandas")
+        .materialize()
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        # side 0: (k=doc_b, doc_b=doc_a, gram-of-A); side 1: B's grams.
+        # A match on (k, gkey) means the gram is in A∩B; the per-pair
+        # match count is the exact intersection (grams are distinct
+        # per doc by construction).
+        p = g.loc[g["side"] == 0]
+        gr = g.loc[g["side"] == 1, ["k", "gkey"]]
+        if p.empty or gr.empty:
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            })
+        m = p.merge(gr, on=["k", "gkey"])
+        if m.empty:
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            })
+        agg = (
+            m.groupby(["doc_b", "k", "s_a", "s_b"], as_index=False)
+            .agg(inter=("gkey", "size"))
+        )
+        inter = agg["inter"].to_numpy(np.int64)
+        jac = inter / (
+            agg["s_a"].to_numpy(np.int64) + agg["s_b"].to_numpy(np.int64) - inter
+        )
+        out = pd.DataFrame({
+            "doc_a": agg["doc_b"].to_numpy(np.int64),
+            "doc_b": agg["k"].to_numpy(np.int64),
+            "jaccard": jac,
+        })
+        return out.loc[out["jaccard"] >= JACCARD_TAU]
+
+    out = (
+        exploded.union(cand_grams.map_batches(tag_grams, batch_format="pandas"))
+        .groupby("db")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_distributed": q_dedup_clusters_distributed,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_nn": q_dedup_embedding_nn,
@@ -813,5 +1052,6 @@ ORACLE_SQL = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_clusters_distributed": SQL_DEDUP_CLUSTERS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_jaccard_prefix": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_nn": SQL_DEDUP_EMBEDDING_NN,
 }

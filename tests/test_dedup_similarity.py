@@ -221,3 +221,38 @@ class TestDistributedClusterLabels:
         })
         with pytest.raises(RuntimeError, match="did not converge"):
             cluster_labels_distributed(SF_DIR, pairs, max_rounds=2)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJaccardPrefixJoin:
+    def test_equals_all_pairs_verifier(self):
+        """The PPJoin-style prefix-filtered exact join must return the
+        IDENTICAL pair set (ids and jaccard values) as the O(n²)
+        broadcast verifier — prefix filtering is lossless for J ≥ τ."""
+        from crawler_tjce_ray.pipelines import dedup
+
+        a = dedup.q_dedup_jaccard_prefix(SF_DIR).reset_index(drop=True)
+        b = dedup.q_dedup_ngram_jaccard(SF_DIR).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_empty_result_schema(self, tmp_path):
+        """All-distinct docs → zero pairs, but the schema and dtypes
+        must still match the oracle (the driver hashes the schema)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+        from crawler_tjce_ray.pipelines import dedup
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "alpha beta gamma delta epsilon zeta",
+                "one two three four five six seven",
+                "red orange yellow green blue indigo violet",
+            ]),
+        })
+        pq2.write_table(t, str(tmp_path / "documents.parquet"))
+        out = dedup.q_dedup_jaccard_prefix(str(tmp_path))
+        assert len(out) == 0
+        assert list(out.columns) == ["doc_a", "doc_b", "jaccard"]
+        assert str(out["doc_a"].dtype) == "int64"
+        assert str(out["jaccard"].dtype) == "float64"
