@@ -800,108 +800,138 @@ FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
 # exact Jaccard self-join via prefix filtering (PPJoin-style)
 # ---------------------------------------------------------------------------
 
+# verification tier cut: at or below this many candidate DOCS the
+# semi-joined gram table is collected and verified in one vectorized
+# merge (candidate-bounded — not corpus-bounded); above it the same
+# exploded merge runs as two distributed union-shuffles
+JACCARD_PREFIX_BROADCAST_MAX_DOCS = 200_000
+
+# Count-Min sketch for the global gram-rarity order: D rows × W
+# counters (16 MB merged) — FIXED driver/broadcast state at any corpus
+# size.  Multiplicative hashes over the 64-bit gram digest.
+_CMS_D, _CMS_W_LOG2 = 4, 20
+_CMS_W = 1 << _CMS_W_LOG2
+_CMS_MULTS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+     0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def _cms_cells(h: np.ndarray) -> np.ndarray:
+    """(D, n) counter indices for gram digests ``h`` (vectorized
+    multiplicative hashing; wraparound multiply is intentional)."""
+    with np.errstate(over="ignore"):
+        prod = h[None, :] * _CMS_MULTS[:, None]
+    return (prod >> np.uint64(64 - _CMS_W_LOG2)).astype(np.int64)
+
+
 def q_dedup_jaccard_prefix(sf_dir: str):
     """Exact all-pairs word-3-gram Jaccard ≥ τ WITHOUT the O(n²)
     broadcast: prefix filtering (the PPJoin principle, public
     literature).  Same output as ``q_dedup_ngram_jaccard`` — this is
     the scale path for the exact join.
 
-    Why it works: order grams by global rarity (document frequency,
-    digest tie-break).  If J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·|A|⌉, so the
-    rarity-prefix of length |S| − ⌈τ·|S|⌉ + 1 of each set must share a
-    gram with its partner's prefix — only docs sharing a *prefix* gram
-    ever become candidates, and a size filter (τ·max ≤ min) prunes
-    further before exact verification.
+    Why it works: order grams by global rarity (estimated document
+    frequency, digest tie-break).  If J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·|A|⌉,
+    so the rarity-prefix of length |S| − ⌈τ·|S|⌉ + 1 of each set must
+    share a gram with its partner's prefix — only docs sharing a
+    *prefix* gram ever become candidates, and a size filter
+    (τ·max ≤ min) prunes further before exact verification.  The
+    lemma needs ANY globally consistent total order; exact df only
+    tunes candidate count.  So instead of a gram-keyed df shuffle the
+    order comes from a Count-Min sketch: one map pass builds per-batch
+    (D×W) partials, the driver sums them (fixed 16 MB at any corpus
+    size) and broadcasts the merged sketch once; the estimated-df
+    order is then computed BATCH-LOCALLY — same sketch everywhere →
+    same global order.
 
-    Distributed recipe (shuffles carry 8-byte digests, never text):
-    distinct (doc, gram) digest pairs → ONE gram-bucket shuffle
-    attaches each gram's global df in-bucket → ONE doc-bucket shuffle
-    selects each doc's rarity prefix vectorized → ONE gram-bucket
-    shuffle pairs docs sharing a prefix gram (size-filtered) → pair
-    dedup in a pair-bucket shuffle → verification: candidate doc ids
-    are broadcast (``ray.put``, candidate-bounded ≪ corpus) to
-    semi-join the gram table down, then two aligned-schema
+    Distributed plan (shuffles carry 8-byte digests, never text):
+    map (CMS partials) → map (grams + in-batch prefix selection) →
+    the plan's ONLY all-to-all: a gram-bucket groupby pairing docs
+    that share a prefix gram (size-filtered).  Verification is
+    candidate-bounded on both tiers: below
+    ``JACCARD_PREFIX_BROADCAST_MAX_DOCS`` candidate docs, the
+    semi-joined gram table is counted in pure numpy driver-side;
+    above it, the same exploded merge runs as two aligned-schema
     union-shuffles (the ``q_asof_join`` recipe — every column a
-    scalar int64, sentinel-filled) count |A∩B| as an exploded
-    (pair, gram) merge: bucket by doc_a to attach A's grams, re-bucket
-    by doc_b to inner-merge against B's grams; the per-pair match
-    count IS the exact intersection.  Driver state is O(candidates)."""
-    import pyarrow as pa
+    scalar int64, sentinel-filled): bucket by doc_a to attach A's
+    grams, re-bucket by doc_b to inner-merge against B's grams; the
+    per-pair match count IS the exact intersection."""
     import ray
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def doc_gram_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids, gks, sizes = [], [], []
+    # pass 1: per-batch CMS partials → driver sum → broadcast once
+    def cms_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sk = np.zeros((_CMS_D, _CMS_W), np.int64)
+        for t in df["text"]:
+            idx = _cms_cells(gram_hashes(ngram_set(t.split(" "))))
+            for d in range(_CMS_D):
+                np.add.at(sk[d], idx[d], 1)
+        return pd.DataFrame({"sk": [sk.tobytes()]})
+
+    merged = np.zeros((_CMS_D, _CMS_W), np.int64)
+    for blob in ds.map_batches(cms_partial, batch_format="pandas").to_pandas()["sk"]:
+        merged += np.frombuffer(blob, np.int64).reshape(_CMS_D, _CMS_W)
+    sk_ref = ray.put(merged)
+
+    # pass 2: gram rows + BATCH-LOCAL prefix selection (docs are
+    # batch-local; the broadcast sketch makes the order global)
+    def doc_gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sk = ray.get(sk_ref)
+        ids, gks, sizes, pfx = [], [], [], []
         for i, t in zip(df["doc_id"], df["text"]):
             h = gram_hashes(ngram_set(t.split(" ")))
+            est = sk[np.arange(_CMS_D)[:, None], _cms_cells(h)].min(axis=0)
+            order = np.lexsort((h, est))  # rarity first, digest tie-break
+            plen = len(h) - int(np.ceil(JACCARD_TAU * len(h))) + 1
+            mask = np.zeros(len(h), bool)
+            mask[order[:plen]] = True
             ids.append(np.full(len(h), int(i), dtype=np.int64))
             gks.append(h)
             sizes.append(np.full(len(h), len(h), dtype=np.int64))
+            pfx.append(mask)
         out = pd.DataFrame({
             "doc_id": np.concatenate(ids) if ids else np.array([], np.int64),
             "gkey": np.concatenate(gks) if gks else np.array([], np.uint64),
             "s": np.concatenate(sizes) if sizes else np.array([], np.int64),
+            "pfx": np.concatenate(pfx) if pfx else np.array([], bool),
         })
         out["gb"] = (out["gkey"] & np.uint64(63)).astype(np.int64)
         return out
 
-    pairs = ds.map_batches(doc_gram_pairs, batch_format="pandas").materialize()
+    pairs = ds.map_batches(doc_gram_rows, batch_format="pandas").materialize()
 
-    # 1) global df per gram, attached in-bucket (pairs are distinct per
-    #    (doc, gram) by construction → group size == document frequency)
-    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["df"] = g.groupby("gkey")["gkey"].transform("size")
-        g["db"] = g["doc_id"] & 63
-        return g[["doc_id", "gkey", "s", "df", "db"]]
-
-    with_df = (
-        pairs.groupby("gb").map_groups(attach_df, batch_format="pandas")
-        .materialize()
-    )
-
-    # 2) per-doc rarity prefix: len = s - ceil(tau*s) + 1
-    def prefix_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["doc_id", "df", "gkey"], kind="mergesort")
-        rank = g.groupby("doc_id").cumcount().to_numpy()
-        s = g["s"].to_numpy()
-        plen = s - np.ceil(JACCARD_TAU * s).astype(np.int64) + 1
-        out = g.loc[rank < plen, ["gkey", "doc_id", "s"]].copy()
-        out["gb"] = (out["gkey"] & np.uint64(63)).astype(np.int64)
-        return out
-
-    prefixes = (
-        with_df.groupby("db").map_groups(prefix_in_bucket, batch_format="pandas")
-        .materialize()
-    )
-
-    # 3) candidate pairs: docs sharing a prefix gram, size-compatible
+    # candidate pairs: docs sharing a prefix gram, size-compatible —
+    # the ONLY shuffle, carrying prefix rows only (~half the grams)
     def cands_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="gkey", suffixes=("_a", "_b"))
         m = m.loc[m["doc_id_a"] < m["doc_id_b"]]
         mn = np.minimum(m["s_a"], m["s_b"])
         mx = np.maximum(m["s_a"], m["s_b"])
         m = m.loc[mn >= np.ceil(JACCARD_TAU * mx)]
-        out = m[["doc_id_a", "doc_id_b", "s_a", "s_b"]].drop_duplicates(
+        return m[["doc_id_a", "doc_id_b", "s_a", "s_b"]].drop_duplicates(
             ["doc_id_a", "doc_id_b"]
         )
-        out["pb"] = out["doc_id_a"] & 63
-        return out
 
-    cands = (
-        prefixes.groupby("gb").map_groups(cands_in_bucket, batch_format="pandas")
-        .groupby("pb")
-        .map_groups(
-            lambda g: g.drop_duplicates(["doc_id_a", "doc_id_b"]),
+    # pair dedup (same pair found via several shared prefix grams in
+    # different gb buckets) happens where the pairs land anyway — the
+    # driver compares the result, so candidates are driver-sized by
+    # contract; at unattended scale this is one more bucket groupby
+    cand_ids_df = (
+        pairs.map_batches(
+            lambda df: df.loc[df["pfx"], ["gkey", "doc_id", "s", "gb"]],
             batch_format="pandas",
         )
-        .materialize()
+        .groupby("gb")
+        .map_groups(cands_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["doc_id_a", "doc_id_b"])
     )
 
     # 4) semi-join the gram table down to candidate docs (broadcast the
     #    candidate id set once — candidate-bounded, not corpus-bounded)
-    cand_ids_df = cands.to_pandas()
     if cand_ids_df.empty:
         return pd.DataFrame({
             "doc_a": pd.Series([], dtype="int64"),
@@ -922,6 +952,70 @@ def q_dedup_jaccard_prefix(sf_dir: str):
         out["db"] = out["doc_id"] & 63
         return out
 
+    def _finish(agg: pd.DataFrame) -> pd.DataFrame:
+        inter = agg["inter"].to_numpy(np.int64)
+        jac = inter / (
+            agg["s_a"].to_numpy(np.int64) + agg["s_b"].to_numpy(np.int64) - inter
+        )
+        out = pd.DataFrame({
+            "doc_a": agg.iloc[:, 0].to_numpy(np.int64),
+            "doc_b": agg.iloc[:, 1].to_numpy(np.int64),
+            "jaccard": jac,
+        })
+        out = out.loc[out["jaccard"] >= JACCARD_TAU]
+        return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    if len(cand_doc_ids) <= JACCARD_PREFIX_BROADCAST_MAX_DOCS:
+        # small-candidate tier: semi-joined gram table is driver-sized;
+        # |A∩B| is counted in pure numpy — dense-remap (doc, gram) to
+        # one int64 key, explode each pair over A's grams with
+        # arithmetic indexing, membership-probe B via searchsorted,
+        # bincount hits per pair.  No DataFrame merge materializes the
+        # Σ|A|-per-pair intermediate as python/pandas objects.
+        grams = pairs.map_batches(semi, batch_format="pandas").to_pandas()
+        g_doc = grams["doc_id"].to_numpy(np.int64)
+        order = np.argsort(g_doc, kind="stable")
+        g_doc = g_doc[order]
+        ug = np.unique(grams["gkey"].to_numpy(np.uint64))
+        g_gidx = np.searchsorted(
+            ug, grams["gkey"].to_numpy(np.uint64)[order]
+        ).astype(np.int64)
+        # per-candidate-doc slice [start, start+cnt) into the sorted arrays
+        start = np.searchsorted(g_doc, cand_doc_ids)
+        end = np.searchsorted(g_doc, cand_doc_ids, side="right")
+        cnt = end - start
+        # dense combined key: doc-rank * |grams| + gram-rank (fits int64
+        # under the guard: 2e5 docs × ~1e7 distinct grams < 2^63)
+        member = np.sort(
+            np.searchsorted(cand_doc_ids, g_doc) * len(ug) + g_gidx
+        )
+        da = np.searchsorted(
+            cand_doc_ids, cand_ids_df["doc_id_a"].to_numpy(np.int64)
+        )
+        db_ = np.searchsorted(
+            cand_doc_ids, cand_ids_df["doc_id_b"].to_numpy(np.int64)
+        )
+        reps = cnt[da]
+        total = int(reps.sum())
+        pair_of = np.repeat(np.arange(len(cand_ids_df)), reps)
+        within = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+        probe = db_[pair_of] * len(ug) + g_gidx[np.repeat(start[da], reps) + within]
+        loc = np.searchsorted(member, probe)
+        hit = (loc < len(member)) & (
+            member[np.minimum(loc, len(member) - 1)] == probe
+        )
+        inter = np.bincount(pair_of[hit], minlength=len(cand_ids_df))
+        agg = pd.DataFrame({
+            "doc_id_a": cand_ids_df["doc_id_a"].to_numpy(np.int64),
+            "doc_id_b": cand_ids_df["doc_id_b"].to_numpy(np.int64),
+            "s_a": cand_ids_df["s_a"].to_numpy(np.int64),
+            "s_b": cand_ids_df["s_b"].to_numpy(np.int64),
+            "inter": inter,
+        })
+        agg = agg.loc[agg["inter"] > 0]
+        return _finish(agg[["doc_id_a", "doc_id_b", "s_a", "s_b", "inter"]])
+
+    cands = ray.data.from_pandas(cand_ids_df)
     cand_grams = pairs.map_batches(semi, batch_format="pandas").materialize()
 
     # 5) exact |A∩B| without list columns: explode each pair against

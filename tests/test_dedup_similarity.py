@@ -235,6 +235,17 @@ class TestJaccardPrefixJoin:
         b = dedup.q_dedup_ngram_jaccard(SF_DIR).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
 
+    def test_distributed_verify_tier_equals_broadcast_tier(self, monkeypatch):
+        """Forcing the candidate count over the broadcast cut must
+        route verification through the distributed union-shuffle path
+        and produce the identical result."""
+        from crawler_tjce_ray.pipelines import dedup
+
+        broadcast = dedup.q_dedup_jaccard_prefix(SF_DIR).reset_index(drop=True)
+        monkeypatch.setattr(dedup, "JACCARD_PREFIX_BROADCAST_MAX_DOCS", 0)
+        distributed = dedup.q_dedup_jaccard_prefix(SF_DIR).reset_index(drop=True)
+        pd.testing.assert_frame_equal(distributed, broadcast)
+
     def test_empty_result_schema(self, tmp_path):
         """All-distinct docs → zero pairs, but the schema and dtypes
         must still match the oracle (the driver hashes the schema)."""
