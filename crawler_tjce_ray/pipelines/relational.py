@@ -1847,6 +1847,223 @@ ORDER BY l_returnflag
 """
 
 
+def q_row_number_ntile(sf_dir: str):
+    """Global ROW_NUMBER + NTILE(10) over (n_chars, doc_id) WITHOUT a
+    global sort: the exact rank decomposes as
+    ``rows-before-my-value + within-value rank``.  Pass 1 reduces a
+    value-count histogram (O(distinct values) driver state — the
+    ``chars_percent_rank`` recipe) whose cumsum gives each value's
+    global offset; the within-value tie rank needs all rows of a value
+    together, which ONE 64-coarse-bucket shuffle on the value provides
+    (a value never straddles buckets).  Total is the only other
+    broadcast scalar, so NTILE's uneven-bucket arithmetic is local."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def val_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_chars", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    hist = (
+        ds.map_batches(val_counts, batch_format="pandas")
+        .to_pandas().groupby("n_chars", as_index=False).sum()
+        .sort_values("n_chars").reset_index(drop=True)
+    )
+    total = int(hist["n"].sum())
+    offset = dict(zip(hist["n_chars"],
+                      hist["n"].cumsum().shift(fill_value=0).astype("int64")))
+    k = 10
+    q, r = divmod(total, k)
+    boundary = r * (q + 1)  # rows in the r first (larger) buckets
+
+    def bucket(t: pa.Table) -> pa.Table:
+        vb = pc.bit_wise_and(pc.cast(t["n_chars"], pa.int64()), 63)
+        return t.append_column("vb", vb)
+
+    def rank_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        tie = g.groupby("n_chars", sort=False).cumcount().to_numpy()
+        rn = g["n_chars"].map(offset).to_numpy(np.int64) + tie + 1
+        decile = np.where(
+            rn <= boundary,
+            (rn - 1) // (q + 1) + 1,
+            r + (rn - 1 - boundary) // max(q, 1) + 1,
+        )
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "rn": rn.astype("int64"),
+            "decile": decile.astype("int64"),
+        })
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("vb")
+        .map_groups(rank_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_ROW_NUMBER_NTILE = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+       CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_rolling_avg3(sf_dir: str):
+    """Moving average over the previous 3 events per user (ROWS
+    BETWEEN 2 PRECEDING AND CURRENT ROW) — the bounded-frame window
+    class.  Same single coarse-bucket shuffle as ``q_sessionize``;
+    inside a bucket two ``groupby.shift`` lags replace any rolling
+    apply, and the sums add in frame order ((lag2+lag1)+v) so the
+    float tail matches the oracle's sequential accumulation."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        return t.append_column("kb", kb)
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = g.reset_index(drop=True)
+        v = g["value"].to_numpy(np.float64)
+        by = g.groupby("user_id", sort=False)["value"]
+        lag1 = by.shift(1).to_numpy(np.float64)
+        lag2 = by.shift(2).to_numpy(np.float64)
+        avg3 = np.where(
+            ~np.isnan(lag2), ((lag2 + lag1) + v) / 3.0,
+            np.where(~np.isnan(lag1), (lag1 + v) / 2.0, v),
+        )
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "avg3": avg3,
+        })
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(roll, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_ROLLING_AVG3 = """
+SELECT event_id, user_id,
+       AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg3
+FROM events ORDER BY event_id
+"""
+
+
+def q_user_journey(sf_dir: str):
+    """Ordered string aggregation: each user's first-5 event-type
+    journey ('a>b>c') plus their total event count — the sequence-
+    assembly op behind funnel labeling and session mining.  ONE
+    user-bucket shuffle; in-bucket the head-5 rows pivot to at most
+    five aligned columns and concatenate vectorized (no per-user
+    apply loop)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        return t.append_column("kb", kb)
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = g.reset_index(drop=True)
+        n = g.groupby("user_id", sort=False)["event_id"].transform("size")
+        g["k"] = g.groupby("user_id", sort=False).cumcount()
+        head = g.loc[g["k"] < 5, ["user_id", "k", "event_type"]]
+        wide = head.pivot(index="user_id", columns="k", values="event_type")
+        journey = wide[0].copy()  # every user has >= 1 event
+        for c in range(1, 5):
+            if c in wide.columns:
+                seg = ">" + wide[c]
+                journey = journey + seg.where(wide[c].notna(), "")
+        out = pd.DataFrame({
+            "user_id": wide.index.to_numpy(np.int64),
+            "journey": journey.to_numpy(),
+        })
+        nn = g.drop_duplicates("user_id")[["user_id"]].copy()
+        nn["n_events"] = n[nn.index].to_numpy(np.int64)
+        return out.merge(nn, on="user_id")[["user_id", "n_events", "journey"]]
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(assemble, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_JOURNEY = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events)
+SELECT user_id,
+       CAST(MAX(n_events) AS BIGINT) AS n_events,
+       string_agg(event_type, '>' ORDER BY rn) AS journey
+FROM ranked WHERE rn <= 5
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_chi2_lang_source(sf_dir: str):
+    """Chi-square independence table for lang × source: observed
+    count, expected count under independence, and the per-cell χ²
+    contribution — the corpus-balance diagnostic for mixture design.
+    Per-batch contingency partials combine on the driver (key space
+    |langs| × |sources|, independent of row count); every float is a
+    product/quotient of exact integer totals, so no summation-order
+    ambiguity exists."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "source"], as_index=False).size() \
+                 .rename(columns={"size": "n"})
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas().groupby(["lang", "source"], as_index=False)["n"].sum()
+    )
+    total = float(cells["n"].sum())
+    row_t = cells.groupby("lang")["n"].sum()
+    col_t = cells.groupby("source")["n"].sum()
+    rn = cells["lang"].map(row_t).to_numpy(np.float64)
+    cn = cells["source"].map(col_t).to_numpy(np.float64)
+    n = cells["n"].to_numpy(np.float64)
+    expected = rn * cn / total
+    contrib = (n - expected) ** 2 / expected
+    out = pd.DataFrame({
+        "lang": cells["lang"],
+        "source": cells["source"],
+        "n": cells["n"].astype("int64"),
+        "expected": expected,
+        "contrib": contrib,
+    })
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+SQL_CHI2_LANG_SOURCE = """
+WITH c AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM c),
+r AS (SELECT lang, CAST(SUM(n) AS DOUBLE) AS rn FROM c GROUP BY lang),
+cl AS (SELECT source, CAST(SUM(n) AS DOUBLE) AS cn FROM c GROUP BY source)
+SELECT c.lang, c.source, CAST(c.n AS BIGINT) AS n,
+       r.rn * cl.cn / t.tot AS expected,
+       POWER(c.n - r.rn * cl.cn / t.tot, 2) / (r.rn * cl.cn / t.tot) AS contrib
+FROM c JOIN r USING (lang) JOIN cl USING (source) CROSS JOIN t
+ORDER BY lang, source
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "groupby_count": q_groupby_count,
@@ -1889,6 +2106,10 @@ QUERIES = {
     "corr_qty_price": q_corr_qty_price,
     "mode_qty_per_flag": q_mode_qty_per_flag,
     "bloom_anti_join": q_bloom_anti_join,
+    "row_number_ntile": q_row_number_ntile,
+    "rolling_avg3": q_rolling_avg3,
+    "user_journey": q_user_journey,
+    "chi2_lang_source": q_chi2_lang_source,
 }
 
 ORACLE_SQL = {
@@ -1933,4 +2154,8 @@ ORACLE_SQL = {
     "corr_qty_price": SQL_CORR_QTY_PRICE,
     "mode_qty_per_flag": SQL_MODE_QTY_PER_FLAG,
     "bloom_anti_join": SQL_BLOOM_ANTI_JOIN,
+    "row_number_ntile": SQL_ROW_NUMBER_NTILE,
+    "rolling_avg3": SQL_ROLLING_AVG3,
+    "user_journey": SQL_USER_JOURNEY,
+    "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
 }
