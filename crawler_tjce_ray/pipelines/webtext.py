@@ -592,6 +592,135 @@ ORDER BY d.doc_id
 """
 
 
+def q_bigram_logprob(sf_dir: str):
+    """Bigram language-model score per document: mean
+    ln P(w2 | w1) with add-one smoothing — the step up from
+    ``q_unigram_logprob`` toward model-based perplexity filtering.
+
+    Scale design: unlike the unigram scorer (whose O(vocab) table can
+    broadcast), the bigram table is O(vocab²) and must NEVER land on
+    the driver.  Instead the model is built and consumed inside ONE
+    md5(w1)-bucket shuffle: every (doc, w1, w2, k) row of a given w1
+    lands in one bucket, so c12, the c1 marginal, AND each doc's score
+    contributions k·ln((c12+1)/(c1+V)) all finalize in-bucket — the
+    only things that cross back are per-(bucket, doc) partial sums,
+    output-sized.  V (corpus distinct-word count) reduces from 64
+    per-bucket distinct counts (driver state: 64 ints)."""
+    import hashlib
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    md5 = hashlib.md5
+
+    def _bucket_map(words) -> dict:
+        return {w: int(md5(w.encode()).hexdigest()[:2], 16) & 63 for w in words}
+
+    # pass 1: V from per-batch distinct words, counted per md5 bucket
+    def distinct_words(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_words(df)
+        uw = pd.unique(ex["w"])
+        bmap = _bucket_map(uw)
+        return pd.DataFrame({
+            "w": pd.Series(uw, dtype="object"),
+            "gb": pd.Series([bmap[w] for w in uw], dtype="int64"),
+        })
+
+    vparts = (
+        ds.map_batches(distinct_words, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(
+            lambda g: pd.DataFrame({"nv": [g["w"].nunique()]}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    vsize = int(vparts["nv"].sum())
+
+    # pass 2: per-batch per-doc bigram-count partials (the combiner —
+    # raw word streams never shuffle), bucketed on md5(w1)
+    def doc_bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_words(df).reset_index(drop=True)
+        nxt = ex["w"].shift(-1)
+        same = (ex["doc_id"].shift(-1) == ex["doc_id"]).to_numpy()
+        b = pd.DataFrame({
+            "doc_id": ex["doc_id"][same],
+            "w1": ex["w"][same],
+            "w2": nxt[same],
+        })
+        if b.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "w1": pd.Series([], dtype="object"),
+                "w2": pd.Series([], dtype="object"),
+                "k": pd.Series([], dtype="int64"),
+                "gb": pd.Series([], dtype="int64"),
+            })
+        c = b.groupby(["doc_id", "w1", "w2"], as_index=False).size() \
+             .rename(columns={"size": "k"})
+        c["k"] = c["k"].astype("int64")
+        bmap = _bucket_map(pd.unique(c["w1"]))
+        c["gb"] = c["w1"].map(bmap).astype("int64")
+        c["doc_id"] = c["doc_id"].astype("int64")
+        return c
+
+    # in-bucket: counts are final (bucket key depends on w1 only), so
+    # the model row and the score join never leave the bucket
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c12 = g.groupby(["w1", "w2"])["k"].transform("sum").to_numpy(np.float64)
+        c1 = g.groupby("w1")["k"].transform("sum").to_numpy(np.float64)
+        lp = g["k"].to_numpy(np.float64) * np.log((c12 + 1.0) / (c1 + vsize))
+        part = pd.DataFrame({"doc_id": g["doc_id"], "n": g["k"], "lp": lp})
+        return part.groupby("doc_id", as_index=False).agg(
+            n=("n", "sum"), lp=("lp", "sum")
+        )
+
+    parts = (
+        ds.map_batches(doc_bigrams, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(score_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("doc_id", as_index=False).sum()
+    )
+    ids = ds.map_batches(
+        lambda df: df[["doc_id"]], batch_format="pandas"
+    ).to_pandas()
+    out = ids.merge(parts, on="doc_id", how="left")
+    out["n_bigrams"] = out["n"].fillna(0).astype("int64")
+    out["mean_logprob"] = np.where(
+        out["n_bigrams"] > 0, out["lp"] / out["n_bigrams"], 0.0
+    )
+    out = out[["doc_id", "n_bigrams", "mean_logprob"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_BIGRAM_LOGPROB = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS ws
+  FROM documents
+), v AS (
+  SELECT COUNT(DISTINCT t.w) AS vsize
+  FROM (SELECT unnest(ws) AS w FROM w) t
+), pos AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w WHERE len(ws) >= 2
+), b AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM pos
+), c AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2
+), d AS (
+  SELECT w1, w2, c12, SUM(c12) OVER (PARTITION BY w1) AS c1 FROM c
+), scored AS (
+  SELECT b.doc_id, ln((d.c12 + 1.0) / (d.c1 + v.vsize)) AS lp
+  FROM b JOIN d USING (w1, w2) CROSS JOIN v
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp) AS sum_lp
+  FROM scored GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       COALESCE(agg.sum_lp / agg.n_bigrams, 0.0) AS mean_logprob
+FROM w LEFT JOIN agg USING (doc_id) ORDER BY w.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # per-group discrete quantile (median doc length per language)
 # ---------------------------------------------------------------------------
@@ -904,6 +1033,7 @@ QUERIES = {
     "lang_median_chars": q_lang_median_chars,
     "char_entropy": q_char_entropy,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
     "line_filter": q_line_filter,
     "source_token_share": q_source_token_share,
     "repetition_stats": q_repetition_stats,
@@ -919,6 +1049,7 @@ ORACLE_SQL = {
     "lang_median_chars": SQL_LANG_MEDIAN_CHARS,
     "char_entropy": SQL_CHAR_ENTROPY,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "line_filter": SQL_LINE_FILTER,
     "source_token_share": SQL_SOURCE_TOKEN_SHARE,
     "repetition_stats": SQL_REPETITION_STATS,
