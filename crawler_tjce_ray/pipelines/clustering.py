@@ -228,9 +228,80 @@ ORDER BY label, dim
 """
 
 
+SEMDEDUP_TAU = 0.95
+
+
+def q_semdedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public): cluster the embedding space with the trained spherical
+    k-means model, then prune near-duplicates WITHIN each cluster —
+    pairwise cosine is only ever computed inside a cluster, never
+    across the corpus.
+
+    Keep rule (deterministic): a vector is dropped iff some
+    lower-``vec_id`` member of its cluster has cosine ≥ τ with it
+    (the paper ranks by centroid distance; min-id is the
+    order-independent analog our exact-dedup family uses).
+
+    Scale shape: centroids broadcast (``ray.put``); the ONLY shuffle
+    is the cluster groupby, and the O(m²) pairwise work is bounded by
+    cluster size — at corpus scale k is chosen ≈ n/target_cluster_size
+    so each group stays matmul-sized, exactly the paper's recipe.
+    Iterative + model-dependent → rows-only (invariants pinned in
+    tests/test_clustering.py)."""
+    import ray
+
+    cents, _, _ = train_kmeans(sf_dir)
+    ref = ray.put(cents)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "cluster_id": pd.Series([], dtype="int64"),
+                "embedding": pd.Series([], dtype="object"),
+            })
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cell = (mat @ ray.get(ref).T).argmax(axis=1)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].astype("int64"),
+            "cluster_id": cell.astype("int64"),
+            "embedding": df["embedding"],
+        })
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        # only lower-id mates count: strict lower triangle of the
+        # vec_id-sorted matrix
+        low = np.tril(sims >= SEMDEDUP_TAU, k=-1)
+        dropped = low.any(axis=1)
+        np.fill_diagonal(sims, -np.inf)
+        return pd.DataFrame({
+            "vec_id": g["vec_id"].astype("int64"),
+            "cluster_id": g["cluster_id"].astype("int64"),
+            "keep": ~dropped,
+            "max_intra_cosine": np.round(sims.max(axis=1), 6)
+            if len(g) > 1 else np.float64(-1.0),
+        })
+
+    out = (
+        _read_emb(sf_dir)
+        .map_batches(assign, batch_format="pandas")
+        .groupby("cluster_id")
+        .map_groups(prune, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "label_centroids": q_label_centroids,
+    "semdedup": q_semdedup,
 }
 
 ORACLE_SQL: dict[str, str] = {

@@ -101,3 +101,75 @@ def test_empty_batch_partial():
     assert list(out.columns) == ["cluster_id", "n", "inertia"] + [
         f"s{j}" for j in range(8)
     ]
+
+
+class TestSemDedup:
+    """SemDeDup composition: cluster assignment + within-cluster
+    cosine prune, invariants checked against a local recompute."""
+
+    def test_invariants_and_local_equivalence(self):
+        from crawler_tjce_ray.pipelines.clustering import (
+            SEMDEDUP_TAU,
+            q_semdedup,
+        )
+
+        out = q_semdedup(SF)
+        n = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+        assert len(out) == n
+        assert list(out.columns) == [
+            "vec_id", "cluster_id", "keep", "max_intra_cosine",
+        ]
+
+        # local recompute with the same deterministic model
+        cents, _, _ = train_kmeans(SF)
+        t = pq.read_table(
+            f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+        mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cell = (mat @ cents.T).argmax(axis=1)
+
+        got = out.sort_values("vec_id").reset_index(drop=True)
+        assert (got["cluster_id"].to_numpy() == cell).all()
+
+        # keep rule: dropped iff some lower-id cluster-mate >= tau
+        ids = t["vec_id"].to_numpy()
+        for i in range(n):
+            mates = (cell == cell[i]) & (ids < ids[i])
+            sim = mat[mates] @ mat[i]
+            expect_drop = bool((sim >= SEMDEDUP_TAU).any())
+            assert bool(got["keep"][i]) == (not expect_drop), ids[i]
+
+    def test_deterministic(self):
+        from crawler_tjce_ray.pipelines.clustering import q_semdedup
+
+        a = q_semdedup(SF).reset_index(drop=True)
+        b = q_semdedup(SF).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_planted_duplicates_dropped(self, tmp_path):
+        """Near-identical vectors (cos >= tau) in one cluster: every
+        lower-id original survives, every planted copy is dropped."""
+        import pyarrow as pa
+
+        from crawler_tjce_ray.pipelines.clustering import q_semdedup
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(24, 16).astype(np.float32)
+        # vecs 24..29 are exact copies of 0..5 (cosine 1.0)
+        mat = np.vstack([base, base[:6]])
+        t = pa.table({
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in mat],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * len(mat), pa.int32()),
+        })
+        import pyarrow.parquet as pq_
+        pq_.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+        out = q_semdedup(str(tmp_path)).set_index("vec_id")
+        assert not out.loc[24:29, "keep"].any()      # copies dropped
+        assert out.loc[:5, "keep"].all()             # originals kept
+        # a copy and its original land in the same cluster
+        for i in range(6):
+            assert out.loc[i, "cluster_id"] == out.loc[24 + i, "cluster_id"]
