@@ -399,11 +399,102 @@ GROUP BY a.d ORDER BY day
 """
 
 
+ROLLING_WINDOW_DAYS = 7
+
+
+def q_rolling_unique_users(sf_dir: str):
+    """Exact trailing-7-day unique users per day — the rolling
+    CARDINALITY window.  Unlike a rolling SUM this does not decompose
+    over daily partials (uniques don't add), and the naive day×window
+    self-join explodes at scale.
+
+    Interval trick: a user contributes to day d iff they were active
+    in [d−6, d], i.e. the user's coverage is the union of [a, a+6]
+    over their active days a.  So: per-batch distinct (day, user)
+    pairs (combiner) → ONE user-bucket shuffle where each user's
+    sorted active days merge into coverage intervals VECTORIZED
+    (gap > 6 starts a new interval) → each interval emits two diff
+    rows (+1 at start, −1 past end) → additive per-day diff partials
+    → O(#days) driver cumsum.  Raw events never shuffle; nothing is
+    ever user × day sized."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    w = ROLLING_WINDOW_DAYS
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame({
+            "day": df["ts"].values.astype("datetime64[D]").astype(np.int64),
+            "user_id": df["user_id"].astype("int64"),
+        }).drop_duplicates()
+        p["ub"] = p["user_id"] & 63
+        return p
+
+    def diff_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["day", "user_id"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        ).reset_index(drop=True)
+        prev = g.groupby("user_id", sort=False)["day"].shift()
+        new_iv = (prev.isna() | (g["day"] - prev > w - 1)).to_numpy()
+        seg = np.cumsum(new_iv)
+        iv = pd.DataFrame({"seg": seg, "day": g["day"]}).groupby(
+            "seg", as_index=False
+        ).agg(s=("day", "min"), e=("day", "max"))
+        diff = pd.DataFrame({
+            "day": np.concatenate([iv["s"], iv["e"] + w]),
+            "delta": np.concatenate([
+                np.ones(len(iv), np.int64), -np.ones(len(iv), np.int64),
+            ]),
+        })
+        return diff.groupby("day", as_index=False)["delta"].sum()
+
+    diffs = (
+        ds.map_batches(pair_partial, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(diff_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("day", as_index=False)["delta"].sum()
+        .sort_values("day").reset_index(drop=True)
+    )
+    # observed days (the output rows) from the same pair partials
+    days = (
+        ds.map_batches(
+            lambda df: pd.DataFrame({
+                "day": np.unique(df["ts"].values.astype("datetime64[D]")
+                                 .astype(np.int64)),
+            }),
+            batch_format="pandas",
+        )
+        .to_pandas()["day"].unique()
+    )
+    days = np.sort(days)
+    # cumsum over the contiguous range, then select observed days
+    lo, hi = int(diffs["day"].min()), int(diffs["day"].max())
+    delta = np.zeros(hi - lo + 1, np.int64)
+    delta[diffs["day"].to_numpy(np.int64) - lo] = diffs["delta"].to_numpy(np.int64)
+    cov = np.cumsum(delta)
+    return pd.DataFrame({
+        "day": pd.to_datetime(days, unit="D").strftime("%Y-%m-%d"),
+        "uniq7": cov[days - lo].astype("int64"),
+    })
+
+
+SQL_ROLLING_UNIQUE_USERS = f"""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), days AS (SELECT DISTINCT d FROM du)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS uniq7
+FROM days JOIN du
+  ON du.d BETWEEN days.d - {ROLLING_WINDOW_DAYS - 1} AND days.d
+GROUP BY days.d ORDER BY day
+"""
+
+
 QUERIES = {
     "epoch_shuffle": q_epoch_shuffle,
     "dup_ngram_docs": q_dup_ngram_docs,
     "bigram_lm": q_bigram_lm,
     "retention": q_retention,
+    "rolling_unique_users": q_rolling_unique_users,
 }
 
 ORACLE_SQL = {
@@ -411,4 +502,5 @@ ORACLE_SQL = {
     "dup_ngram_docs": SQL_DUP_NGRAM_DOCS,
     "bigram_lm": SQL_BIGRAM_LM,
     "retention": SQL_RETENTION,
+    "rolling_unique_users": SQL_ROLLING_UNIQUE_USERS,
 }
