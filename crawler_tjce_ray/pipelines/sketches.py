@@ -286,13 +286,120 @@ def q_approx_value_quantiles(sf_dir: str):
     return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
 
 
+SELECT_QS = [0.25, 0.5, 0.9]
+_SELECT_BINS = 256
+_SELECT_COLLECT_MAX = 65_536
+
+
+def q_quantile_select(sf_dir: str):
+    """EXACT global quantiles over a continuous column via distributed
+    quickselect (iterative histogram refinement) — the third quantile
+    path in this family, and the only exact one whose values NEVER
+    shuffle: ``value_quantiles`` sorts each group's values in a
+    shuffle, ``approx_value_quantiles`` trades exactness for one pass.
+
+    Each round broadcasts the current window ``(lo, hi]`` and 257
+    shared bin edges; batches report 256 additive bin counts plus the
+    window's min/max (driver state O(256) per pass).  The bin holding
+    rank k becomes the next window — a 256× narrowing per streaming
+    pass, so even 10^12 rows reach a collectable window in ~4 passes.
+    An all-ties window short-circuits (min == max → that IS the
+    answer); otherwise once the window holds ≤ {collect} values one
+    filtered pass collects them and ``np.partition`` finishes.
+
+    Rank semantics = DuckDB ``quantile_disc``: the element at 1-based
+    rank ⌈q·n⌉ — so the result is bit-identical, no tolerance
+    needed.""".format(collect=_SELECT_COLLECT_MAX)
+    import math
+
+    ds = _read_events(sf_dir, ["value"]).materialize()
+
+    base = ds.map_batches(
+        lambda df: pd.DataFrame({
+            "n": [len(df)],
+            "mn": [df["value"].min() if len(df) else np.inf],
+            "mx": [df["value"].max() if len(df) else -np.inf],
+        }),
+        batch_format="pandas",
+    ).to_pandas()
+    n = int(base["n"].sum())
+    gmin, gmax = float(base["mn"].min()), float(base["mx"].max())
+
+    def select(k: int) -> float:
+        lo = np.nextafter(gmin, -np.inf)  # window is (lo, hi]
+        hi = gmax
+        rank_lo = 0
+        while True:
+            edges = np.linspace(lo, hi, _SELECT_BINS + 1)
+            edges[0], edges[-1] = lo, hi  # exact window bounds
+
+            def hist(df: pd.DataFrame, _e=edges) -> pd.DataFrame:
+                v = df["value"].to_numpy(np.float64)
+                v = v[(v > _e[0]) & (v <= _e[-1])]
+                if not len(v):
+                    return pd.DataFrame({
+                        "bin": pd.Series([], dtype="int64"),
+                        "c": pd.Series([], dtype="int64"),
+                        "wmn": pd.Series([], dtype="float64"),
+                        "wmx": pd.Series([], dtype="float64"),
+                    })
+                b = np.searchsorted(_e, v, side="left") - 1
+                c = np.bincount(b, minlength=_SELECT_BINS)
+                nz = np.flatnonzero(c)
+                return pd.DataFrame({
+                    "bin": nz.astype("int64"),
+                    "c": c[nz].astype("int64"),
+                    "wmn": np.float64(v.min()),
+                    "wmx": np.float64(v.max()),
+                })
+
+            parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
+            counts = np.zeros(_SELECT_BINS, np.int64)
+            if len(parts):
+                np.add.at(counts, parts["bin"].to_numpy(np.int64),
+                          parts["c"].to_numpy(np.int64))
+            if len(parts) and float(parts["wmn"].min()) == float(parts["wmx"].max()):
+                return float(parts["wmn"].min())  # all-ties window
+            cum = rank_lo + np.cumsum(counts)
+            sel = int(np.searchsorted(cum, k, side="left"))
+            new_lo, new_hi = float(edges[sel]), float(edges[sel + 1])
+            rank_lo = int(cum[sel - 1]) if sel else rank_lo
+            if counts[sel] <= _SELECT_COLLECT_MAX or new_hi <= np.nextafter(new_lo, np.inf):
+                vals = ds.map_batches(
+                    lambda df, _l=new_lo, _h=new_hi: pd.DataFrame({
+                        "v": df["value"][(df["value"] > _l) & (df["value"] <= _h)]
+                        .to_numpy(np.float64),
+                    }),
+                    batch_format="pandas",
+                ).to_pandas()["v"].to_numpy(np.float64)
+                return float(np.partition(vals, k - rank_lo - 1)[k - rank_lo - 1])
+            lo, hi = new_lo, new_hi
+
+    return pd.DataFrame({
+        "q": pd.Series(SELECT_QS, dtype="float64"),
+        "value": [select(max(1, math.ceil(q * n))) for q in SELECT_QS],
+    })
+
+
+SQL_QUANTILE_SELECT = """
+SELECT 0.25 AS q, quantile_disc(value, 0.25) AS value FROM events
+UNION ALL
+SELECT 0.5 AS q, quantile_disc(value, 0.5) AS value FROM events
+UNION ALL
+SELECT 0.9 AS q, quantile_disc(value, 0.9) AS value FROM events
+ORDER BY q
+"""
+
+
 QUERIES = {
     "value_quantiles": q_value_quantiles,
     "approx_value_quantiles": q_approx_value_quantiles,
     "approx_distinct_users": q_approx_distinct_users,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "quantile_select": q_quantile_select,
 }
 
 ORACLE_SQL = {
     "value_quantiles": SQL_VALUE_QUANTILES,
+    "quantile_select": SQL_QUANTILE_SELECT,
 }

@@ -255,3 +255,50 @@ def test_bloom_sizing_tracks_blocklist():
     others = np.arange(10_000_000, 10_040_000, dtype=np.int64)
     assert _bloom_test(bf, members).all()
     assert _bloom_test(bf, others).mean() < 0.01
+
+
+class TestQuantileSelect:
+    """Distributed quickselect: exact quantiles without a value
+    shuffle, multi-pass narrowing, and the all-ties short-circuit."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_numpy_exact(self):
+        import math
+
+        import pyarrow.parquet as pq
+
+        from crawler_tjce_ray.pipelines.sketches import SELECT_QS, q_quantile_select
+
+        out = q_quantile_select(self.SF)
+        v = np.sort(
+            pq.read_table(f"{self.SF}/events.parquet", columns=["value"])
+            .to_pandas()["value"].to_numpy(np.float64)
+        )
+        for q, got in zip(SELECT_QS, out["value"]):
+            k = max(1, math.ceil(q * len(v)))
+            assert got == v[k - 1], q  # bit-exact, quantile_disc rank
+
+    def test_multi_pass_narrowing(self, monkeypatch):
+        """Forcing a tiny collect cap exercises >1 histogram round and
+        must not change the (exact) answer."""
+        from crawler_tjce_ray.pipelines import sketches
+
+        base = sketches.q_quantile_select(self.SF)
+        monkeypatch.setattr(sketches, "_SELECT_COLLECT_MAX", 4)
+        multi = sketches.q_quantile_select(self.SF)
+        pd.testing.assert_frame_equal(base, multi)
+
+    def test_all_ties_short_circuit(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pa.table({
+            "event_type": pa.array(["x"] * 100),
+            "value": pa.array([3.25] * 100, pa.float64()),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        from crawler_tjce_ray.pipelines.sketches import q_quantile_select
+
+        out = q_quantile_select(str(tmp_path))
+        assert (out["value"] == 3.25).all()
