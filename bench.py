@@ -75,6 +75,14 @@ BENCH_QUERIES = [
     "inverted_index",
     "triangle_count",
     "cumulative_users",
+    "row_number_ntile",
+    "rolling_avg3",
+    "user_journey",
+    "chi2_lang_source",
+    "bigram_logprob",
+    "semdedup",
+    "rolling_unique_users",
+    "quantile_select",
 ]
 
 
