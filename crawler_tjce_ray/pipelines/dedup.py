@@ -880,7 +880,7 @@ def q_dedup_jaccard_prefix(sf_dir: str):
     # batch-local; the broadcast sketch makes the order global)
     def doc_gram_rows(df: pd.DataFrame) -> pd.DataFrame:
         sk = ray.get(sk_ref)
-        ids, gks, sizes, pfx = [], [], [], []
+        ids, gks, sizes, pfx, pos = [], [], [], [], []
         for i, t in zip(df["doc_id"], df["text"]):
             h = gram_hashes(ngram_set(t.split(" ")))
             est = sk[np.arange(_CMS_D)[:, None], _cms_cells(h)].min(axis=0)
@@ -888,15 +888,19 @@ def q_dedup_jaccard_prefix(sf_dir: str):
             plen = len(h) - int(np.ceil(JACCARD_TAU * len(h))) + 1
             mask = np.zeros(len(h), bool)
             mask[order[:plen]] = True
+            rank = np.empty(len(h), np.int64)
+            rank[order] = np.arange(len(h), dtype=np.int64)
             ids.append(np.full(len(h), int(i), dtype=np.int64))
             gks.append(h)
             sizes.append(np.full(len(h), len(h), dtype=np.int64))
             pfx.append(mask)
+            pos.append(rank)
         out = pd.DataFrame({
             "doc_id": np.concatenate(ids) if ids else np.array([], np.int64),
             "gkey": np.concatenate(gks) if gks else np.array([], np.uint64),
             "s": np.concatenate(sizes) if sizes else np.array([], np.int64),
             "pfx": np.concatenate(pfx) if pfx else np.array([], bool),
+            "p": np.concatenate(pos) if pos else np.array([], np.int64),
         })
         out["gb"] = (out["gkey"] & np.uint64(63)).astype(np.int64)
         return out
@@ -911,6 +915,18 @@ def q_dedup_jaccard_prefix(sf_dir: str):
         mn = np.minimum(m["s_a"], m["s_b"])
         mx = np.maximum(m["s_a"], m["s_b"])
         m = m.loc[mn >= np.ceil(JACCARD_TAU * mx)]
+        # PPJoin positional filter (public literature): with a shared
+        # prefix gram at rarity-ranks (p_a, p_b), the intersection is
+        # ≤ 1 + min(s_a − p_a − 1, s_b − p_b − 1) — everything common
+        # sits at or after the shared gram in BOTH rarity orders.  A
+        # true pair's rarest common gram occurrence always passes, so
+        # dropping rows below the J ≥ τ overlap bound α = ⌈τ/(1+τ)·
+        # (s_a + s_b)⌉ loses nothing and prunes same-sized corpora
+        # hard (only early-prefix matches survive).
+        ub = 1 + np.minimum(m["s_a"] - m["p_a"] - 1, m["s_b"] - m["p_b"] - 1)
+        alpha = np.ceil(JACCARD_TAU / (1.0 + JACCARD_TAU)
+                        * (m["s_a"] + m["s_b"]))
+        m = m.loc[ub >= alpha]
         return m[["doc_id_a", "doc_id_b", "s_a", "s_b"]].drop_duplicates(
             ["doc_id_a", "doc_id_b"]
         )
@@ -921,7 +937,7 @@ def q_dedup_jaccard_prefix(sf_dir: str):
     # contract; at unattended scale this is one more bucket groupby
     cand_ids_df = (
         pairs.map_batches(
-            lambda df: df.loc[df["pfx"], ["gkey", "doc_id", "s", "gb"]],
+            lambda df: df.loc[df["pfx"], ["gkey", "doc_id", "s", "p", "gb"]],
             batch_format="pandas",
         )
         .groupby("gb")
@@ -966,12 +982,14 @@ def q_dedup_jaccard_prefix(sf_dir: str):
         return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
     if len(cand_doc_ids) <= JACCARD_PREFIX_BROADCAST_MAX_DOCS:
-        # small-candidate tier: semi-joined gram table is driver-sized;
-        # |A∩B| is counted in pure numpy — dense-remap (doc, gram) to
-        # one int64 key, explode each pair over A's grams with
-        # arithmetic indexing, membership-probe B via searchsorted,
-        # bincount hits per pair.  No DataFrame merge materializes the
-        # Σ|A|-per-pair intermediate as python/pandas objects.
+        # small-candidate tier: the semi-joined gram table reduces to a
+        # compact sorted index (doc slices + dense (doc, gram) member
+        # keys) that broadcasts ONCE via ray.put; pair batches then
+        # verify IN PARALLEL — each batch explodes its pairs over A's
+        # grams with arithmetic indexing, membership-probes B via
+        # searchsorted on the broadcast member array, and bincounts
+        # hits per pair.  No DataFrame merge, no driver-side probe
+        # loop: the Σ|A|-per-pair work distributes across the pool.
         grams = pairs.map_batches(semi, batch_format="pandas").to_pandas()
         g_doc = grams["doc_id"].to_numpy(np.int64)
         order = np.argsort(g_doc, kind="stable")
@@ -989,30 +1007,43 @@ def q_dedup_jaccard_prefix(sf_dir: str):
         member = np.sort(
             np.searchsorted(cand_doc_ids, g_doc) * len(ug) + g_gidx
         )
-        da = np.searchsorted(
-            cand_doc_ids, cand_ids_df["doc_id_a"].to_numpy(np.int64)
+        idx_ref = ray.put((cand_doc_ids, start, cnt, g_gidx, member, len(ug)))
+
+        def verify_batch(df: pd.DataFrame) -> pd.DataFrame:
+            ids, st, ct, gix, mem, nug = ray.get(idx_ref)
+            da = np.searchsorted(ids, df["doc_id_a"].to_numpy(np.int64))
+            db_ = np.searchsorted(ids, df["doc_id_b"].to_numpy(np.int64))
+            reps = ct[da]
+            total = int(reps.sum())
+            pair_of = np.repeat(np.arange(len(df)), reps)
+            within = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+            probe = db_[pair_of] * nug + gix[np.repeat(st[da], reps) + within]
+            loc = np.searchsorted(mem, probe)
+            hit = (loc < len(mem)) & (
+                mem[np.minimum(loc, len(mem) - 1)] == probe
+            )
+            inter = np.bincount(pair_of[hit], minlength=len(df))
+            out = pd.DataFrame({
+                "doc_id_a": df["doc_id_a"].to_numpy(np.int64),
+                "doc_id_b": df["doc_id_b"].to_numpy(np.int64),
+                "s_a": df["s_a"].to_numpy(np.int64),
+                "s_b": df["s_b"].to_numpy(np.int64),
+                "inter": inter,
+            })
+            return out.loc[out["inter"] > 0]
+
+        nblocks = max(8, min(32, int(ray.available_resources().get("CPU", 8))))
+        bounds = np.linspace(0, len(cand_ids_df), nblocks + 1, dtype=np.int64)
+        chunks = [
+            cand_ids_df.iloc[lo:hi]
+            for lo, hi in zip(bounds, bounds[1:])
+            if hi > lo
+        ]
+        agg = (
+            ray.data.from_pandas(chunks)
+            .map_batches(verify_batch, batch_format="pandas")
+            .to_pandas()
         )
-        db_ = np.searchsorted(
-            cand_doc_ids, cand_ids_df["doc_id_b"].to_numpy(np.int64)
-        )
-        reps = cnt[da]
-        total = int(reps.sum())
-        pair_of = np.repeat(np.arange(len(cand_ids_df)), reps)
-        within = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
-        probe = db_[pair_of] * len(ug) + g_gidx[np.repeat(start[da], reps) + within]
-        loc = np.searchsorted(member, probe)
-        hit = (loc < len(member)) & (
-            member[np.minimum(loc, len(member) - 1)] == probe
-        )
-        inter = np.bincount(pair_of[hit], minlength=len(cand_ids_df))
-        agg = pd.DataFrame({
-            "doc_id_a": cand_ids_df["doc_id_a"].to_numpy(np.int64),
-            "doc_id_b": cand_ids_df["doc_id_b"].to_numpy(np.int64),
-            "s_a": cand_ids_df["s_a"].to_numpy(np.int64),
-            "s_b": cand_ids_df["s_b"].to_numpy(np.int64),
-            "inter": inter,
-        })
-        agg = agg.loc[agg["inter"] > 0]
         return _finish(agg[["doc_id_a", "doc_id_b", "s_a", "s_b", "inter"]])
 
     cands = ray.data.from_pandas(cand_ids_df)
