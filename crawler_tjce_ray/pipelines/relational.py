@@ -1273,6 +1273,57 @@ ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
 """
 
 
+def q_cube_revenue(sf_dir: str):
+    """CUBE aggregation — all four grouping sets of (returnflag,
+    linestatus) in one result.  Same discipline as ``q_rollup_revenue``:
+    only the finest level touches the fact table (per-batch combiner);
+    every super-aggregate — including the ((), linestatus) level that
+    ROLLUP lacks — derives from those few rows driver-side."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rev=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            revenue=("rev", "sum"), n_items=("rev", "size")
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+    )
+    by_flag = fine.groupby("l_returnflag", as_index=False).agg(
+        revenue=("revenue", "sum"), n_items=("n_items", "sum")
+    )
+    by_flag["l_linestatus"] = None
+    by_status = fine.groupby("l_linestatus", as_index=False).agg(
+        revenue=("revenue", "sum"), n_items=("n_items", "sum")
+    )
+    by_status["l_returnflag"] = None
+    total = pd.DataFrame({
+        "l_returnflag": [None], "l_linestatus": [None],
+        "revenue": [fine["revenue"].sum()], "n_items": [fine["n_items"].sum()],
+    })
+    out = pd.concat([fine, by_flag, by_status, total], ignore_index=True)
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    out = out[["l_returnflag", "l_linestatus", "revenue", "n_items"]]
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], na_position="last"
+    ).reset_index(drop=True)
+
+
+SQL_CUBE_REVENUE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+"""
+
+
 def q_pivot_status(sf_dir: str):
     """Pivot (conditional aggregation): orders counted per priority
     with one column per order status.  Statuses are a tiny CLOSED set,
@@ -2106,6 +2157,7 @@ QUERIES = {
     "corr_qty_price": q_corr_qty_price,
     "mode_qty_per_flag": q_mode_qty_per_flag,
     "bloom_anti_join": q_bloom_anti_join,
+    "cube_revenue": q_cube_revenue,
     "row_number_ntile": q_row_number_ntile,
     "rolling_avg3": q_rolling_avg3,
     "user_journey": q_user_journey,
@@ -2154,6 +2206,7 @@ ORACLE_SQL = {
     "corr_qty_price": SQL_CORR_QTY_PRICE,
     "mode_qty_per_flag": SQL_MODE_QTY_PER_FLAG,
     "bloom_anti_join": SQL_BLOOM_ANTI_JOIN,
+    "cube_revenue": SQL_CUBE_REVENUE,
     "row_number_ntile": SQL_ROW_NUMBER_NTILE,
     "rolling_avg3": SQL_ROLLING_AVG3,
     "user_journey": SQL_USER_JOURNEY,
