@@ -206,3 +206,65 @@ class TestReviewRegressions:
         )
         ham = np.unpackbits(xor.view(np.uint8).reshape(1, 8), axis=1).sum()
         assert ham == 1
+
+
+class TestWindowOpEdgeCases:
+    """Edge branches the synthetic tables never hit: users with fewer
+    than 5 events (journey padding) and NTILE with n < buckets."""
+
+    def _write_events(self, tmp_path, n_per_user):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        rows = []
+        eid = 0
+        for u, n in enumerate(n_per_user):
+            for k in range(n):
+                rows.append((eid, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=eid),
+                             u, f"t{k}", float(k)))
+                eid += 1
+        df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                         "event_type", "value"])
+        pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
+
+    def test_user_journey_short_users(self, tmp_path):
+        import duckdb
+        import pandas as pd
+
+        from crawler_tjce_ray.pipelines.relational import (
+            SQL_USER_JOURNEY, q_user_journey,
+        )
+
+        self._write_events(tmp_path, [1, 2, 4, 5, 9])
+        mine = q_user_journey(str(tmp_path))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{tmp_path}/events.parquet'")
+        ref = con.execute(SQL_USER_JOURNEY).df()
+        pd.testing.assert_frame_equal(
+            mine.reset_index(drop=True), ref, check_dtype=False)
+        assert mine.loc[mine["user_id"] == 0, "journey"].iloc[0] == "t0"
+        assert mine.loc[mine["user_id"] == 1, "journey"].iloc[0] == "t0>t1"
+
+    def test_ntile_fewer_rows_than_buckets(self, tmp_path):
+        import duckdb
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from crawler_tjce_ray.pipelines.relational import (
+            SQL_ROW_NUMBER_NTILE, q_row_number_ntile,
+        )
+
+        df = pd.DataFrame({
+            "doc_id": range(7),
+            "n_chars": [30, 10, 10, 50, 20, 20, 20],
+        })
+        pq.write_table(pa.Table.from_pandas(df),
+                       str(tmp_path / "documents.parquet"))
+        mine = q_row_number_ntile(str(tmp_path))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{tmp_path}/documents.parquet'")
+        ref = con.execute(SQL_ROW_NUMBER_NTILE).df()
+        pd.testing.assert_frame_equal(
+            mine.reset_index(drop=True), ref, check_dtype=False)
