@@ -299,12 +299,103 @@ def q_ann_lsh_topk(sf_dir: str):
     return _finalize(out)
 
 
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: for each anchor
+    (the first {N_QUERIES} vectors, the same provably small broadcast
+    side as ``ann_cosine_topk``), the max-cosine vector with a
+    DIFFERENT label — the most-confusable cross-class example.
+
+    Same streaming shape as the brute-force ANN: anchors + their
+    labels broadcast once, each corpus batch masks same-label rows to
+    −inf and emits a per-anchor top-1 partial, the final reduce keeps
+    the global max (cosine desc, vec_id asc tie-break).  The corpus
+    never shuffles; at 10⁹ vectors the scan drops into the IVF/LSH
+    bucket path unchanged."""
+    import pyarrow.parquet as pq_
+
+    import ray
+
+    t = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", N_QUERIES)],
+    ).to_pandas().sort_values("vec_id")
+    qids = t["vec_id"].to_numpy(np.int64)
+    qlab = t["label"].to_numpy(np.int64)
+    qmat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    ref = ray.put((qids, qlab, qmat))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qi, ql, qm = ray.get(ref)
+        if not len(df):
+            return pd.DataFrame(columns=[
+                "query_id", "neg_vec_id", "neg_label", "cosine",
+            ]).astype({"query_id": "int64", "neg_vec_id": "int64",
+                       "neg_label": "int64", "cosine": "float64"})
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        sims = (mat @ qm.T) / np.outer(
+            np.linalg.norm(mat, axis=1), np.linalg.norm(qm, axis=1)
+        )
+        lab = df["label"].to_numpy(np.int64)
+        sims[lab[:, None] == ql[None, :]] = -np.inf  # same-label mask
+        ids = df["vec_id"].to_numpy(np.int64)
+        # per-anchor batch best with vec_id-asc tie-break: rows sorted
+        # by vec_id within a batch, argmax takes the first max
+        order = np.argsort(ids)
+        sims, ids, lab = sims[order], ids[order], lab[order]
+        best = sims.argmax(axis=0)
+        out = pd.DataFrame({
+            "query_id": qi,
+            "neg_vec_id": ids[best],
+            "neg_label": lab[best],
+            "cosine": sims[best, np.arange(len(qi))],
+        })
+        return out.loc[np.isfinite(out["cosine"])]
+
+    parts = (
+        _read_emb(sf_dir, columns=("vec_id", "embedding", "label"))
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    best = (
+        parts.sort_values(["query_id", "cosine", "neg_vec_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        .drop_duplicates("query_id")
+        .reset_index(drop=True)
+    )
+    best["cosine"] = np.round(best["cosine"], 6)
+    return best.astype({
+        "query_id": "int64", "neg_vec_id": "int64", "neg_label": "int64",
+    }).sort_values("query_id").reset_index(drop=True)
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, emb AS qemb
+      FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         list_cosine_similarity(e.emb, q.qemb) AS cos_raw,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(e.emb, q.qemb) DESC, e.vec_id
+         ) AS rank
+  FROM e JOIN q ON e.label <> q.qlabel)
+SELECT query_id, vec_id AS neg_vec_id, CAST(label AS BIGINT) AS neg_label,
+       round(cos_raw, 6) AS cosine
+FROM scored WHERE rank = 1 ORDER BY query_id
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "hard_negatives": q_hard_negatives,
 }
 
 ORACLE_SQL = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "hard_negatives": SQL_HARD_NEGATIVES,
 }
