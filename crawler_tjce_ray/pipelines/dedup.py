@@ -1159,6 +1159,156 @@ def q_dedup_jaccard_prefix(sf_dir: str):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# exact substring-dedup CLEANING (remove cross-doc duplicated spans)
+# ---------------------------------------------------------------------------
+
+SUBSTR_N = 8  # words per duplicated window (the Lee et al. unit)
+
+
+def q_dedup_substring_clean(sf_dir: str):
+    """The REMOVAL form of substring dedup ("Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2022, public): drop
+    every word covered by an {n}-word window whose exact content also
+    appears in at least one OTHER document, and emit the cleaned text.
+
+    Distributed plan (two bucket shuffles, both digest-keyed):
+    (1) every window position becomes a (doc, pos, md5-digest) row;
+    the gram-bucket shuffle holds ALL rows of a digest, so the
+    cross-doc test (distinct-doc count ≥ 2) is exact in-bucket and
+    only duplicated positions come out.  (2) the doc-bucket shuffle
+    unions those dup starts with the docs table (aligned schemas, the
+    ``q_hash_join_big`` recipe — text rides this ONE shuffle, which is
+    unavoidable: the output IS transformed text); inside a bucket each
+    doc's coverage mask is a diff-array cumsum over its dup starts and
+    the kept words reassemble in order.  Driver state: none beyond the
+    streamed result.""".format(n=SUBSTR_N)
+    from crawler_tjce_ray.pipelines.textops import _read_docs as rd
+
+    ds = rd(sf_dir, ["doc_id", "text"])
+    md5 = hashlib.md5
+
+    def window_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, poss, gks = [], [], []
+        for i, t in zip(df["doc_id"], df["text"]):
+            ws = t.split(" ")
+            if len(ws) < SUBSTR_N:
+                continue
+            n_win = len(ws) - SUBSTR_N + 1
+            digs = np.fromiter(
+                (int.from_bytes(
+                    md5(" ".join(ws[j:j + SUBSTR_N]).encode()).digest()[:8],
+                    "little") for j in range(n_win)),
+                dtype=np.uint64, count=n_win,
+            )
+            ids.append(np.full(n_win, int(i), np.int64))
+            poss.append(np.arange(n_win, dtype=np.int64))
+            gks.append(digs)
+        out = pd.DataFrame({
+            "doc_id": np.concatenate(ids) if ids else np.array([], np.int64),
+            "pos": np.concatenate(poss) if poss else np.array([], np.int64),
+            "gkey": np.concatenate(gks) if gks else np.array([], np.uint64),
+        })
+        out["gb"] = (out["gkey"] & np.uint64(63)).astype(np.int64)
+        return out
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("gkey")["doc_id"].transform("nunique")
+        out = g.loc[nd.to_numpy() >= 2, ["doc_id", "pos"]].copy()
+        out["db"] = out["doc_id"] & 63
+        return out
+
+    dups = (
+        ds.map_batches(window_rows, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(dup_positions, batch_format="pandas")
+    )
+
+    # aligned-schema union for the doc-bucket join (text rides once)
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "db": df["doc_id"].astype("int64") & 63,
+            "side": np.int64(0),
+            "pos": np.int64(-1),
+            "text": df["text"].astype(object),
+        })
+
+    def tag_dups(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "db": df["db"].astype("int64"),
+            "side": np.int64(1),
+            "pos": df["pos"].astype("int64"),
+            "text": "",
+        })
+
+    def clean_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g.loc[g["side"] == 0, ["doc_id", "text"]]
+        starts = g.loc[g["side"] == 1].groupby("doc_id")["pos"].apply(np.sort)
+        rows = []
+        for i, t in zip(docs["doc_id"], docs["text"]):
+            ws = t.split(" ")
+            st = starts.get(i)
+            if st is None:
+                rows.append((int(i), len(ws), 0, t))
+                continue
+            diff = np.zeros(len(ws) + 1, np.int64)
+            np.add.at(diff, st, 1)
+            np.add.at(diff, np.minimum(st + SUBSTR_N, len(ws)), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            kept = [w for w, c in zip(ws, covered) if not c]
+            rows.append((int(i), len(ws), int(covered.sum()), " ".join(kept)))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "n_words", "n_removed", "clean_text",
+        ])
+
+    import ray.data  # noqa: F401 (dataset union below)
+
+    out = (
+        ds.map_batches(tag_docs, batch_format="pandas")
+        .union(dups.map_batches(tag_dups, batch_format="pandas"))
+        .groupby("db")
+        .map_groups(clean_bucket, batch_format="pandas")
+        .to_pandas()
+        .astype({"doc_id": "int64", "n_words": "int64", "n_removed": "int64"})
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DEDUP_SUBSTRING_CLEAN = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), win AS (
+  SELECT doc_id, r.i,
+         array_to_string(ws[r.i:r.i + {SUBSTR_N - 1}], ' ') AS g
+  FROM t, LATERAL (SELECT unnest(range(1, len(ws) - {SUBSTR_N - 2})) AS i) r
+  WHERE len(ws) >= {SUBSTR_N}
+), shared AS (
+  SELECT g FROM win GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+), covered AS (
+  SELECT DISTINCT w.doc_id, w.i + o.o AS j
+  FROM win w, (SELECT unnest(range(0, {SUBSTR_N})) AS o) o
+  WHERE w.g IN (SELECT g FROM shared)
+), posns AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS j FROM t
+), keptw AS (
+  SELECT p.doc_id, p.j, p.ws[p.j] AS w
+  FROM posns p LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.j = c.j
+  WHERE c.doc_id IS NULL
+)
+SELECT t.doc_id,
+       CAST(len(t.ws) AS BIGINT) AS n_words,
+       CAST(len(t.ws) - COALESCE(k.nk, 0) AS BIGINT) AS n_removed,
+       COALESCE(k.ct, '') AS clean_text
+FROM t LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS nk, string_agg(w, ' ' ORDER BY j) AS ct
+  FROM keptw GROUP BY doc_id
+) k USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_paragraphs": q_dedup_paragraphs,
@@ -1169,6 +1319,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_nn": q_dedup_embedding_nn,
+    "dedup_substring_clean": q_dedup_substring_clean,
 }
 
 ORACLE_SQL = {
@@ -1179,4 +1330,5 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_jaccard_prefix": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_nn": SQL_DEDUP_EMBEDDING_NN,
+    "dedup_substring_clean": SQL_DEDUP_SUBSTRING_CLEAN,
 }
