@@ -721,6 +721,78 @@ FROM w LEFT JOIN agg USING (doc_id) ORDER BY w.doc_id
 """
 
 
+TOKEN_BUDGET_PER_SOURCE = 1000
+_BUDGET_SALT = "budget:"
+
+
+def q_sample_to_budget(sf_dir: str):
+    """Training-mixture assembly: a deterministic per-source document
+    sample capped at {b} whitespace tokens — every source contributes
+    its md5-ordered prefix until the budget is spent, so the same
+    corpus always yields the same mix on any cluster size.
+
+    One streaming pass computes (doc, source, n_tokens, md5 key) rows
+    (token counts are zero-copy RE2, the key is the ``hash_split``
+    md5 discipline); the ONLY shuffle is the source groupby, and each
+    group's selection is one vectorized sort + cumsum.  At corpus
+    scale the per-source scan uses the ``epoch_shuffle`` recipe
+    instead (256 uniform md5 range buckets + prefix-sum offsets) —
+    the budget cut is then a per-bucket filter against the broadcast
+    running totals; the semantics here are identical.""".format(
+        b=TOKEN_BUDGET_PER_SOURCE)
+    import hashlib
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "source"])
+    md5 = hashlib.md5
+
+    def keyed_counts(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        keys = [
+            md5((_BUDGET_SALT + str(int(d))).encode()).hexdigest()
+            for d in t["doc_id"].to_pylist()
+        ]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "n_tokens": n,
+            "k": pa.array(keys, pa.string()),
+        })
+
+    def take_budget(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["k", "doc_id"], kind="mergesort").reset_index(drop=True)
+        cum = g["n_tokens"].to_numpy(np.int64).cumsum()
+        keep = cum <= TOKEN_BUDGET_PER_SOURCE
+        out = g.loc[keep, ["doc_id", "source", "n_tokens"]].copy()
+        out["cum_tokens"] = cum[keep]
+        return out
+
+    out = (
+        ds.map_batches(keyed_counts, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(take_budget, batch_format="pandas")
+        .to_pandas()
+        .astype({"doc_id": "int64", "n_tokens": "int64", "cum_tokens": "int64"})
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SAMPLE_TO_BUDGET = rf"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         md5('{_BUDGET_SALT}' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM d
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE} ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # per-group discrete quantile (median doc length per language)
 # ---------------------------------------------------------------------------
@@ -1034,6 +1106,7 @@ QUERIES = {
     "char_entropy": q_char_entropy,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
+    "sample_to_budget": q_sample_to_budget,
     "line_filter": q_line_filter,
     "source_token_share": q_source_token_share,
     "repetition_stats": q_repetition_stats,
@@ -1050,6 +1123,7 @@ ORACLE_SQL = {
     "char_entropy": SQL_CHAR_ENTROPY,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
+    "sample_to_budget": SQL_SAMPLE_TO_BUDGET,
     "line_filter": SQL_LINE_FILTER,
     "source_token_share": SQL_SOURCE_TOKEN_SHARE,
     "repetition_stats": SQL_REPETITION_STATS,
