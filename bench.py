@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "semdedup",
     "rolling_unique_users",
     "quantile_select",
+    "cube_revenue",
+    "hard_negatives",
+    "dedup_substring_clean",
+    "sample_to_budget",
 ]
 
 
