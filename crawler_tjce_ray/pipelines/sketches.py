@@ -291,93 +291,107 @@ _SELECT_BINS = 256
 _SELECT_COLLECT_MAX = 65_536
 
 
+def _quickselect(ds, derive, k: int, n: int, gmin: float, gmax: float) -> float:
+    """Exact k-th smallest (1-based) of ``derive(batch)`` over the
+    whole Dataset via iterative histogram refinement.  Each round
+    broadcasts the current window ``(lo, hi]`` and 257 shared bin
+    edges; batches report 256 additive bin counts plus the window's
+    min/max (driver state O(256) per pass).  The bin holding rank k
+    becomes the next window — a 256× narrowing per streaming pass, so
+    even 10^12 rows reach a collectable window in ~4 passes.  An
+    all-ties window short-circuits (min == max → that IS the answer);
+    once the window holds ≤ ``_SELECT_COLLECT_MAX`` values one
+    filtered pass collects them and ``np.partition`` finishes.
+    ``derive`` makes the machinery composable over DERIVED columns
+    (see ``q_mad_value``) — the derived values are recomputed per
+    pass and never stored anywhere."""
+    lo = np.nextafter(gmin, -np.inf)  # window is (lo, hi]
+    hi = gmax
+    rank_lo = 0
+    while True:
+        edges = np.linspace(lo, hi, _SELECT_BINS + 1)
+        edges[0], edges[-1] = lo, hi  # exact window bounds
+
+        def hist(df: pd.DataFrame, _e=edges) -> pd.DataFrame:
+            v = derive(df)
+            v = v[(v > _e[0]) & (v <= _e[-1])]
+            if not len(v):
+                return pd.DataFrame({
+                    "bin": pd.Series([], dtype="int64"),
+                    "c": pd.Series([], dtype="int64"),
+                    "wmn": pd.Series([], dtype="float64"),
+                    "wmx": pd.Series([], dtype="float64"),
+                })
+            b = np.searchsorted(_e, v, side="left") - 1
+            c = np.bincount(b, minlength=_SELECT_BINS)
+            nz = np.flatnonzero(c)
+            return pd.DataFrame({
+                "bin": nz.astype("int64"),
+                "c": c[nz].astype("int64"),
+                "wmn": np.float64(v.min()),
+                "wmx": np.float64(v.max()),
+            })
+
+        parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
+        counts = np.zeros(_SELECT_BINS, np.int64)
+        if len(parts):
+            np.add.at(counts, parts["bin"].to_numpy(np.int64),
+                      parts["c"].to_numpy(np.int64))
+        if len(parts) and float(parts["wmn"].min()) == float(parts["wmx"].max()):
+            return float(parts["wmn"].min())  # all-ties window
+        cum = rank_lo + np.cumsum(counts)
+        sel = int(np.searchsorted(cum, k, side="left"))
+        new_lo, new_hi = float(edges[sel]), float(edges[sel + 1])
+        rank_lo = int(cum[sel - 1]) if sel else rank_lo
+        if counts[sel] <= _SELECT_COLLECT_MAX or new_hi <= np.nextafter(new_lo, np.inf):
+            vals = ds.map_batches(
+                lambda df, _l=new_lo, _h=new_hi: (
+                    lambda v: pd.DataFrame({"v": v[(v > _l) & (v <= _h)]})
+                )(derive(df)),
+                batch_format="pandas",
+            ).to_pandas()["v"].to_numpy(np.float64)
+            return float(np.partition(vals, k - rank_lo - 1)[k - rank_lo - 1])
+        lo, hi = new_lo, new_hi
+
+
+def _select_base_stats(ds, derive):
+    """(n, min, max) of the derived column in one streaming pass."""
+    base = ds.map_batches(
+        lambda df: (lambda v: pd.DataFrame({
+            "n": [len(v)],
+            "mn": [v.min() if len(v) else np.inf],
+            "mx": [v.max() if len(v) else -np.inf],
+        }))(derive(df)),
+        batch_format="pandas",
+    ).to_pandas()
+    return int(base["n"].sum()), float(base["mn"].min()), float(base["mx"].max())
+
+
+def _derive_value(df: pd.DataFrame) -> np.ndarray:
+    return df["value"].to_numpy(np.float64)
+
+
 def q_quantile_select(sf_dir: str):
     """EXACT global quantiles over a continuous column via distributed
-    quickselect (iterative histogram refinement) — the third quantile
-    path in this family, and the only exact one whose values NEVER
-    shuffle: ``value_quantiles`` sorts each group's values in a
-    shuffle, ``approx_value_quantiles`` trades exactness for one pass.
-
-    Each round broadcasts the current window ``(lo, hi]`` and 257
-    shared bin edges; batches report 256 additive bin counts plus the
-    window's min/max (driver state O(256) per pass).  The bin holding
-    rank k becomes the next window — a 256× narrowing per streaming
-    pass, so even 10^12 rows reach a collectable window in ~4 passes.
-    An all-ties window short-circuits (min == max → that IS the
-    answer); otherwise once the window holds ≤ {collect} values one
-    filtered pass collects them and ``np.partition`` finishes.
+    quickselect (``_quickselect``) — the third quantile path in this
+    family, and the only exact one whose values NEVER shuffle:
+    ``value_quantiles`` sorts each group's values in a shuffle,
+    ``approx_value_quantiles`` trades exactness for one pass.
 
     Rank semantics = DuckDB ``quantile_disc``: the element at 1-based
     rank ⌈q·n⌉ — so the result is bit-identical, no tolerance
-    needed.""".format(collect=_SELECT_COLLECT_MAX)
+    needed."""
     import math
 
     ds = _read_events(sf_dir, ["value"]).materialize()
-
-    base = ds.map_batches(
-        lambda df: pd.DataFrame({
-            "n": [len(df)],
-            "mn": [df["value"].min() if len(df) else np.inf],
-            "mx": [df["value"].max() if len(df) else -np.inf],
-        }),
-        batch_format="pandas",
-    ).to_pandas()
-    n = int(base["n"].sum())
-    gmin, gmax = float(base["mn"].min()), float(base["mx"].max())
-
-    def select(k: int) -> float:
-        lo = np.nextafter(gmin, -np.inf)  # window is (lo, hi]
-        hi = gmax
-        rank_lo = 0
-        while True:
-            edges = np.linspace(lo, hi, _SELECT_BINS + 1)
-            edges[0], edges[-1] = lo, hi  # exact window bounds
-
-            def hist(df: pd.DataFrame, _e=edges) -> pd.DataFrame:
-                v = df["value"].to_numpy(np.float64)
-                v = v[(v > _e[0]) & (v <= _e[-1])]
-                if not len(v):
-                    return pd.DataFrame({
-                        "bin": pd.Series([], dtype="int64"),
-                        "c": pd.Series([], dtype="int64"),
-                        "wmn": pd.Series([], dtype="float64"),
-                        "wmx": pd.Series([], dtype="float64"),
-                    })
-                b = np.searchsorted(_e, v, side="left") - 1
-                c = np.bincount(b, minlength=_SELECT_BINS)
-                nz = np.flatnonzero(c)
-                return pd.DataFrame({
-                    "bin": nz.astype("int64"),
-                    "c": c[nz].astype("int64"),
-                    "wmn": np.float64(v.min()),
-                    "wmx": np.float64(v.max()),
-                })
-
-            parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
-            counts = np.zeros(_SELECT_BINS, np.int64)
-            if len(parts):
-                np.add.at(counts, parts["bin"].to_numpy(np.int64),
-                          parts["c"].to_numpy(np.int64))
-            if len(parts) and float(parts["wmn"].min()) == float(parts["wmx"].max()):
-                return float(parts["wmn"].min())  # all-ties window
-            cum = rank_lo + np.cumsum(counts)
-            sel = int(np.searchsorted(cum, k, side="left"))
-            new_lo, new_hi = float(edges[sel]), float(edges[sel + 1])
-            rank_lo = int(cum[sel - 1]) if sel else rank_lo
-            if counts[sel] <= _SELECT_COLLECT_MAX or new_hi <= np.nextafter(new_lo, np.inf):
-                vals = ds.map_batches(
-                    lambda df, _l=new_lo, _h=new_hi: pd.DataFrame({
-                        "v": df["value"][(df["value"] > _l) & (df["value"] <= _h)]
-                        .to_numpy(np.float64),
-                    }),
-                    batch_format="pandas",
-                ).to_pandas()["v"].to_numpy(np.float64)
-                return float(np.partition(vals, k - rank_lo - 1)[k - rank_lo - 1])
-            lo, hi = new_lo, new_hi
-
+    n, gmin, gmax = _select_base_stats(ds, _derive_value)
     return pd.DataFrame({
         "q": pd.Series(SELECT_QS, dtype="float64"),
-        "value": [select(max(1, math.ceil(q * n))) for q in SELECT_QS],
+        "value": [
+            _quickselect(ds, _derive_value, max(1, math.ceil(q * n)),
+                         n, gmin, gmax)
+            for q in SELECT_QS
+        ],
     })
 
 
@@ -391,15 +405,49 @@ ORDER BY q
 """
 
 
+def q_mad_value(sf_dir: str):
+    """Median absolute deviation — the robust spread statistic for
+    outlier gates — as a COMPOSITION of two distributed quickselects:
+    the median of ``value``, then the median of ``|value − median|``
+    where the deviation column is DERIVED per batch inside the second
+    selection's passes (it never exists as stored data, so nothing is
+    written or shuffled between the two selections).  Both selections
+    are bit-exact discrete picks (``quantile_disc`` rank semantics),
+    so the oracle needs no tolerance."""
+    import math
+
+    ds = _read_events(sf_dir, ["value"]).materialize()
+    n, gmin, gmax = _select_base_stats(ds, _derive_value)
+    k = max(1, math.ceil(0.5 * n))
+    med = _quickselect(ds, _derive_value, k, n, gmin, gmax)
+
+    def derive_dev(df: pd.DataFrame, _m=med) -> np.ndarray:
+        return np.abs(df["value"].to_numpy(np.float64) - _m)
+
+    _, dmin, dmax = _select_base_stats(ds, derive_dev)
+    mad = _quickselect(ds, derive_dev, k, n, dmin, dmax)
+    return pd.DataFrame({"median_value": [med], "mad_value": [mad]})
+
+
+SQL_MAD_VALUE = """
+WITH m AS (SELECT quantile_disc(value, 0.5) AS med FROM events)
+SELECT m.med AS median_value,
+       quantile_disc(abs(events.value - m.med), 0.5) AS mad_value
+FROM events, m GROUP BY m.med
+"""
+
+
 QUERIES = {
     "value_quantiles": q_value_quantiles,
     "approx_value_quantiles": q_approx_value_quantiles,
     "approx_distinct_users": q_approx_distinct_users,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "quantile_select": q_quantile_select,
+    "mad_value": q_mad_value,
 }
 
 ORACLE_SQL = {
     "value_quantiles": SQL_VALUE_QUANTILES,
     "quantile_select": SQL_QUANTILE_SELECT,
+    "mad_value": SQL_MAD_VALUE,
 }
