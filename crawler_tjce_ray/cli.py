@@ -23,11 +23,19 @@ def _ensure_ray() -> None:
     import ray
 
     if not ray.is_initialized():
+        # Under `ray job submit` (the cluster path) RAY_ADDRESS points
+        # at the running cluster and capping cpus is the cluster's
+        # job, not ours; standalone invocations fall back to a local
+        # session sized by RAY_GRAFT_CPUS.
+        address = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = {}
+        if address == "local":
+            kwargs["num_cpus"] = int(os.environ.get("RAY_GRAFT_CPUS", "8"))
         ray.init(
-            address="local",
-            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            address=address,
             include_dashboard=False,
             logging_level="ERROR",
+            **kwargs,
         )
     from ray.data import DataContext
 
