@@ -806,9 +806,9 @@ FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
 # exploded merge runs as two distributed union-shuffles
 JACCARD_PREFIX_BROADCAST_MAX_DOCS = 200_000
 
-# Count-Min sketch for the global gram-rarity order: D rows × W
-# counters (16 MB merged) — FIXED driver/broadcast state at any corpus
-# size.  Multiplicative hashes over the 64-bit gram digest.
+# Count-Min sketch for the global gram-rarity order: D rows × W int64
+# counters (4 × 2^20 × 8 B ≈ 34 MB merged) — FIXED driver/broadcast
+# state at any corpus size.  Multiplicative hashes over the gram digest.
 _CMS_D, _CMS_W_LOG2 = 4, 20
 _CMS_W = 1 << _CMS_W_LOG2
 _CMS_MULTS = np.array(
@@ -816,6 +816,38 @@ _CMS_MULTS = np.array(
      0x165667B19E3779F9, 0x27D4EB2F165667C5],
     dtype=np.uint64,
 )
+
+# tau as an exact rational (float -> exact binary fraction) for the
+# integer prune bounds below
+_TAU_P, _TAU_Q = JACCARD_TAU.as_integer_ratio()
+
+
+def _ceil_tau_mul(n: np.ndarray) -> np.ndarray:
+    """Exact ⌈τ·n⌉ for integer n — integer arithmetic over the unique
+    values (Python ints, so τ's full 53-bit numerator cannot overflow
+    like a float or int64 product would).  np.ceil(TAU * n) in float
+    over-estimates the exact bound for some τ (verified at τ=0.8,
+    n=63: 29 vs 28), which would silently drop true boundary pairs."""
+    u, inv = np.unique(n, return_inverse=True)
+    vals = np.array(
+        [-((-_TAU_P * int(x)) // _TAU_Q) for x in u], dtype=np.int64
+    )
+    return vals[inv]
+
+
+def _alpha_overlap(total: np.ndarray) -> np.ndarray:
+    """Exact minimum intersection ⌈τ/(1+τ)·(s_a+s_b)⌉ = ⌈P·s/(P+Q)⌉
+    for J ≥ τ, MINUS one unit of slack: the final verification
+    compares a correctly-rounded float ratio against τ, which can
+    admit pairs whose exact ratio sits half an ulp below τ — the
+    slack guarantees the prune never disagrees with that final test,
+    at the cost of a few extra candidates."""
+    u, inv = np.unique(total, return_inverse=True)
+    vals = np.array(
+        [-((-_TAU_P * int(x)) // (_TAU_P + _TAU_Q)) for x in u],
+        dtype=np.int64,
+    )
+    return vals[inv] - 1
 
 
 def _cms_cells(h: np.ndarray) -> np.ndarray:
@@ -841,8 +873,9 @@ def q_dedup_jaccard_prefix(sf_dir: str):
     lemma needs ANY globally consistent total order; exact df only
     tunes candidate count.  So instead of a gram-keyed df shuffle the
     order comes from a Count-Min sketch: one map pass builds per-batch
-    (D×W) partials, the driver sums them (fixed 16 MB at any corpus
-    size) and broadcasts the merged sketch once; the estimated-df
+    (D×W) partials, the driver stream-merges them (holding one ~34 MB
+    partial at a time — fixed at any corpus size) and broadcasts the
+    merged sketch once; the estimated-df
     order is then computed BATCH-LOCALLY — same sketch everywhere →
     same global order.
 
@@ -871,9 +904,14 @@ def q_dedup_jaccard_prefix(sf_dir: str):
                 np.add.at(sk[d], idx[d], 1)
         return pd.DataFrame({"sk": [sk.tobytes()]})
 
+    # streaming merge: iter_batches holds ONE partial + the merged
+    # sketch at a time (a to_pandas() here would concatenate every
+    # ~34 MB partial on the driver — linear in corpus size)
     merged = np.zeros((_CMS_D, _CMS_W), np.int64)
-    for blob in ds.map_batches(cms_partial, batch_format="pandas").to_pandas()["sk"]:
-        merged += np.frombuffer(blob, np.int64).reshape(_CMS_D, _CMS_W)
+    for b in ds.map_batches(cms_partial, batch_format="pandas") \
+               .iter_batches(batch_size=None, batch_format="pandas"):
+        for blob in b["sk"]:
+            merged += np.frombuffer(blob, np.int64).reshape(_CMS_D, _CMS_W)
     sk_ref = ray.put(merged)
 
     # pass 2: gram rows + BATCH-LOCAL prefix selection (docs are
@@ -885,9 +923,12 @@ def q_dedup_jaccard_prefix(sf_dir: str):
             h = gram_hashes(ngram_set(t.split(" ")))
             est = sk[np.arange(_CMS_D)[:, None], _cms_cells(h)].min(axis=0)
             order = np.lexsort((h, est))  # rarity first, digest tie-break
-            plen = len(h) - int(np.ceil(JACCARD_TAU * len(h))) + 1
+            # exact-integer ⌈τ·s⌉ plus one slack gram (see _alpha_overlap
+            # for why the float final test needs the unit of slack)
+            ct = -((-_TAU_P * len(h)) // _TAU_Q)
+            plen = min(len(h), len(h) - int(ct) + 2)
             mask = np.zeros(len(h), bool)
-            mask[order[:plen]] = True
+            mask[order[:max(plen, 1)]] = True
             rank = np.empty(len(h), np.int64)
             rank[order] = np.arange(len(h), dtype=np.int64)
             ids.append(np.full(len(h), int(i), dtype=np.int64))
@@ -912,21 +953,22 @@ def q_dedup_jaccard_prefix(sf_dir: str):
     def cands_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="gkey", suffixes=("_a", "_b"))
         m = m.loc[m["doc_id_a"] < m["doc_id_b"]]
-        mn = np.minimum(m["s_a"], m["s_b"])
-        mx = np.maximum(m["s_a"], m["s_b"])
-        m = m.loc[mn >= np.ceil(JACCARD_TAU * mx)]
+        mn = np.minimum(m["s_a"].to_numpy(), m["s_b"].to_numpy())
+        mx = np.maximum(m["s_a"].to_numpy(), m["s_b"].to_numpy())
+        m = m.loc[mn >= _ceil_tau_mul(mx) - 1]  # -1: float-test slack
         # PPJoin positional filter (public literature): with a shared
         # prefix gram at rarity-ranks (p_a, p_b), the intersection is
         # ≤ 1 + min(s_a − p_a − 1, s_b − p_b − 1) — everything common
         # sits at or after the shared gram in BOTH rarity orders.  A
         # true pair's rarest common gram occurrence always passes, so
-        # dropping rows below the J ≥ τ overlap bound α = ⌈τ/(1+τ)·
-        # (s_a + s_b)⌉ loses nothing and prunes same-sized corpora
-        # hard (only early-prefix matches survive).
+        # dropping rows below the exact-integer overlap bound
+        # (_alpha_overlap, slack included) loses nothing and prunes
+        # same-sized corpora hard (only early-prefix matches survive).
         ub = 1 + np.minimum(m["s_a"] - m["p_a"] - 1, m["s_b"] - m["p_b"] - 1)
-        alpha = np.ceil(JACCARD_TAU / (1.0 + JACCARD_TAU)
-                        * (m["s_a"] + m["s_b"]))
-        m = m.loc[ub >= alpha]
+        alpha = _alpha_overlap(
+            m["s_a"].to_numpy(np.int64) + m["s_b"].to_numpy(np.int64)
+        )
+        m = m.loc[ub.to_numpy() >= alpha]
         return m[["doc_id_a", "doc_id_b", "s_a", "s_b"]].drop_duplicates(
             ["doc_id_a", "doc_id_b"]
         )
@@ -1169,8 +1211,9 @@ SUBSTR_N = 8  # words per duplicated window (the Lee et al. unit)
 def q_dedup_substring_clean(sf_dir: str):
     """The REMOVAL form of substring dedup ("Deduplicating Training
     Data Makes Language Models Better", Lee et al. 2022, public): drop
-    every word covered by an {n}-word window whose exact content also
-    appears in at least one OTHER document, and emit the cleaned text.
+    every word covered by a ``SUBSTR_N``-word window whose exact
+    content also appears in at least one OTHER document, and emit the
+    cleaned text.
 
     Distributed plan (two bucket shuffles, both digest-keyed):
     (1) every window position becomes a (doc, pos, md5-digest) row;
@@ -1182,7 +1225,7 @@ def q_dedup_substring_clean(sf_dir: str):
     unavoidable: the output IS transformed text); inside a bucket each
     doc's coverage mask is a diff-array cumsum over its dup starts and
     the kept words reassemble in order.  Driver state: none beyond the
-    streamed result.""".format(n=SUBSTR_N)
+    streamed result."""
     from crawler_tjce_ray.pipelines.textops import _read_docs as rd
 
     ds = rd(sf_dir, ["doc_id", "text"])

@@ -1226,12 +1226,10 @@ ORDER BY o_orderpriority, l_returnflag
 """
 
 
-def q_rollup_revenue(sf_dir: str):
-    """ROLLUP aggregation: revenue at (returnflag, linestatus), per
-    returnflag, and grand total in one result.  Only the finest level
-    is computed distributed (the usual per-batch combiner); the
-    super-aggregate levels derive from those few rows driver-side —
-    rollups never rescan the fact table."""
+def _fine_revenue(sf_dir: str) -> pd.DataFrame:
+    """Finest-level (returnflag, linestatus) revenue/count table via
+    per-batch combiners — the one fact-table scan both ROLLUP and
+    CUBE derive every super-aggregate level from."""
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"])
 
@@ -1241,11 +1239,30 @@ def q_rollup_revenue(sf_dir: str):
             revenue=("rev", "sum"), n_items=("rev", "size")
         )
 
-    fine = (
+    return (
         ds.map_batches(partial, batch_format="pandas")
         .to_pandas()
         .groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
     )
+
+
+def _finish_grouping_sets(frames: list[pd.DataFrame]) -> pd.DataFrame:
+    out = pd.concat(frames, ignore_index=True)
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    out = out[["l_returnflag", "l_linestatus", "revenue", "n_items"]]
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], na_position="last"
+    ).reset_index(drop=True)
+
+
+def q_rollup_revenue(sf_dir: str):
+    """ROLLUP aggregation: revenue at (returnflag, linestatus), per
+    returnflag, and grand total in one result.  Only the finest level
+    is computed distributed (the usual per-batch combiner); the
+    super-aggregate levels derive from those few rows driver-side —
+    rollups never rescan the fact table."""
+    fine = _fine_revenue(sf_dir)
     lvl1 = fine.groupby("l_returnflag", as_index=False).agg(
         revenue=("revenue", "sum"), n_items=("n_items", "sum")
     )
@@ -1254,13 +1271,7 @@ def q_rollup_revenue(sf_dir: str):
         "l_returnflag": [None], "l_linestatus": [None],
         "revenue": [fine["revenue"].sum()], "n_items": [fine["n_items"].sum()],
     })
-    out = pd.concat([fine, lvl1, total], ignore_index=True)
-    out["revenue"] = out["revenue"].round(2)
-    out["n_items"] = out["n_items"].astype("int64")
-    out = out[["l_returnflag", "l_linestatus", "revenue", "n_items"]]
-    return out.sort_values(
-        ["l_returnflag", "l_linestatus"], na_position="last"
-    ).reset_index(drop=True)
+    return _finish_grouping_sets([fine, lvl1, total])
 
 
 SQL_ROLLUP_REVENUE = """
@@ -1275,24 +1286,11 @@ ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
 
 def q_cube_revenue(sf_dir: str):
     """CUBE aggregation — all four grouping sets of (returnflag,
-    linestatus) in one result.  Same discipline as ``q_rollup_revenue``:
-    only the finest level touches the fact table (per-batch combiner);
-    every super-aggregate — including the ((), linestatus) level that
-    ROLLUP lacks — derives from those few rows driver-side."""
-    ds = _read(sf_dir, "lineitem",
-               ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(rev=df["l_extendedprice"] * (1.0 - df["l_discount"]))
-        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            revenue=("rev", "sum"), n_items=("rev", "size")
-        )
-
-    fine = (
-        ds.map_batches(partial, batch_format="pandas")
-        .to_pandas()
-        .groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
-    )
+    linestatus) in one result.  Same discipline as ``q_rollup_revenue``
+    (and the same ``_fine_revenue`` scan): every super-aggregate —
+    including the ((), linestatus) level that ROLLUP lacks — derives
+    from the finest combiner rows driver-side."""
+    fine = _fine_revenue(sf_dir)
     by_flag = fine.groupby("l_returnflag", as_index=False).agg(
         revenue=("revenue", "sum"), n_items=("n_items", "sum")
     )
@@ -1305,13 +1303,7 @@ def q_cube_revenue(sf_dir: str):
         "l_returnflag": [None], "l_linestatus": [None],
         "revenue": [fine["revenue"].sum()], "n_items": [fine["n_items"].sum()],
     })
-    out = pd.concat([fine, by_flag, by_status, total], ignore_index=True)
-    out["revenue"] = out["revenue"].round(2)
-    out["n_items"] = out["n_items"].astype("int64")
-    out = out[["l_returnflag", "l_linestatus", "revenue", "n_items"]]
-    return out.sort_values(
-        ["l_returnflag", "l_linestatus"], na_position="last"
-    ).reset_index(drop=True)
+    return _finish_grouping_sets([fine, by_flag, by_status, total])
 
 
 SQL_CUBE_REVENUE = """

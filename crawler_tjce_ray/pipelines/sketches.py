@@ -424,8 +424,11 @@ def q_mad_value(sf_dir: str):
     def derive_dev(df: pd.DataFrame, _m=med) -> np.ndarray:
         return np.abs(df["value"].to_numpy(np.float64) - _m)
 
-    _, dmin, dmax = _select_base_stats(ds, derive_dev)
-    mad = _quickselect(ds, derive_dev, k, n, dmin, dmax)
+    # deviation bounds come free from (gmin, gmax, med) — 0 is always
+    # attained (the median IS an element) and |v−med| is maximised at
+    # a corpus extreme, so no extra stats pass is needed
+    dmax = max(abs(gmin - med), abs(gmax - med))
+    mad = _quickselect(ds, derive_dev, k, n, 0.0, dmax)
     return pd.DataFrame({"median_value": [med], "mad_value": [mad]})
 
 

@@ -446,21 +446,20 @@ def q_rolling_unique_users(sf_dir: str):
         })
         return diff.groupby("day", as_index=False)["delta"].sum()
 
+    # ONE scan of events: the distinct-pair partials feed both the
+    # diff shuffle and the observed-day set (materialized so neither
+    # consumer re-reads the parquet)
+    pairs_ds = ds.map_batches(pair_partial, batch_format="pandas").materialize()
     diffs = (
-        ds.map_batches(pair_partial, batch_format="pandas")
-        .groupby("ub")
+        pairs_ds.groupby("ub")
         .map_groups(diff_partial, batch_format="pandas")
         .to_pandas()
         .groupby("day", as_index=False)["delta"].sum()
         .sort_values("day").reset_index(drop=True)
     )
-    # observed days (the output rows) from the same pair partials
     days = (
-        ds.map_batches(
-            lambda df: pd.DataFrame({
-                "day": np.unique(df["ts"].values.astype("datetime64[D]")
-                                 .astype(np.int64)),
-            }),
+        pairs_ds.map_batches(
+            lambda df: pd.DataFrame({"day": np.unique(df["day"])}),
             batch_format="pandas",
         )
         .to_pandas()["day"].unique()

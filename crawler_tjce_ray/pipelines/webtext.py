@@ -727,9 +727,10 @@ _BUDGET_SALT = "budget:"
 
 def q_sample_to_budget(sf_dir: str):
     """Training-mixture assembly: a deterministic per-source document
-    sample capped at {b} whitespace tokens — every source contributes
-    its md5-ordered prefix until the budget is spent, so the same
-    corpus always yields the same mix on any cluster size.
+    sample capped at ``TOKEN_BUDGET_PER_SOURCE`` whitespace tokens —
+    every source contributes its md5-ordered prefix until the budget
+    is spent, so the same corpus always yields the same mix on any
+    cluster size.
 
     One streaming pass computes (doc, source, n_tokens, md5 key) rows
     (token counts are zero-copy RE2, the key is the ``hash_split``
@@ -738,8 +739,7 @@ def q_sample_to_budget(sf_dir: str):
     scale the per-source scan uses the ``epoch_shuffle`` recipe
     instead (256 uniform md5 range buckets + prefix-sum offsets) —
     the budget cut is then a per-bucket filter against the broadcast
-    running totals; the semantics here are identical.""".format(
-        b=TOKEN_BUDGET_PER_SOURCE)
+    running totals; the semantics here are identical."""
     import hashlib
 
     ds = _read_docs(sf_dir, ["doc_id", "text", "source"])
