@@ -267,3 +267,68 @@ class TestJaccardPrefixJoin:
         assert list(out.columns) == ["doc_a", "doc_b", "jaccard"]
         assert str(out["doc_a"].dtype) == "int64"
         assert str(out["jaccard"].dtype) == "float64"
+
+
+class TestExactTauBounds:
+    """The prune thresholds must use exact integer ceil over tau's
+    rational form — float np.ceil over-estimates for some tau (found
+    in review at tau=0.8, n=63: 29 vs the exact 28)."""
+
+    def test_ceil_tau_matches_fractions(self, monkeypatch):
+        from fractions import Fraction
+
+        from crawler_tjce_ray.pipelines import dedup
+
+        for tau in (0.5, 0.8, 0.7, 0.9, 0.85):
+            p, q = tau.as_integer_ratio()
+            monkeypatch.setattr(dedup, "_TAU_P", p)
+            monkeypatch.setattr(dedup, "_TAU_Q", q)
+            n = np.arange(1, 4000, dtype=np.int64)
+            got = dedup._ceil_tau_mul(n)
+            ft = Fraction(p, q)
+            exact = np.array([-(-(ft * int(x)).numerator
+                               // (ft * int(x)).denominator) for x in n])
+            assert (got == exact).all(), tau
+            got_a = dedup._alpha_overlap(n)
+            fa = Fraction(p, p + q)
+            exact_a = np.array([-(-(fa * int(x)).numerator
+                                 // (fa * int(x)).denominator) for x in n])
+            assert (got_a == exact_a - 1).all(), tau  # includes the slack
+
+    def test_prefix_join_still_exact_at_tau_08(self, monkeypatch, tmp_path):
+        """End-to-end at a tau where the float bound is WRONG: plant
+        boundary pairs and require prefix-join == all-pairs verifier."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from crawler_tjce_ray.pipelines import dedup
+
+        rng = np.random.RandomState(11)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = []
+        for i in range(40):
+            words = list(rng.choice(vocab, size=30))
+            texts.append(" ".join(words))
+        # boundary near-dups: copy with small tail edits
+        for i in range(6):
+            w = texts[i].split(" ")
+            w[-1] = "zz%d" % i
+            texts.append(" ".join(w))
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        })
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+        for tau in (0.8, 0.85):
+            p, q = tau.as_integer_ratio()
+            monkeypatch.setattr(dedup, "JACCARD_TAU", tau)
+            monkeypatch.setattr(dedup, "_TAU_P", p)
+            monkeypatch.setattr(dedup, "_TAU_Q", q)
+            a = dedup.q_dedup_jaccard_prefix(str(tmp_path)).reset_index(drop=True)
+            b = dedup.q_dedup_ngram_jaccard(str(tmp_path)).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b)
+            assert len(a) > 0  # the planted pairs are found
