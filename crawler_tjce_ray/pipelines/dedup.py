@@ -103,6 +103,89 @@ FROM documents GROUP BY dkey ORDER BY dkey
 """
 
 
+def q_dup_rate_by_source(sf_dir: str):
+    """Dedup diagnostics for mixture design: per source, how many docs
+    have an exact duplicate ANYWHERE in the corpus (same normalized-
+    text key, cross-source included) and the resulting dup rate.
+
+    One dkey-bucket shuffle carrying (16-byte key, source) per doc —
+    a bucket holds every row of a key, so the global count ≥ 2 test is
+    exact in-bucket and only additive per-(bucket, source) counters
+    come back; per-source totals reduce from plain batch combiners.
+    Text never shuffles."""
+    ds = _read_docs(sf_dir, ["doc_id", "text", "source"])
+
+    def key_rows(df: pd.DataFrame) -> pd.DataFrame:
+        norm = normalize_text_series(df["text"])
+        out = pd.DataFrame({
+            "dkey": [hashlib.md5(x.encode()).hexdigest() for x in norm],
+            "source": df["source"].astype(object),
+        })
+        out["kb"] = pd.Series(
+            [int(k[:2], 16) & 63 for k in out["dkey"]], dtype="int64"
+        )
+        return out
+
+    def dup_counts(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.groupby("dkey")["dkey"].transform("size")
+        dup = g.loc[n.to_numpy() >= 2]
+        if dup.empty:  # typed empty — Ray drops columns of bare empties
+            return pd.DataFrame({
+                "source": pd.Series([], dtype="string"),
+                "n_dup": pd.Series([], dtype="int64"),
+            })
+        out = dup.groupby("source", as_index=False).agg(
+            n_dup=("source", "size")
+        )
+        out["source"] = out["source"].astype("string")
+        out["n_dup"] = out["n_dup"].astype("int64")
+        return out
+
+    keys = ds.map_batches(key_rows, batch_format="pandas")
+    dup_parts = (
+        keys.groupby("kb")
+        .map_groups(dup_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    if "source" not in dup_parts.columns:  # a dup-free corpus yields
+        # all-empty blocks and Ray's to_pandas drops their schema
+        dup_parts = pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_dup": pd.Series([], dtype="int64"),
+        })
+    dup = dup_parts.groupby("source", as_index=False)["n_dup"].sum()
+    totals = (
+        ds.map_batches(
+            lambda df: df.groupby("source", as_index=False)
+            .agg(n_docs=("source", "size")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("source", as_index=False)["n_docs"].sum()
+    )
+    out = totals.merge(dup, on="source", how="left")
+    out["n_dup_docs"] = out["n_dup"].fillna(0).astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["dup_rate"] = out["n_dup_docs"].to_numpy(np.float64) \
+        / out["n_docs"].to_numpy(np.float64)
+    out = out[["source", "n_docs", "n_dup_docs", "dup_rate"]]
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_DUP_RATE_BY_SOURCE = r"""
+WITH k AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS dkey
+  FROM documents
+), c AS (SELECT dkey, COUNT(*) AS n FROM k GROUP BY dkey)
+SELECT k.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (c.n >= 2) AS BIGINT) AS n_dup_docs,
+       CAST(COUNT(*) FILTER (c.n >= 2) AS DOUBLE) / COUNT(*) AS dup_rate
+FROM k JOIN c USING (dkey) GROUP BY k.source ORDER BY k.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # all-pairs n-gram Jaccard (the verification kernel, oracle-checked)
 # ---------------------------------------------------------------------------
@@ -1363,6 +1446,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_nn": q_dedup_embedding_nn,
     "dedup_substring_clean": q_dedup_substring_clean,
+    "dup_rate_by_source": q_dup_rate_by_source,
 }
 
 ORACLE_SQL = {
@@ -1374,4 +1458,5 @@ ORACLE_SQL = {
     "dedup_jaccard_prefix": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_nn": SQL_DEDUP_EMBEDDING_NN,
     "dedup_substring_clean": SQL_DEDUP_SUBSTRING_CLEAN,
+    "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
 }

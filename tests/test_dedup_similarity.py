@@ -332,3 +332,40 @@ class TestExactTauBounds:
             b = dedup.q_dedup_ngram_jaccard(str(tmp_path)).reset_index(drop=True)
             pd.testing.assert_frame_equal(a, b)
             assert len(a) > 0  # the planted pairs are found
+
+
+class TestDupRateBySource:
+    def test_planted_duplicates_vs_oracle(self, tmp_path):
+        """The real testdata has no exact dups, so the dup branch only
+        fires here: planted copies across sources, checked vs DuckDB."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from crawler_tjce_ray.pipelines.dedup import (
+            SQL_DUP_RATE_BY_SOURCE, q_dup_rate_by_source,
+        )
+
+        texts = [f"unique doc number {i} with words" for i in range(20)]
+        sources = [f"s{i % 4}" for i in range(20)]
+        # plant: doc 20 dups doc 0 (same source), doc 21 dups doc 5
+        # across sources, doc 22 dups doc 21 again
+        texts += [texts[0], texts[5], texts[5]]
+        sources += ["s0", "s3", "s2"]
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(sources),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        })
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+        mine = q_dup_rate_by_source(str(tmp_path))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{tmp_path}/documents.parquet'")
+        ref = con.execute(SQL_DUP_RATE_BY_SOURCE).df()
+        pd.testing.assert_frame_equal(
+            mine.reset_index(drop=True), ref, check_dtype=False)
+        assert mine["n_dup_docs"].sum() == 5  # 2 + 3 copies involved
