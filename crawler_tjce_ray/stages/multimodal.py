@@ -358,10 +358,130 @@ def q_multimodal_image_resize(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+PHASH_BANDS = 4        # 16-bit bands: hamming ≤ 3 ⇒ ≥ 1 identical band
+PHASH_MAX_HAMMING = 3
+
+
+class ImagePHashStage:
+    """Perceptual-hash stage (aHash over an 8×8 luma thumbnail —
+    public technique): decode → channel-mean luma → 8×8 block means →
+    64 bits (cell > mean), emitted with the four 16-bit band keys for
+    pigeonhole blocking.  Real codecs route through
+    ``_decode_real_image`` exactly like ``ImageDecodeStage``."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, phs = [], []
+        for mid, kind, payload in zip(
+            t["media_id"].to_pylist(), t["kind"].to_pylist(),
+            t["payload"].to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            if not payload.startswith(MAGIC_IMG):
+                _decode_real_image(payload)
+                continue
+            w, h = (int(x) for x in
+                    np.frombuffer(payload, "<u2", count=2, offset=4))
+            c = payload[8]
+            pix = np.frombuffer(payload, np.uint8, offset=9) \
+                .reshape(h, w, c).astype(np.float64)
+            luma = pix.mean(axis=2)
+            ys = np.array_split(np.arange(h), 8)
+            xs = np.array_split(np.arange(w), 8)
+            cells = np.array([
+                [luma[np.ix_(y, x)].mean() if len(y) and len(x) else 0.0
+                 for x in xs]
+                for y in ys
+            ])
+            bits = (cells > cells.mean()).flatten()
+            ph = np.packbits(bits).view(">u8")[0]
+            ids.append(mid)
+            phs.append(int(np.uint64(ph)))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            # int64 bit-view of the uint64 hash (Arrow-friendly)
+            "phash": pa.array(
+                np.array(phs, np.uint64).view(np.int64), pa.int64()
+            ),
+        })
+
+
+def phash_dedup_pairs(media_ds) -> pd.DataFrame:
+    """Near-dup image pairs (hamming ≤ ``PHASH_MAX_HAMMING``) from any
+    media Dataset — the multimodal sibling of ``dedup.q_dedup_simhash``:
+    an actor-pool hash stage, then ``PHASH_BANDS``×16-bit band blocking
+    (only (band key, id, hash) rows shuffle, never payloads) with
+    vectorized XOR-popcount verification in-bucket."""
+    hashed = media_ds.map_batches(
+        ImagePHashStage, batch_format="pyarrow", batch_size=32,
+        concurrency=_stage_concurrency(),
+    )
+
+    def banded(df: pd.DataFrame) -> pd.DataFrame:
+        ph = df["phash"].to_numpy(np.int64).view(np.uint64)
+        rows = []
+        for band in range(PHASH_BANDS):
+            bkey = ((ph >> np.uint64(16 * band)) & np.uint64(0xFFFF))
+            rows.append(pd.DataFrame({
+                "band": np.int64(band),
+                "bkey": bkey.astype(np.int64),
+                "media_id": df["media_id"].astype("int64"),
+                "ph64": ph.view(np.int64),
+            }))
+        return pd.concat(rows, ignore_index=True)
+
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[["bkey", "media_id", "ph64"]].drop_duplicates("media_id")
+        j = m.merge(m, on="bkey", suffixes=("_a", "_b"))
+        j = j[j["media_id_a"] < j["media_id_b"]]
+        if j.empty:
+            return pd.DataFrame(
+                {"media_a": [], "media_b": [], "hamming": []}
+            ).astype("int64")
+        xor = np.bitwise_xor(
+            j["ph64_a"].to_numpy(np.int64).view(np.uint64),
+            j["ph64_b"].to_numpy(np.int64).view(np.uint64),
+        )
+        ham = np.unpackbits(
+            xor.view(np.uint8).reshape(len(j), 8), axis=1
+        ).sum(axis=1)
+        keep = ham <= PHASH_MAX_HAMMING
+        return pd.DataFrame({
+            "media_a": j["media_id_a"].to_numpy()[keep],
+            "media_b": j["media_id_b"].to_numpy()[keep],
+            "hamming": ham[keep].astype("int64"),
+        })
+
+    out = (
+        hashed.map_batches(banded, batch_format="pandas")
+        .groupby("band")
+        .map_groups(band_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if "media_a" not in out.columns:  # no near-dups → schema-less empty
+        return pd.DataFrame({
+            "media_a": pd.Series([], dtype="int64"),
+            "media_b": pd.Series([], dtype="int64"),
+            "hamming": pd.Series([], dtype="int64"),
+        })
+    out = out.drop_duplicates(["media_a", "media_b"]).astype(
+        {"media_a": "int64", "media_b": "int64", "hamming": "int64"}
+    )
+    return out.sort_values(["media_a", "media_b"]).reset_index(drop=True)
+
+
+def q_multimodal_phash_dedup(sf_dir: str) -> pd.DataFrame:
+    """Image near-dup detection over the media corpus (rows-only;
+    behavior pinned with planted near-identical images in
+    tests/test_multimodal.py)."""
+    return phash_dedup_pairs(_media_ds())
+
+
 QUERIES = {
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_image_resize": q_multimodal_image_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_video_nn": q_multimodal_video_nn,
+    "multimodal_phash_dedup": q_multimodal_phash_dedup,
 }

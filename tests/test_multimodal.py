@@ -3,6 +3,7 @@ audio features, frame sampling — schema, actor signature, row
 expansion, determinism."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -128,3 +129,60 @@ class TestReviewRegressions:
         out = FrameSampleStage(stride=4, emit_frames=False)(t)
         assert "frame" not in out.column_names
         assert out.num_rows > 0
+
+
+class TestPHashDedup:
+    """Perceptual-hash near-dup: planted copies and lightly-perturbed
+    copies are found; unrelated images are not paired."""
+
+    def _payload(self, w, h, pix):
+        head = MAGIC_IMG + np.array([w, h], "<u2").tobytes() + bytes([3])
+        return head + pix.tobytes()
+
+    def test_stage_deterministic_and_64bit(self):
+        from crawler_tjce_ray.stages.multimodal import ImagePHashStage
+
+        payload = make_image(5, seed=7)
+        t = _tbl([{"media_id": 5, "kind": "image", "payload": payload}])
+        a = ImagePHashStage()(t)["phash"][0].as_py()
+        b = ImagePHashStage()(t)["phash"][0].as_py()
+        assert a == b
+
+    def test_planted_near_dups_found(self):
+        import ray.data as rd
+
+        from crawler_tjce_ray.stages.multimodal import phash_dedup_pairs
+
+        rng = np.random.RandomState(3)
+        rows = []
+        base = []
+        for i in range(8):
+            pix = rng.randint(0, 256, size=(24, 32, 3), dtype=np.uint8)
+            base.append(pix)
+            rows.append({"media_id": i, "kind": "image",
+                         "payload": self._payload(32, 24, pix)})
+        # 8..10: exact copies of 0..2 (hamming 0)
+        for i in range(3):
+            rows.append({"media_id": 8 + i, "kind": "image",
+                         "payload": self._payload(32, 24, base[i])})
+        # 11: lightly perturbed copy of 3 (+-1 noise keeps block means)
+        noisy = np.clip(
+            base[3].astype(np.int16)
+            + rng.randint(-1, 2, size=base[3].shape), 0, 255
+        ).astype(np.uint8)
+        rows.append({"media_id": 11, "kind": "image",
+                     "payload": self._payload(32, 24, noisy)})
+
+        out = phash_dedup_pairs(rd.from_pandas(pd.DataFrame(rows)))
+        pairs = set(zip(out["media_a"], out["media_b"]))
+        for i in range(3):
+            assert (i, 8 + i) in pairs
+        assert (3, 11) in pairs
+        # distinct random images must not collide at hamming <= 3
+        assert all(a in (0, 1, 2, 3) or a >= 8 for a, _ in pairs)
+
+    def test_query_runs_on_media_corpus(self):
+        from crawler_tjce_ray.stages.multimodal import q_multimodal_phash_dedup
+
+        out = q_multimodal_phash_dedup("ignored")
+        assert list(out.columns) == ["media_a", "media_b", "hamming"]
