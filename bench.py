@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "hard_negatives",
     "dedup_substring_clean",
     "sample_to_budget",
+    "mad_value",
+    "dup_rate_by_source",
+    "multimodal_phash_dedup",
 ]
 
 
