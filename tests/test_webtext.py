@@ -127,3 +127,33 @@ def test_repetition_stats_hand_case(ray_session, tmp_path):
     assert out.loc[1, "dup_char_frac"] == pytest.approx(4 / 8)
     assert out.loc[2, "dup_line_frac"] == 0.0
     assert out.loc[2, "dup_char_frac"] == 0.0
+
+
+def test_bigram_logprob_short_docs(tmp_path):
+    """Docs with < 2 tokens have no bigrams: n_bigrams 0, score 0.0 —
+    the left-join fillna branch, checked against the oracle."""
+    import duckdb
+    import pandas as pd
+
+    from crawler_tjce_ray.pipelines.webtext import (
+        SQL_BIGRAM_LOGPROB, q_bigram_logprob,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["", "single", "two words", "a b a b a"],
+        "lang": ["en"] * 4,
+        "source": ["t"] * 4,
+        "n_chars": [0, 6, 9, 9],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    mine = q_bigram_logprob(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet'")
+    ref = con.execute(SQL_BIGRAM_LOGPROB).df()
+    pd.testing.assert_frame_equal(
+        mine.reset_index(drop=True), ref, check_dtype=False)
+    assert mine.set_index("doc_id").loc[0, "n_bigrams"] == 0
+    assert mine.set_index("doc_id").loc[1, "n_bigrams"] == 0
+    assert mine.set_index("doc_id").loc[3, "n_bigrams"] == 4
