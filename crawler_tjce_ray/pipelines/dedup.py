@@ -108,26 +108,30 @@ def q_dup_rate_by_source(sf_dir: str):
     have an exact duplicate ANYWHERE in the corpus (same normalized-
     text key, cross-source included) and the resulting dup rate.
 
-    One dkey-bucket shuffle carrying (16-byte key, source) per doc —
-    a bucket holds every row of a key, so the global count ≥ 2 test is
-    exact in-bucket and only additive per-(bucket, source) counters
-    come back; per-source totals reduce from plain batch combiners.
-    Text never shuffles."""
-    ds = _read_docs(sf_dir, ["doc_id", "text", "source"])
+    One digest-bucket shuffle carrying (16-byte md5 as two int64
+    columns, source) per doc — a bucket holds every row of a key, so
+    the global count ≥ 2 test is exact in-bucket and only additive
+    per-(bucket, source) counters come back; per-source totals reduce
+    from a column-pruned read of ``source`` alone.  Text never
+    shuffles."""
+    ds = _read_docs(sf_dir, ["text", "source"])
 
     def key_rows(df: pd.DataFrame) -> pd.DataFrame:
         norm = normalize_text_series(df["text"])
+        digs = np.frombuffer(
+            b"".join(hashlib.md5(x.encode()).digest() for x in norm),
+            dtype=np.uint64,
+        ).reshape(-1, 2) if len(norm) else np.empty((0, 2), np.uint64)
         out = pd.DataFrame({
-            "dkey": [hashlib.md5(x.encode()).hexdigest() for x in norm],
+            "k1": digs[:, 0].view(np.int64),
+            "k2": digs[:, 1].view(np.int64),
             "source": df["source"].astype(object),
         })
-        out["kb"] = pd.Series(
-            [int(k[:2], 16) & 63 for k in out["dkey"]], dtype="int64"
-        )
+        out["kb"] = out["k1"].to_numpy(np.int64) & 63
         return out
 
     def dup_counts(g: pd.DataFrame) -> pd.DataFrame:
-        n = g.groupby("dkey")["dkey"].transform("size")
+        n = g.groupby(["k1", "k2"])["k1"].transform("size")
         dup = g.loc[n.to_numpy() >= 2]
         if dup.empty:  # typed empty — Ray drops columns of bare empties
             return pd.DataFrame({
@@ -155,7 +159,9 @@ def q_dup_rate_by_source(sf_dir: str):
         })
     dup = dup_parts.groupby("source", as_index=False)["n_dup"].sum()
     totals = (
-        ds.map_batches(
+        _read_docs(sf_dir, ["source"])  # pruned: the text column never
+        # leaves storage for the totals pass
+        .map_batches(
             lambda df: df.groupby("source", as_index=False)
             .agg(n_docs=("source", "size")),
             batch_format="pandas",

@@ -53,12 +53,19 @@ def _edges_ds_and_nodes(sf_dir: str):
     'build the graph once' discipline a real pipeline would use."""
     import ray
 
-    # key by job id too: a cached Dataset's blocks die with the Ray
-    # session, so a fresh ray.init in the same process must rebuild
-    job = ray.get_runtime_context().get_job_id() if ray.is_initialized() else ""
-    ck = (sf_dir, job)
+    # a cached Dataset's blocks die with the Ray session, and job ids
+    # REPEAT across ray.init cycles in one process (verified: always
+    # 01000000 on a fresh local cluster) — so key by the gcs address
+    # (unique per local session) AND probe one block before trusting
+    # the hit; any failure falls through to a rebuild
+    gcs = ray.get_runtime_context().gcs_address if ray.is_initialized() else ""
+    ck = (sf_dir, gcs)
     if ck in _EDGES_CACHE:
-        return _EDGES_CACHE[ck]
+        try:
+            _EDGES_CACHE[ck][0].take(1)
+            return _EDGES_CACHE[ck]
+        except Exception:
+            _EDGES_CACHE.pop(ck, None)
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
 
     def keyed(df: pd.DataFrame) -> pd.DataFrame:

@@ -222,9 +222,16 @@ GROUP BY lang, lang_pred ORDER BY lang, lang_pred
 def normalize_text_series(s: pd.Series) -> pd.Series:
     """lower → trim → collapse whitespace (the dedup/fingerprint
     canonical form; analog of the reference's slugify normalization,
-    schemas/entity_mapping.py:7-28)."""
+    schemas/entity_mapping.py:7-28).
+
+    ``strip(" ")``, not ``strip()``: the oracle chain is DuckDB
+    ``regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')`` and
+    ``trim`` strips SPACES only — a bare Python strip() also removes
+    leading/trailing tabs/newlines where the oracle turns them into a
+    boundary space, silently diverging on e.g. ``'a\\n'`` ('a' vs
+    'a ')."""
     return (
-        s.str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+        s.str.lower().str.strip(" ").str.replace(r"\s+", " ", regex=True)
     )
 
 

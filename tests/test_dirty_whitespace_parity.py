@@ -17,6 +17,8 @@ DIRTY_TEXTS = [
     "the  fast\tdog",         # tab inside a token (not a ' ' separator)
     "  leading",
     "trailing  ",
+    "tab-trailing\t",          # non-space boundary ws: trim() keeps it
+    "\nnewline-leading",       # ditto — python strip() would diverge
     "the of and a normal doc with several the tokens",
 ]
 
