@@ -440,6 +440,136 @@ FROM events, m GROUP BY m.med
 """
 
 
+def q_grouped_median_select(sf_dir: str):
+    """EXACT per-group median over a continuous column with NO value
+    shuffle — the grouped form of ``_quickselect``: every group's
+    rank-k search advances SIMULTANEOUSLY, so each streaming pass
+    serves all still-active groups at once (driver state
+    O(groups × 256), passes bounded by the SLOWEST group's narrowing,
+    not the group count).  ``value_quantiles`` answers the same
+    question by shuffling each group's raw values; this path is the
+    one that survives groups too large to sort in one task."""
+    import math
+
+    ds = _read_events(sf_dir, ["event_type", "value"]).materialize()
+
+    base = ds.map_batches(
+        lambda df: df.groupby("event_type", as_index=False).agg(
+            n=("value", "size"), mn=("value", "min"), mx=("value", "max"),
+        ),
+        batch_format="pandas",
+    ).to_pandas().groupby("event_type").agg(
+        n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"),
+    )
+
+    # per-group search state
+    state = {
+        g: {
+            "k": max(1, math.ceil(0.5 * int(r["n"]))),
+            "lo": np.nextafter(float(r["mn"]), -np.inf),
+            "hi": float(r["mx"]),
+            "rank_lo": 0,
+        }
+        for g, r in base.iterrows()
+    }
+    answers: dict[str, float] = {}
+    collect: dict[str, tuple] = {}
+
+    while state:
+        edges = {g: np.linspace(s["lo"], s["hi"], _SELECT_BINS + 1)
+                 for g, s in state.items()}
+        for g, e in edges.items():
+            e[0], e[-1] = state[g]["lo"], state[g]["hi"]
+
+        def hist(df: pd.DataFrame, _e=edges) -> pd.DataFrame:
+            outs = []
+            for g, sub in df.groupby("event_type"):
+                if g not in _e:
+                    continue
+                e = _e[g]
+                v = sub["value"].to_numpy(np.float64)
+                v = v[(v > e[0]) & (v <= e[-1])]
+                if not len(v):
+                    continue
+                b = np.searchsorted(e, v, side="left") - 1
+                c = np.bincount(b, minlength=_SELECT_BINS)
+                nz = np.flatnonzero(c)
+                outs.append(pd.DataFrame({
+                    "g": g, "bin": nz.astype("int64"),
+                    "c": c[nz].astype("int64"),
+                    "wmn": np.float64(v.min()), "wmx": np.float64(v.max()),
+                }))
+            if not outs:
+                return pd.DataFrame({
+                    "g": pd.Series([], dtype="string"),
+                    "bin": pd.Series([], dtype="int64"),
+                    "c": pd.Series([], dtype="int64"),
+                    "wmn": pd.Series([], dtype="float64"),
+                    "wmx": pd.Series([], dtype="float64"),
+                })
+            return pd.concat(outs, ignore_index=True)
+
+        parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
+        nxt = {}
+        for g, s in state.items():
+            mine = parts.loc[parts["g"] == g] if len(parts) else parts
+            counts = np.zeros(_SELECT_BINS, np.int64)
+            if len(mine):
+                np.add.at(counts, mine["bin"].to_numpy(np.int64),
+                          mine["c"].to_numpy(np.int64))
+                if float(mine["wmn"].min()) == float(mine["wmx"].max()):
+                    answers[g] = float(mine["wmn"].min())  # all ties
+                    continue
+            e = edges[g]
+            cum = s["rank_lo"] + np.cumsum(counts)
+            sel = int(np.searchsorted(cum, s["k"], side="left"))
+            lo, hi = float(e[sel]), float(e[sel + 1])
+            rank_lo = int(cum[sel - 1]) if sel else s["rank_lo"]
+            if counts[sel] <= _SELECT_COLLECT_MAX \
+                    or hi <= np.nextafter(lo, np.inf):
+                collect[g] = (lo, hi, s["k"] - rank_lo)
+            else:
+                nxt[g] = {"k": s["k"], "lo": lo, "hi": hi, "rank_lo": rank_lo}
+        state = nxt
+
+    if collect:
+        cref_edges = collect
+
+        def gather(df: pd.DataFrame, _c=cref_edges) -> pd.DataFrame:
+            outs = []
+            for g, sub in df.groupby("event_type"):
+                if g not in _c:
+                    continue
+                lo, hi, _ = _c[g]
+                v = sub["value"].to_numpy(np.float64)
+                v = v[(v > lo) & (v <= hi)]
+                if len(v):
+                    outs.append(pd.DataFrame({"g": g, "v": v}))
+            if not outs:
+                return pd.DataFrame({
+                    "g": pd.Series([], dtype="string"),
+                    "v": pd.Series([], dtype="float64"),
+                })
+            return pd.concat(outs, ignore_index=True)
+
+        vals = ds.map_batches(gather, batch_format="pandas").to_pandas()
+        for g, (_, _, kk) in collect.items():
+            v = vals.loc[vals["g"] == g, "v"].to_numpy(np.float64)
+            answers[g] = float(np.partition(v, kk - 1)[kk - 1])
+
+    out = pd.DataFrame({
+        "event_type": sorted(answers),
+        "median_value": [answers[g] for g in sorted(answers)],
+    })
+    return out.reset_index(drop=True)
+
+
+SQL_GROUPED_MEDIAN_SELECT = """
+SELECT event_type, quantile_disc(value, 0.5) AS median_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "value_quantiles": q_value_quantiles,
     "approx_value_quantiles": q_approx_value_quantiles,
@@ -447,10 +577,12 @@ QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "quantile_select": q_quantile_select,
     "mad_value": q_mad_value,
+    "grouped_median_select": q_grouped_median_select,
 }
 
 ORACLE_SQL = {
     "value_quantiles": SQL_VALUE_QUANTILES,
     "quantile_select": SQL_QUANTILE_SELECT,
     "mad_value": SQL_MAD_VALUE,
+    "grouped_median_select": SQL_GROUPED_MEDIAN_SELECT,
 }

@@ -302,3 +302,31 @@ class TestQuantileSelect:
 
         out = q_quantile_select(str(tmp_path))
         assert (out["value"] == 3.25).all()
+
+
+class TestGroupedMedianSelect:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_numpy_per_group(self):
+        import math
+
+        import pyarrow.parquet as pq
+
+        from crawler_tjce_ray.pipelines.sketches import q_grouped_median_select
+
+        out = q_grouped_median_select(self.SF).set_index("event_type")
+        df = pq.read_table(
+            f"{self.SF}/events.parquet", columns=["event_type", "value"]
+        ).to_pandas()
+        for g, sub in df.groupby("event_type"):
+            v = np.sort(sub["value"].to_numpy(np.float64))
+            k = max(1, math.ceil(0.5 * len(v)))
+            assert out.loc[g, "median_value"] == v[k - 1], g
+
+    def test_multi_pass_same_answer(self, monkeypatch):
+        from crawler_tjce_ray.pipelines import sketches
+
+        base = sketches.q_grouped_median_select(self.SF)
+        monkeypatch.setattr(sketches, "_SELECT_COLLECT_MAX", 2)
+        multi = sketches.q_grouped_median_select(self.SF)
+        pd.testing.assert_frame_equal(base, multi)
