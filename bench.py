@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "mad_value",
     "dup_rate_by_source",
     "multimodal_phash_dedup",
+    "grouped_median_select",
 ]
 
 
