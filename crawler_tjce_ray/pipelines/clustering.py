@@ -113,12 +113,27 @@ def _reduce_partials(parts: pd.DataFrame, cents: np.ndarray):
     return nxt, sizes, inertia
 
 
+_KMEANS_CACHE: dict[tuple, tuple] = {}
+
+
 def train_kmeans(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
     """Run ``iters`` Lloyd's passes; returns ``(centroids, sizes,
     inertia_history)``.  ``inertia_history[i]`` is the corpus inertia
     measured AGAINST the centroids of pass ``i`` (so it is
-    non-increasing for spherical k-means up to float round-off)."""
+    non-increasing for spherical k-means up to float round-off).
+
+    The trained model is memoized per (sf_dir, k, iters, gcs address):
+    it is deterministic, several queries (``kmeans_embeddings``,
+    ``semdedup``) consume the same model, and the result is plain
+    numpy — no object-store references, so unlike the graph edge cache
+    no liveness probe is needed (the gcs key only prevents serving a
+    model trained on one session's view to another)."""
     import ray
+
+    gcs = ray.get_runtime_context().gcs_address if ray.is_initialized() else ""
+    ck = (sf_dir, k, iters, gcs)
+    if ck in _KMEANS_CACHE:
+        return _KMEANS_CACHE[ck]
 
     cents = _init_centroids(sf_dir, k)
     history = []
@@ -136,6 +151,11 @@ def train_kmeans(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
         )
         cents, sizes, inertia = _reduce_partials(parts, cents)
         history.append(inertia)
+    # evict models from other sessions; same-session (k, iters)
+    # variants stay cached
+    for stale in [kk for kk in _KMEANS_CACHE if kk[3] != gcs]:
+        _KMEANS_CACHE.pop(stale)
+    _KMEANS_CACHE[ck] = (cents, sizes, history)
     return cents, sizes, history
 
 
