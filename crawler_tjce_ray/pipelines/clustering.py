@@ -122,18 +122,28 @@ def train_kmeans(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
     measured AGAINST the centroids of pass ``i`` (so it is
     non-increasing for spherical k-means up to float round-off).
 
-    The trained model is memoized per (sf_dir, k, iters, gcs address):
-    it is deterministic, several queries (``kmeans_embeddings``,
-    ``semdedup``) consume the same model, and the result is plain
-    numpy — no object-store references, so unlike the graph edge cache
-    no liveness probe is needed (the gcs key only prevents serving a
-    model trained on one session's view to another)."""
+    The trained model is memoized per (sf_dir, parquet mtime+size, k,
+    iters, gcs address): it is deterministic, several queries
+    (``kmeans_embeddings``, ``semdedup``) consume the same model, and
+    the result is plain read-only numpy — no object-store references,
+    so unlike the graph edge cache no liveness probe is needed.  The
+    gcs key prevents serving one session's model to another; the file
+    stat prevents serving a model trained on since-rewritten data; a
+    pre-``ray.init`` call skips the lookup entirely (the key is
+    computed after training, when Ray is guaranteed initialized)."""
+    import os
+
     import ray
 
-    gcs = ray.get_runtime_context().gcs_address if ray.is_initialized() else ""
-    ck = (sf_dir, k, iters, gcs)
-    if ck in _KMEANS_CACHE:
-        return _KMEANS_CACHE[ck]
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    fkey = (st.st_mtime_ns, st.st_size)
+
+    def _ck():
+        return (sf_dir, fkey, k, iters,
+                ray.get_runtime_context().gcs_address)
+
+    if ray.is_initialized() and _ck() in _KMEANS_CACHE:
+        return _KMEANS_CACHE[_ck()]
 
     cents = _init_centroids(sf_dir, k)
     history = []
@@ -151,9 +161,13 @@ def train_kmeans(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
         )
         cents, sizes, inertia = _reduce_partials(parts, cents)
         history.append(inertia)
-    # evict models from other sessions; same-session (k, iters)
-    # variants stay cached
-    for stale in [kk for kk in _KMEANS_CACHE if kk[3] != gcs]:
+    # read-only arrays: a consumer mutating the returned model in
+    # place must not poison later cache hits
+    cents.setflags(write=False)
+    sizes.setflags(write=False)
+    ck = _ck()  # Ray is initialized now (training ran ray.put)
+    # evict models from other sessions; same-session variants stay
+    for stale in [kk for kk in _KMEANS_CACHE if kk[4] != ck[4]]:
         _KMEANS_CACHE.pop(stale)
     _KMEANS_CACHE[ck] = (cents, sizes, history)
     return cents, sizes, history

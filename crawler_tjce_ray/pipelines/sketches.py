@@ -291,6 +291,37 @@ _SELECT_BINS = 256
 _SELECT_COLLECT_MAX = 65_536
 
 
+def _select_edges(lo: float, hi: float) -> np.ndarray:
+    """257 shared bin edges with the window bounds pinned exactly."""
+    e = np.linspace(lo, hi, _SELECT_BINS + 1)
+    e[0], e[-1] = lo, hi
+    return e
+
+
+def _hist_window(v: np.ndarray, e: np.ndarray):
+    """Non-zero (bins, counts) plus min/max of the values inside the
+    window ``(e[0], e[-1]]`` — None when nothing lands in it.  NaNs
+    fail both comparisons and are excluded by construction."""
+    v = v[(v > e[0]) & (v <= e[-1])]
+    if not len(v):
+        return None
+    b = np.searchsorted(e, v, side="left") - 1
+    c = np.bincount(b, minlength=_SELECT_BINS)
+    nz = np.flatnonzero(c)
+    return nz, c[nz], float(v.min()), float(v.max())
+
+
+def _narrow(counts: np.ndarray, edges: np.ndarray, k: int, rank_lo: int):
+    """Pick the bin holding rank k: returns the next window
+    ``(lo, hi]``, the rank below it, and the in-bin count (the
+    collect-threshold signal).  Shared by the global and grouped
+    selectors so the rank bookkeeping cannot diverge."""
+    cum = rank_lo + np.cumsum(counts)
+    sel = int(np.searchsorted(cum, k, side="left"))
+    lo, hi = float(edges[sel]), float(edges[sel + 1])
+    return lo, hi, (int(cum[sel - 1]) if sel else rank_lo), int(counts[sel])
+
+
 def _quickselect(ds, derive, k: int, n: int, gmin: float, gmax: float) -> float:
     """Exact k-th smallest (1-based) of ``derive(batch)`` over the
     whole Dataset via iterative histogram refinement.  Each round
@@ -309,27 +340,23 @@ def _quickselect(ds, derive, k: int, n: int, gmin: float, gmax: float) -> float:
     hi = gmax
     rank_lo = 0
     while True:
-        edges = np.linspace(lo, hi, _SELECT_BINS + 1)
-        edges[0], edges[-1] = lo, hi  # exact window bounds
+        edges = _select_edges(lo, hi)
 
         def hist(df: pd.DataFrame, _e=edges) -> pd.DataFrame:
-            v = derive(df)
-            v = v[(v > _e[0]) & (v <= _e[-1])]
-            if not len(v):
+            hw = _hist_window(derive(df), _e)
+            if hw is None:
                 return pd.DataFrame({
                     "bin": pd.Series([], dtype="int64"),
                     "c": pd.Series([], dtype="int64"),
                     "wmn": pd.Series([], dtype="float64"),
                     "wmx": pd.Series([], dtype="float64"),
                 })
-            b = np.searchsorted(_e, v, side="left") - 1
-            c = np.bincount(b, minlength=_SELECT_BINS)
-            nz = np.flatnonzero(c)
+            nz, cnz, wmn, wmx = hw
             return pd.DataFrame({
                 "bin": nz.astype("int64"),
-                "c": c[nz].astype("int64"),
-                "wmn": np.float64(v.min()),
-                "wmx": np.float64(v.max()),
+                "c": cnz.astype("int64"),
+                "wmn": np.float64(wmn),
+                "wmx": np.float64(wmx),
             })
 
         parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
@@ -339,11 +366,8 @@ def _quickselect(ds, derive, k: int, n: int, gmin: float, gmax: float) -> float:
                       parts["c"].to_numpy(np.int64))
         if len(parts) and float(parts["wmn"].min()) == float(parts["wmx"].max()):
             return float(parts["wmn"].min())  # all-ties window
-        cum = rank_lo + np.cumsum(counts)
-        sel = int(np.searchsorted(cum, k, side="left"))
-        new_lo, new_hi = float(edges[sel]), float(edges[sel + 1])
-        rank_lo = int(cum[sel - 1]) if sel else rank_lo
-        if counts[sel] <= _SELECT_COLLECT_MAX or new_hi <= np.nextafter(new_lo, np.inf):
+        new_lo, new_hi, rank_lo, in_bin = _narrow(counts, edges, k, rank_lo)
+        if in_bin <= _SELECT_COLLECT_MAX or new_hi <= np.nextafter(new_lo, np.inf):
             vals = ds.map_batches(
                 lambda df, _l=new_lo, _h=new_hi: (
                     lambda v: pd.DataFrame({"v": v[(v > _l) & (v <= _h)]})
@@ -455,14 +479,17 @@ def q_grouped_median_select(sf_dir: str):
 
     base = ds.map_batches(
         lambda df: df.groupby("event_type", as_index=False).agg(
-            n=("value", "size"), mn=("value", "min"), mx=("value", "max"),
+            # 'count', not 'size': NaNs are excluded from the rank
+            # space (the histogram comparisons drop them), so n must
+            # count only comparable values to stay quantile_disc-exact
+            n=("value", "count"), mn=("value", "min"), mx=("value", "max"),
         ),
         batch_format="pandas",
     ).to_pandas().groupby("event_type").agg(
         n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"),
     )
 
-    # per-group search state
+    # per-group search state (all-NaN groups have no rankable values)
     state = {
         g: {
             "k": max(1, math.ceil(0.5 * int(r["n"]))),
@@ -470,38 +497,31 @@ def q_grouped_median_select(sf_dir: str):
             "hi": float(r["mx"]),
             "rank_lo": 0,
         }
-        for g, r in base.iterrows()
+        for g, r in base.iterrows() if int(r["n"]) > 0
     }
     answers: dict[str, float] = {}
     collect: dict[str, tuple] = {}
 
     while state:
-        edges = {g: np.linspace(s["lo"], s["hi"], _SELECT_BINS + 1)
-                 for g, s in state.items()}
-        for g, e in edges.items():
-            e[0], e[-1] = state[g]["lo"], state[g]["hi"]
+        edges = {g: _select_edges(s["lo"], s["hi"]) for g, s in state.items()}
 
         def hist(df: pd.DataFrame, _e=edges) -> pd.DataFrame:
             outs = []
             for g, sub in df.groupby("event_type"):
                 if g not in _e:
                     continue
-                e = _e[g]
-                v = sub["value"].to_numpy(np.float64)
-                v = v[(v > e[0]) & (v <= e[-1])]
-                if not len(v):
+                hw = _hist_window(sub["value"].to_numpy(np.float64), _e[g])
+                if hw is None:
                     continue
-                b = np.searchsorted(e, v, side="left") - 1
-                c = np.bincount(b, minlength=_SELECT_BINS)
-                nz = np.flatnonzero(c)
+                nz, cnz, wmn, wmx = hw
                 outs.append(pd.DataFrame({
                     "g": g, "bin": nz.astype("int64"),
-                    "c": c[nz].astype("int64"),
-                    "wmn": np.float64(v.min()), "wmx": np.float64(v.max()),
+                    "c": cnz.astype("int64"),
+                    "wmn": np.float64(wmn), "wmx": np.float64(wmx),
                 }))
             if not outs:
                 return pd.DataFrame({
-                    "g": pd.Series([], dtype="string"),
+                    "g": pd.Series([], dtype=object),
                     "bin": pd.Series([], dtype="int64"),
                     "c": pd.Series([], dtype="int64"),
                     "wmn": pd.Series([], dtype="float64"),
@@ -510,22 +530,21 @@ def q_grouped_median_select(sf_dir: str):
             return pd.concat(outs, ignore_index=True)
 
         parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
+        by_g = {g: sub for g, sub in parts.groupby("g")} if len(parts) else {}
         nxt = {}
         for g, s in state.items():
-            mine = parts.loc[parts["g"] == g] if len(parts) else parts
+            mine = by_g.get(g)
             counts = np.zeros(_SELECT_BINS, np.int64)
-            if len(mine):
+            if mine is not None:
                 np.add.at(counts, mine["bin"].to_numpy(np.int64),
                           mine["c"].to_numpy(np.int64))
                 if float(mine["wmn"].min()) == float(mine["wmx"].max()):
                     answers[g] = float(mine["wmn"].min())  # all ties
                     continue
-            e = edges[g]
-            cum = s["rank_lo"] + np.cumsum(counts)
-            sel = int(np.searchsorted(cum, s["k"], side="left"))
-            lo, hi = float(e[sel]), float(e[sel + 1])
-            rank_lo = int(cum[sel - 1]) if sel else s["rank_lo"]
-            if counts[sel] <= _SELECT_COLLECT_MAX \
+            lo, hi, rank_lo, in_bin = _narrow(
+                counts, edges[g], s["k"], s["rank_lo"]
+            )
+            if in_bin <= _SELECT_COLLECT_MAX \
                     or hi <= np.nextafter(lo, np.inf):
                 collect[g] = (lo, hi, s["k"] - rank_lo)
             else:
@@ -547,14 +566,15 @@ def q_grouped_median_select(sf_dir: str):
                     outs.append(pd.DataFrame({"g": g, "v": v}))
             if not outs:
                 return pd.DataFrame({
-                    "g": pd.Series([], dtype="string"),
+                    "g": pd.Series([], dtype=object),
                     "v": pd.Series([], dtype="float64"),
                 })
             return pd.concat(outs, ignore_index=True)
 
         vals = ds.map_batches(gather, batch_format="pandas").to_pandas()
-        for g, (_, _, kk) in collect.items():
-            v = vals.loc[vals["g"] == g, "v"].to_numpy(np.float64)
+        for g, sub in vals.groupby("g"):
+            kk = collect[g][2]
+            v = sub["v"].to_numpy(np.float64)
             answers[g] = float(np.partition(v, kk - 1)[kk - 1])
 
     out = pd.DataFrame({

@@ -72,8 +72,15 @@ def test_matches_local_lloyds(trained):
 
 
 def test_deterministic_across_runs(ray_session, trained):
+    from crawler_tjce_ray.pipelines import clustering
+
     c1, s1, h1 = trained
+    c1, s1, h1 = c1.copy(), s1.copy(), list(h1)
+    # the model memo would make a repeat call an identity check —
+    # clear it so this pins a genuinely fresh training run
+    clustering._KMEANS_CACHE.clear()
     c2, s2, h2 = train_kmeans(SF, KMEANS_K, KMEANS_ITERS)
+    assert c1 is not c2
     # canonical partial-sort makes the reduce order fixed → bit-identical
     np.testing.assert_array_equal(c1, c2)
     np.testing.assert_array_equal(s1, s2)
@@ -141,9 +148,11 @@ class TestSemDedup:
             assert bool(got["keep"][i]) == (not expect_drop), ids[i]
 
     def test_deterministic(self):
+        from crawler_tjce_ray.pipelines import clustering
         from crawler_tjce_ray.pipelines.clustering import q_semdedup
 
         a = q_semdedup(SF).reset_index(drop=True)
+        clustering._KMEANS_CACHE.clear()  # force a fresh model train
         b = q_semdedup(SF).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
 
