@@ -1561,9 +1561,9 @@ def q_running_total(sf_dir: str):
 
 SQL_RUNNING_TOTAL = """
 SELECT o_orderkey, o_custkey,
-       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
 FROM orders ORDER BY o_orderkey
 """
 

@@ -439,6 +439,9 @@ def q_line_filter(sf_dir: str):
         return out[["doc_id", "n_kept_lines", "clean_text"]]
 
     out = ds.map_batches(scrub, batch_format="pandas").to_pandas()
+    # final frame in numpy-object string form: the driver's value hash
+    # is dtype-sensitive and the DuckDB oracle lands as object
+    out["clean_text"] = out["clean_text"].astype(object)
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
