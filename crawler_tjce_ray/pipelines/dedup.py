@@ -360,13 +360,143 @@ def batch_gram_hashes(texts) -> list[np.ndarray]:
     return out
 
 
+MINHASH_BROADCAST_MAX_DOCS = 200_000
+
+_VCOLS = ["k", "db", "side", "doc_b", "s_a", "gkey"]
+
+
+def _vempty() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series([], dtype="int64") for c in _VCOLS})
+
+
+def _pairs_empty() -> pd.DataFrame:
+    return pd.DataFrame({
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "jaccard": pd.Series([], dtype="float64"),
+    })
+
+
+def _verify_pairs_bucketed(docs, pairs, cand_ids: np.ndarray, tau: float):
+    """Exact-Jaccard verification of candidate pairs with ZERO driver
+    text state — the scale tier for dup-heavy corpora where candidate
+    docs ≈ corpus and a broadcast shingle dict would OOM the driver.
+
+    Same union discipline as ``q_dedup_jaccard_prefix``'s big tier:
+    two 64-bucket shuffles (key = doc_a, then doc_b), identical
+    all-int64 schemas on both union sides.  Gram sets travel as
+    distinct uint64 3-gram hashes (``batch_gram_hashes``); per-doc set
+    sizes are recounted in-bucket from the gram rows themselves, so
+    pairs need no precomputed size payload.  The only driver-held
+    state is the candidate-id array (8 B/doc) used to semi-join the
+    gram scan.
+
+    Jaccard here is over hashed distinct grams; it equals the textual
+    3-gram Jaccard of the broadcast tier absent 64-bit collisions
+    (tests force both tiers on the same corpus and require identical
+    output)."""
+    import ray
+
+    ids_ref = ray.put(np.sort(np.asarray(cand_ids, dtype=np.int64)))
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(ids_ref)
+        keep = np.isin(df["doc_id"].to_numpy(np.int64), ids)
+        sub = df.loc[keep]
+        if sub.empty:
+            return _vempty()
+        ghs = batch_gram_hashes(sub["text"].tolist())
+        doc = sub["doc_id"].to_numpy(np.int64)
+        reps = np.fromiter((len(g) for g in ghs), dtype=np.int64, count=len(ghs))
+        k = np.repeat(doc, reps)
+        gk = np.concatenate(ghs).view(np.int64)
+        return pd.DataFrame({
+            "k": k, "db": k & 63, "side": np.int64(1),
+            "doc_b": np.int64(-1), "s_a": np.int64(-1), "gkey": gk,
+        })[_VCOLS]
+
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["doc_a"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": k, "db": k & 63, "side": np.int64(0),
+            "doc_b": df["doc_b"].to_numpy(np.int64),
+            "s_a": np.int64(-1), "gkey": np.int64(0),
+        })[_VCOLS]
+
+    def explode_a(g: pd.DataFrame) -> pd.DataFrame:
+        gr = g.loc[g["side"] == 1, ["k", "gkey"]]
+        # cross-band duplicate pairs all land in doc_a's bucket: this
+        # drop_duplicates is the global pair dedup
+        p = g.loc[g["side"] == 0, ["k", "doc_b"]].drop_duplicates()
+        if p.empty or gr.empty:
+            return _vempty()
+        s_a = gr.groupby("k").size()
+        m = p.merge(gr, on="k")  # one row per (pair, gram-of-A)
+        k = m["doc_b"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": k, "db": k & 63, "side": np.int64(0),
+            "doc_b": m["k"].to_numpy(np.int64),  # carries doc_a now
+            "s_a": s_a.reindex(m["k"]).to_numpy(np.int64),
+            "gkey": m["gkey"].to_numpy(np.int64),
+        })[_VCOLS]
+
+    def verify_b(g: pd.DataFrame) -> pd.DataFrame:
+        gr = g.loc[g["side"] == 1, ["k", "gkey"]]
+        p = g.loc[g["side"] == 0]
+        if p.empty or gr.empty:
+            return _pairs_empty()
+        m = p.merge(gr, on=["k", "gkey"])  # grams in A∩B
+        if m.empty:
+            return _pairs_empty()
+        s_b = gr.groupby("k").size()
+        agg = m.groupby(["doc_b", "k", "s_a"], as_index=False).agg(
+            inter=("gkey", "size")
+        )
+        inter = agg["inter"].to_numpy(np.int64)
+        sa = agg["s_a"].to_numpy(np.int64)
+        sb = s_b.reindex(agg["k"]).to_numpy(np.int64)
+        jac = inter / (sa + sb - inter)
+        out = pd.DataFrame({
+            "doc_a": agg["doc_b"].to_numpy(np.int64),
+            "doc_b": agg["k"].to_numpy(np.int64),
+            "jaccard": jac,
+        })
+        return out.loc[out["jaccard"] >= tau]
+
+    cand_grams = docs.map_batches(gram_rows, batch_format="pandas").materialize()
+    # materialize between the two sort-shuffles: chaining them in one
+    # lazy plan ran >2x slower (see the triangle_count note)
+    exploded = (
+        pairs.map_batches(tag_pairs, batch_format="pandas")
+        .union(cand_grams)
+        .groupby("db")
+        .map_groups(explode_a, batch_format="pandas")
+        .materialize()
+    )
+    out = (
+        exploded.union(cand_grams)
+        .groupby("db")
+        .map_groups(verify_b, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return _pairs_empty()
+    out = out.astype({"doc_a": "int64", "doc_b": "int64"})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def q_dedup_minhash_lsh(sf_dir: str):
     """MinHash(128)+LSH(32×4) near-dup pairs, verified with exact
     3-gram Jaccard ≥ 0.8.  Stages: signature map → band flat_map →
-    per-bucket groupby (the only shuffle; carries (band, hash, id)
-    triples) → candidate pair dedup → broadcast-verified Jaccard.
+    per-bucket groupby (carries (band, hash, id) triples) → candidate
+    pair dedup → exact-Jaccard verify.  The verify stage is two-tier:
+    ≤ ``MINHASH_BROADCAST_MAX_DOCS`` candidate docs broadcast one
+    shingle index via ``ray.put``; above it (dup-heavy corpora where
+    candidates ≈ corpus) verification runs fully in-bucket via
+    ``_verify_pairs_bucketed`` with no driver text state.
     Non-SQL (the perm family isn't expressible) → rows-only check; the
-    recall property vs brute force is pinned in tests/test_dedup.py."""
+    recall property vs brute force is pinned in
+    tests/test_dedup_similarity.py."""
     import ray
     import ray.data as rd
 
@@ -400,16 +530,31 @@ def q_dedup_minhash_lsh(sf_dir: str):
         )[["doc_a", "doc_b"]].drop_duplicates()
 
     cands = banded.groupby("band").map_groups(band_pairs, batch_format="pandas")
-    cand_df = cands.to_pandas().drop_duplicates()  # pairs table ≪ corpus
-    if len(cand_df) == 0:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"]).astype(
-            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
-        )
 
-    # verify candidates with exact jaccard; shingle-set construction is
-    # restricted to docs that actually appear in a candidate pair
-    # (≪ corpus after LSH), then broadcast once
-    cand_ids = set(cand_df["doc_a"]).union(cand_df["doc_b"])
+    # distinct candidate doc ids: the ids-only driver collection both
+    # tiers need (8 B/doc; the texts themselves never come back)
+    id_parts = cands.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": np.unique(np.concatenate([
+                df["doc_a"].to_numpy(np.int64),
+                df["doc_b"].to_numpy(np.int64),
+            ])) if len(df) else np.empty(0, dtype=np.int64)
+        }),
+        batch_format="pandas",
+    ).to_pandas()
+    cand_ids_arr = np.unique(id_parts["doc_id"].to_numpy(np.int64))
+    if len(cand_ids_arr) == 0:
+        return _pairs_empty()
+
+    if len(cand_ids_arr) > MINHASH_BROADCAST_MAX_DOCS:
+        # scale tier: in-bucket verification, zero driver text state
+        return _verify_pairs_bucketed(docs, cands, cand_ids_arr, MINHASH_TAU)
+
+    # broadcast tier: candidate docs ≪ corpus after LSH — build the
+    # shingle index once, ship via ray.put, verify pair batches in
+    # parallel against it
+    cand_df = cands.to_pandas().drop_duplicates()  # pairs table ≪ corpus
+    cand_ids = set(cand_ids_arr.tolist())
     idx_df = docs.map_batches(
         lambda df: df[df["doc_id"].isin(cand_ids)], batch_format="pandas"
     ).to_pandas()

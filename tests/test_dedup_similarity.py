@@ -51,6 +51,31 @@ class TestMinHashLSH:
         assert recall >= 0.95, f"recall {recall}"
         assert (got["jaccard"] >= MINHASH_TAU).all()
 
+    def test_bucketed_tier_matches_broadcast_and_holds_no_driver_text(
+        self, monkeypatch
+    ):
+        """Force the scale tier (threshold 0) and require byte-equal
+        pairs vs the broadcast tier; patch ``ngram_set`` — the ONLY
+        path that builds driver/broadcast shingle state — to raise, so
+        any driver-side text materialization fails the test."""
+        from crawler_tjce_ray.pipelines import dedup
+
+        broadcast = dedup.q_dedup_minhash_lsh(SF_DIR)
+        assert len(broadcast) > 0, "corpus should contain planted near-dups"
+
+        def _boom(*a, **k):
+            raise AssertionError("scale tier must not build shingle sets")
+
+        monkeypatch.setattr(dedup, "MINHASH_BROADCAST_MAX_DOCS", 0)
+        monkeypatch.setattr(dedup, "ngram_set", _boom)
+        bucketed = dedup.q_dedup_minhash_lsh(SF_DIR)
+
+        pd.testing.assert_frame_equal(
+            bucketed.reset_index(drop=True),
+            broadcast.reset_index(drop=True),
+            check_exact=False, rtol=1e-12, atol=1e-12,
+        )
+
     def test_signature_determinism_and_similarity(self):
         from crawler_tjce_ray.pipelines.dedup import (
             gram_hashes, minhash_signature, ngram_set,
