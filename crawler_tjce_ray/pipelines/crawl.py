@@ -14,13 +14,17 @@ Determinism contract: crawl order is defined by the frontier sort key
 fetch completion; a killed run resumed from wave k reproduces waves
 k+1.. byte-identically (tested).
 
-Scale notes: the per-wave working set is bounded by ``wave_size``;
-frontier bookkeeping here is pandas on the driver, which holds to
-~10^7 pending urls — beyond that the same select/update steps run as
-Dataset ops (sort + groupby(host).map_groups(head) + limit) over a
-Parquet-backed frontier, which is why every step is expressed on
-columns, not Python rows.  Records and page-store IO are always
-distributed.
+Scale notes: the per-wave working set is bounded by ``wave_size``.
+Below ``distributed_select_threshold`` pending urls the frontier is a
+driver pandas frame; above it the frontier is a Dataset end-to-end —
+selection (sort + groupby(host).map_groups(head) + limit), outlink
+membership (streaming semi-join probe) and the checkpoint write all
+run distributed, the frontier re-enters each wave from the
+checkpoint's Parquet, and the driver holds only wave-sized frames and
+counters.  The two modes are semantically identical (pinned by
+tests/test_frontier_distributed.py) and a crawl migrates between them
+as the frontier grows or drains.  Records and page-store IO are
+always distributed.
 """
 
 from __future__ import annotations
@@ -63,12 +67,36 @@ from crawler_tjce_ray.stages.fetch import (
 )
 from crawler_tjce_ray.stages.seen import ShardedSeenSet
 from crawler_tjce_ray.state.frontier import (
+    FRONTIER_COLUMNS,
     assert_frontier_unique,
     canonicalize_url,
     make_frontier_rows,
     select_wave,
     select_wave_distributed,
 )
+
+
+def _keys_present(frontier_ds, keys: np.ndarray) -> np.ndarray:
+    """Which of ``keys`` already exist in the pending frontier — the
+    Dataset-mode analog of the driver's ``isin(set(frontier.url))``
+    membership check.  One streaming semi-join pass: the (wave-sized)
+    probe keys broadcast once via ``ray.put``; each frontier batch
+    returns only its hits, so the driver sees at most ``len(keys)``
+    rows back regardless of frontier size."""
+    if len(keys) == 0:
+        return np.empty(0, dtype=np.uint64)
+    keys_ref = ray.put(np.unique(keys.astype(np.uint64)))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        v = df["url_key"].to_numpy(dtype=np.uint64)
+        return pd.DataFrame({"url_key": v[np.isin(v, ks)]})
+
+    hits = frontier_ds.map_batches(probe, batch_format="pandas").to_pandas()
+    if hits.empty or "url_key" not in hits.columns:
+        # an all-empty result drops its schema on to_pandas
+        return np.empty(0, dtype=np.uint64)
+    return hits["url_key"].to_numpy(dtype=np.uint64)
 
 @dataclass
 class CrawlConfig:
@@ -82,9 +110,10 @@ class CrawlConfig:
     fetch_batch_size: int = 64
     current_year: int = 2026
     extract_records: bool = True
-    # pending-url count above which wave selection routes through the
-    # Ray-Data path (select_wave_distributed) instead of driver pandas;
-    # equivalence of the two paths is pinned by tests
+    # pending-url count above which the frontier lives as a Dataset
+    # (Parquet-backed between waves, Dataset selection/membership/
+    # checkpoint) instead of driver pandas; equivalence of the two
+    # paths is pinned by tests
     distributed_select_threshold: int = 500_000
     # in-actor per-host token-bucket grants per wave (defense-in-depth
     # behind the wave-selection budget; denied urls are un-seen and
@@ -164,14 +193,47 @@ def _latest_checkpoint(workdir: str) -> int | None:
     return max(waves) if waves else None
 
 
-def _write_checkpoint(workdir: str, wave: int, frontier: pd.DataFrame,
-                      seen: ShardedSeenSet, lineage: pd.DataFrame, metrics: dict):
-    """Atomic per-wave checkpoint: tmp dir + rename, _SUCCESS marker."""
+_FRONTIER_DIRNAME = "frontier_parquet"
+
+
+def _parquet_dir_rows(d: str) -> int:
+    """Row count of a parquet directory from file metadata only — the
+    per-wave pending-count read never touches row data."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(p).metadata.num_rows
+        for p in glob.glob(os.path.join(d, "*.parquet"))
+    )
+
+
+def _write_checkpoint(workdir: str, wave: int, frontier,
+                      seen: ShardedSeenSet, lineage: pd.DataFrame,
+                      metrics: dict) -> int:
+    """Atomic per-wave checkpoint: tmp dir + rename, _SUCCESS marker.
+
+    ``frontier`` is either the driver pandas frame (small-frontier
+    mode, single ``frontier.parquet``) or a ``ray.data.Dataset``
+    (large-frontier mode: a distributed ``frontier_parquet/`` write —
+    the frontier never materializes on the driver).  Returns the
+    pending-row count and records it as ``metrics['frontier_pending']``
+    so the Dataset path needs no extra counting pass."""
     final = _ckpt_dir(workdir, wave)
     tmp = final + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    frontier.reset_index(drop=True).to_parquet(os.path.join(tmp, "frontier.parquet"))
+    if isinstance(frontier, pd.DataFrame):
+        frontier.reset_index(drop=True).to_parquet(
+            os.path.join(tmp, "frontier.parquet")
+        )
+        pending = int(len(frontier))
+    else:
+        fdir = os.path.join(tmp, _FRONTIER_DIRNAME)
+        frontier.write_parquet(fdir)
+        pending = _parquet_dir_rows(fdir)
+    metrics["frontier_pending"] = pending
     for i, blob in enumerate(seen.checkpoint()):
         with open(os.path.join(tmp, f"seen_shard_{i}.bin"), "wb") as f:
             f.write(blob)
@@ -182,17 +244,36 @@ def _write_checkpoint(workdir: str, wave: int, frontier: pd.DataFrame,
         f.write("ok\n")
     shutil.rmtree(final, ignore_errors=True)
     os.rename(tmp, final)
+    return pending
 
 
-def _load_checkpoint(workdir: str, wave: int, seen: ShardedSeenSet) -> pd.DataFrame:
+def _load_checkpoint(workdir: str, wave: int, seen: ShardedSeenSet,
+                     threshold: int):
+    """Restore (frontier, pending) from a wave checkpoint.  A frontier
+    saved by the Dataset path comes back as a Dataset when still above
+    the threshold, else collapses to the driver frame."""
     d = _ckpt_dir(workdir, wave)
-    frontier = pd.read_parquet(os.path.join(d, "frontier.parquet"))
+    single = os.path.join(d, "frontier.parquet")
+    if os.path.exists(single):
+        frontier = pd.read_parquet(single)
+        pending = len(frontier)
+    else:
+        fdir = os.path.join(d, _FRONTIER_DIRNAME)
+        pending = _parquet_dir_rows(fdir)
+        if pending > threshold:
+            import ray.data as rd
+
+            frontier = rd.read_parquet(fdir)
+        else:
+            frontier = pd.read_parquet(fdir) if pending else make_frontier_rows([])
+            if pending:
+                frontier["url_key"] = frontier["url_key"].astype("uint64")
     blobs = []
     for i in range(seen.n_shards):
         with open(os.path.join(d, f"seen_shard_{i}.bin"), "rb") as f:
             blobs.append(f.read())
     seen.restore(blobs)
-    return frontier
+    return frontier, pending
 
 
 def _flatten_outlinks(t: pa.Table) -> pa.Table:
@@ -260,7 +341,9 @@ def run_crawl(
     if resume:
         latest = _latest_checkpoint(workdir)
         if latest is not None:
-            frontier = _load_checkpoint(workdir, latest, seen)
+            frontier, pending = _load_checkpoint(
+                workdir, latest, seen, cfg.distributed_select_threshold
+            )
             start_wave = latest + 1
             # a crash between record writes and the wave checkpoint
             # leaves partial records for waves >= start_wave; the
@@ -274,45 +357,56 @@ def run_crawl(
         shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
         shutil.rmtree(os.path.join(workdir, "records"), ignore_errors=True)
         frontier = make_frontier_rows(seeds, priority=0, wave=0, depth=0, seed="root")
+        pending = len(frontier)
+
+    import ray.data as rd
 
     metrics_all: list[dict] = []
     wave = start_wave
     for wave in range(start_wave, cfg.max_waves):
-        if frontier.empty:
+        if pending == 0:
             break
-        if len(frontier) > cfg.distributed_select_threshold:
-            # large-frontier route: selection runs as Dataset ops (the
-            # identical-semantics path, see state/frontier.py); the
-            # remainder comes back to the loop's working frame — on a
-            # multi-node deployment the frontier would stay Parquet-
-            # backed between waves instead
-            import ray.data as rd
-
-            # the distributed defer filters by url_key membership, so
-            # duplicate keys would silently drop rows (the pandas path
-            # defers by row index) — enforce the uniqueness invariant
-            # the frontier-update code maintains
-            assert_frontier_unique(frontier)
-            selected, deferred_ds = select_wave_distributed(
-                rd.from_pandas(frontier.reset_index(drop=True)),
-                wave, cfg.wave_size, cfg.per_host_budget,
+        distributed = pending > cfg.distributed_select_threshold
+        if distributed:
+            # large-frontier route: the frontier lives as a Dataset the
+            # whole wave — selection, membership checks and the
+            # checkpoint write all run as Dataset ops, and the frontier
+            # re-enters the next wave from the checkpoint's Parquet.
+            # The driver holds only wave-sized frames and counters.
+            if isinstance(frontier, pd.DataFrame):
+                # entering Dataset mode: the distributed defer filters
+                # by url_key membership, so duplicate keys would
+                # silently drop rows — assert the invariant once at the
+                # boundary (Dataset-mode updates keep it by
+                # construction: outlink adds anti-join pending keys)
+                assert_frontier_unique(frontier)
+                frontier = rd.from_pandas(frontier.reset_index(drop=True))
+            selected, deferred = select_wave_distributed(
+                frontier, wave, cfg.wave_size, cfg.per_host_budget
             )
-            frontier = deferred_ds.to_pandas()
-            if frontier.empty:
-                # an empty Dataset drops its schema — restore the
-                # canonical frontier columns for the loop's concat/sort
-                frontier = make_frontier_rows([])
-            else:
-                frontier["url_key"] = frontier["url_key"].astype("uint64")
+            if selected.empty:
+                # eligible set empty: the defer pass is a no-op — keep
+                # the untouched (shallow) plan and try the next wave
+                continue
+            frontier = deferred
         else:
+            if not isinstance(frontier, pd.DataFrame):
+                # shrunk below the threshold: collapse to driver pandas
+                frontier = frontier.to_pandas()
+                if frontier.empty:
+                    # an empty Dataset drops its schema — restore the
+                    # canonical frontier columns for concat/sort
+                    frontier = make_frontier_rows([])
+                else:
+                    frontier["url_key"] = frontier["url_key"].astype("uint64")
             selected, frontier = select_wave(
                 frontier, wave, cfg.wave_size, cfg.per_host_budget
             )
-        if selected.empty:
-            # nothing eligible this wave but future work remains
-            if (frontier["next_fetch_wave"] > wave).all() and not frontier.empty:
-                continue
-            break
+            if selected.empty:
+                # nothing eligible this wave but future work remains
+                if (frontier["next_fetch_wave"] > wave).all() and not frontier.empty:
+                    continue
+                break
 
         t_mark = time.perf_counter()
         phase_t: dict[str, float] = {}
@@ -330,6 +424,7 @@ def run_crawl(
 
         fetched_df = pd.DataFrame()
         outlinks = pd.DataFrame(columns=["out_url", "seed", "depth"])
+        adds: list[pd.DataFrame] = []  # Dataset-mode wave-sized additions
         if not todo.empty:
             # fetch+parse run fused inside the actor pool (records are
             # written there, before the actors reply, so the wave's
@@ -354,9 +449,14 @@ def run_crawl(
             if denied:
                 requeue = todo[todo["url"].isin(denied)]
                 seen.remove(requeue["url_key"].to_numpy(dtype=np.uint64))
-                requeue = requeue[[c for c in frontier.columns]].copy()
+                requeue = requeue[FRONTIER_COLUMNS].copy()
                 requeue["next_fetch_wave"] = np.int32(wave + 1)
-                frontier = pd.concat([frontier, requeue], ignore_index=True)
+                if distributed:
+                    # just-selected urls cannot still be pending: defer
+                    # dropped them, so the requeue needs no anti-join
+                    adds.append(requeue)
+                else:
+                    frontier = pd.concat([frontier, requeue], ignore_index=True)
 
         # merge fetch statuses into the wave lineage
         lineage = selected[["url", "seed", "status"]].copy()
@@ -384,16 +484,38 @@ def run_crawl(
                 dedup.sort_values(["out_url", "depth", "seed"], kind="mergesort")
                 .drop_duplicates("out_url")
             )
-            dedup = dedup[~dedup["out_url"].isin(set(frontier["url"]))]
-            if len(dedup):
-                add = make_frontier_rows(
-                    dedup["out_url"].tolist(), priority=0,
-                    wave=wave + 1, depth=0, seed="",
-                )
-                add["seed"] = dedup["seed"].to_numpy()
-                add["depth"] = dedup["depth"].to_numpy(dtype=np.int32)
-                add["priority"] = add["depth"]  # BFS: shallower first
-                frontier = pd.concat([frontier, add], ignore_index=True)
+            if distributed:
+                # anti-join against this wave's requeues locally, then
+                # against the pending Dataset via one streaming
+                # semi-join probe (the driver never sees the frontier)
+                requeued_urls = set(pd.concat(adds)["url"]) if adds else set()
+                dedup = dedup[~dedup["out_url"].isin(requeued_urls)]
+                if len(dedup):
+                    add = make_frontier_rows(
+                        dedup["out_url"].tolist(), priority=0,
+                        wave=wave + 1, depth=0, seed="",
+                    )
+                    add["seed"] = dedup["seed"].to_numpy()
+                    add["depth"] = dedup["depth"].to_numpy(dtype=np.int32)
+                    add["priority"] = add["depth"]  # BFS: shallower first
+                    present = _keys_present(
+                        frontier, add["url_key"].to_numpy(dtype=np.uint64)
+                    )
+                    if len(present):
+                        add = add[~add["url_key"].isin(present)]
+                    if len(add):
+                        adds.append(add)
+            else:
+                dedup = dedup[~dedup["out_url"].isin(set(frontier["url"]))]
+                if len(dedup):
+                    add = make_frontier_rows(
+                        dedup["out_url"].tolist(), priority=0,
+                        wave=wave + 1, depth=0, seed="",
+                    )
+                    add["seed"] = dedup["seed"].to_numpy()
+                    add["depth"] = dedup["depth"].to_numpy(dtype=np.int32)
+                    add["priority"] = add["depth"]  # BFS: shallower first
+                    frontier = pd.concat([frontier, add], ignore_index=True)
 
         wave_metrics = {
             "wave": wave,
@@ -401,11 +523,28 @@ def run_crawl(
             "dup": int(seen_mask.sum()),
             "fetched_ok": int((fetched_df["status"] == "ok").sum()) if not fetched_df.empty else 0,
             "outlinks": int(len(outlinks)),
-            "frontier_pending": int(len(frontier)),
             "seen_total": int(sum(seen.counts())),
             **phase_t,
         }
-        _write_checkpoint(workdir, wave, frontier, seen, lineage, wave_metrics)
+        # _write_checkpoint counts the frontier during the write and
+        # injects metrics['frontier_pending'] — no extra counting pass
+        if distributed:
+            new_frontier = frontier
+            if adds:
+                small = pd.concat(adds, ignore_index=True)[FRONTIER_COLUMNS]
+                new_frontier = new_frontier.union(rd.from_pandas(small))
+            pending = _write_checkpoint(
+                workdir, wave, new_frontier, seen, lineage, wave_metrics
+            )
+            # re-enter the next wave from the checkpoint Parquet: the
+            # per-wave plan stays (read → select) instead of an
+            # ever-growing defer/union lineage
+            fdir = os.path.join(_ckpt_dir(workdir, wave), _FRONTIER_DIRNAME)
+            frontier = rd.read_parquet(fdir) if pending else make_frontier_rows([])
+        else:
+            pending = _write_checkpoint(
+                workdir, wave, frontier, seen, lineage, wave_metrics
+            )
         wave_metrics["t_ckpt"] = round(time.perf_counter() - t_mark, 4)
         metrics_all.append(wave_metrics)
 

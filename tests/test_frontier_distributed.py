@@ -72,6 +72,37 @@ def test_crawl_identical_through_distributed_route(tmp_path):
     )
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_resume_from_parquet_dir_checkpoint(tmp_path):
+    """Dataset-mode checkpoints store the frontier as a Parquet
+    DIRECTORY (distributed write, never a driver frame); killing after
+    wave k and resuming must reproduce the remaining trace exactly and
+    restore the frontier from that layout."""
+    import os
+
+    from crawler_tjce_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from crawler_tjce_ray.sources.pages import corpus_cache_dir
+
+    pages = corpus_cache_dir(n_entities=8, total_pages=40, rows_per_page=50, seed=42)
+    base = dict(wave_size=64, per_host_budget=4, n_seen_shards=2,
+                log2_buckets=12, fetch_concurrency=2, extract_records=False,
+                distributed_select_threshold=0)
+    full = run_crawl(pages, str(tmp_path / "full"),
+                     config=CrawlConfig(**base, max_waves=8))
+
+    cut_dir = str(tmp_path / "cut")
+    run_crawl(pages, cut_dir, config=CrawlConfig(**base, max_waves=3))
+    # the wave-2 checkpoint must carry the directory layout
+    assert os.path.isdir(
+        os.path.join(cut_dir, "ckpt", "wave_00002", "frontier_parquet")
+    )
+    resumed = run_crawl(pages, cut_dir, resume=True,
+                        config=CrawlConfig(**base, max_waves=8))
+    pd.testing.assert_frame_equal(
+        full.trace.reset_index(drop=True), resumed.trace.reset_index(drop=True)
+    )
+
+
 def test_frontier_uniqueness_guard():
     """The distributed defer filters by url_key membership; duplicate
     keys would silently drop the non-selected duplicate, so the crawl
