@@ -41,8 +41,21 @@ def _rng_for(media_id: int, seed: int) -> np.random.RandomState:
 
 
 def make_image(media_id: int, seed: int) -> bytes:
+    """Images round-robin over three containers by image ordinal:
+    the FIMG fake, a real PNG and a real BMP (the pure-numpy codecs in
+    functions/imagecodec.py), so the decode stages exercise genuine
+    bytes end-to-end while staying deterministic."""
     r = _rng_for(media_id, seed)
     w, h, c = int(r.randint(8, 33)), int(r.randint(8, 33)), int(r.choice([1, 3]))
+    container = (media_id // 3) % 3
+    if container == 1:  # real PNG (lossless: stats match the pixels)
+        from crawler_tjce_ray.functions.imagecodec import encode_png
+
+        return encode_png(r.randint(0, 256, size=(h, w, c), dtype=np.uint8))
+    if container == 2:  # real 24-bit BMP
+        from crawler_tjce_ray.functions.imagecodec import encode_bmp
+
+        return encode_bmp(r.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
     head = MAGIC_IMG + np.array([w, h], "<u2").tobytes() + bytes([c])
     return head + r.randint(0, 256, size=w * h * c, dtype=np.uint8).tobytes()
 
@@ -95,7 +108,8 @@ def media_cache_dir(n_media: int = 300, seed: int = 7) -> str:
     """Synthesize-once cache under /tmp keyed by params."""
     import shutil
 
-    out = f"/tmp/crawler_tjce_ray_media/n{n_media}_s{seed}"
+    # v2: images carry real PNG/BMP containers alongside FIMG
+    out = f"/tmp/crawler_tjce_ray_media/v2_n{n_media}_s{seed}"
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         # build in a process-private tmp dir, then atomically rename:

@@ -9,10 +9,11 @@ small because each row carries a large binary payload (at 100 TB the
 object store must never hold batch_size × concurrency × payload
 beyond worker heap — size B accordingly, e.g. 32–64 for images).
 
-The actual image/audio codecs are NOT in this container: the real
-path is stubbed behind a clearly-marked ``NotImplementedError`` and a
-deterministic fake container (sources/media.py) exercises the full
-Ray plumbing — schema in/out, actor lifecycle, batch sizing.
+Image payloads decode through real codecs: pure-numpy PNG and BMP
+(functions/imagecodec.py) alongside the deterministic FIMG fake
+container (sources/media.py); unsupported formats (JPEG/WebP) raise a
+clearly-marked ``NotImplementedError`` — a full deployment routes
+those to PIL via the same dispatch point.
 """
 
 from __future__ import annotations
@@ -21,32 +22,27 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from crawler_tjce_ray.functions import imagecodec
 from crawler_tjce_ray.sources.media import MAGIC_AUD, MAGIC_IMG, MAGIC_VID
 
-try:  # pragma: no cover - not installed in this container
-    import PIL.Image  # noqa: F401
 
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
-
-
-def _decode_real_image(payload: bytes):  # pragma: no cover
-    """Real-codec path (PIL): deliberately unimplemented here."""
-    raise NotImplementedError(
-        "real image codecs are not available in this environment; "
-        "install PIL and route non-FIMG payloads here"
-    )
+def decode_any_image(payload: bytes) -> np.ndarray:
+    """Image payload → (h, w, c) uint8: FIMG header parse (zero-copy
+    numpy view) or the real PNG/BMP codecs.  Unknown magics raise
+    NotImplementedError (the PIL routing point)."""
+    if payload.startswith(MAGIC_IMG):
+        w, h = np.frombuffer(payload, "<u2", count=2, offset=4)
+        c = payload[8]
+        return np.frombuffer(payload, np.uint8, offset=9).reshape(
+            int(h), int(w), int(c)
+        )
+    return imagecodec.decode_image(payload)
 
 
 class ImageDecodeStage:
-    """Decode fake-container images → (width, height, channels,
-    mean_intensity).  One numpy view per row; header parse is O(1),
-    the mean is a single vectorized pass over the payload."""
-
-    def __init__(self) -> None:
-        # per-actor setup: codec/context init happens ONCE here
-        self.have_real_codec = _HAVE_PIL
+    """Decode images (FIMG / PNG / BMP) → (width, height, channels,
+    mean_intensity).  Header parse is O(1) for FIMG; real codecs run
+    one zlib inflate + vectorized defilter per payload."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, ws, hs, cs, means = [], [], [], [], []
@@ -56,20 +52,13 @@ class ImageDecodeStage:
         ):
             if kind != "image":
                 continue
-            if not payload.startswith(MAGIC_IMG):
-                # stub raises today; when a real codec is routed here
-                # it must append its own row — never fall through to
-                # the fake-header parser below
-                _decode_real_image(payload)
-                continue
-            w, h = np.frombuffer(payload, "<u2", count=2, offset=4)
-            c = payload[8]
-            pix = np.frombuffer(payload, np.uint8, offset=9)
+            arr = decode_any_image(payload)
+            h, w, c = arr.shape
             ids.append(mid)
             ws.append(int(w))
             hs.append(int(h))
             cs.append(int(c))
-            means.append(float(pix.mean()) if len(pix) else 0.0)
+            means.append(float(arr.mean()) if arr.size else 0.0)
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "width": pa.array(ws, pa.int64()),
@@ -80,9 +69,11 @@ class ImageDecodeStage:
 
 
 class ImageResizeStage:
-    """Resize (integer-factor box downsample) fake images, emitting a
-    new binary column — shows a binary→binary transform with payload
-    size reduction (the thumbnailing stage of a training pipeline)."""
+    """Resize (integer-factor box downsample) images, emitting a new
+    binary column — a binary→binary transform with payload-size
+    reduction (the thumbnailing stage of a training pipeline).  FIMG
+    thumbnails stay FIMG; real-format inputs (PNG/BMP) re-encode as
+    PNG (the standard lossless thumbnail container)."""
 
     def __init__(self, factor: int = 2) -> None:
         self.factor = factor
@@ -93,22 +84,26 @@ class ImageResizeStage:
             t["media_id"].to_pylist(), t["kind"].to_pylist(),
             t["payload"].to_pylist(),
         ):
-            if kind != "image" or not payload.startswith(MAGIC_IMG):
+            if kind != "image":
                 continue
-            w, h = (int(x) for x in np.frombuffer(payload, "<u2", count=2, offset=4))
-            c = payload[8]
+            is_fake = payload.startswith(MAGIC_IMG)
+            pix = decode_any_image(payload)
+            h, w, c = pix.shape
             # clamp: a factor larger than a dimension must yield a 1-px
             # axis, not a reshape error
             f = max(1, min(self.factor, w, h))
             nw, nh = max(1, w // f), max(1, h // f)
-            pix = np.frombuffer(payload, np.uint8, offset=9).reshape(h, w, c)
             pix = pix[: nh * f, : nw * f]
             small = (
                 pix.reshape(nh, f, nw, f, c).mean(axis=(1, 3)).astype(np.uint8)
             )
-            head = MAGIC_IMG + np.array([nw, nh], "<u2").tobytes() + bytes([c])
+            if is_fake:
+                head = MAGIC_IMG + np.array([nw, nh], "<u2").tobytes() + bytes([c])
+                blob = head + small.tobytes()
+            else:
+                blob = imagecodec.encode_png(small)
             ids.append(mid)
-            blobs.append(head + small.tobytes())
+            blobs.append(blob)
             ws.append(nw)
             hs.append(nh)
         return pa.table({
@@ -366,8 +361,8 @@ class ImagePHashStage:
     """Perceptual-hash stage (aHash over an 8×8 luma thumbnail —
     public technique): decode → channel-mean luma → 8×8 block means →
     64 bits (cell > mean), emitted with the four 16-bit band keys for
-    pigeonhole blocking.  Real codecs route through
-    ``_decode_real_image`` exactly like ``ImageDecodeStage``."""
+    pigeonhole blocking.  Payloads decode through ``decode_any_image``
+    (FIMG / PNG / BMP) exactly like ``ImageDecodeStage``."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, phs = [], []
@@ -377,14 +372,8 @@ class ImagePHashStage:
         ):
             if kind != "image":
                 continue
-            if not payload.startswith(MAGIC_IMG):
-                _decode_real_image(payload)
-                continue
-            w, h = (int(x) for x in
-                    np.frombuffer(payload, "<u2", count=2, offset=4))
-            c = payload[8]
-            pix = np.frombuffer(payload, np.uint8, offset=9) \
-                .reshape(h, w, c).astype(np.float64)
+            pix = decode_any_image(payload).astype(np.float64)
+            h, w, _c = pix.shape
             luma = pix.mean(axis=2)
             ys = np.array_split(np.arange(h), 8)
             xs = np.array_split(np.arange(w), 8)

@@ -1,0 +1,190 @@
+"""Pure-numpy PNG/BMP codec tests: encode→decode round trips, all
+five PNG scanline filters (decoded against a test-side reference
+filterer), palette PNGs, BMP orientations, and the multimodal stages
+decoding real-format payloads."""
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from crawler_tjce_ray.functions.imagecodec import (
+    PNG_SIG, decode_bmp, decode_image, decode_png, encode_bmp, encode_png,
+)
+
+
+def _rand(h, w, c, seed=0):
+    r = np.random.RandomState(seed)
+    return r.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+class TestPNGRoundTrip:
+    @pytest.mark.parametrize("c", [1, 2, 3, 4])
+    def test_round_trip_all_color_types(self, c):
+        arr = _rand(13, 17, c, seed=c)
+        out = decode_png(encode_png(arr))
+        np.testing.assert_array_equal(out, arr)
+
+    def test_two_dim_input(self):
+        arr = _rand(5, 7, 1, seed=9)[:, :, 0]
+        out = decode_png(encode_png(arr))
+        np.testing.assert_array_equal(out[:, :, 0], arr)
+
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_scanlines(arr: np.ndarray, ftype: int) -> bytes:
+    """Reference implementation of the PNG filter (spec direction:
+    raw → filtered), independent of the decoder under test."""
+    h, w, c = arr.shape
+    raw = arr.reshape(h, w * c).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(w * c, np.int32)
+    for y in range(h):
+        line = raw[y]
+        out.append(ftype)
+        for x in range(w * c):
+            a = int(line[x - c]) if x >= c else 0
+            b = int(prev[x])
+            cc = int(prev[x - c]) if x >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                pred = _paeth(a, b, cc)
+            out.append((int(line[x]) - pred) & 255)
+        prev = line
+    return bytes(out)
+
+
+def _chunk(ctype: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+
+def _png_with_filter(arr: np.ndarray, ftype: int) -> bytes:
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = _filter_scanlines(arr, ftype)
+    return (
+        PNG_SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    )
+
+
+class TestPNGFilters:
+    @pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+    @pytest.mark.parametrize("c", [1, 3])
+    def test_decode_each_filter(self, ftype, c):
+        arr = _rand(9, 11, c, seed=10 * ftype + c)
+        out = decode_png(_png_with_filter(arr, ftype))
+        np.testing.assert_array_equal(out, arr)
+
+    def test_palette_png(self):
+        r = np.random.RandomState(4)
+        pal = r.randint(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = r.randint(0, 16, size=(6, 8, 1), dtype=np.uint8)
+        ihdr = struct.pack(">IIBBBBB", 8, 6, 8, 3, 0, 0, 0)
+        raw = _filter_scanlines(idx, 0)
+        png = (
+            PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal.tobytes())
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+        )
+        np.testing.assert_array_equal(decode_png(png), pal[idx[:, :, 0]])
+
+
+class TestBMP:
+    def test_round_trip_24bit(self):
+        arr = _rand(10, 7, 3, seed=2)
+        np.testing.assert_array_equal(decode_bmp(encode_bmp(arr)), arr)
+
+    def test_stride_padding(self):
+        # width 5 → 15-byte rows padded to 16: padding must not leak
+        arr = _rand(4, 5, 3, seed=3)
+        np.testing.assert_array_equal(decode_bmp(encode_bmp(arr)), arr)
+
+    def test_top_down_bmp(self):
+        arr = _rand(6, 4, 3, seed=5)
+        blob = bytearray(encode_bmp(arr[::-1]))  # stored bottom-up of flipped
+        struct.pack_into("<i", blob, 22, -6)  # negative height = top-down
+        # rows are now interpreted in file order: arr[::-1] reversed
+        # by the encoder = file rows top-to-bottom equal to arr
+        np.testing.assert_array_equal(decode_bmp(bytes(blob)), arr)
+
+
+class TestDispatch:
+    def test_unknown_magic_raises(self):
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff\xe0JFIF....")  # JPEG SOI
+
+    def test_dispatch_png_and_bmp(self):
+        arr = _rand(8, 8, 3, seed=6)
+        np.testing.assert_array_equal(decode_image(encode_png(arr)), arr)
+        np.testing.assert_array_equal(decode_image(encode_bmp(arr)), arr)
+
+
+class TestStagesOnRealFormats:
+    def _tbl(self, rows):
+        return pa.Table.from_pylist(rows)
+
+    def test_decode_stage_reads_png_and_bmp(self):
+        from crawler_tjce_ray.stages.multimodal import ImageDecodeStage
+
+        arr = _rand(12, 9, 3, seed=7)
+        t = self._tbl([
+            {"media_id": 1, "kind": "image", "payload": encode_png(arr)},
+            {"media_id": 2, "kind": "image", "payload": encode_bmp(arr)},
+        ])
+        out = ImageDecodeStage()(t)
+        assert out["width"].to_pylist() == [9, 9]
+        assert out["height"].to_pylist() == [12, 12]
+        assert out["mean_intensity"].to_pylist() == [float(arr.mean())] * 2
+
+    def test_phash_invariant_across_containers(self):
+        """The same pixels must hash identically whether they arrive
+        as FIMG, PNG or BMP — the codec layer is lossless."""
+        from crawler_tjce_ray.sources.media import MAGIC_IMG
+        from crawler_tjce_ray.stages.multimodal import ImagePHashStage
+
+        arr = _rand(24, 32, 3, seed=8)
+        fimg = (
+            MAGIC_IMG + np.array([32, 24], "<u2").tobytes() + bytes([3])
+            + arr.tobytes()
+        )
+        t = self._tbl([
+            {"media_id": 1, "kind": "image", "payload": fimg},
+            {"media_id": 2, "kind": "image", "payload": encode_png(arr)},
+            {"media_id": 3, "kind": "image", "payload": encode_bmp(arr)},
+        ])
+        ph = ImagePHashStage()(t)["phash"].to_pylist()
+        assert ph[0] == ph[1] == ph[2]
+
+    def test_resize_stage_png_in_png_out(self):
+        from crawler_tjce_ray.stages.multimodal import ImageResizeStage
+
+        arr = _rand(16, 16, 3, seed=11)
+        t = self._tbl([{"media_id": 5, "kind": "image",
+                        "payload": encode_png(arr)}])
+        out = ImageResizeStage(factor=2)(t)
+        assert out["width"][0].as_py() == 8 and out["height"][0].as_py() == 8
+        thumb = decode_png(out["payload"][0].as_py())
+        expect = (
+            arr.reshape(8, 2, 8, 2, 3).mean(axis=(1, 3)).astype(np.uint8)
+        )
+        np.testing.assert_array_equal(thumb, expect)

@@ -34,8 +34,11 @@ class TestKernels:
         assert len(payload) == 9 + w * h * c
         assert 0.0 <= out["mean_intensity"][0].as_py() <= 255.0
 
-    def test_image_decode_real_codec_is_stubbed(self):
-        t = _tbl([{"media_id": 1, "kind": "image", "payload": b"\x89PNG..."}])
+    def test_image_decode_unsupported_format_raises(self):
+        """PNG/BMP decode for real now; formats without a pure-numpy
+        codec (JPEG) still raise at the PIL routing point."""
+        t = _tbl([{"media_id": 1, "kind": "image",
+                   "payload": b"\xff\xd8\xff\xe0JFIF...."}])
         with pytest.raises(NotImplementedError):
             ImageDecodeStage()(t)
 
