@@ -221,6 +221,16 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--max-waves", type=int, default=100)
     pc.set_defaults(fn=cmd_crawl)
 
+    ps = sub.add_parser("serve", help="serve the HTTP API (EP1 parity)")
+    ps.add_argument("--port", type=int, default=8000)
+    ps.add_argument("--corpus", default=None)
+    ps.add_argument("--artifact-store", default=None,
+                    help="pin served CSVs into this content-addressed "
+                         "store (fills pinata_url)")
+    from crawler_tjce_ray.serve import cmd_serve
+
+    ps.set_defaults(fn=cmd_serve)
+
     args = p.parse_args(argv)
     return args.fn(args)
 

@@ -1,0 +1,273 @@
+"""Thin HTTP serving shim — EP1 parity with the reference's Flask API
+(reference main.py:742 ``/api/health``, :751 ``/api/entities``, :825
+``/api/fetch``, :137 ``/api/editais``, :229 ``/api/pagamentos``).
+
+Stdlib ``http.server`` only (Flask/flask-restx are not in this
+container); the routes drive the SAME pipelines as the CLI
+(cli.cmd_extract), so a served response and a CLI CSV agree row for
+row (pinned by tests/test_serve.py).  Response envelopes mirror the
+reference's marshalled models: ``{status, message, data, pinata_url}``
+plus ``num_precatorios_found`` on ``/api/fetch``.
+
+The reference caches list endpoints (flask-cache,
+config.cache_timeout_entities) and uploads every CSV to Pinata; here a
+per-process TTL cache covers the list endpoints and the local
+content-addressed artifact store (functions/artifacts.py, the honest
+K6 analog) supplies the ``pinata_url`` field when configured.
+
+The server owns no Ray session: callers init Ray first (the ``serve``
+CLI subcommand does; tests use the shared session fixture).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+import time
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def _json_default(o):
+    import numpy as np
+
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    return str(o)
+
+
+class AppState:
+    """Shared route logic + TTL response cache (one per server)."""
+
+    def __init__(self, corpus: str | None = None,
+                 artifact_store: str | None = None,
+                 cache_ttl: float = 300.0) -> None:
+        if corpus is None:
+            from crawler_tjce_ray.sources.pages import corpus_cache_dir
+
+            corpus = corpus_cache_dir(
+                n_entities=8, total_pages=40, rows_per_page=50, seed=42
+            )
+        self.corpus = corpus
+        self.artifact_store = artifact_store
+        self.cache_ttl = cache_ttl
+        self._cache: dict[str, tuple[float, tuple[int, dict]]] = {}
+        self._lock = threading.Lock()
+
+    # -- caching ----------------------------------------------------------
+    def _cached(self, key: str, build):
+        with self._lock:
+            hit = self._cache.get(key)
+            if hit and time.time() - hit[0] < self.cache_ttl:
+                return hit[1]
+        out = build()
+        with self._lock:
+            self._cache[key] = (time.time(), out)
+        return out
+
+    # -- artifact pinning (the pinata_url analog) --------------------------
+    def _pin(self, df, kind: str, name: str) -> str | None:
+        if not self.artifact_store:
+            return None
+        from crawler_tjce_ray.functions.artifacts import (
+            LocalCASUploader, post_write_upload,
+        )
+        from crawler_tjce_ray.functions.sinks import write_display_csv
+
+        with tempfile.TemporaryDirectory() as tmp:
+            path = os.path.join(tmp, name)
+            write_display_csv(df, kind, path)
+            receipt = post_write_upload(
+                [path], LocalCASUploader(self.artifact_store)
+            )[0]
+        return f"cas://{receipt['cid']}"
+
+    # -- routes ------------------------------------------------------------
+    def health(self) -> tuple[int, dict]:
+        return 200, {"status": "OK", "message": "API está operacional"}
+
+    def entities(self) -> tuple[int, dict]:
+        def build():
+            from crawler_tjce_ray.pipelines.extract_all import extract_entities
+
+            df = extract_entities(self.corpus)
+            if len(df) == 0:
+                return 200, {"status": "warning",
+                             "message": "Nenhuma entidade encontrada.",
+                             "data": [], "pinata_url": None}
+            data = df.to_dict("records")
+            url = self._pin(df[["entidade"]], "entities", "entidades_tjce.csv")
+            return 200, {"status": "success",
+                         "message": "Entidades listadas com sucesso.",
+                         "data": data, "pinata_url": url}
+
+        return self._cached("entities", build)
+
+    def _kind_rows(self, kind: str, url_contains: str | None = None,
+                   year: int | None = None):
+        from crawler_tjce_ray.pipelines.extract_all import (
+            assign_global_ordem, extract_records,
+        )
+
+        ds = extract_records(self.corpus, kind, url_contains=url_contains)
+        ds = assign_global_ordem(
+            ds, descending_pages=(kind == "editais")
+        ).drop_columns(["url"]).sort("ordem")
+        if year is not None:
+            from crawler_tjce_ray.functions.postquery import apply_filters
+
+            ds = apply_filters(ds, ano_min=year, ano_max=year)
+        return ds.to_pandas()
+
+    @staticmethod
+    def _display_records(df, kind: str) -> list[dict]:
+        """The SAME display formatting the CSV sink applies (M5/M10
+        kernels via CSV_SINKS), so a served JSON row equals the
+        corresponding CSV row field for field — the reference returns
+        the normalized rows it writes to CSV (main.py:943
+        ``data: all_rows``)."""
+        from crawler_tjce_ray.functions.sinks import CSV_SINKS
+
+        convert, _fields, _enc = CSV_SINKS[kind]
+        return [convert(r) for r in df.to_dict("records")]
+
+    def listing(self, kind: str) -> tuple[int, dict]:
+        """/api/editais and /api/pagamentos: the full chain as JSON."""
+        def build():
+            df = self._kind_rows(kind)
+            if len(df) == 0:
+                return 200, {"status": "warning",
+                             "message": f"Nenhum {kind[:-1]} encontrado.",
+                             "data": [], "pinata_url": None}
+            url = self._pin(df, kind, f"{kind}_tjce.csv")
+            return 200, {"status": "success",
+                         "message": f"{len(df)} registros.",
+                         "data": self._display_records(df, kind),
+                         "pinata_url": url}
+
+        return self._cached(f"listing:{kind}", build)
+
+    def fetch(self, params: dict) -> tuple[int, dict]:
+        """/api/fetch?entity=<slug-or-name>[&year=][&count=] — all
+        precatórios of one entity (the backend paginates internally;
+        ``count`` only sizes those internal pages, so it is accepted
+        and validated but does not change the result set)."""
+        entity = params.get("entity")
+        if not entity:
+            return 400, {"status": "error",
+                         "message": "O parâmetro 'entity' (slug da entidade) "
+                                    "é obrigatório."}
+        if "count" in params:
+            try:
+                int(params["count"])
+            except ValueError:
+                return 400, {"status": "error",
+                             "message": "count deve ser inteiro"}
+        year = None
+        if "year" in params:
+            try:
+                year = int(params["year"])
+            except ValueError:
+                return 400, {"status": "error",
+                             "message": "year deve ser inteiro"}
+
+        from crawler_tjce_ray.state.entities import EntityRegistry
+
+        registry = EntityRegistry.from_corpus(self.corpus)
+        official = registry.get_api_entity_name(entity)
+        slug = registry.get_entity_slug(official)
+        if not registry.validate_entity_slug(slug):
+            return 400, {"status": "error",
+                         "message": f"Slug de entidade inválido ou não "
+                                    f"encontrado: {entity}"}
+        df = self._kind_rows("precatorios", url_contains=f"/precatorios/{slug}/",
+                             year=year)
+        if len(df) == 0:
+            year_msg = f"ano {year if year is not None else 'não aplicado'}"
+            return 200, {"status": "success",
+                         "message": f"Nenhum precatório para '{official}' "
+                                    f"({slug}) {year_msg}.",
+                         "data": [], "pinata_url": None,
+                         "num_precatorios_found": 0}
+        url = self._pin(
+            df, "precatorios", f"precatorios_{slug.replace('-', '_')}.csv"
+        )
+        return 200, {
+            "status": "success" if url or not self.artifact_store else "warning",
+            "message": f"Precatórios para '{official}' ({slug}) recuperados.",
+            "data": self._display_records(df, "precatorios"),
+            "pinata_url": url,
+            "num_precatorios_found": int(len(df)),
+        }
+
+
+class ApiHandler(BaseHTTPRequestHandler):
+    state: AppState  # injected by make_server
+
+    def log_message(self, fmt, *args):  # silence per-request stderr spam
+        pass
+
+    def _send(self, code: int, payload: dict) -> None:
+        body = json.dumps(
+            payload, ensure_ascii=False, default=_json_default
+        ).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self) -> None:  # noqa: N802 (stdlib handler contract)
+        parsed = urllib.parse.urlsplit(self.path)
+        params = {k: v[0] for k, v in
+                  urllib.parse.parse_qs(parsed.query).items()}
+        try:
+            if parsed.path == "/api/health":
+                self._send(*self.state.health())
+            elif parsed.path == "/api/entities":
+                self._send(*self.state.entities())
+            elif parsed.path == "/api/editais":
+                self._send(*self.state.listing("editais"))
+            elif parsed.path == "/api/pagamentos":
+                self._send(*self.state.listing("pagamentos"))
+            elif parsed.path == "/api/fetch":
+                self._send(*self.state.fetch(params))
+            else:
+                self._send(404, {"status": "error",
+                                 "message": f"rota desconhecida: {parsed.path}"})
+        except Exception as e:  # mirror the reference's 500 wrapper
+            self._send(500, {"status": "error",
+                             "message": f"Erro interno: {e}"})
+
+
+def make_server(corpus: str | None = None, port: int = 0,
+                artifact_store: str | None = None,
+                cache_ttl: float = 300.0) -> ThreadingHTTPServer:
+    """Build (not start) the API server; port 0 picks an ephemeral
+    port (``server.server_address[1]`` reports it)."""
+    state = AppState(corpus=corpus, artifact_store=artifact_store,
+                     cache_ttl=cache_ttl)
+    handler = type("BoundApiHandler", (ApiHandler,), {"state": state})
+    return ThreadingHTTPServer(("127.0.0.1", port), handler)
+
+
+def cmd_serve(args) -> int:
+    from crawler_tjce_ray.cli import _ensure_ray
+
+    _ensure_ray()
+    srv = make_server(corpus=args.corpus, port=args.port,
+                      artifact_store=args.artifact_store)
+    print(f"serving on http://127.0.0.1:{srv.server_address[1]}/api/health")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+    return 0

@@ -1,0 +1,125 @@
+"""End-to-end tests for the HTTP serving shim (serve.py): the routes
+must drive the same pipelines as the CLI, so a served /api/fetch
+response and a `extract --entity` CSV agree row for row."""
+
+import csv
+import json
+import threading
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(ray_session):
+    from crawler_tjce_ray.serve import make_server
+
+    srv = make_server(port=0, cache_ttl=600)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path) as r:
+        return r.status, json.loads(r.read().decode("utf-8"))
+
+
+def _get_error(base, path):
+    try:
+        with urllib.request.urlopen(base + path) as r:
+            return r.status, json.loads(r.read().decode("utf-8"))
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode("utf-8"))
+
+
+class TestRoutes:
+    def test_health(self, server):
+        code, body = _get(server, "/api/health")
+        assert code == 200
+        assert body == {"status": "OK", "message": "API está operacional"}
+
+    def test_entities(self, server):
+        code, body = _get(server, "/api/entities")
+        assert code == 200 and body["status"] == "success"
+        assert len(body["data"]) > 0
+        assert all("entidade" in row and "slug" in row for row in body["data"])
+
+    def test_unknown_route_404(self, server):
+        code, body = _get_error(server, "/api/nope")
+        assert code == 404
+
+    def test_fetch_requires_entity(self, server):
+        code, body = _get_error(server, "/api/fetch")
+        assert code == 400
+        assert "obrigatório" in body["message"]
+
+    def test_fetch_invalid_slug(self, server):
+        code, body = _get_error(server, "/api/fetch?entity=nao-existe-xyz")
+        assert code == 400
+
+    def test_listing_editais_and_pagamentos(self, server):
+        for kind in ("editais", "pagamentos"):
+            code, body = _get(server, f"/api/{kind}")
+            assert code == 200 and body["status"] == "success"
+            assert len(body["data"]) > 0
+        # ordem ascending — the O3 client re-sort contract (editais
+        # display rows carry ordem; the pagamentos CSV shape does not)
+        code, body = _get(server, "/api/editais")
+        ordem = [int(row["ordem"]) for row in body["data"]]
+        assert ordem == sorted(ordem)
+
+    def test_cache_second_hit_identical(self, server):
+        a = _get(server, "/api/editais")
+        b = _get(server, "/api/editais")
+        assert a == b
+
+
+def _real_slug(ents):
+    """First fetchable entity: the list keeps the reference's
+    '--- Selecione a Entidade' placeholder row (data/entidades_tjce.csv
+    includes it), which is not a crawlable entity."""
+    return next(
+        r["slug"] for r in ents["data"] if "selecione" not in r["slug"]
+    )
+
+
+class TestFetchMatchesCli:
+    def test_fetch_rows_equal_cli_csv(self, server, tmp_path):
+        from crawler_tjce_ray.cli import main as cli_main
+
+        code, ents = _get(server, "/api/entities")
+        slug = _real_slug(ents)
+
+        code, body = _get(server, f"/api/fetch?entity={slug}")
+        assert code == 200 and body["num_precatorios_found"] > 0
+        served = body["data"]
+
+        out = tmp_path / "cli.csv"
+        rc = cli_main([
+            "extract", "--kind", "precatorios", "--entity", slug,
+            "--output", str(out),
+        ])
+        assert rc == 0
+        with open(out, encoding="utf-8-sig") as f:
+            cli_rows = list(csv.DictReader(f))
+
+        assert len(cli_rows) == len(served)
+        # served rows carry the SAME display formatting as the CSV
+        # sink; the CSV layer only stringifies (None → "")
+        def as_csv(v):
+            return "" if v is None else str(v)
+
+        for cli_row, api_row in zip(cli_rows, served):
+            assert {k: as_csv(v) for k, v in api_row.items()} == dict(cli_row)
+
+    def test_year_filter_subsets(self, server):
+        code, ents = _get(server, "/api/entities")
+        slug = _real_slug(ents)
+        _, allb = _get(server, f"/api/fetch?entity={slug}")
+        anos = {row["ano_orcamento"] for row in allb["data"]}
+        year = sorted(anos)[0]
+        _, sub = _get(server, f"/api/fetch?entity={slug}&year={year}")
+        assert 0 < sub["num_precatorios_found"] <= allb["num_precatorios_found"]
+        assert all(row["ano_orcamento"] == year for row in sub["data"])
