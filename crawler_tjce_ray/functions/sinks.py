@@ -210,7 +210,14 @@ def write_display_csv(ds, kind: str, out_file: str) -> int:
 
 def write_display_csv_dir(ds, kind: str, out_dir: str) -> None:
     """Scale path: distributed partitioned CSV (one part per block) of
-    the same display rows — resumable layout, no driver materialize."""
+    the same display rows — resumable layout, no driver materialize.
+
+    Post-write hooks (the K6/Pinata analog) fire per part file, so
+    every artifact of the partitioned path is manifested/pinned just
+    like the single-file path's output."""
+    import glob
+    import os
+
     import pandas as pd
 
     convert, fields, _ = CSV_SINKS[kind]
@@ -222,3 +229,11 @@ def write_display_csv_dir(ds, kind: str, out_dir: str) -> None:
         )
 
     ds.map_batches(to_display, batch_format="pandas").write_csv(out_dir)
+    if _POST_WRITE_HOOKS:
+        for part in sorted(glob.glob(os.path.join(out_dir, "*"))):
+            if not os.path.isfile(part):
+                continue
+            with open(part, encoding="utf-8") as f:
+                n_rows = max(0, sum(1 for _ in f) - 1)  # minus header
+            for hook in _POST_WRITE_HOOKS:
+                hook(part, kind, n_rows)

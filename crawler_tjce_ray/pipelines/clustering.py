@@ -46,6 +46,12 @@ def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
     import pyarrow.parquet as pq
 
     n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    if n < k:
+        # fail loudly: silently training k'=n centroids would hand
+        # consumers (semdedup, label_centroids) a different model shape
+        raise ValueError(
+            f"k-means k={k} exceeds the {n} embeddings in {sf_dir}"
+        )
     step = max(1, n // k)
     wanted = list(range(0, n, step))[:k]
     t = (

@@ -102,7 +102,11 @@ def _edges_ds_and_nodes(sf_dir: str):
         batch_format="pandas",
     ).to_pandas()
     nodes = np.sort(node_parts["node"].astype("int64").unique())
-    _EDGES_CACHE.clear()  # at most one session's graph is live
+    # evict other-SESSION entries only (their Datasets died with the
+    # session); same-session entries for other sf_dirs stay live, so
+    # alternating queries over two corpora don't thrash the cache
+    for old in [k for k in _EDGES_CACHE if k[1] != ck[1]]:
+        _EDGES_CACHE.pop(old, None)
     _EDGES_CACHE[ck] = (edges, nodes)
     return edges, nodes
 

@@ -54,9 +54,12 @@ class AppState:
             corpus = corpus_cache_dir(
                 n_entities=8, total_pages=40, rows_per_page=50, seed=42
             )
+        from crawler_tjce_ray.functions.promtext import Registry
+
         self.corpus = corpus
         self.artifact_store = artifact_store
         self.cache_ttl = cache_ttl
+        self.metrics = Registry()
         self._cache: dict[str, tuple[float, tuple[int, dict]]] = {}
         self._lock = threading.Lock()
 
@@ -223,12 +226,28 @@ class ApiHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _send_text(self, code: int, text: str) -> None:
+        body = text.encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type",
+                         "text/plain; version=0.0.4; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_GET(self) -> None:  # noqa: N802 (stdlib handler contract)
         parsed = urllib.parse.urlsplit(self.path)
         params = {k: v[0] for k, v in
                   urllib.parse.parse_qs(parsed.query).items()}
+        m = self.state.metrics
+        entity = params.get("entity", parsed.path)
+        start = time.time()
+        m.active_requests.labels(entity=entity).inc()
+        m.requests_total.labels(entity=entity).inc()
         try:
-            if parsed.path == "/api/health":
+            if parsed.path == "/metrics":
+                self._send_text(200, m.exposition())
+            elif parsed.path == "/api/health":
                 self._send(*self.state.health())
             elif parsed.path == "/api/entities":
                 self._send(*self.state.entities())
@@ -237,13 +256,25 @@ class ApiHandler(BaseHTTPRequestHandler):
             elif parsed.path == "/api/pagamentos":
                 self._send(*self.state.listing("pagamentos"))
             elif parsed.path == "/api/fetch":
-                self._send(*self.state.fetch(params))
+                code, payload = self.state.fetch(params)
+                if code == 200:
+                    m.records_processed.labels(entity=entity).inc(
+                        payload.get("num_precatorios_found",
+                                    len(payload.get("data", [])))
+                    )
+                self._send(code, payload)
             else:
                 self._send(404, {"status": "error",
                                  "message": f"rota desconhecida: {parsed.path}"})
+            m.request_duration.labels(entity=entity).observe(
+                time.time() - start
+            )
         except Exception as e:  # mirror the reference's 500 wrapper
+            m.errors_total.labels(type=type(e).__name__, entity=entity).inc()
             self._send(500, {"status": "error",
                              "message": f"Erro interno: {e}"})
+        finally:
+            m.active_requests.labels(entity=entity).dec()
 
 
 def make_server(corpus: str | None = None, port: int = 0,

@@ -97,6 +97,23 @@ def test_query_summary_shape(ray_session):
     pd.testing.assert_frame_equal(out, out2)
 
 
+def test_k_larger_than_corpus_raises(tmp_path):
+    """n < k must fail loudly, not silently train a k'=n model whose
+    centroid/size arrays surprise consumers like semdedup."""
+    import pandas as pd
+    import pytest as _pytest
+
+    small = pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [np.ones(4) / 2.0] * 3,
+    })
+    small.to_parquet(tmp_path / "embeddings.parquet")
+    from crawler_tjce_ray.pipelines.clustering import _init_centroids
+
+    with _pytest.raises(ValueError, match="exceeds the 3 embeddings"):
+        _init_centroids(str(tmp_path), k=8)
+
+
 def test_empty_batch_partial():
     """Ray may hand a map stage an empty block — the partial must
     return a typed empty frame, not crash in np.stack."""

@@ -75,6 +75,36 @@ class TestRoutes:
         b = _get(server, "/api/editais")
         assert a == b
 
+    def test_metrics_exposition(self, server):
+        _get(server, "/api/health")  # at least one counted request
+        with urllib.request.urlopen(server + "/metrics") as r:
+            assert r.status == 200
+            assert "text/plain" in r.headers["Content-Type"]
+            text = r.read().decode("utf-8")
+        # the reference's metric families (metrics.py:6-27)
+        assert "# TYPE crawler_requests_total counter" in text
+        assert "# TYPE crawler_request_duration_seconds histogram" in text
+        assert 'crawler_requests_total{entity="/api/health"}' in text
+        assert "crawler_request_duration_seconds_bucket" in text
+        # gauge returns to zero once requests complete
+        assert 'crawler_active_requests{entity="/api/health"} 0' in text
+
+    def test_fetch_increments_records_counter(self, server):
+        code, ents = _get(server, "/api/entities")
+        slug = _real_slug(ents)
+        _, body = _get(server, f"/api/fetch?entity={slug}")
+        with urllib.request.urlopen(server + "/metrics") as r:
+            text = r.read().decode("utf-8")
+        n = body["num_precatorios_found"]
+        assert f'crawler_records_processed_total{{entity="{slug}"}}' in text
+        # counter is cumulative across this module's requests — at
+        # least one full fetch's rows must be recorded
+        line = next(
+            ln for ln in text.splitlines()
+            if ln.startswith(f'crawler_records_processed_total{{entity="{slug}"}}')
+        )
+        assert float(line.rsplit(" ", 1)[1]) >= n
+
 
 def _real_slug(ents):
     """First fetchable entity: the list keeps the reference's

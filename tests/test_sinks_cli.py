@@ -129,6 +129,38 @@ class TestPartitionedCsvSink:
         key = lambda r: (r["processo"], r["ordem"])  # noqa: E731
         assert sorted(part_rows, key=key) == sorted(single_rows, key=key)
 
+    def test_dir_sink_fires_hooks_per_part(self, tmp_path):
+        """The partitioned path pins every part file through the same
+        post-write hooks as the single-file path (K6 analog), with per
+        part row counts summing to the dataset size."""
+        import glob
+        import os
+
+        from crawler_tjce_ray.functions import sinks
+        from crawler_tjce_ray.pipelines.extract_all import extract_records
+        from crawler_tjce_ray.sources.pages import corpus_cache_dir
+
+        corpus = corpus_cache_dir(n_entities=8, total_pages=40,
+                                  rows_per_page=50, seed=42)
+        ds = extract_records(corpus, "precatorios", current_year=2026)
+        ds = ds.drop_columns(["url"]).materialize()
+        total = ds.count()
+
+        calls = []
+        sinks.register_post_write_hook(
+            lambda path, kind, n: calls.append((path, kind, n))
+        )
+        try:
+            out_dir = os.path.join(tmp_path, "parts")
+            sinks.write_display_csv_dir(ds, "precatorios", out_dir)
+        finally:
+            sinks.clear_post_write_hooks()
+        parts = [p for p in glob.glob(os.path.join(out_dir, "*"))
+                 if os.path.isfile(p)]
+        assert len(calls) == len(parts) > 0
+        assert sum(n for _, _, n in calls) == total
+        assert all(kind == "precatorios" for _, kind, _ in calls)
+
 
 class TestPostWriteHooks:
     """K6 analog: artifact hooks fire after the single-file CSV write
