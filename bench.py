@@ -7,11 +7,14 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "headline": {...}}
 
-``--scaling`` runs the headline job at two parallelism levels (4 and
-16 cpus, exact 4× actor ratio, best-of-3 per level) in FRESH
-processes on the same input and reports both throughputs + scaling
-efficiency (the sandbox evidence for the north rule's N→4N criterion;
-see main_scaling for why the levels stay at ≤ half the machine).
+``--scaling`` runs the headline job at two parallelism levels (the
+GATING 2→8-cpu pair, exact 4× actor ratio, best-of-3 per level) in
+FRESH processes on the same input and reports both throughputs +
+scaling efficiency (the sandbox evidence for the north rule's N→4N
+criterion; see main_scaling for why the gate stays in the host's
+flat per-core region).  It also records the 4→16-cpu pair as a
+NON-GATING trend line so higher-parallelism regressions remain
+observable across rounds.
 """
 
 from __future__ import annotations
@@ -236,13 +239,15 @@ def main_scaling(sf_dir: str) -> dict:
     both numbers are recorded in BASELINE.md).  The full-machine
     absolute throughput is reported by the default bench run."""
     lo, hi = 2, 8
+    trend_lo, trend_hi = 4, 16  # non-gating trend pair (see below)
     reps = 3  # best-of-N per level: co-tenant host noise only ever
     # SUBTRACTS capacity, so the max over repetitions is the unbiased
     # capability estimate (single-core timings here are stable ±5%
     # while all-core runs vary up to 2× with hypervisor neighbors)
+    reps_by_level = {lo: reps, hi: reps, trend_lo: 2, trend_hi: 2}
     best: dict[int, float] = {}
-    for cpus in (lo, hi):
-        for rep in range(reps):
+    for cpus in (lo, hi, trend_lo, trend_hi):
+        for rep in range(reps_by_level[cpus]):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one-headline",
@@ -262,12 +267,12 @@ def main_scaling(sf_dir: str) -> dict:
                 continue
             tp = json.loads(lines[-1])["headline"]["urls_per_sec"]
             best[cpus] = max(best.get(cpus, 0.0), tp)
-        if cpus not in best:
+        if cpus not in best and cpus in (lo, hi):
             raise RuntimeError(f"all {reps} scaling reps failed at {cpus} cpus")
     tp_lo = best[lo]
     tp_hi = best[hi]
     eff = (tp_hi / tp_lo) / (hi / lo)
-    return {
+    out = {
         "metric": f"scaling efficiency (headline crawl, {lo}→{hi} cpus)",
         "value": round(eff, 3),
         "unit": "efficiency",
@@ -279,6 +284,20 @@ def main_scaling(sf_dir: str) -> dict:
         "scaling_efficiency": round(eff, 3),
         "speedup": round(tp_hi / tp_lo, 3),
     }
+    # NON-GATING trend line: the 4→16 pair crosses into the shared
+    # memory-bus region on this host, so it measures host contention
+    # as much as the engine — but recording it keeps regressions that
+    # only appear at higher parallelism (driver/shuffle/queue
+    # contention) observable across rounds (see BASELINE.md history).
+    if trend_lo in best and trend_hi in best:
+        t_eff = (best[trend_hi] / best[trend_lo]) / (trend_hi / trend_lo)
+        out.update({
+            "trend_pair": f"{trend_lo}->{trend_hi} cpus (non-gating)",
+            f"throughput_{trend_lo}cpu_urls_per_sec": best[trend_lo],
+            f"throughput_{trend_hi}cpu_urls_per_sec": best[trend_hi],
+            "trend_scaling_efficiency": round(t_eff, 3),
+        })
+    return out
 
 
 if __name__ == "__main__":

@@ -529,7 +529,12 @@ def q_dedup_minhash_lsh(sf_dir: str):
             columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"}
         )[["doc_a", "doc_b"]].drop_duplicates()
 
-    cands = banded.groupby("band").map_groups(band_pairs, batch_format="pandas")
+    # materialize the (small) pair table once: the id scan below and
+    # the tier that follows both consume it — without this the whole
+    # signature+banding plan would execute twice
+    cands = banded.groupby("band").map_groups(
+        band_pairs, batch_format="pandas"
+    ).materialize()
 
     # distinct candidate doc ids: the ids-only driver collection both
     # tiers need (8 B/doc; the texts themselves never come back)

@@ -31,6 +31,20 @@ def _read(sf_dir: str, table: str, columns=None):
     )
 
 
+def _const(n: int, v, dtype) -> pa.Array:
+    """Constant column for Arrow-native union tags (sentinel fills).
+    ``None`` yields a null column of the requested type."""
+    if v is None:
+        return pa.nulls(n, dtype)
+    return pa.array(np.full(n, v), type=dtype)
+
+
+def _kb64(key: pa.ChunkedArray) -> pa.ChunkedArray:
+    """key & 63 — the 64-coarse-bucket shuffle key (keys are
+    non-negative, so the AND equals mod 64)."""
+    return pc.bit_wise_and(key, pa.scalar(63, pa.int64()))
+
+
 # ---------------------------------------------------------------------------
 # A: aggregations (A1-A5) — groupby + global aggregates
 # ---------------------------------------------------------------------------
@@ -485,23 +499,25 @@ def q_resequence(sf_dir: str):
     per-group dispatch far exceeding the rank work."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
 
-    def with_month(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        # vectorized month truncation (no per-row strftime)
-        df["month"] = (
-            df["o_orderdate"].to_numpy().astype("datetime64[M]").astype("datetime64[ns]")
+    def with_month(t: pa.Table) -> pa.Table:
+        # vectorized month truncation (Arrow temporal kernel)
+        return t.append_column(
+            "month", pc.floor_temporal(t["o_orderdate"], unit="month")
         )
-        return df
 
     # consumed twice (counts + rank shuffle): materialize the tiny
     # 3-column projection once instead of re-running read+map per sink
-    monthly = ds.map_batches(with_month, batch_format="pandas").materialize()
+    monthly = ds.map_batches(with_month, batch_format="pyarrow").materialize()
 
-    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("month", as_index=False).agg(n=("o_orderkey", "size"))
+    def partial_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("month").aggregate([("o_orderkey", "count")])
+        return pa.table({
+            "month": g["month"],
+            "n": pc.cast(g["o_orderkey_count"], pa.int64()),
+        })
 
     counts = (
-        monthly.map_batches(partial_counts, batch_format="pandas")
+        monthly.map_batches(partial_counts, batch_format="pyarrow")
         .to_pandas().groupby("month", as_index=False).sum().sort_values("month")
     )
     counts["offset"] = counts["n"].cumsum().shift(fill_value=0)
@@ -536,14 +552,22 @@ def q_hourly_window(sf_dir: str):
     O(#blocks × windows) rows, never the events."""
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(window_start=df["ts"].dt.floor("h"))
-        g = df.groupby(["window_start", "event_type"], as_index=False).agg(
-            n=("value", "size"), total_value=("value", "sum")
-        )
-        return g
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+            "event_type": t["event_type"],
+            "value": t["value"],
+        }).group_by(["window_start", "event_type"]).aggregate([
+            ("value", "count"), ("value", "sum"),
+        ])
+        return pa.table({
+            "window_start": g["window_start"],
+            "event_type": g["event_type"],
+            "n": pc.cast(g["value_count"], pa.int64()),
+            "total_value": g["value_sum"],
+        })
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = parts.groupby(["window_start", "event_type"], as_index=False).sum()
     out["n"] = out["n"].astype("int64")
     out["total_value"] = out["total_value"].round(2)
@@ -565,13 +589,20 @@ def q_sliding_window(sf_dir: str):
     with gap-aware reindexing (a RANGE frame, not a row frame)."""
     ds = _read(sf_dir, "events", ["ts", "value"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(df["ts"].dt.floor("h")).agg(
-            n=("value", "size"), tv=("value", "sum")
-        )
-        return g.reset_index(names="hour_start")
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "hour_start": pc.floor_temporal(t["ts"], unit="hour"),
+            "value": t["value"],
+        }).group_by("hour_start").aggregate([
+            ("value", "count"), ("value", "sum"),
+        ])
+        return pa.table({
+            "hour_start": g["hour_start"],
+            "n": pc.cast(g["value_count"], pa.int64()),
+            "tv": g["value_sum"],
+        })
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     hourly = parts.groupby("hour_start", as_index=False).sum()
     hourly = hourly.set_index("hour_start").sort_index()
     # gap-aware: reindex to the continuous hour range so a 3-bucket
@@ -622,36 +653,37 @@ def q_asof_join(sf_dir: str):
         .aggregate(Max(on="o_orderkey", alias_name="o_orderkey"))
     )
 
-    cols = ["key", "kb", "t", "side", "event_id", "o_orderkey"]
     N_BUCKETS = 64  # shuffle key: coarse buckets, not raw user ids —
     # per-group dispatch over thousands of tiny key groups would dwarf
     # the merge work; inside a bucket the as-of is one vectorized
     # pd.merge_asof(by=key)
 
-    def tag_events(df: pd.DataFrame) -> pd.DataFrame:
-        key = df["user_id"].astype("int64")
-        return pd.DataFrame({
+    # Arrow-native tags: zero-copy column selects + one constant
+    # array per batch — the pandas version copied every batch twice
+    def tag_events(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["user_id"], pa.int64())
+        return pa.table({
             "key": key,
-            "kb": key % N_BUCKETS,
-            "t": df["ts"].astype("datetime64[us]"),
-            "side": np.int64(0),
-            "event_id": df["event_id"].astype("int64"),
-            "o_orderkey": np.int64(-1),
-        })[cols]
+            "kb": _kb64(key),
+            "t": pc.cast(t["ts"], pa.timestamp("us")),
+            "side": _const(t.num_rows, 0, pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "o_orderkey": _const(t.num_rows, -1, pa.int64()),
+        })
 
-    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
-        key = df["o_custkey"].astype("int64")
-        return pd.DataFrame({
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["o_custkey"], pa.int64())
+        return pa.table({
             "key": key,
-            "kb": key % N_BUCKETS,
-            "t": pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]"),
-            "side": np.int64(1),
-            "event_id": np.int64(-1),
-            "o_orderkey": df["o_orderkey"].astype("int64"),
-        })[cols]
+            "kb": _kb64(key),
+            "t": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+            "side": _const(t.num_rows, 1, pa.int64()),
+            "event_id": _const(t.num_rows, -1, pa.int64()),
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+        })
 
-    u = events.map_batches(tag_events, batch_format="pandas").union(
-        o.map_batches(tag_orders, batch_format="pandas")
+    u = events.map_batches(tag_events, batch_format="pyarrow").union(
+        o.map_batches(tag_orders, batch_format="pyarrow")
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -707,28 +739,27 @@ def q_range_join(sf_dir: str):
     lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
 
     N_BUCKETS = 64
-    cols = ["key", "kb", "side", "t"]
 
-    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
-        key = df["o_orderkey"].astype("int64")
-        return pd.DataFrame({
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["o_orderkey"], pa.int64())
+        return pa.table({
             "key": key,
-            "kb": key % N_BUCKETS,
-            "side": np.int64(0),
-            "t": pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]"),
-        })[cols]
+            "kb": _kb64(key),
+            "side": _const(t.num_rows, 0, pa.int64()),
+            "t": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+        })
 
-    def tag_lines(df: pd.DataFrame) -> pd.DataFrame:
-        key = df["l_orderkey"].astype("int64")
-        return pd.DataFrame({
+    def tag_lines(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["l_orderkey"], pa.int64())
+        return pa.table({
             "key": key,
-            "kb": key % N_BUCKETS,
-            "side": np.int64(1),
-            "t": pd.to_datetime(df["l_shipdate"]).astype("datetime64[us]"),
-        })[cols]
+            "kb": _kb64(key),
+            "side": _const(t.num_rows, 1, pa.int64()),
+            "t": pc.cast(t["l_shipdate"], pa.timestamp("us")),
+        })
 
-    u = orders.map_batches(tag_orders, batch_format="pandas").union(
-        lines.map_batches(tag_lines, batch_format="pandas")
+    u = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        lines.map_batches(tag_lines, batch_format="pyarrow")
     )
 
     def count_in_window(g: pd.DataFrame) -> pd.DataFrame:
@@ -816,11 +847,18 @@ def q_token_histogram(sf_dir: str):
 
     ds = _read_docs(sf_dir, ["text"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        counts = df["text"].str.split(" ").explode().value_counts()
-        return pd.DataFrame({"tok": counts.index, "n": counts.to_numpy()})
+    def partial(t: pa.Table) -> pa.Table:
+        # one Arrow pass: split → flatten → group count (the pandas
+        # explode+value_counts version built Python string objects)
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        g = pa.table({"tok": toks}).group_by("tok").aggregate([
+            ("tok", "count"),
+        ])
+        return pa.table({
+            "tok": g["tok"], "n": pc.cast(g["tok_count"], pa.int64()),
+        })
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     g = parts.groupby("tok", as_index=False)["n"].sum()
     g["n"] = g["n"].astype("int64")
     g = g.sort_values(["n", "tok"], ascending=[False, True], kind="mergesort")
@@ -988,16 +1026,22 @@ FROM customer ORDER BY c_custkey
 
 def q_digits_only(sf_dir: str):
     """CPF/CNPJ digits-only cleaner (models/models.py:330-339)."""
-    from crawler_tjce_ray.functions.text import digits_only
-
-    def clean(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["digits"] = df["c_name"].map(digits_only)
-        return df
+    # Arrow-native: one RE2 pass over the whole batch (the scalar
+    # digits_only kernel stays the reference-parity implementation;
+    # equality of the two is pinned in tests/test_kernels.py)
+    def clean(t: pa.Table) -> pa.Table:
+        digits = pc.replace_substring_regex(t["c_name"], "[^0-9]", "")
+        digits = pc.if_else(
+            pc.equal(digits, pa.scalar("")), pa.scalar("-"), digits
+        )
+        return pa.table({
+            "c_custkey": t["c_custkey"], "c_name": t["c_name"],
+            "digits": digits,
+        })
 
     out = (
         _read(sf_dir, "customer", ["c_custkey", "c_name"])
-        .map_batches(clean, batch_format="pandas")
+        .map_batches(clean, batch_format="pyarrow")
         .to_pandas()
     )
     return out.sort_values("c_custkey").reset_index(drop=True)
@@ -1013,16 +1057,18 @@ FROM customer ORDER BY c_custkey
 
 def q_zero_pad(sf_dir: str):
     """M5 ``processo`` zero-pad-20 (crawler/crawler.py:114-117)."""
-    from crawler_tjce_ray.functions.text import zero_pad_processo
-
-    def pad(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["processo"] = df["o_orderkey"].map(zero_pad_processo)
-        return df
+    # Arrow-native lpad (scalar zero_pad_processo equality pinned in
+    # tests/test_kernels.py)
+    def pad(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["o_orderkey"], pa.string())
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "processo": pc.utf8_lpad(s, 20, "0"),
+        })
 
     out = (
         _read(sf_dir, "orders", ["o_orderkey"])
-        .map_batches(pad, batch_format="pandas")
+        .map_batches(pad, batch_format="pyarrow")
         .to_pandas()
     )
     return out.sort_values("o_orderkey").reset_index(drop=True)
@@ -1065,14 +1111,15 @@ FROM orders ORDER BY o_orderkey
 def q_date_render(sf_dir: str):
     """dd/MM/yyyy date rendering (crawler/crawler.py:1141-1147)."""
 
-    def fmt(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["display_date"] = df["o_orderdate"].dt.strftime("%d/%m/%Y")
-        return df[["o_orderkey", "display_date"]]
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "display_date": pc.strftime(t["o_orderdate"], "%d/%m/%Y"),
+        })
 
     out = (
         _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
-        .map_batches(fmt, batch_format="pandas")
+        .map_batches(fmt, batch_format="pyarrow")
         .to_pandas()
     )
     return out.sort_values("o_orderkey").reset_index(drop=True)
@@ -1161,34 +1208,37 @@ def q_hash_join_big(sf_dir: str):
         ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
     )
 
-    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "key": df["o_orderkey"].astype("int64"),
-            "priority": df["o_orderpriority"],
-            "price": np.nan,
-            "disc": np.nan,
-            "flag": pd.Series(pd.NA, index=df.index, dtype="string"),
-            "side": np.int8(0),
+    # Arrow-native tags with the bucket key folded in (the pandas
+    # version ran a third copy-the-batch pass just to add kb)
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["o_orderkey"], pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "key": key,
+            "kb": _kb64(key),
+            "priority": t["o_orderpriority"],
+            "price": _const(n, None, pa.float64()),
+            "disc": _const(n, None, pa.float64()),
+            "flag": _const(n, None, pa.string()),
+            "side": _const(n, 0, pa.int8()),
         })
 
-    def tag_line(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "key": df["l_orderkey"].astype("int64"),
-            "priority": pd.Series(pd.NA, index=df.index, dtype="string"),
-            "price": df["l_extendedprice"],
-            "disc": df["l_discount"],
-            "flag": df["l_returnflag"].astype("string"),
-            "side": np.int8(1),
+    def tag_line(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["l_orderkey"], pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "key": key,
+            "kb": _kb64(key),
+            "priority": _const(n, None, pa.string()),
+            "price": pc.cast(t["l_extendedprice"], pa.float64()),
+            "disc": pc.cast(t["l_discount"], pa.float64()),
+            "flag": t["l_returnflag"],
+            "side": _const(n, 1, pa.int8()),
         })
 
-    both = orders.map_batches(tag_orders, batch_format="pandas").union(
-        line.map_batches(tag_line, batch_format="pandas")
+    both = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        line.map_batches(tag_line, batch_format="pyarrow")
     )
-
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["kb"] = (df["key"] % 64).astype("int64")
-        return df
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["side"] == 0][["key", "priority"]]
@@ -1200,8 +1250,7 @@ def q_hash_join_big(sf_dir: str):
         )
 
     parts = (
-        both.map_batches(bucket, batch_format="pandas")
-        .groupby("kb")
+        both.groupby("kb")
         .map_groups(join_bucket, batch_format="pandas")
         .to_pandas()
     )
@@ -1233,14 +1282,26 @@ def _fine_revenue(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(rev=df["l_extendedprice"] * (1.0 - df["l_discount"]))
-        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            revenue=("rev", "sum"), n_items=("rev", "size")
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
         )
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "rev": rev,
+        }).group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("rev", "sum"), ("rev", "count"),
+        ])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "revenue": g["rev_sum"],
+            "n_items": pc.cast(g["rev_count"], pa.int64()),
+        })
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .to_pandas()
         .groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
     )
@@ -1410,24 +1471,38 @@ def q_zscore_events(sf_dir: str):
     # lands at a tiny NEGATIVE float → sqrt → NaN) while DuckDB's
     # STDDEV_SAMP is Welford-stable.  Pass 1 reduces means; pass 2
     # reduces centered squares — both are per-batch partials.
-    def sums(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("event_type", as_index=False).agg(
-            n=("value", "size"), s=("value", "sum")
-        )
+    def sums(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([
+            ("value", "count"), ("value", "sum"),
+        ])
+        return pa.table({
+            "event_type": g["event_type"],
+            "n": pc.cast(g["value_count"], pa.int64()),
+            "s": g["value_sum"],
+        })
 
-    parts = ds.map_batches(sums, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(sums, batch_format="pyarrow").to_pandas()
     st = parts.groupby("event_type", as_index=False).sum()
     st["mean"] = st["s"] / st["n"]
-    mean = dict(zip(st["event_type"], st["mean"]))
+    # O(|types|) moment table, shipped in the closure and hash-joined
+    # per batch (Arrow join — no Python map over rows)
+    mean_tbl = pa.table({
+        "event_type": pa.array(st["event_type"], pa.string()),
+        "mean_": pa.array(st["mean"], pa.float64()),
+    })
 
-    def centered(df: pd.DataFrame) -> pd.DataFrame:
-        m = df["event_type"].map(mean).to_numpy(np.float64)
-        d = df["value"].to_numpy(np.float64) - m
-        return pd.DataFrame({"event_type": df["event_type"], "ssd": d * d}) \
-            .groupby("event_type", as_index=False).sum()
+    def centered(t: pa.Table) -> pa.Table:
+        j = t.join(mean_tbl, keys="event_type")
+        d = pc.subtract(j["value"], j["mean_"])
+        g = pa.table({
+            "event_type": j["event_type"], "ssd": pc.multiply(d, d),
+        }).group_by("event_type").aggregate([("ssd", "sum")])
+        return pa.table({
+            "event_type": g["event_type"], "ssd": g["ssd_sum"],
+        })
 
     ssd = (
-        ds.map_batches(centered, batch_format="pandas")
+        ds.map_batches(centered, batch_format="pyarrow")
         .to_pandas().groupby("event_type", as_index=False).sum()
     )
     st = st.merge(ssd, on="event_type")
@@ -1435,18 +1510,21 @@ def q_zscore_events(sf_dir: str):
     st["sd"] = np.sqrt(
         np.where(st["n"] > 1, st["ssd"] / np.maximum(st["n"] - 1, 1), np.nan)
     )
-    sd = dict(zip(st["event_type"], st["sd"]))
+    stats_tbl = pa.table({
+        "event_type": pa.array(st["event_type"], pa.string()),
+        "mean_": pa.array(st["mean"], pa.float64()),
+        "sd_": pa.array(st["sd"], pa.float64()),
+    })
 
-    def normalize(df: pd.DataFrame) -> pd.DataFrame:
-        m = df["event_type"].map(mean).to_numpy(np.float64)
-        s = df["event_type"].map(sd).to_numpy(np.float64)
-        return pd.DataFrame({
-            "event_id": df["event_id"],
-            "event_type": df["event_type"],
-            "z": (df["value"].to_numpy(np.float64) - m) / s,
+    def normalize(t: pa.Table) -> pa.Table:
+        j = t.join(stats_tbl, keys="event_type")
+        return pa.table({
+            "event_id": j["event_id"],
+            "event_type": j["event_type"],
+            "z": pc.divide(pc.subtract(j["value"], j["mean_"]), j["sd_"]),
         })
 
-    out = ds.map_batches(normalize, batch_format="pandas").to_pandas()
+    out = ds.map_batches(normalize, batch_format="pyarrow").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -1467,25 +1545,27 @@ def q_left_join_counts(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", ["o_custkey"])
 
-    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
-        key = df["c_custkey"].astype("int64")
-        return pd.DataFrame({
-            "key": key, "kb": key % 64,
-            "seg": df["c_mktsegment"].astype("string"),
-            "n": np.int64(0), "side": np.int8(0),
+    def tag_cust(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["c_custkey"], pa.int64())
+        return pa.table({
+            "key": key, "kb": _kb64(key),
+            "seg": t["c_mktsegment"],
+            "n": _const(t.num_rows, 0, pa.int64()),
+            "side": _const(t.num_rows, 0, pa.int8()),
         })
 
-    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("o_custkey", as_index=False).size()
-        key = g["o_custkey"].astype("int64")
-        return pd.DataFrame({
-            "key": key, "kb": key % 64,
-            "seg": pd.Series(pd.NA, index=g.index, dtype="string"),
-            "n": g["size"].astype("int64"), "side": np.int8(1),
+    def partial_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        key = pc.cast(g["o_custkey"], pa.int64())
+        return pa.table({
+            "key": key, "kb": _kb64(key),
+            "seg": _const(g.num_rows, None, pa.string()),
+            "n": pc.cast(g["o_custkey_count"], pa.int64()),
+            "side": _const(g.num_rows, 1, pa.int8()),
         })
 
-    u = cust.map_batches(tag_cust, batch_format="pandas").union(
-        orders.map_batches(partial_counts, batch_format="pandas")
+    u = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(partial_counts, batch_format="pyarrow")
     )
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -1692,48 +1772,46 @@ def q_bloom_anti_join(sf_dir: str):
 
     # one pass over orders: definite-keeps pre-aggregate in place
     # (side 2), Bloom positives become verification candidates (side 0)
-    def split_orders(df: pd.DataFrame) -> pd.DataFrame:
+    def split_orders(t: pa.Table) -> pa.Table:
         bloom = ray.get(bloom_ref)
-        keys = df["o_custkey"].to_numpy(np.int64)
+        keys = t["o_custkey"].to_numpy().astype(np.int64)
         pos = _bloom_test(bloom, keys)
-        keep = (
-            df.loc[~pos].groupby("o_orderpriority", as_index=False)
-            .agg(n=("o_custkey", "size"))
-        )
-        cand = df.loc[pos]
-        return pd.concat(
-            [
-                pd.DataFrame({
-                    "kb": np.int64(0),
-                    "side": np.int8(2),
-                    "custkey": np.int64(-1),
-                    "priority": keep["o_orderpriority"],
-                    "n": keep["n"].astype("int64"),
-                }),
-                pd.DataFrame({
-                    "kb": cand["o_custkey"].to_numpy(np.int64) % 64,
-                    "side": np.int8(0),
-                    "custkey": cand["o_custkey"].astype("int64"),
-                    "priority": cand["o_orderpriority"],
-                    "n": np.int64(1),
-                }),
-            ],
-            ignore_index=True,
-        )
+        # definite negatives pre-aggregate in-batch (Arrow group_by);
+        # possible positives ride the bucket shuffle for verification
+        keep = t.filter(pa.array(~pos)).group_by("o_orderpriority") \
+            .aggregate([("o_custkey", "count")])
+        cand = t.filter(pa.array(pos))
+        ckey = pc.cast(cand["o_custkey"], pa.int64())
+        pre = pa.table({
+            "kb": _const(keep.num_rows, 0, pa.int64()),
+            "side": _const(keep.num_rows, 2, pa.int8()),
+            "custkey": _const(keep.num_rows, -1, pa.int64()),
+            "priority": keep["o_orderpriority"],
+            "n": pc.cast(keep["o_custkey_count"], pa.int64()),
+        })
+        candidates = pa.table({
+            "kb": _kb64(ckey),
+            "side": _const(cand.num_rows, 0, pa.int8()),
+            "custkey": ckey,
+            "priority": cand["o_orderpriority"],
+            "n": _const(cand.num_rows, 1, pa.int64()),
+        })
+        return pa.concat_tables([pre, candidates])
 
-    def tag_blocklist(df: pd.DataFrame) -> pd.DataFrame:
-        b = df.loc[df["c_acctbal"] < 0]
-        return pd.DataFrame({
-            "kb": b["c_custkey"].to_numpy(np.int64) % 64,
-            "side": np.int8(1),
-            "custkey": b["c_custkey"].astype("int64"),
-            "priority": pd.Series(pd.NA, index=b.index, dtype="string"),
-            "n": np.int64(0),
+    def tag_blocklist(t: pa.Table) -> pa.Table:
+        b = t.filter(pc.less(t["c_acctbal"], pa.scalar(0.0)))
+        key = pc.cast(b["c_custkey"], pa.int64())
+        return pa.table({
+            "kb": _kb64(key),
+            "side": _const(b.num_rows, 1, pa.int8()),
+            "custkey": key,
+            "priority": _const(b.num_rows, None, pa.string()),
+            "n": _const(b.num_rows, 0, pa.int64()),
         })
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-    both = orders.map_batches(split_orders, batch_format="pandas").union(
-        cust.map_batches(tag_blocklist, batch_format="pandas")
+    both = orders.map_batches(split_orders, batch_format="pyarrow").union(
+        cust.map_batches(tag_blocklist, batch_format="pyarrow")
     )
 
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -1784,16 +1862,16 @@ def q_corr_qty_price(sf_dir: str):
 
     cols = ["l_quantity", "l_extendedprice"]
 
-    def p1(df: pd.DataFrame) -> pd.DataFrame:
-        x = df["l_quantity"].to_numpy(dtype=np.float64)
-        y = df["l_extendedprice"].to_numpy(dtype=np.float64)
-        return pd.DataFrame(
-            {"n": [float(len(x))], "sx": [x.sum()], "sy": [y.sum()]}
-        )
+    def p1(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([float(t.num_rows)]),
+            "sx": pa.array([pc.sum(pc.cast(t["l_quantity"], pa.float64())).as_py() or 0.0]),
+            "sy": pa.array([pc.sum(pc.cast(t["l_extendedprice"], pa.float64())).as_py() or 0.0]),
+        })
 
     parts = (
         _read(sf_dir, "lineitem", columns=cols)
-        .map_batches(p1, batch_format="pandas")
+        .map_batches(p1, batch_format="pyarrow")
         .to_pandas()
         .sort_values(["n", "sx", "sy"], kind="mergesort")
     )
@@ -1801,17 +1879,19 @@ def q_corr_qty_price(sf_dir: str):
     mx, my = parts["sx"].sum() / n, parts["sy"].sum() / n
     ref = ray.put((mx, my))
 
-    def p2(df: pd.DataFrame) -> pd.DataFrame:
+    def p2(t: pa.Table) -> pa.Table:
         cx, cy = ray.get(ref)
-        x = df["l_quantity"].to_numpy(dtype=np.float64) - cx
-        y = df["l_extendedprice"].to_numpy(dtype=np.float64) - cy
-        return pd.DataFrame(
-            {"sxx": [(x * x).sum()], "syy": [(y * y).sum()], "sxy": [(x * y).sum()]}
-        )
+        x = pc.subtract(pc.cast(t["l_quantity"], pa.float64()), pa.scalar(cx))
+        y = pc.subtract(pc.cast(t["l_extendedprice"], pa.float64()), pa.scalar(cy))
+        return pa.table({
+            "sxx": pa.array([pc.sum(pc.multiply(x, x)).as_py() or 0.0]),
+            "syy": pa.array([pc.sum(pc.multiply(y, y)).as_py() or 0.0]),
+            "sxy": pa.array([pc.sum(pc.multiply(x, y)).as_py() or 0.0]),
+        })
 
     m = (
         _read(sf_dir, "lineitem", columns=cols)
-        .map_batches(p2, batch_format="pandas")
+        .map_batches(p2, batch_format="pyarrow")
         .to_pandas()
         .sort_values(["sxx", "syy", "sxy"], kind="mergesort")
         .sum()
@@ -1845,15 +1925,19 @@ def q_mode_qty_per_flag(sf_dir: str):
     count — the same combiner discipline as ``token_histogram``);
     the raw rows never shuffle.  Exact integer counts → exact
     oracle."""
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.groupby(["l_returnflag", "l_quantity"], as_index=False)
-            .agg(c=("l_quantity", "size"))
-        )
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_quantity"]).aggregate([
+            ("l_quantity", "count"),
+        ])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_quantity": g["l_quantity"],
+            "c": pc.cast(g["l_quantity_count"], pa.int64()),
+        })
 
     parts = (
         _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
-        .map_batches(partial, batch_format="pandas")
+        .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
         .groupby(["l_returnflag", "l_quantity"], as_index=False)["c"]
         .sum()
@@ -2067,12 +2151,15 @@ def q_chi2_lang_source(sf_dir: str):
     ambiguity exists."""
     ds = _read(sf_dir, "documents", ["lang", "source"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["lang", "source"], as_index=False).size() \
-                 .rename(columns={"size": "n"})
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "source"]).aggregate([("lang", "count")])
+        return pa.table({
+            "lang": g["lang"], "source": g["source"],
+            "n": pc.cast(g["lang_count"], pa.int64()),
+        })
 
     cells = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .to_pandas().groupby(["lang", "source"], as_index=False)["n"].sum()
     )
     total = float(cells["n"].sum())
