@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "dup_rate_by_source",
     "multimodal_phash_dedup",
     "grouped_median_select",
+    "gopher_rules",
+    "c4_filters",
 ]
 
 

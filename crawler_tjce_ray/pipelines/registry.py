@@ -179,9 +179,12 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 #   dedup_minhash_lsh (verify stage rewritten this round), and 5
 #   never-checked rows-only queries.
 #   r4 should front the remainder: pack_sequences_sharded,
-#   multimodal_image_resize, multimodal_phash_dedup + any new queries.
+#   multimodal_image_resize, multimodal_phash_dedup, c4_filters
+#   + any new queries.
 _DRIVER_WINDOW_FRONT = [
     "running_total",
+    # added this round, never driver-checked (fills slot 50)
+    "gopher_rules",
     # never driver-checked, oracle-backed (hard-evidence conversion)
     "row_number_ntile", "rolling_avg3", "user_journey",
     "chi2_lang_source", "epoch_shuffle", "dup_ngram_docs", "bigram_lm",

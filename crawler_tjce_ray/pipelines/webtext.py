@@ -1103,7 +1103,256 @@ GROUP BY s.lang ORDER BY s.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021 §A1.1) — document-level signals
+# ---------------------------------------------------------------------------
+
+# Every threshold test is integer arithmetic on exact counts so the
+# keep bit can never diverge from the oracle on a float boundary.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOPWORDS = ("the", "and", "of", "a", "in", "to", "is")
+GOPHER_MIN_STOP_KINDS = 2
+_BULLET_RE = r"(?m)^[-*] "
+_ELLIPSIS_RE = r"(?m)\.\.\.$"
+_ALPHA_WORD_RE = r"[0-9]*[a-z][a-z0-9]*"
+
+
+def q_gopher_rules(sf_dir: str):
+    """Gopher-style quality filter: per document, the §A1.1 signals
+    (word count, mean word length, symbol-to-word ratio, bullet /
+    ellipsis line fractions, alphabetic-word fraction, distinct
+    stopword kinds) and the integer-exact keep decision:
+
+      50 <= n_words <= 100000, 3 <= mean word length <= 10,
+      symbols/words < 0.1, bullet lines < 90%, ellipsis lines < 30%,
+      alphabetic words >= 80%, >= 2 distinct stopwords.
+
+    One zero-copy Arrow pass: every signal is a pyarrow.compute RE2
+    count over the batch, the keep bit is pure int64 arithmetic
+    (``10*symbols < n_words`` instead of ``symbols/n_words < 0.1``),
+    so the stage streams at 100 TB with no driver state at all.
+    Reference analog: the validator/cleaner M6 family
+    (crawler/crawler.py row-sanity checks), generalized to the
+    published Gopher rules."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        low = pc.utf8_lower(text)
+        i64 = pa.int64()
+
+        def rcount(arr, pat):
+            return pc.cast(pc.count_substring_regex(arr, pat), i64)
+
+        n_words = rcount(low, WORD_RE)
+        alnum_chars = rcount(low, r"[a-z0-9]")
+        alpha_words = rcount(low, _ALPHA_WORD_RE)
+        n_lines = pc.add(pc.cast(pc.count_substring(text, "\n"), i64), 1)
+        bullet_lines = rcount(text, _BULLET_RE)
+        ellipsis_lines = rcount(text, _ELLIPSIS_RE)
+        symbols = pc.add(
+            pc.cast(pc.count_substring(text, "#"), i64),
+            pc.cast(pc.count_substring(text, "..."), i64),
+        )
+        stop_kinds = None
+        for w in GOPHER_STOPWORDS:
+            hit = pc.cast(pc.match_substring_regex(low, rf"\b{w}\b"), i64)
+            stop_kinds = hit if stop_kinds is None else pc.add(stop_kinds, hit)
+
+        def frac(num, den):
+            return pc.if_else(
+                pc.equal(den, 0),
+                pa.scalar(0.0),
+                pc.divide(pc.cast(num, pa.float64()), pc.cast(den, pa.float64())),
+            )
+
+        keep = pc.and_(pc.greater_equal(n_words, GOPHER_MIN_WORDS),
+                       pc.less_equal(n_words, GOPHER_MAX_WORDS))
+        keep = pc.and_(keep, pc.less_equal(pc.multiply(n_words, 3), alnum_chars))
+        keep = pc.and_(keep, pc.less_equal(alnum_chars, pc.multiply(n_words, 10)))
+        keep = pc.and_(keep, pc.less(pc.multiply(symbols, 10), n_words))
+        keep = pc.and_(keep, pc.less(pc.multiply(bullet_lines, 10),
+                                     pc.multiply(n_lines, 9)))
+        keep = pc.and_(keep, pc.less(pc.multiply(ellipsis_lines, 10),
+                                     pc.multiply(n_lines, 3)))
+        keep = pc.and_(keep, pc.greater_equal(pc.multiply(alpha_words, 5),
+                                              pc.multiply(n_words, 4)))
+        keep = pc.and_(keep, pc.greater_equal(stop_kinds, GOPHER_MIN_STOP_KINDS))
+
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": n_words,
+            "n_lines": n_lines,
+            "mean_word_len": frac(alnum_chars, n_words),
+            "bullet_frac": frac(bullet_lines, n_lines),
+            "ellipsis_frac": frac(ellipsis_lines, n_lines),
+            "alpha_word_frac": frac(alpha_words, n_words),
+            "n_stop_kinds": stop_kinds,
+            "keep": pc.cast(keep, i64),
+        })
+
+    out = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_STOP_KINDS = " + ".join(
+    rf"CASE WHEN regexp_matches(lower(text), '\b{w}\b') THEN 1 ELSE 0 END"
+    for w in GOPHER_STOPWORDS
+)
+
+SQL_GOPHER_RULES = rf"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(lower(text), '{WORD_RE}')) AS BIGINT) AS n_words,
+         CAST(length(regexp_extract_all(lower(text), '[a-z0-9]')) AS BIGINT) AS alnum_chars,
+         CAST(length(regexp_extract_all(lower(text), '{_ALPHA_WORD_RE}')) AS BIGINT) AS alpha_words,
+         CAST(length(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         CAST(length(regexp_extract_all(text, '{_BULLET_RE}')) AS BIGINT) AS bullet_lines,
+         CAST(length(regexp_extract_all(text, '{_ELLIPSIS_RE}')) AS BIGINT) AS ellipsis_lines,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS symbols,
+         CAST({_SQL_STOP_KINDS} AS BIGINT) AS stop_kinds
+  FROM documents
+)
+SELECT doc_id, n_words, n_lines,
+       CASE WHEN n_words = 0 THEN 0.0
+            ELSE CAST(alnum_chars AS DOUBLE) / n_words END AS mean_word_len,
+       CAST(bullet_lines AS DOUBLE) / n_lines AS bullet_frac,
+       CAST(ellipsis_lines AS DOUBLE) / n_lines AS ellipsis_frac,
+       CASE WHEN n_words = 0 THEN 0.0
+            ELSE CAST(alpha_words AS DOUBLE) / n_words END AS alpha_word_frac,
+       stop_kinds AS n_stop_kinds,
+       CAST(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+            AND 3 * n_words <= alnum_chars AND alnum_chars <= 10 * n_words
+            AND 10 * symbols < n_words
+            AND 10 * bullet_lines < 9 * n_lines
+            AND 10 * ellipsis_lines < 3 * n_lines
+            AND 5 * alpha_words >= 4 * n_words
+            AND stop_kinds >= {GOPHER_MIN_STOP_KINDS} AS BIGINT) AS keep
+FROM s ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4 document/line filters (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+C4_LINE_MIN_WORDS = 3
+C4_MIN_LINES = 3
+_C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def q_c4_filters(sf_dir: str):
+    """C4-style cleaning signals + decision (Raffel et al. §2.2): a
+    document is dropped outright if it contains boilerplate markers
+    (``lorem ipsum`` or a ``{``); lines survive only if they end in
+    terminal punctuation, have >= 3 words and don't mention
+    javascript; the document is kept if >= 3 lines survive.  Output
+    is one row PER INPUT DOC — the signals (n_lines, n_kept_lines)
+    and the keep bit for every document, with the reassembled
+    ``clean_text`` only for keepers — so the query stays informative
+    on corpora where the filter is very aggressive.
+
+    Arrow end-to-end in one batch pass: line explode via
+    ``split_pattern`` + ``list_parent_indices`` (zero-copy, no pandas
+    object churn), per-line RE2 predicates, reassembly via Arrow
+    ``group_by`` list aggregation + ``binary_join``, stitched back to
+    the doc table with an in-batch Arrow left join.  Each document
+    lives in one row so the explode never crosses a batch boundary —
+    the stage is embarrassingly parallel and streams at any scale."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        i64 = pa.int64()
+        low_doc = pc.utf8_lower(t["text"])
+        doc_ok = pc.and_(
+            pc.invert(pc.match_substring(low_doc, "lorem ipsum")),
+            pc.invert(pc.match_substring(t["text"], "{")),
+        )
+        lines = pc.split_pattern(t["text"], "\n")
+        n_lines = pc.cast(pc.list_value_length(lines), i64)
+        flat = pc.list_flatten(lines)
+        doc_ids = pc.take(t["doc_id"], pc.list_parent_indices(lines))
+        low = pc.utf8_lower(flat)
+        line_ok = pc.and_(
+            pc.and_(
+                pc.match_substring_regex(flat, _C4_TERMINAL_RE),
+                pc.greater_equal(
+                    pc.cast(pc.count_substring_regex(low, WORD_RE), i64),
+                    C4_LINE_MIN_WORDS,
+                ),
+            ),
+            pc.invert(pc.match_substring(low, "javascript")),
+        )
+        kept = pa.table({"doc_id": doc_ids, "line": flat}).filter(line_ok)
+        docs = pa.table({"doc_id": t["doc_id"], "n_lines": n_lines,
+                         "doc_ok": doc_ok})
+        if kept.num_rows:
+            # group_by list-agg accumulates in scan order, i.e. the
+            # original line order (each doc is one input row)
+            g = kept.group_by("doc_id").aggregate([("line", "list")])
+            g = pa.table({
+                "doc_id": g["doc_id"],
+                "n_kept_lines": pc.cast(pc.list_value_length(g["line_list"]), i64),
+                "ct": pc.binary_join(g["line_list"], "\n"),
+            })
+            j = docs.join(g, keys="doc_id", join_type="left outer")
+        else:
+            j = docs.append_column("n_kept_lines", pa.nulls(docs.num_rows, i64))
+            j = j.append_column("ct", pa.nulls(docs.num_rows, pa.string()))
+        n_kept = pc.fill_null(j["n_kept_lines"], 0)
+        keep = pc.and_(j["doc_ok"],
+                       pc.greater_equal(n_kept, C4_MIN_LINES))
+        return pa.table({
+            "doc_id": j["doc_id"],
+            "n_lines": j["n_lines"],
+            "n_kept_lines": n_kept,
+            "keep": pc.cast(keep, i64),
+            "clean_text": pc.if_else(keep, j["ct"], pa.scalar(None, pa.string())),
+        })
+
+    out = ds.map_batches(clean, batch_format="pyarrow").to_pandas()
+    out["clean_text"] = out["clean_text"].astype(object)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_C4_FILTERS = (
+    """
+WITH d AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls,
+         (NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, chr(123))) AS doc_ok
+  FROM documents
+), l AS (
+  SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM d
+), kept AS (
+  SELECT doc_id, i, ls[i] AS line FROM l
+  WHERE regexp_matches(ls[i], '"""
+    + _C4_TERMINAL_RE
+    + rf"""')
+    AND length(regexp_extract_all(lower(ls[i]), '{WORD_RE}')) >= {C4_LINE_MIN_WORDS}
+    AND NOT contains(lower(ls[i]), 'javascript')
+), g AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(line, chr(10) ORDER BY i) AS ct
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.ls) AS BIGINT) AS n_lines,
+       COALESCE(g.n_kept, 0) AS n_kept_lines,
+       CAST(d.doc_ok AND COALESCE(g.n_kept, 0) >= {C4_MIN_LINES} AS BIGINT) AS keep,
+       CASE WHEN d.doc_ok AND COALESCE(g.n_kept, 0) >= {C4_MIN_LINES}
+            THEN g.ct END AS clean_text
+FROM d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id
+"""
+)
+
+
 QUERIES = {
+    "gopher_rules": q_gopher_rules,
+    "c4_filters": q_c4_filters,
     "pii_redact": q_pii_redact,
     "lang_median_chars": q_lang_median_chars,
     "char_entropy": q_char_entropy,
@@ -1121,6 +1370,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "gopher_rules": SQL_GOPHER_RULES,
+    "c4_filters": SQL_C4_FILTERS,
     "pii_redact": SQL_PII_REDACT,
     "lang_median_chars": SQL_LANG_MEDIAN_CHARS,
     "char_entropy": SQL_CHAR_ENTROPY,
