@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "grouped_median_select",
     "gopher_rules",
     "c4_filters",
+    "importance_weights",
+    "qty_moments_by_flag",
+    "regr_price_qty",
 ]
 
 

@@ -179,7 +179,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 #   dedup_minhash_lsh (verify stage rewritten this round), and 5
 #   never-checked rows-only queries.
 #   r4 should front the remainder: pack_sequences_sharded,
-#   multimodal_image_resize, multimodal_phash_dedup, c4_filters
+#   multimodal_image_resize, multimodal_phash_dedup, c4_filters,
+#   importance_weights, qty_moments_by_flag, regr_price_qty
 #   + any new queries.
 _DRIVER_WINDOW_FRONT = [
     "running_total",

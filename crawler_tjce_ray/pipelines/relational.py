@@ -1917,6 +1917,188 @@ FROM lineitem
 """
 
 
+def _grouped_centered_moments(sf_dir: str, powers: tuple[int, ...]):
+    """Shared two-pass engine for the grouped moment queries: pass 1
+    reduces per-batch per-flag ``(n, Σx)`` partials to group means;
+    pass 2 broadcasts the means and sums CENTERED powers ``Σ(x−μ)^p``
+    per flag.  Centering first kills the catastrophic cancellation of
+    raw-power formulas (x⁴ sums overflow double precision long before
+    the centered ones do).  Arrow end-to-end: the per-row group mean
+    is an ``index_in`` + ``take`` against the tiny flag vector, the
+    per-batch reduce a pyarrow ``group_by``.  Each pass ships
+    O(blocks × |flags| × |powers|) floats — values never shuffle.
+    Returns ``(flags, n per flag, {p: Σ(x−μ)^p per flag})``."""
+    import ray
+
+    def p1(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["l_quantity"], pa.float64())
+        g = pa.table({"f": t["l_returnflag"], "x": x}).group_by("f").aggregate(
+            [("x", "sum"), ("x", "count")]
+        )
+        return pa.table({"f": g["f"], "sx": g["x_sum"],
+                         "n": pc.cast(g["x_count"], pa.float64())})
+
+    cols = ["l_returnflag", "l_quantity"]
+    parts = (
+        _read(sf_dir, "lineitem", columns=cols)
+        .map_batches(p1, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["f", "n", "sx"], kind="mergesort")
+        .groupby("f", as_index=False).sum()
+        .sort_values("f", kind="mergesort")
+    )
+    flags = parts["f"].tolist()
+    ns = parts["n"].to_numpy(np.float64)
+    means = (parts["sx"] / parts["n"]).to_numpy(np.float64)
+    ref = ray.put((flags, means))
+
+    def p2(t: pa.Table) -> pa.Table:
+        fl, mu = ray.get(ref)
+        idx = pc.index_in(t["l_returnflag"], value_set=pa.array(fl))
+        center = pc.take(pa.array(mu, pa.float64()), idx)
+        d = pc.subtract(pc.cast(t["l_quantity"], pa.float64()), center)
+        cols_out = {"f": t["l_returnflag"]}
+        acc = d
+        for p in range(2, max(powers) + 1):
+            acc = pc.multiply(acc, d)
+            if p in powers:
+                cols_out[f"m{p}"] = acc
+        g = pa.table(cols_out).group_by("f").aggregate(
+            [(f"m{p}", "sum") for p in powers]
+        )
+        return g
+
+    m = (
+        _read(sf_dir, "lineitem", columns=cols)
+        .map_batches(p2, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = (
+        m.sort_values(list(m.columns), kind="mergesort")
+        .groupby("f", as_index=False).sum()
+        .sort_values("f", kind="mergesort")
+    )
+    sums = {p: m[f"m{p}_sum"].to_numpy(np.float64) for p in powers}
+    return flags, ns, means, sums
+
+
+def q_qty_moments_by_flag(sf_dir: str):
+    """Grouped higher-moment statistics: bias-corrected sample
+    skewness (G1) and excess kurtosis (G2) of l_quantity per
+    l_returnflag — DuckDB's exact ``skewness()`` / ``kurtosis()``
+    estimators, reproduced from distributed centered-moment partials:
+
+      G1 = (m3/m2^1.5) · sqrt(n(n−1))/(n−2)
+      G2 = ((n+1)(m4/m2² − 3) + 6) · (n−1)/((n−2)(n−3))
+
+    Both engines round to 6 decimals so the driver's value hash is
+    exact (the ``corr_qty_price`` discipline)."""
+    flags, ns, _, s = _grouped_centered_moments(sf_dir, (2, 3, 4))
+    m2, m3, m4 = s[2] / ns, s[3] / ns, s[4] / ns
+    g1 = m3 / m2 ** 1.5
+    skew = g1 * np.sqrt(ns * (ns - 1.0)) / (ns - 2.0)
+    g2 = m4 / m2**2 - 3.0
+    kurt = ((ns + 1.0) * g2 + 6.0) * (ns - 1.0) / ((ns - 2.0) * (ns - 3.0))
+    return pd.DataFrame({
+        "l_returnflag": pd.Series(flags, dtype="object"),
+        "n_rows": ns.astype("int64"),
+        "skew_qty": np.round(skew, 6),
+        "kurt_qty": np.round(kurt, 6),
+    })
+
+
+SQL_QTY_MOMENTS = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       round(skewness(l_quantity), 6) AS skew_qty,
+       round(kurtosis(l_quantity), 6) AS kurt_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_regr_price_qty(sf_dir: str):
+    """Grouped simple linear regression of l_extendedprice on
+    l_quantity per l_returnflag — slope, intercept and R², i.e.
+    DuckDB's ``regr_slope/regr_intercept/regr_r2``.  Same two-pass
+    centered-moment engine as the other moment queries, extended with
+    the y column: pass 1 per-flag means of x and y, pass 2 per-flag
+    centered Sxx/Syy/Sxy; slope = Sxy/Sxx, intercept = ȳ − slope·x̄,
+    R² = Sxy²/(Sxx·Syy).  Rounded to 6 decimals on both engines."""
+    import ray
+
+    cols = ["l_returnflag", "l_quantity", "l_extendedprice"]
+
+    def p1(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "f": t["l_returnflag"],
+            "x": pc.cast(t["l_quantity"], pa.float64()),
+            "y": pc.cast(t["l_extendedprice"], pa.float64()),
+        }).group_by("f").aggregate([("x", "sum"), ("y", "sum"), ("x", "count")])
+        return pa.table({"f": g["f"], "sx": g["x_sum"], "sy": g["y_sum"],
+                         "n": pc.cast(g["x_count"], pa.float64())})
+
+    parts = (
+        _read(sf_dir, "lineitem", columns=cols)
+        .map_batches(p1, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["f", "n", "sx", "sy"], kind="mergesort")
+        .groupby("f", as_index=False).sum()
+        .sort_values("f", kind="mergesort")
+    )
+    flags = parts["f"].tolist()
+    ns = parts["n"].to_numpy(np.float64)
+    mx = (parts["sx"] / parts["n"]).to_numpy(np.float64)
+    my = (parts["sy"] / parts["n"]).to_numpy(np.float64)
+    ref = ray.put((flags, mx, my))
+
+    def p2(t: pa.Table) -> pa.Table:
+        fl, cx, cy = ray.get(ref)
+        idx = pc.index_in(t["l_returnflag"], value_set=pa.array(fl))
+        dx = pc.subtract(pc.cast(t["l_quantity"], pa.float64()),
+                         pc.take(pa.array(cx, pa.float64()), idx))
+        dy = pc.subtract(pc.cast(t["l_extendedprice"], pa.float64()),
+                         pc.take(pa.array(cy, pa.float64()), idx))
+        g = pa.table({
+            "f": t["l_returnflag"],
+            "xx": pc.multiply(dx, dx),
+            "yy": pc.multiply(dy, dy),
+            "xy": pc.multiply(dx, dy),
+        }).group_by("f").aggregate([("xx", "sum"), ("yy", "sum"), ("xy", "sum")])
+        return g
+
+    m = (
+        _read(sf_dir, "lineitem", columns=cols)
+        .map_batches(p2, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = (
+        m.sort_values(list(m.columns), kind="mergesort")
+        .groupby("f", as_index=False).sum()
+        .sort_values("f", kind="mergesort")
+    )
+    sxx = m["xx_sum"].to_numpy(np.float64)
+    syy = m["yy_sum"].to_numpy(np.float64)
+    sxy = m["xy_sum"].to_numpy(np.float64)
+    slope = sxy / sxx
+    return pd.DataFrame({
+        "l_returnflag": pd.Series(flags, dtype="object"),
+        "n_rows": ns.astype("int64"),
+        "slope": np.round(slope, 6),
+        "intercept": np.round(my - slope * mx, 6),
+        "r2": np.round(sxy**2 / (sxx * syy), 6),
+    })
+
+
+SQL_REGR_PRICE_QTY = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_mode_qty_per_flag(sf_dir: str):
     """Group-wise MODE with a deterministic min-value tie-break:
     the most frequent l_quantity per l_returnflag.  Per-batch
@@ -2234,6 +2416,8 @@ QUERIES = {
     "running_total": q_running_total,
     "order_gap_days": q_order_gap_days,
     "corr_qty_price": q_corr_qty_price,
+    "qty_moments_by_flag": q_qty_moments_by_flag,
+    "regr_price_qty": q_regr_price_qty,
     "mode_qty_per_flag": q_mode_qty_per_flag,
     "bloom_anti_join": q_bloom_anti_join,
     "cube_revenue": q_cube_revenue,
@@ -2283,6 +2467,8 @@ ORACLE_SQL = {
     "running_total": SQL_RUNNING_TOTAL,
     "order_gap_days": SQL_ORDER_GAP_DAYS,
     "corr_qty_price": SQL_CORR_QTY_PRICE,
+    "qty_moments_by_flag": SQL_QTY_MOMENTS,
+    "regr_price_qty": SQL_REGR_PRICE_QTY,
     "mode_qty_per_flag": SQL_MODE_QTY_PER_FLAG,
     "bloom_anti_join": SQL_BLOOM_ANTI_JOIN,
     "cube_revenue": SQL_CUBE_REVENUE,

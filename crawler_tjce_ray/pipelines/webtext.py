@@ -595,6 +595,112 @@ ORDER BY d.doc_id
 """
 
 
+DSIR_MOD = 7
+
+
+def q_importance_weights(sf_dir: str):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by the mean log-likelihood ratio of its tokens under a
+    target-domain unigram LM vs the source LM.  The target set is the
+    deterministic ``doc_id % 7 == 0`` slice (the same benchmark-proxy
+    device as ``decontaminate``); both LMs share the full-corpus
+    vocabulary and add-one smoothing, so every token has both
+    probabilities.  Downstream mixture assembly resamples source docs
+    by this weight — the weights table IS the operator's output, so
+    selection stays a trivial post-step (`sample_to_budget` family).
+
+    Scale shape is the ``q_unigram_logprob`` recipe: one streaming
+    pass reduces per-batch ``(token, n_target, n_source)`` partials to
+    the O(vocab) LM (the only driver state), the ratio table
+    broadcasts once via ``ray.put``, and a second streaming pass
+    scores each batch vectorized.  Values never shuffle."""
+    import ray
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _explode_words(df)
+        if toks.empty:
+            return pd.DataFrame({"w": pd.Series([], dtype="string"),
+                                 "nt": pd.Series([], dtype="int64"),
+                                 "ns": pd.Series([], dtype="int64")})
+        is_t = (toks["doc_id"] % DSIR_MOD == 0).to_numpy()
+        toks["nt"] = is_t.astype("int64")
+        toks["ns"] = (~is_t).astype("int64")
+        g = toks.groupby("w", as_index=False).agg(nt=("nt", "sum"),
+                                                  ns=("ns", "sum"))
+        g["w"] = g["w"].astype("string")
+        return g
+
+    vocab = (
+        ds.map_batches(counts, batch_format="pandas")
+        .to_pandas().groupby("w", as_index=False).sum()
+    )
+    tott, tots, vsize = int(vocab["nt"].sum()), int(vocab["ns"].sum()), len(vocab)
+    lr = (
+        np.log((vocab["nt"].to_numpy(np.float64) + 1.0) / (tott + vsize))
+        - np.log((vocab["ns"].to_numpy(np.float64) + 1.0) / (tots + vsize))
+    )
+    table_ref = ray.put(dict(zip(vocab["w"], lr)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tbl = ray.get(table_ref)
+        ex = _explode_words(df)
+        base = pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "is_target": (df["doc_id"] % DSIR_MOD == 0).astype("int64"),
+        })
+        if ex.empty:
+            base["n_tokens"] = np.int64(0)
+            base["mean_logratio"] = 0.0
+            return base
+        ex["lr"] = ex["w"].map(tbl)  # every token is in-vocab (self-corpus)
+        g = ex.groupby("doc_id", as_index=False).agg(
+            n_tokens=("lr", "size"), sum_lr=("lr", "sum")
+        )
+        out = base.merge(g, on="doc_id", how="left")
+        out["n_tokens"] = out["n_tokens"].fillna(0).astype("int64")
+        out["mean_logratio"] = np.where(
+            out["n_tokens"] > 0, out["sum_lr"] / out["n_tokens"], 0.0
+        )
+        return out[["doc_id", "is_target", "n_tokens", "mean_logratio"]]
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_IMPORTANCE_WEIGHTS = rf"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {DSIR_MOD} = 0 AS is_t,
+         unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt,
+         SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS ns
+  FROM toks GROUP BY w
+), consts AS (
+  SELECT SUM(nt) AS tott, SUM(ns) AS tots, COUNT(*) AS vsize FROM vocab
+), scored AS (
+  SELECT t.doc_id,
+         ln((v.nt + 1.0) / (c.tott + c.vsize))
+         - ln((v.ns + 1.0) / (c.tots + c.vsize)) AS lr
+  FROM toks t JOIN vocab v USING (w), consts c
+)
+SELECT d.doc_id,
+       CAST(d.doc_id % {DSIR_MOD} = 0 AS BIGINT) AS is_target,
+       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       COALESCE(s.mean_lr, 0.0) AS mean_logratio
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n_tokens, AVG(lr) AS mean_lr
+  FROM scored GROUP BY doc_id
+) s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_bigram_logprob(sf_dir: str):
     """Bigram language-model score per document: mean
     ln P(w2 | w1) with add-one smoothing — the step up from
@@ -1357,6 +1463,7 @@ QUERIES = {
     "lang_median_chars": q_lang_median_chars,
     "char_entropy": q_char_entropy,
     "unigram_logprob": q_unigram_logprob,
+    "importance_weights": q_importance_weights,
     "bigram_logprob": q_bigram_logprob,
     "sample_to_budget": q_sample_to_budget,
     "line_filter": q_line_filter,
@@ -1376,6 +1483,7 @@ ORACLE_SQL = {
     "lang_median_chars": SQL_LANG_MEDIAN_CHARS,
     "char_entropy": SQL_CHAR_ENTROPY,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "importance_weights": SQL_IMPORTANCE_WEIGHTS,
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "sample_to_budget": SQL_SAMPLE_TO_BUDGET,
     "line_filter": SQL_LINE_FILTER,
