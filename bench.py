@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "importance_weights",
     "qty_moments_by_flag",
     "regr_price_qty",
+    "grouped_p90_select",
 ]
 
 

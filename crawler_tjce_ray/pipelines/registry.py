@@ -180,8 +180,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 #   never-checked rows-only queries.
 #   r4 should front the remainder: pack_sequences_sharded,
 #   multimodal_image_resize, multimodal_phash_dedup, c4_filters,
-#   importance_weights, qty_moments_by_flag, regr_price_qty
-#   + any new queries.
+#   importance_weights, qty_moments_by_flag, regr_price_qty,
+#   grouped_p90_select + any new queries.
 _DRIVER_WINDOW_FRONT = [
     "running_total",
     # added this round, never driver-checked (fills slot 50)

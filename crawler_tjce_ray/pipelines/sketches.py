@@ -464,15 +464,16 @@ FROM events, m GROUP BY m.med
 """
 
 
-def q_grouped_median_select(sf_dir: str):
-    """EXACT per-group median over a continuous column with NO value
-    shuffle — the grouped form of ``_quickselect``: every group's
-    rank-k search advances SIMULTANEOUSLY, so each streaming pass
-    serves all still-active groups at once (driver state
-    O(groups × 256), passes bounded by the SLOWEST group's narrowing,
-    not the group count).  ``value_quantiles`` answers the same
-    question by shuffling each group's raw values; this path is the
-    one that survives groups too large to sort in one task."""
+def _grouped_quantile_select(sf_dir: str, q: float) -> dict[str, float]:
+    """EXACT per-group ``quantile_disc(q)`` over a continuous column
+    with NO value shuffle — the grouped form of ``_quickselect``:
+    every group's rank-k search (k = ceil(q·n), 1-based) advances
+    SIMULTANEOUSLY, so each streaming pass serves all still-active
+    groups at once (driver state O(groups × 256), passes bounded by
+    the SLOWEST group's narrowing, not the group count).
+    ``value_quantiles`` answers the same question by shuffling each
+    group's raw values; this path is the one that survives groups too
+    large to sort in one task."""
     import math
 
     ds = _read_events(sf_dir, ["event_type", "value"]).materialize()
@@ -492,7 +493,7 @@ def q_grouped_median_select(sf_dir: str):
     # per-group search state (all-NaN groups have no rankable values)
     state = {
         g: {
-            "k": max(1, math.ceil(0.5 * int(r["n"]))),
+            "k": max(1, math.ceil(q * int(r["n"]))),
             "lo": np.nextafter(float(r["mn"]), -np.inf),
             "hi": float(r["mx"]),
             "rank_lo": 0,
@@ -577,15 +578,36 @@ def q_grouped_median_select(sf_dir: str):
             v = sub["v"].to_numpy(np.float64)
             answers[g] = float(np.partition(v, kk - 1)[kk - 1])
 
-    out = pd.DataFrame({
+    return answers
+
+
+def q_grouped_median_select(sf_dir: str):
+    """Per-group exact median (``_grouped_quantile_select`` at 0.5)."""
+    answers = _grouped_quantile_select(sf_dir, 0.5)
+    return pd.DataFrame({
         "event_type": sorted(answers),
         "median_value": [answers[g] for g in sorted(answers)],
-    })
-    return out.reset_index(drop=True)
+    }).reset_index(drop=True)
+
+
+def q_grouped_p90_select(sf_dir: str):
+    """Per-group exact 90th percentile — the tail-latency quantile —
+    from the same simultaneous-quickselect engine as the grouped
+    median; only the target rank differs (k = ceil(0.9·n))."""
+    answers = _grouped_quantile_select(sf_dir, 0.9)
+    return pd.DataFrame({
+        "event_type": sorted(answers),
+        "p90_value": [answers[g] for g in sorted(answers)],
+    }).reset_index(drop=True)
 
 
 SQL_GROUPED_MEDIAN_SELECT = """
 SELECT event_type, quantile_disc(value, 0.5) AS median_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+SQL_GROUPED_P90_SELECT = """
+SELECT event_type, quantile_disc(value, 0.9) AS p90_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -598,6 +620,7 @@ QUERIES = {
     "quantile_select": q_quantile_select,
     "mad_value": q_mad_value,
     "grouped_median_select": q_grouped_median_select,
+    "grouped_p90_select": q_grouped_p90_select,
 }
 
 ORACLE_SQL = {
@@ -605,4 +628,5 @@ ORACLE_SQL = {
     "quantile_select": SQL_QUANTILE_SELECT,
     "mad_value": SQL_MAD_VALUE,
     "grouped_median_select": SQL_GROUPED_MEDIAN_SELECT,
+    "grouped_p90_select": SQL_GROUPED_P90_SELECT,
 }
