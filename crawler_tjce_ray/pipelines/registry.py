@@ -179,12 +179,17 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 #   dedup_minhash_lsh (verify stage rewritten this round), and 5
 #   never-checked rows-only queries.
 #   r4 should front the remainder: pack_sequences_sharded,
-#   multimodal_image_resize, multimodal_phash_dedup, c4_filters,
-#   importance_weights, qty_moments_by_flag, regr_price_qty,
-#   grouped_p90_select + any new queries.
+#   multimodal_image_resize, multimodal_phash_dedup, ann_lsh_topk,
+#   c4_filters, importance_weights, qty_moments_by_flag,
+#   regr_price_qty, grouped_p90_select + any new queries.
+#   The window is EXACTLY _DRIVER_WINDOW_SIZE entries — pinned by
+#   tests/test_registry_window.py so an insertion can never silently
+#   push the tail entry past the driver's horizon.
+_DRIVER_WINDOW_SIZE = 50
 _DRIVER_WINDOW_FRONT = [
     "running_total",
-    # added this round, never driver-checked (fills slot 50)
+    # added this round, never driver-checked (fills slot 50;
+    # ann_lsh_topk moved to the r4 plan to make room)
     "gopher_rules",
     # never driver-checked, oracle-backed (hard-evidence conversion)
     "row_number_ntile", "rolling_avg3", "user_journey",
@@ -206,7 +211,7 @@ _DRIVER_WINDOW_FRONT = [
     "dedup_minhash_lsh",
     # never driver-checked rows-only
     "kmeans_embeddings", "semdedup", "cms_heavy_hitters",
-    "approx_value_quantiles", "ann_lsh_topk",
+    "approx_value_quantiles",
 ]
 
 

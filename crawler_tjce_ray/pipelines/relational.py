@@ -1917,56 +1917,83 @@ FROM lineitem
 """
 
 
-def _grouped_centered_moments(sf_dir: str, powers: tuple[int, ...]):
-    """Shared two-pass engine for the grouped moment queries: pass 1
-    reduces per-batch per-flag ``(n, Σx)`` partials to group means;
-    pass 2 broadcasts the means and sums CENTERED powers ``Σ(x−μ)^p``
-    per flag.  Centering first kills the catastrophic cancellation of
-    raw-power formulas (x⁴ sums overflow double precision long before
-    the centered ones do).  Arrow end-to-end: the per-row group mean
-    is an ``index_in`` + ``take`` against the tiny flag vector, the
+def _grouped_centered_moments(
+    sf_dir: str, powers: tuple[int, ...] = (), with_y: bool = False
+):
+    """Shared two-pass engine for the grouped moment/regression
+    queries over (l_returnflag, l_quantity[, l_extendedprice]):
+    pass 1 reduces per-batch per-flag ``(n, Σx[, Σy])`` partials to
+    group means; pass 2 broadcasts the means and sums CENTERED
+    products per flag — ``Σ(x−μx)^p`` for each requested power and,
+    with ``with_y``, the regression sums ``Σdx², Σdy², Σdx·dy``.
+    Centering first kills the catastrophic cancellation of raw-power
+    formulas (x⁴ sums overflow double precision long before the
+    centered ones do).  Arrow end-to-end: the per-row group mean is
+    an ``index_in`` + ``take`` against the tiny flag vector, the
     per-batch reduce a pyarrow ``group_by``.  Each pass ships
-    O(blocks × |flags| × |powers|) floats — values never shuffle.
-    Returns ``(flags, n per flag, {p: Σ(x−μ)^p per flag})``."""
+    O(blocks × |flags| × |sums|) floats — values never shuffle.
+    Returns ``(flags, ns, mx, my, sums)`` where ``sums`` maps
+    ``"m{p}"`` / ``"xx"``/``"yy"``/``"xy"`` to per-flag arrays
+    (``my`` is None without ``with_y``)."""
     import ray
 
-    def p1(t: pa.Table) -> pa.Table:
-        x = pc.cast(t["l_quantity"], pa.float64())
-        g = pa.table({"f": t["l_returnflag"], "x": x}).group_by("f").aggregate(
-            [("x", "sum"), ("x", "count")]
-        )
-        return pa.table({"f": g["f"], "sx": g["x_sum"],
-                         "n": pc.cast(g["x_count"], pa.float64())})
+    cols = ["l_returnflag", "l_quantity"] + (
+        ["l_extendedprice"] if with_y else []
+    )
 
-    cols = ["l_returnflag", "l_quantity"]
+    def p1(t: pa.Table) -> pa.Table:
+        data = {
+            "f": t["l_returnflag"],
+            "x": pc.cast(t["l_quantity"], pa.float64()),
+        }
+        aggs = [("x", "sum"), ("x", "count")]
+        if with_y:
+            data["y"] = pc.cast(t["l_extendedprice"], pa.float64())
+            aggs.append(("y", "sum"))
+        g = pa.table(data).group_by("f").aggregate(aggs)
+        out = {"f": g["f"], "sx": g["x_sum"],
+               "n": pc.cast(g["x_count"], pa.float64())}
+        if with_y:
+            out["sy"] = g["y_sum"]
+        return pa.table(out)
+
     parts = (
         _read(sf_dir, "lineitem", columns=cols)
         .map_batches(p1, batch_format="pyarrow")
         .to_pandas()
-        .sort_values(["f", "n", "sx"], kind="mergesort")
+    )
+    parts = (
+        parts.sort_values(list(parts.columns), kind="mergesort")
         .groupby("f", as_index=False).sum()
         .sort_values("f", kind="mergesort")
     )
     flags = parts["f"].tolist()
     ns = parts["n"].to_numpy(np.float64)
-    means = (parts["sx"] / parts["n"]).to_numpy(np.float64)
-    ref = ray.put((flags, means))
+    mx = (parts["sx"] / parts["n"]).to_numpy(np.float64)
+    my = (parts["sy"] / parts["n"]).to_numpy(np.float64) if with_y else None
+    ref = ray.put((flags, mx, my))
 
     def p2(t: pa.Table) -> pa.Table:
-        fl, mu = ray.get(ref)
+        fl, cx, cy = ray.get(ref)
         idx = pc.index_in(t["l_returnflag"], value_set=pa.array(fl))
-        center = pc.take(pa.array(mu, pa.float64()), idx)
-        d = pc.subtract(pc.cast(t["l_quantity"], pa.float64()), center)
+        dx = pc.subtract(pc.cast(t["l_quantity"], pa.float64()),
+                         pc.take(pa.array(cx, pa.float64()), idx))
         cols_out = {"f": t["l_returnflag"]}
-        acc = d
-        for p in range(2, max(powers) + 1):
-            acc = pc.multiply(acc, d)
+        acc = dx
+        for p in range(2, max(powers, default=1) + 1):
+            acc = pc.multiply(acc, dx)
             if p in powers:
                 cols_out[f"m{p}"] = acc
-        g = pa.table(cols_out).group_by("f").aggregate(
-            [(f"m{p}", "sum") for p in powers]
+        if with_y:
+            dy = pc.subtract(pc.cast(t["l_extendedprice"], pa.float64()),
+                             pc.take(pa.array(cy, pa.float64()), idx))
+            cols_out["xx"] = pc.multiply(dx, dx)
+            cols_out["yy"] = pc.multiply(dy, dy)
+            cols_out["xy"] = pc.multiply(dx, dy)
+        names = [c for c in cols_out if c != "f"]
+        return pa.table(cols_out).group_by("f").aggregate(
+            [(c, "sum") for c in names]
         )
-        return g
 
     m = (
         _read(sf_dir, "lineitem", columns=cols)
@@ -1978,8 +2005,11 @@ def _grouped_centered_moments(sf_dir: str, powers: tuple[int, ...]):
         .groupby("f", as_index=False).sum()
         .sort_values("f", kind="mergesort")
     )
-    sums = {p: m[f"m{p}_sum"].to_numpy(np.float64) for p in powers}
-    return flags, ns, means, sums
+    sums = {
+        c[: -len("_sum")]: m[c].to_numpy(np.float64)
+        for c in m.columns if c.endswith("_sum")
+    }
+    return flags, ns, mx, my, sums
 
 
 def q_qty_moments_by_flag(sf_dir: str):
@@ -1991,14 +2021,19 @@ def q_qty_moments_by_flag(sf_dir: str):
       G1 = (m3/m2^1.5) · sqrt(n(n−1))/(n−2)
       G2 = ((n+1)(m4/m2² − 3) + 6) · (n−1)/((n−2)(n−3))
 
-    Both engines round to 6 decimals so the driver's value hash is
-    exact (the ``corr_qty_price`` discipline)."""
-    flags, ns, _, s = _grouped_centered_moments(sf_dir, (2, 3, 4))
-    m2, m3, m4 = s[2] / ns, s[3] / ns, s[4] / ns
-    g1 = m3 / m2 ** 1.5
-    skew = g1 * np.sqrt(ns * (ns - 1.0)) / (ns - 2.0)
-    g2 = m4 / m2**2 - 3.0
-    kurt = ((ns + 1.0) * g2 + 6.0) * (ns - 1.0) / ((ns - 2.0) * (ns - 3.0))
+    Degenerate groups follow DuckDB's NULL rules (pinned empirically):
+    skewness is NULL below n=3 or at zero variance, kurtosis below
+    n=4 or at zero variance.  Both engines round to 6 decimals so the
+    driver's value hash is exact (the ``corr_qty_price`` discipline)."""
+    flags, ns, _, _, s = _grouped_centered_moments(sf_dir, powers=(2, 3, 4))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m2, m3, m4 = s["m2"] / ns, s["m3"] / ns, s["m4"] / ns
+        g1 = m3 / m2 ** 1.5
+        skew = g1 * np.sqrt(ns * (ns - 1.0)) / (ns - 2.0)
+        g2 = m4 / m2**2 - 3.0
+        kurt = ((ns + 1.0) * g2 + 6.0) * (ns - 1.0) / ((ns - 2.0) * (ns - 3.0))
+    skew = np.where((ns < 3) | (m2 <= 0.0), np.nan, skew)
+    kurt = np.where((ns < 4) | (m2 <= 0.0), np.nan, kurt)
     return pd.DataFrame({
         "l_returnflag": pd.Series(flags, dtype="object"),
         "n_rows": ns.astype("int64"),
@@ -2019,73 +2054,31 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 def q_regr_price_qty(sf_dir: str):
     """Grouped simple linear regression of l_extendedprice on
     l_quantity per l_returnflag — slope, intercept and R², i.e.
-    DuckDB's ``regr_slope/regr_intercept/regr_r2``.  Same two-pass
-    centered-moment engine as the other moment queries, extended with
-    the y column: pass 1 per-flag means of x and y, pass 2 per-flag
-    centered Sxx/Syy/Sxy; slope = Sxy/Sxx, intercept = ȳ − slope·x̄,
-    R² = Sxy²/(Sxx·Syy).  Rounded to 6 decimals on both engines."""
-    import ray
+    DuckDB's ``regr_slope/regr_intercept/regr_r2``, from the shared
+    ``_grouped_centered_moments`` engine with the y column enabled:
+    slope = Sxy/Sxx, intercept = ȳ − slope·x̄, R² = Sxy²/(Sxx·Syy).
 
-    cols = ["l_returnflag", "l_quantity", "l_extendedprice"]
-
-    def p1(t: pa.Table) -> pa.Table:
-        g = pa.table({
-            "f": t["l_returnflag"],
-            "x": pc.cast(t["l_quantity"], pa.float64()),
-            "y": pc.cast(t["l_extendedprice"], pa.float64()),
-        }).group_by("f").aggregate([("x", "sum"), ("y", "sum"), ("x", "count")])
-        return pa.table({"f": g["f"], "sx": g["x_sum"], "sy": g["y_sum"],
-                         "n": pc.cast(g["x_count"], pa.float64())})
-
-    parts = (
-        _read(sf_dir, "lineitem", columns=cols)
-        .map_batches(p1, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(["f", "n", "sx", "sy"], kind="mergesort")
-        .groupby("f", as_index=False).sum()
-        .sort_values("f", kind="mergesort")
-    )
-    flags = parts["f"].tolist()
-    ns = parts["n"].to_numpy(np.float64)
-    mx = (parts["sx"] / parts["n"]).to_numpy(np.float64)
-    my = (parts["sy"] / parts["n"]).to_numpy(np.float64)
-    ref = ray.put((flags, mx, my))
-
-    def p2(t: pa.Table) -> pa.Table:
-        fl, cx, cy = ray.get(ref)
-        idx = pc.index_in(t["l_returnflag"], value_set=pa.array(fl))
-        dx = pc.subtract(pc.cast(t["l_quantity"], pa.float64()),
-                         pc.take(pa.array(cx, pa.float64()), idx))
-        dy = pc.subtract(pc.cast(t["l_extendedprice"], pa.float64()),
-                         pc.take(pa.array(cy, pa.float64()), idx))
-        g = pa.table({
-            "f": t["l_returnflag"],
-            "xx": pc.multiply(dx, dx),
-            "yy": pc.multiply(dy, dy),
-            "xy": pc.multiply(dx, dy),
-        }).group_by("f").aggregate([("xx", "sum"), ("yy", "sum"), ("xy", "sum")])
-        return g
-
-    m = (
-        _read(sf_dir, "lineitem", columns=cols)
-        .map_batches(p2, batch_format="pyarrow")
-        .to_pandas()
-    )
-    m = (
-        m.sort_values(list(m.columns), kind="mergesort")
-        .groupby("f", as_index=False).sum()
-        .sort_values("f", kind="mergesort")
-    )
-    sxx = m["xx_sum"].to_numpy(np.float64)
-    syy = m["yy_sum"].to_numpy(np.float64)
-    sxy = m["xy_sum"].to_numpy(np.float64)
-    slope = sxy / sxx
+    Degenerate groups follow DuckDB's NULL rules (pinned empirically):
+    all three are NULL at zero x-variance; R² is 1.0 at zero
+    y-variance (a constant y is fit perfectly).  Rounded to 6
+    decimals on both engines."""
+    flags, ns, mx, my, s = _grouped_centered_moments(sf_dir, with_y=True)
+    sxx, syy, sxy = s["xx"], s["yy"], s["xy"]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = np.where(sxx > 0.0, sxy / np.where(sxx > 0.0, sxx, 1.0), np.nan)
+        intercept = my - slope * mx
+        r2 = np.where(
+            sxx <= 0.0, np.nan,
+            np.where(syy <= 0.0, 1.0,
+                     sxy**2 / np.where((sxx > 0.0) & (syy > 0.0),
+                                       sxx * syy, 1.0)),
+        )
     return pd.DataFrame({
         "l_returnflag": pd.Series(flags, dtype="object"),
         "n_rows": ns.astype("int64"),
         "slope": np.round(slope, 6),
-        "intercept": np.round(my - slope * mx, 6),
-        "r2": np.round(sxy**2 / (sxx * syy), 6),
+        "intercept": np.round(intercept, 6),
+        "r2": np.round(r2, 6),
     })
 
 

@@ -614,7 +614,14 @@ def q_importance_weights(sf_dir: str):
     pass reduces per-batch ``(token, n_target, n_source)`` partials to
     the O(vocab) LM (the only driver state), the ratio table
     broadcasts once via ``ray.put``, and a second streaming pass
-    scores each batch vectorized.  Values never shuffle."""
+    scores each batch vectorized.  Values never shuffle.
+
+    ``mean_logratio`` is deliberately UNROUNDED, matching the
+    ``unigram_logprob`` family precedent: per-doc means of identical
+    LM terms agree to ~1e-15 relative and the driver's float check is
+    tolerance-based, whereas rounding both sides to a fixed decimal
+    would CREATE boundary cases where the two engines round a
+    straddling pair apart."""
     import ray
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
