@@ -31,6 +31,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 def _json_default(o):
+    import base64
+
     import numpy as np
 
     if isinstance(o, (np.integer,)):
@@ -39,6 +41,8 @@ def _json_default(o):
         return float(o)
     if isinstance(o, np.ndarray):
         return o.tolist()
+    if isinstance(o, (bytes, bytearray)):
+        return base64.b64encode(bytes(o)).decode("ascii")
     return str(o)
 
 
@@ -210,6 +214,67 @@ class AppState:
         }
 
 
+    # -- registry-backed query surface --------------------------------------
+    # The reference serves each pipeline behind its own route; the
+    # rebuild's full operator registry (build_queries) is one uniform
+    # surface, so two generic routes expose ALL of it: /api/queries
+    # lists the registry, /api/query/<name> runs one entry and returns
+    # its rows as JSON.  Heavy results are truncated by ``limit``
+    # (default 1000 rows) — the full-size path stays the CLI/parquet
+    # sinks, not an HTTP body.
+
+    QUERY_DEFAULT_LIMIT = 1000
+    QUERY_MAX_LIMIT = 100_000
+
+    def _default_sf_dir(self) -> str:
+        return os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    def query_index(self) -> tuple[int, dict]:
+        from crawler_tjce_ray.pipelines.registry import (
+            build_oracle_sql, build_queries,
+        )
+
+        names = build_queries()
+        sql = build_oracle_sql()
+        return 200, {
+            "status": "success",
+            "message": f"{len(names)} queries registradas.",
+            "data": [{"name": n, "has_oracle": n in sql} for n in names],
+        }
+
+    def run_query(self, name: str, params: dict) -> tuple[int, dict]:
+        from crawler_tjce_ray.pipelines.registry import build_queries
+
+        qs = build_queries()
+        if name not in qs:
+            return 404, {"status": "error",
+                         "message": f"query desconhecida: {name}"}
+        try:
+            limit = int(params.get("limit", self.QUERY_DEFAULT_LIMIT))
+        except ValueError:
+            return 400, {"status": "error", "message": "limit deve ser inteiro"}
+        limit = max(1, min(limit, self.QUERY_MAX_LIMIT))
+        sf_dir = params.get("sf_dir", self._default_sf_dir())
+        if not os.path.isdir(sf_dir):
+            return 400, {"status": "error",
+                         "message": f"sf_dir inexistente: {sf_dir}"}
+
+        def build():
+            res = qs[name](sf_dir)
+            if hasattr(res, "to_pandas"):
+                res = res.to_pandas()
+            total = int(len(res))
+            head = res.head(limit)
+            return 200, {
+                "status": "success",
+                "message": f"{total} linhas ({min(total, limit)} retornadas).",
+                "rows_total": total,
+                "data": head.to_dict("records"),
+            }
+
+        return self._cached(f"query:{name}:{sf_dir}:{limit}", build)
+
+
 class ApiHandler(BaseHTTPRequestHandler):
     state: AppState  # injected by make_server
 
@@ -255,6 +320,11 @@ class ApiHandler(BaseHTTPRequestHandler):
                 self._send(*self.state.listing("editais"))
             elif parsed.path == "/api/pagamentos":
                 self._send(*self.state.listing("pagamentos"))
+            elif parsed.path == "/api/queries":
+                self._send(*self.state.query_index())
+            elif parsed.path.startswith("/api/query/"):
+                qname = parsed.path[len("/api/query/"):]
+                self._send(*self.state.run_query(qname, params))
             elif parsed.path == "/api/fetch":
                 code, payload = self.state.fetch(params)
                 if code == 200:

@@ -153,3 +153,54 @@ class TestFetchMatchesCli:
         _, sub = _get(server, f"/api/fetch?entity={slug}&year={year}")
         assert 0 < sub["num_precatorios_found"] <= allb["num_precatorios_found"]
         assert all(row["ano_orcamento"] == year for row in sub["data"])
+
+
+class TestQueryRoutes:
+    """/api/queries + /api/query/<name>: the whole registry surface
+    over HTTP, rows identical to calling the query directly."""
+
+    def test_query_index_lists_registry(self, server):
+        from crawler_tjce_ray.pipelines.registry import (
+            build_oracle_sql, build_queries,
+        )
+
+        code, body = _get(server, "/api/queries")
+        assert code == 200 and body["status"] == "success"
+        names = {d["name"] for d in body["data"]}
+        assert names == set(build_queries())
+        oracled = {d["name"] for d in body["data"] if d["has_oracle"]}
+        assert oracled == set(build_oracle_sql()) & names
+
+    def test_query_rows_match_direct_call(self, server):
+        from crawler_tjce_ray.pipelines.registry import build_queries
+
+        code, body = _get(
+            server, "/api/query/groupby_count?sf_dir=/root/testdata/sf0.001"
+        )
+        assert code == 200 and body["status"] == "success"
+        direct = build_queries()["groupby_count"]("/root/testdata/sf0.001")
+        if hasattr(direct, "to_pandas"):
+            direct = direct.to_pandas()
+        assert body["rows_total"] == len(direct)
+        assert body["data"] == json.loads(
+            direct.to_json(orient="records")
+        )
+
+    def test_query_limit_truncates(self, server):
+        code, body = _get(
+            server,
+            "/api/query/limit_window?sf_dir=/root/testdata/sf0.001&limit=7",
+        )
+        assert code == 200
+        assert len(body["data"]) == 7
+        assert body["rows_total"] >= 7
+
+    def test_unknown_query_404(self, server):
+        code, body = _get_error(server, "/api/query/no_such_query")
+        assert code == 404 and body["status"] == "error"
+
+    def test_bad_sf_dir_400(self, server):
+        code, body = _get_error(
+            server, "/api/query/groupby_count?sf_dir=/nonexistent"
+        )
+        assert code == 400 and body["status"] == "error"
