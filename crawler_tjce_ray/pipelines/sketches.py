@@ -322,60 +322,110 @@ def _narrow(counts: np.ndarray, edges: np.ndarray, k: int, rank_lo: int):
     return lo, hi, (int(cum[sel - 1]) if sel else rank_lo), int(counts[sel])
 
 
-def _quickselect(ds, derive, k: int, n: int, gmin: float, gmax: float) -> float:
-    """Exact k-th smallest (1-based) of ``derive(batch)`` over the
-    whole Dataset via iterative histogram refinement.  Each round
-    broadcasts the current window ``(lo, hi]`` and 257 shared bin
-    edges; batches report 256 additive bin counts plus the window's
-    min/max (driver state O(256) per pass).  The bin holding rank k
-    becomes the next window — a 256× narrowing per streaming pass, so
-    even 10^12 rows reach a collectable window in ~4 passes.  An
-    all-ties window short-circuits (min == max → that IS the answer);
-    once the window holds ≤ ``_SELECT_COLLECT_MAX`` values one
-    filtered pass collects them and ``np.partition`` finishes.
+def _quickselect_multi(
+    ds, derive, ks: list[int], n: int, gmin: float, gmax: float
+) -> list[float]:
+    """Exact k-th smallest (1-based) of ``derive(batch)`` for EVERY
+    rank in ``ks`` via iterative histogram refinement, all searches
+    advancing SIMULTANEOUSLY: each round broadcasts one window
+    ``(lo, hi]`` + 257 shared bin edges per still-active search, and a
+    single streaming pass reports 256 additive bin counts (plus the
+    window min/max) for each — so a 3-quantile query costs the passes
+    of ONE quickselect, not three (driver state O(|ks| × 256)).  The
+    bin holding rank k becomes that search's next window — a 256×
+    narrowing per pass, so even 10^12 rows reach a collectable window
+    in ~4 passes.  An all-ties window short-circuits (min == max →
+    that IS the answer); searches whose window holds
+    ≤ ``_SELECT_COLLECT_MAX`` values park until one shared filtered
+    pass collects every parked window and ``np.partition`` finishes.
     ``derive`` makes the machinery composable over DERIVED columns
     (see ``q_mad_value``) — the derived values are recomputed per
-    pass and never stored anywhere."""
-    lo = np.nextafter(gmin, -np.inf)  # window is (lo, hi]
-    hi = gmax
-    rank_lo = 0
-    while True:
-        edges = _select_edges(lo, hi)
+    pass and never stored anywhere.  Per-search decisions are
+    IDENTICAL to a sequential run (same histograms over the same
+    data), so results are bit-equal to the single-rank form."""
+    state = {
+        i: {"k": k, "lo": np.nextafter(gmin, -np.inf), "hi": gmax,
+            "rank_lo": 0}
+        for i, k in enumerate(ks)
+    }
+    answers: dict[int, float] = {}
+    collect: dict[int, tuple] = {}
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({
+            "s": pd.Series([], dtype="int64"),
+            "bin": pd.Series([], dtype="int64"),
+            "c": pd.Series([], dtype="int64"),
+            "wmn": pd.Series([], dtype="float64"),
+            "wmx": pd.Series([], dtype="float64"),
+        })
+
+    while state:
+        edges = {i: _select_edges(s["lo"], s["hi"]) for i, s in state.items()}
 
         def hist(df: pd.DataFrame, _e=edges) -> pd.DataFrame:
-            hw = _hist_window(derive(df), _e)
-            if hw is None:
-                return pd.DataFrame({
-                    "bin": pd.Series([], dtype="int64"),
-                    "c": pd.Series([], dtype="int64"),
-                    "wmn": pd.Series([], dtype="float64"),
-                    "wmx": pd.Series([], dtype="float64"),
-                })
-            nz, cnz, wmn, wmx = hw
-            return pd.DataFrame({
-                "bin": nz.astype("int64"),
-                "c": cnz.astype("int64"),
-                "wmn": np.float64(wmn),
-                "wmx": np.float64(wmx),
-            })
+            v = derive(df)
+            outs = []
+            for i, e in _e.items():
+                hw = _hist_window(v, e)
+                if hw is None:
+                    continue
+                nz, cnz, wmn, wmx = hw
+                outs.append(pd.DataFrame({
+                    "s": np.int64(i), "bin": nz.astype("int64"),
+                    "c": cnz.astype("int64"),
+                    "wmn": np.float64(wmn), "wmx": np.float64(wmx),
+                }))
+            return pd.concat(outs, ignore_index=True) if outs else _empty()
 
         parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
-        counts = np.zeros(_SELECT_BINS, np.int64)
-        if len(parts):
-            np.add.at(counts, parts["bin"].to_numpy(np.int64),
-                      parts["c"].to_numpy(np.int64))
-        if len(parts) and float(parts["wmn"].min()) == float(parts["wmx"].max()):
-            return float(parts["wmn"].min())  # all-ties window
-        new_lo, new_hi, rank_lo, in_bin = _narrow(counts, edges, k, rank_lo)
-        if in_bin <= _SELECT_COLLECT_MAX or new_hi <= np.nextafter(new_lo, np.inf):
-            vals = ds.map_batches(
-                lambda df, _l=new_lo, _h=new_hi: (
-                    lambda v: pd.DataFrame({"v": v[(v > _l) & (v <= _h)]})
-                )(derive(df)),
-                batch_format="pandas",
-            ).to_pandas()["v"].to_numpy(np.float64)
-            return float(np.partition(vals, k - rank_lo - 1)[k - rank_lo - 1])
-        lo, hi = new_lo, new_hi
+        by_s = {i: sub for i, sub in parts.groupby("s")} if len(parts) else {}
+        nxt = {}
+        for i, s in state.items():
+            mine = by_s.get(i)
+            counts = np.zeros(_SELECT_BINS, np.int64)
+            if mine is not None:
+                np.add.at(counts, mine["bin"].to_numpy(np.int64),
+                          mine["c"].to_numpy(np.int64))
+                if float(mine["wmn"].min()) == float(mine["wmx"].max()):
+                    answers[i] = float(mine["wmn"].min())  # all-ties window
+                    continue
+            lo, hi, rank_lo, in_bin = _narrow(
+                counts, edges[i], s["k"], s["rank_lo"]
+            )
+            if in_bin <= _SELECT_COLLECT_MAX or hi <= np.nextafter(lo, np.inf):
+                collect[i] = (lo, hi, s["k"] - rank_lo)
+            else:
+                nxt[i] = {"k": s["k"], "lo": lo, "hi": hi, "rank_lo": rank_lo}
+        state = nxt
+
+    if collect:
+        def gather(df: pd.DataFrame, _c=collect) -> pd.DataFrame:
+            v = derive(df)
+            outs = []
+            for i, (lo, hi, _) in _c.items():
+                w = v[(v > lo) & (v <= hi)]
+                if len(w):
+                    outs.append(pd.DataFrame({"s": np.int64(i), "v": w}))
+            if not outs:
+                return pd.DataFrame({
+                    "s": pd.Series([], dtype="int64"),
+                    "v": pd.Series([], dtype="float64"),
+                })
+            return pd.concat(outs, ignore_index=True)
+
+        vals = ds.map_batches(gather, batch_format="pandas").to_pandas()
+        for i, sub in vals.groupby("s"):
+            kk = collect[i][2]
+            v = sub["v"].to_numpy(np.float64)
+            answers[i] = float(np.partition(v, kk - 1)[kk - 1])
+
+    return [answers[i] for i in range(len(ks))]
+
+
+def _quickselect(ds, derive, k: int, n: int, gmin: float, gmax: float) -> float:
+    """Single-rank form of ``_quickselect_multi`` (see there)."""
+    return _quickselect_multi(ds, derive, [k], n, gmin, gmax)[0]
 
 
 def _select_base_stats(ds, derive):
@@ -404,18 +454,17 @@ def q_quantile_select(sf_dir: str):
 
     Rank semantics = DuckDB ``quantile_disc``: the element at 1-based
     rank ⌈q·n⌉ — so the result is bit-identical, no tolerance
-    needed."""
+    needed.  All three rank searches share each streaming pass
+    (``_quickselect_multi``), so the query costs ONE quickselect's
+    passes instead of three."""
     import math
 
     ds = _read_events(sf_dir, ["value"]).materialize()
     n, gmin, gmax = _select_base_stats(ds, _derive_value)
+    ks = [max(1, math.ceil(q * n)) for q in SELECT_QS]
     return pd.DataFrame({
         "q": pd.Series(SELECT_QS, dtype="float64"),
-        "value": [
-            _quickselect(ds, _derive_value, max(1, math.ceil(q * n)),
-                         n, gmin, gmax)
-            for q in SELECT_QS
-        ],
+        "value": _quickselect_multi(ds, _derive_value, ks, n, gmin, gmax),
     })
 
 
