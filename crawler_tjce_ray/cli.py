@@ -189,6 +189,41 @@ def cmd_crawl(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    """Run one registry query (the same surface the driver and the
+    HTTP /api/query route use) and write its rows to CSV or Parquet —
+    ``--list`` prints the registry instead."""
+    from crawler_tjce_ray.pipelines.registry import (
+        build_oracle_sql, build_queries,
+    )
+
+    qs = build_queries()
+    if args.list:
+        sql = build_oracle_sql()
+        for n in qs:
+            print(f"{n}\t{'oracle' if n in sql else 'rows-only'}")
+        return 0
+    if not args.name:
+        print("error: query name required (or --list)", file=sys.stderr)
+        return 2
+    if args.name not in qs:
+        print(f"error: unknown query: {args.name}", file=sys.stderr)
+        return 2
+    if not args.output:
+        print("error: --output required", file=sys.stderr)
+        return 2
+    _ensure_ray()
+    res = qs[args.name](args.sf_dir)
+    if hasattr(res, "to_pandas"):
+        res = res.to_pandas()
+    if args.output.endswith(".parquet"):
+        res.to_parquet(args.output, index=False)
+    else:
+        res.to_csv(args.output, index=False)
+    print(f"{args.name}: {len(res)} rows -> {args.output}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="crawler_tjce_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -220,6 +255,17 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--resume", action="store_true")
     pc.add_argument("--max-waves", type=int, default=100)
     pc.set_defaults(fn=cmd_crawl)
+
+    pq = sub.add_parser("query", help="run a registry query to CSV/Parquet")
+    pq.add_argument("name", nargs="?", default=None,
+                    help="query name (see --list)")
+    pq.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                    help="input table directory")
+    pq.add_argument("--output", default=None,
+                    help=".csv or .parquet output path")
+    pq.add_argument("--list", action="store_true",
+                    help="print the registry (name + oracle flag)")
+    pq.set_defaults(fn=cmd_query)
 
     ps = sub.add_parser("serve", help="serve the HTTP API (EP1 parity)")
     ps.add_argument("--port", type=int, default=8000)

@@ -216,3 +216,51 @@ class TestPostWriteHooks:
             write_display_csv(
                 pd.DataFrame(columns=EDITAL_CSV_FIELDS), "editais", str(out)
             )
+
+
+class TestQuerySubcommand:
+    """`python -m crawler_tjce_ray query` — the registry from the CLI."""
+
+    def test_list_prints_registry(self, capsys):
+        from crawler_tjce_ray.cli import main
+        from crawler_tjce_ray.pipelines.registry import build_queries
+
+        rc = main(["query", "--list"])
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert len(lines) == len(build_queries())
+        assert any(l.startswith("groupby_count\toracle") for l in lines)
+
+    def test_query_to_csv_matches_direct(self, tmp_path, ray_session):
+        import pandas as pd
+
+        from crawler_tjce_ray.cli import main
+        from crawler_tjce_ray.pipelines.registry import build_queries
+
+        out = tmp_path / "gb.csv"
+        rc = main(["query", "groupby_count",
+                   "--sf-dir", "/root/testdata/sf0.001",
+                   "--output", str(out)])
+        assert rc == 0
+        got = pd.read_csv(out)
+        want = build_queries()["groupby_count"]("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(
+            got, want.reset_index(drop=True), check_dtype=False
+        )
+
+    def test_query_to_parquet(self, tmp_path, ray_session):
+        import pandas as pd
+
+        from crawler_tjce_ray.cli import main
+
+        out = tmp_path / "pq.parquet"
+        rc = main(["query", "qty_moments_by_flag",
+                   "--sf-dir", "/root/testdata/sf0.001",
+                   "--output", str(out)])
+        assert rc == 0
+        assert len(pd.read_parquet(out)) == 3
+
+    def test_unknown_query_is_error(self):
+        from crawler_tjce_ray.cli import main
+
+        assert main(["query", "nope", "--output", "/tmp/x.csv"]) == 2
