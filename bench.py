@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "qty_moments_by_flag",
     "regr_price_qty",
     "grouped_p90_select",
+    "bpe_token_count",
 ]
 
 

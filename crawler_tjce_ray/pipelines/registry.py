@@ -149,8 +149,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     out["crawl_metrics"] = q_crawl_metrics
 
     from crawler_tjce_ray.pipelines import (
-        clustering, dedup, graph, relational, similarity, sketches, textops,
-        training, webtext,
+        bpe, clustering, dedup, graph, relational, similarity, sketches,
+        textops, training, webtext,
     )
     from crawler_tjce_ray.stages import multimodal
 
@@ -163,6 +163,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     out.update(webtext.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(sketches.QUERIES)
+    out.update(bpe.QUERIES)
     out.update(clustering.QUERIES)
     return _rotate_for_driver_window(out)
 
@@ -181,7 +182,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 #   r4 should front the remainder: pack_sequences_sharded,
 #   multimodal_image_resize, multimodal_phash_dedup, ann_lsh_topk,
 #   c4_filters, importance_weights, qty_moments_by_flag,
-#   regr_price_qty, grouped_p90_select + any new queries.
+#   regr_price_qty, grouped_p90_select + the rows-only
+#   bpe_train / bpe_token_count + any new queries.
 #   The window is EXACTLY _DRIVER_WINDOW_SIZE entries — pinned by
 #   tests/test_registry_window.py so an insertion can never silently
 #   push the tail entry past the driver's horizon.
