@@ -212,6 +212,9 @@ def cmd_query(args: argparse.Namespace) -> int:
     if not args.output:
         print("error: --output required", file=sys.stderr)
         return 2
+    if not os.path.isdir(args.sf_dir):
+        print(f"error: sf_dir does not exist: {args.sf_dir}", file=sys.stderr)
+        return 2
     _ensure_ray()
     res = qs[args.name](args.sf_dir)
     if hasattr(res, "to_pandas"):

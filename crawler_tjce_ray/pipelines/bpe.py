@@ -116,11 +116,24 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return seq
 
 
+# per-process memo: bpe_train and bpe_token_count share one trained
+# merge table per corpus dir (deterministic result; the _crawl_run
+# memo precedent in registry.py) instead of each re-running the
+# corpus-scale count pass + trainer
+_TRAIN_MEMO: dict[str, list[tuple[str, str]]] = {}
+
+
+def _trained(sf_dir: str) -> list[tuple[str, str]]:
+    if sf_dir not in _TRAIN_MEMO:
+        _TRAIN_MEMO[sf_dir] = train_bpe(corpus_word_counts(sf_dir))
+    return _TRAIN_MEMO[sf_dir]
+
+
 def q_bpe_train(sf_dir: str) -> pd.DataFrame:
     """The learned merge table itself as data: (rank, left, right).
     Deterministic for a given corpus (count-then-lexicographic tie
     break), so the driver's rows-only check is stable."""
-    merges = train_bpe(corpus_word_counts(sf_dir))
+    merges = _trained(sf_dir)
     return pd.DataFrame({
         "rank": pd.Series(range(len(merges)), dtype="int64"),
         "left": pd.Series([a for a, _ in merges], dtype="object"),
@@ -136,7 +149,7 @@ def q_bpe_token_count(sf_dir: str) -> pd.DataFrame:
     words and maps counts back vectorized."""
     import ray
 
-    merges = train_bpe(corpus_word_counts(sf_dir))
+    merges = _trained(sf_dir)
     ranks = {p: r for r, p in enumerate(merges)}
     ranks_ref = ray.put(ranks)
 

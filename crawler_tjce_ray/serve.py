@@ -35,6 +35,8 @@ def _json_default(o):
 
     import numpy as np
 
+    if isinstance(o, np.bool_):
+        return bool(o)
     if isinstance(o, (np.integer,)):
         return int(o)
     if isinstance(o, (np.floating,)):
@@ -242,6 +244,21 @@ class AppState:
             "data": [{"name": n, "has_oracle": n in sql} for n in names],
         }
 
+    @staticmethod
+    def _json_records(df) -> list[dict]:
+        """RFC 8259-safe records: NaN/±Inf become null (json.dumps
+        would otherwise emit literal ``NaN``, which strict parsers —
+        JS ``JSON.parse``, Go ``encoding/json`` — reject)."""
+        import numpy as np
+
+        def san(v):
+            if isinstance(v, (float, np.floating)) and not np.isfinite(v):
+                return None
+            return v
+
+        return [{k: san(v) for k, v in r.items()}
+                for r in df.to_dict("records")]
+
     def run_query(self, name: str, params: dict) -> tuple[int, dict]:
         from crawler_tjce_ray.pipelines.registry import build_queries
 
@@ -259,20 +276,23 @@ class AppState:
             return 400, {"status": "error",
                          "message": f"sf_dir inexistente: {sf_dir}"}
 
-        def build():
+        # cache the FULL result keyed (name, sf_dir) and slice per
+        # request — distinct limits must not re-execute the query
+        def build_full():
             res = qs[name](sf_dir)
             if hasattr(res, "to_pandas"):
                 res = res.to_pandas()
-            total = int(len(res))
-            head = res.head(limit)
-            return 200, {
-                "status": "success",
-                "message": f"{total} linhas ({min(total, limit)} retornadas).",
-                "rows_total": total,
-                "data": head.to_dict("records"),
-            }
+            return 200, {"df": res}
 
-        return self._cached(f"query:{name}:{sf_dir}:{limit}", build)
+        code, payload = self._cached(f"queryfull:{name}:{sf_dir}", build_full)
+        res = payload["df"]
+        total = int(len(res))
+        return code, {
+            "status": "success",
+            "message": f"{total} linhas ({min(total, limit)} retornadas).",
+            "rows_total": total,
+            "data": self._json_records(res.head(limit)),
+        }
 
 
 class ApiHandler(BaseHTTPRequestHandler):

@@ -204,3 +204,41 @@ class TestQueryRoutes:
             server, "/api/query/groupby_count?sf_dir=/nonexistent"
         )
         assert code == 400 and body["status"] == "error"
+
+
+class TestJsonSafety:
+    """RFC 8259-strict serialization: NaN/Inf -> null, numpy bools ->
+    JSON booleans (strict parsers reject literal NaN; str(np.bool_)
+    would make \"False\" truthy downstream)."""
+
+    def test_json_records_sanitizes_nonfinite(self):
+        import numpy as np
+        import pandas as pd
+
+        from crawler_tjce_ray.serve import AppState
+
+        df = pd.DataFrame({
+            "a": [1.0, float("nan"), float("inf")],
+            "b": np.array([True, False, True]),
+        })
+        recs = AppState._json_records(df)
+        assert recs[1]["a"] is None and recs[2]["a"] is None
+        assert recs[0]["a"] == 1.0
+
+    def test_json_default_numpy_bool(self):
+        import numpy as np
+
+        from crawler_tjce_ray.serve import _json_default
+
+        assert json.dumps(np.bool_(False), default=_json_default) == "false"
+
+    def test_query_limits_share_one_execution(self, server):
+        # same rows regardless of limit; rows_total constant
+        _, b5 = _get(
+            server, "/api/query/limit_window?sf_dir=/root/testdata/sf0.001&limit=5"
+        )
+        _, b9 = _get(
+            server, "/api/query/limit_window?sf_dir=/root/testdata/sf0.001&limit=9"
+        )
+        assert b5["rows_total"] == b9["rows_total"]
+        assert b9["data"][:5] == b5["data"]
