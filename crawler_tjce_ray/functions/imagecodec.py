@@ -11,10 +11,10 @@ codec path is implemented from the public format specs with stdlib
 * BMP (BITMAPINFOHEADER): uncompressed 8-bit palette, 24- and 32-bit,
   bottom-up or top-down.
 
-JPEG and other DCT/wavelet formats stay behind
-``NotImplementedError`` — faithfully implementing them is out of
-scope and a real deployment routes them to PIL/libjpeg via the same
-``decode_image`` dispatch.
+Baseline JPEG lives in the sibling ``jpegcodec`` module and is
+dispatched from ``decode_image``; remaining formats (WebP, AVIF,
+progressive JPEG) stay behind ``NotImplementedError`` — a real
+deployment routes them to PIL/libjpeg via the same dispatch.
 
 Reference parity: the reference repo treats media as opaque bytes and
 never decodes; these codecs back the beyond-reference multimodal
@@ -210,13 +210,18 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatch a real-format image payload to its codec → (h, w, c)
-    uint8.  Unknown magics (JPEG, WebP, …) raise NotImplementedError —
-    route them to PIL in a full deployment."""
+    uint8.  PNG/BMP decode here; baseline JPEG dispatches to
+    ``jpegcodec``.  Unknown magics (WebP, progressive JPEG, …) raise
+    NotImplementedError — route them to PIL in a full deployment."""
+    from crawler_tjce_ray.functions import jpegcodec
+
     if is_png(payload):
         return decode_png(payload)
     if is_bmp(payload):
         return decode_bmp(payload)
+    if jpegcodec.is_jpeg(payload):
+        return jpegcodec.decode_jpeg(payload)
     raise NotImplementedError(
         f"no pure-numpy codec for magic {payload[:4]!r}; "
-        "install PIL and route through it for JPEG/WebP"
+        "install PIL and route through it for WebP/AVIF"
     )

@@ -41,13 +41,15 @@ def _rng_for(media_id: int, seed: int) -> np.random.RandomState:
 
 
 def make_image(media_id: int, seed: int) -> bytes:
-    """Images round-robin over three containers by image ordinal:
-    the FIMG fake, a real PNG and a real BMP (the pure-numpy codecs in
-    functions/imagecodec.py), so the decode stages exercise genuine
-    bytes end-to-end while staying deterministic."""
+    """Images round-robin over four containers by image ordinal: the
+    FIMG fake, a real PNG, a real BMP and a real baseline JPEG (the
+    pure-numpy codecs in functions/imagecodec.py + jpegcodec.py), so
+    the decode stages exercise genuine bytes end-to-end while staying
+    deterministic.  JPEG is lossy, but its decode is deterministic, so
+    downstream stats stay reproducible."""
     r = _rng_for(media_id, seed)
     w, h, c = int(r.randint(8, 33)), int(r.randint(8, 33)), int(r.choice([1, 3]))
-    container = (media_id // 3) % 3
+    container = (media_id // 3) % 4
     if container == 1:  # real PNG (lossless: stats match the pixels)
         from crawler_tjce_ray.functions.imagecodec import encode_png
 
@@ -56,6 +58,11 @@ def make_image(media_id: int, seed: int) -> bytes:
         from crawler_tjce_ray.functions.imagecodec import encode_bmp
 
         return encode_bmp(r.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
+    if container == 3:  # real baseline JPEG (4:4:4)
+        from crawler_tjce_ray.functions.jpegcodec import encode_jpeg
+
+        return encode_jpeg(r.randint(0, 256, size=(h, w, c), dtype=np.uint8),
+                           quality=85)
     head = MAGIC_IMG + np.array([w, h], "<u2").tobytes() + bytes([c])
     return head + r.randint(0, 256, size=w * h * c, dtype=np.uint8).tobytes()
 
@@ -108,8 +115,8 @@ def media_cache_dir(n_media: int = 300, seed: int = 7) -> str:
     """Synthesize-once cache under /tmp keyed by params."""
     import shutil
 
-    # v2: images carry real PNG/BMP containers alongside FIMG
-    out = f"/tmp/crawler_tjce_ray_media/v2_n{n_media}_s{seed}"
+    # v3: images round-robin FIMG/PNG/BMP/JPEG containers
+    out = f"/tmp/crawler_tjce_ray_media/v3_n{n_media}_s{seed}"
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         # build in a process-private tmp dir, then atomically rename:

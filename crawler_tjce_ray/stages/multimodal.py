@@ -40,7 +40,7 @@ def decode_any_image(payload: bytes) -> np.ndarray:
 
 
 class ImageDecodeStage:
-    """Decode images (FIMG / PNG / BMP) → (width, height, channels,
+    """Decode images (FIMG / PNG / BMP / JPEG) → (width, height, channels,
     mean_intensity).  Header parse is O(1) for FIMG; real codecs run
     one zlib inflate + vectorized defilter per payload."""
 
@@ -72,7 +72,7 @@ class ImageResizeStage:
     """Resize (integer-factor box downsample) images, emitting a new
     binary column — a binary→binary transform with payload-size
     reduction (the thumbnailing stage of a training pipeline).  FIMG
-    thumbnails stay FIMG; real-format inputs (PNG/BMP) re-encode as
+    thumbnails stay FIMG; real-format inputs (PNG/BMP/JPEG) re-encode as
     PNG (the standard lossless thumbnail container)."""
 
     def __init__(self, factor: int = 2) -> None:
@@ -362,7 +362,7 @@ class ImagePHashStage:
     public technique): decode → channel-mean luma → 8×8 block means →
     64 bits (cell > mean), emitted with the four 16-bit band keys for
     pigeonhole blocking.  Payloads decode through ``decode_any_image``
-    (FIMG / PNG / BMP) exactly like ``ImageDecodeStage``."""
+    (FIMG / PNG / BMP / JPEG) exactly like ``ImageDecodeStage``."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, phs = [], []

@@ -131,7 +131,12 @@ class TestBMP:
 class TestDispatch:
     def test_unknown_magic_raises(self):
         with pytest.raises(NotImplementedError):
-            decode_image(b"\xff\xd8\xff\xe0JFIF....")  # JPEG SOI
+            decode_image(b"RIFF\x00\x00\x00\x00WEBP")  # no WebP codec
+
+    def test_malformed_jpeg_raises_valueerror(self):
+        # JPEG now decodes for real; a truncated header is ValueError
+        with pytest.raises(ValueError):
+            decode_image(b"\xff\xd8\xff\xe0JFIF....")
 
     def test_dispatch_png_and_bmp(self):
         arr = _rand(8, 8, 3, seed=6)

@@ -35,10 +35,11 @@ class TestKernels:
         assert 0.0 <= out["mean_intensity"][0].as_py() <= 255.0
 
     def test_image_decode_unsupported_format_raises(self):
-        """PNG/BMP decode for real now; formats without a pure-numpy
-        codec (JPEG) still raise at the PIL routing point."""
+        """PNG/BMP/JPEG decode for real now; formats without a
+        pure-numpy codec (WebP) still raise at the PIL routing
+        point."""
         t = _tbl([{"media_id": 1, "kind": "image",
-                   "payload": b"\xff\xd8\xff\xe0JFIF...."}])
+                   "payload": b"RIFF\x00\x00\x00\x00WEBP"}])
         with pytest.raises(NotImplementedError):
             ImageDecodeStage()(t)
 
