@@ -178,6 +178,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)
         return bytes(self.buf)
 
+    def marker(self, byte2: int) -> None:
+        """Byte-align with 1-padding, then emit a raw (unstuffed)
+        marker — used for RSTn inside the entropy stream."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, byte2])
+
 
 def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
@@ -220,9 +228,13 @@ def _blocks(chan: np.ndarray) -> np.ndarray:
             .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
+def encode_jpeg(arr: np.ndarray, quality: int = 75,
+                restart_interval: int = 0) -> bytes:
     """(h, w), (h, w, 1) or (h, w, 3) uint8 → baseline JFIF bytes
-    (4:4:4, quality-scaled tables; tables ride in DQT/DHT)."""
+    (4:4:4, quality-scaled tables; tables ride in DQT/DHT).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that many MCUs (predictors reset, stream byte-aligned) —
+    the resilience feature real camera encoders use."""
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
     gray = arr.ndim == 2
@@ -255,6 +267,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
     for tc, (bits, vals) in tables:
         payload = bytes([tc]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -275,6 +289,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
     prev = [0] * len(planes)
     n_mcu = comp_blocks[0].shape[0]
     for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.marker(0xD0 + ((m // restart_interval - 1) & 7))
+            prev = [0] * len(planes)
         for ci in range(len(planes)):
             blk = comp_blocks[ci][m]
             zz = blk.reshape(64)[ZZ]
@@ -316,15 +333,18 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
 
 
 class _BitReader:
-    """Reads the entropy-coded segment: un-stuffs 0xFF00, stops at
-    markers, resets at RSTn (caller handles predictor reset)."""
+    """Reads the entropy-coded segment: un-stuffs 0xFF00 and stops at
+    markers.  Restart markers are consumed EAGERLY via ``restart()``
+    at the DRI boundary (the caller knows the MCU count), discarding
+    the pre-marker padding bits — a lazy in-``_fill`` reset would let
+    those pad bits leak into the next MCU and reset predictors one
+    MCU late."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
-        self.restart_hit = False
 
     def _fill(self) -> None:
         d = self.data
@@ -335,19 +355,25 @@ class _BitReader:
             nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
             if nxt == 0x00:
                 self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:  # RSTn
-                self.pos += 2
-                self.acc = 0
-                self.nbits = 0
-                self.restart_hit = True
-                self._fill()
-                return
             else:
                 raise ValueError("hit marker inside entropy stream")
         else:
             self.pos += 1
         self.acc = (self.acc << 8) | b
         self.nbits += 8
+
+    def restart(self) -> None:
+        """Discard padding bits and consume the expected RSTn."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while (self.pos + 1 < len(d) and d[self.pos] == 0xFF
+               and d[self.pos + 1] == 0xFF):  # legal fill bytes
+            self.pos += 1
+        if not (self.pos + 1 < len(d) and d[self.pos] == 0xFF
+                and 0xD0 <= d[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos += 2
 
     def bit(self) -> int:
         if self.nbits == 0:
@@ -380,7 +406,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes → (h, w, 1|3) uint8."""
     try:
         return _decode_jpeg(data)
-    except (struct.error, IndexError) as e:  # truncated mid-header
+    except (struct.error, IndexError, KeyError) as e:
+        # truncated mid-header / undefined table ids
         raise ValueError(f"malformed/truncated JPEG: {e}") from e
 
 
@@ -393,9 +420,13 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = None
     scan: list[dict] = []
+    restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker alignment")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -424,6 +455,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component JPEG (CMYK/YCCK) unsupported"
+                )
             for i in range(nc):
                 cid, hv, qid = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 if hv != 0x11:
@@ -438,16 +473,23 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[o + 17: o + 17 + n])
                 huff[(tc, tid)] = _build_decoder(bits, vals)
                 o += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved multi-scan baseline JPEG"
+                )
             for i in range(ns):
                 cid, t = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in comps if c["id"] == cid)
-                scan.append({**comp, "dc": t >> 4, "ac": t & 15})
+                matches = [c for c in comps if c["id"] == cid]
+                if not matches:
+                    raise ValueError(f"SOS references unknown component {cid}")
+                scan.append({**matches[0], "dc": t >> 4, "ac": t & 15})
             pos = body_start
             break
-        # other markers (APPn, COM, DRI payload ignored: RSTn handled
-        # in the bit reader) skipped via seglen
+        # other markers (APPn, COM) skipped via seglen
     if h is None or not scan:
         raise ValueError("JPEG missing SOF0/SOS")
 
@@ -458,8 +500,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     reader = _BitReader(data, pos)
     prev = [0] * len(scan)
     for m in range(n_mcu):
-        if reader.restart_hit:
-            reader.restart_hit = False
+        if restart_interval and m and m % restart_interval == 0:
+            reader.restart()
             prev = [0] * len(scan)
         my, mx = divmod(m, bx)
         for ci, comp in enumerate(scan):

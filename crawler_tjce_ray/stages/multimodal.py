@@ -9,11 +9,12 @@ small because each row carries a large binary payload (at 100 TB the
 object store must never hold batch_size × concurrency × payload
 beyond worker heap — size B accordingly, e.g. 32–64 for images).
 
-Image payloads decode through real codecs: pure-numpy PNG and BMP
-(functions/imagecodec.py) alongside the deterministic FIMG fake
-container (sources/media.py); unsupported formats (JPEG/WebP) raise a
-clearly-marked ``NotImplementedError`` — a full deployment routes
-those to PIL via the same dispatch point.
+Image payloads decode through real codecs: pure-numpy PNG, BMP
+(functions/imagecodec.py) and baseline JPEG (functions/jpegcodec.py)
+alongside the deterministic FIMG fake container (sources/media.py);
+remaining formats (WebP, progressive JPEG) raise a clearly-marked
+``NotImplementedError`` — a full deployment routes those to PIL via
+the same dispatch point.
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ from crawler_tjce_ray.sources.media import MAGIC_AUD, MAGIC_IMG, MAGIC_VID
 
 def decode_any_image(payload: bytes) -> np.ndarray:
     """Image payload → (h, w, c) uint8: FIMG header parse (zero-copy
-    numpy view) or the real PNG/BMP codecs.  Unknown magics raise
+    numpy view) or the real PNG/BMP/JPEG codecs.  Unknown magics raise
     NotImplementedError (the PIL routing point)."""
     if payload.startswith(MAGIC_IMG):
         w, h = np.frombuffer(payload, "<u2", count=2, offset=4)

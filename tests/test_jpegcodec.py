@@ -117,3 +117,71 @@ class TestDispatchAndCorpus:
             else:
                 kinds.add("fimg")
         assert kinds == {"fimg", "png", "bmp", "jpeg"}
+
+
+class TestRobustness:
+    """External-JPEG shapes the in-repo encoder never emits by default:
+    restart intervals, fill bytes, CMYK, multi-scan, bad table ids."""
+
+    def test_restart_interval_roundtrip(self):
+        img = _gradient(40, 56)
+        for ri in (1, 3, 7):
+            blob = jpegcodec.encode_jpeg(img, quality=90, restart_interval=ri)
+            assert b"\xff\xdd" in blob  # DRI present
+            dec = jpegcodec.decode_jpeg(blob)
+            err = np.abs(dec.astype(int) - img.astype(int))
+            assert err.mean() < 2.0, f"ri={ri}: mean err {err.mean()}"
+        # restart output must equal the no-restart decode exactly
+        base = jpegcodec.decode_jpeg(jpegcodec.encode_jpeg(img, quality=90))
+        with_ri = jpegcodec.decode_jpeg(
+            jpegcodec.encode_jpeg(img, quality=90, restart_interval=2)
+        )
+        assert np.array_equal(base, with_ri)
+
+    def test_gray_restart_roundtrip(self):
+        y, x = np.mgrid[0:24, 0:40]
+        g = ((x * 3 + y * 2) % 256).astype(np.uint8)
+        dec = jpegcodec.decode_jpeg(
+            jpegcodec.encode_jpeg(g, quality=95, restart_interval=1)
+        )
+        assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).mean() < 1.0
+
+    def test_fill_bytes_before_marker(self):
+        blob = jpegcodec.encode_jpeg(_gradient(16, 16))
+        i = blob.index(b"\xff\xdb")
+        padded = blob[:i] + b"\xff\xff\xff" + blob[i:]  # T.81 B.1.1.2
+        assert np.array_equal(jpegcodec.decode_jpeg(padded),
+                              jpegcodec.decode_jpeg(blob))
+
+    def test_cmyk_rejected(self):
+        blob = bytearray(jpegcodec.encode_jpeg(_gradient(16, 16)))
+        i = bytes(blob).index(b"\xff\xc0")
+        # SOF0 payload: len(2) prec(1) h(2) w(2) nc(1) -> nc at i+9
+        blob[i + 9] = 4
+        with pytest.raises(NotImplementedError, match="component"):
+            jpegcodec.decode_jpeg(bytes(blob))
+
+    def test_multi_scan_rejected(self):
+        blob = bytearray(jpegcodec.encode_jpeg(_gradient(16, 16)))
+        i = bytes(blob).index(b"\xff\xda")
+        # SOS payload: len(2) ns(1) ... — claim a 1-component scan of
+        # a 3-component frame (non-interleaved multi-scan shape)
+        blob[i + 4] = 1
+        # keep the segment length consistent: 2 + 1 + 2*1 + 3 = 8
+        blob[i + 2:i + 4] = (8).to_bytes(2, "big")
+        with pytest.raises(NotImplementedError, match="multi-scan"):
+            jpegcodec.decode_jpeg(bytes(blob))
+
+    def test_undefined_huffman_table_is_valueerror(self):
+        blob = bytearray(jpegcodec.encode_jpeg(_gradient(16, 16)))
+        i = bytes(blob).index(b"\xff\xda")
+        blob[i + 6] = 0x77  # component 1 -> undefined DC/AC table id 7
+        with pytest.raises(ValueError):
+            jpegcodec.decode_jpeg(bytes(blob))
+
+    def test_unknown_scan_component_is_valueerror(self):
+        blob = bytearray(jpegcodec.encode_jpeg(_gradient(16, 16)))
+        i = bytes(blob).index(b"\xff\xda")
+        blob[i + 5] = 9  # scan names component id 9, absent from SOF
+        with pytest.raises(ValueError, match="unknown component"):
+            jpegcodec.decode_jpeg(bytes(blob))
