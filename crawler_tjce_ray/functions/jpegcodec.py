@@ -7,17 +7,18 @@ public spec with numpy only.
 
 Decoder: SOI/APP*/COM/DQT/DRI/SOF0/DHT/SOS parsing, canonical Huffman
 decode over the byte-stuffed entropy stream (restart markers reset
-the DC predictors), dequantize → inverse zigzag → IDCT (orthonormal
-DCT-III matrix) → level shift → YCbCr→RGB.  Supported: 8-bit baseline
-(SOF0), 1 or 3 components, 1×1 sampling (4:4:4).  Progressive (SOF2),
-subsampled chroma, arithmetic coding and 12-bit raise
-``NotImplementedError`` — a full deployment routes those to libjpeg
-through the same ``decode_image`` dispatch.
+the DC predictors at each DRI boundary), dequantize → inverse zigzag
+→ IDCT (orthonormal DCT-III matrix) → level shift → chroma upsample →
+YCbCr→RGB.  Supported: 8-bit baseline (SOF0), 1 or 3 components, any
+integer-ratio sampling factors up to 4×4 (4:4:4, 4:2:2, 4:2:0, …).
+Progressive (SOF2), non-interleaved multi-scan, CMYK, arithmetic
+coding and 12-bit raise ``NotImplementedError`` — a full deployment
+routes those to libjpeg through the same ``decode_image`` dispatch.
 
-Encoder (fixture/corpus helper): 4:4:4, quality-scaled Annex-K-style
-quantization tables, standard Huffman tables, byte stuffing — the
-tables ride in the stream (DQT/DHT), so any baseline decoder reads
-the output.
+Encoder (fixture/corpus helper): 4:4:4 / 4:2:2 / 4:2:0,
+quality-scaled Annex-K-style quantization tables, standard Huffman
+tables, byte stuffing, optional restart intervals — the tables ride
+in the stream (DQT/DHT), so any baseline decoder reads the output.
 
 Reference parity: the reference repo never decodes media; this backs
 the beyond-reference multimodal stages (stages/multimodal.py).
@@ -228,10 +229,61 @@ def _blocks(chan: np.ndarray) -> np.ndarray:
             .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
 
 
+_SUBSAMPLING = {
+    "444": [(1, 1), (1, 1), (1, 1)],
+    "422": [(2, 1), (1, 1), (1, 1)],
+    "420": [(2, 2), (1, 1), (1, 1)],
+}
+
+
+def _box_downsample(chan: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """(h, w) → (ceil(h/fy), ceil(w/fx)) box-mean (edge-padded)."""
+    if fx == 1 and fy == 1:
+        return chan
+    h, w = chan.shape
+    c = np.pad(chan, ((0, -h % fy), (0, -w % fx)), mode="edge")
+    return c.reshape(c.shape[0] // fy, fy, c.shape[1] // fx, fx).mean((1, 3))
+
+
+def _emit_block(bw: _BitWriter, zz: np.ndarray, prev_dc: int,
+                dc_codes: dict, ac_codes: dict) -> int:
+    """Entropy-code one zigzagged quantized block; returns its DC."""
+    diff = int(zz[0]) - prev_dc
+    size = _category(diff)
+    code, ln = dc_codes[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(_value_bits(diff, size), size)
+    run = 0
+    last_nz = np.flatnonzero(zz[1:])
+    end = (int(last_nz[-1]) + 2) if len(last_nz) else 1
+    for i in range(1, end):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        size = _category(v)
+        code, ln = ac_codes[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(_value_bits(v, size), size)
+        run = 0
+    if end < 64:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return int(zz[0])
+
+
 def encode_jpeg(arr: np.ndarray, quality: int = 75,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                subsampling: str = "444") -> bytes:
     """(h, w), (h, w, 1) or (h, w, 3) uint8 → baseline JFIF bytes
-    (4:4:4, quality-scaled tables; tables ride in DQT/DHT).
+    (quality-scaled tables riding in DQT/DHT).  ``subsampling`` picks
+    the chroma layout: "444" (no subsampling), "422" or "420" (the
+    common camera/web shape — box-mean downsampled chroma).
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers
     every that many MCUs (predictors reset, stream byte-aligned) —
     the resilience feature real camera encoders use."""
@@ -240,15 +292,27 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75,
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     qt = [_scaled_quant(QUANT_LUMA, quality)]
-    planes = []
+    planes: list[tuple] = []  # (chan, qid, (hi, vi), huff_dc, huff_ac)
     if gray:
-        planes.append((arr.astype(np.float64), 0, HUFF_DC_LUMA, HUFF_AC_LUMA))
+        factors = [(1, 1)]
+        planes.append((arr.astype(np.float64), 0, (1, 1),
+                       HUFF_DC_LUMA, HUFF_AC_LUMA))
     else:
+        factors = _SUBSAMPLING[subsampling]
         qt.append(_scaled_quant(QUANT_CHROMA, quality))
         ycc = _rgb_to_ycbcr(arr)
-        planes.append((ycc[..., 0], 0, HUFF_DC_LUMA, HUFF_AC_LUMA))
-        planes.append((ycc[..., 1], 1, HUFF_DC_CHROMA, HUFF_AC_CHROMA))
-        planes.append((ycc[..., 2], 1, HUFF_DC_CHROMA, HUFF_AC_CHROMA))
+        hmax = max(f[0] for f in factors)
+        vmax = max(f[1] for f in factors)
+        for ci in range(3):
+            hi, vi = factors[ci]
+            chan = _box_downsample(ycc[..., ci], hmax // hi, vmax // vi)
+            planes.append((chan, 0 if ci == 0 else 1, (hi, vi),
+                           HUFF_DC_LUMA if ci == 0 else HUFF_DC_CHROMA,
+                           HUFF_AC_LUMA if ci == 0 else HUFF_AC_CHROMA))
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
@@ -256,10 +320,12 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75,
     for tid, q in enumerate(qt):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) \
             + bytes(int(x) for x in q[ZZ])
-    ncomp = 1 if gray else 3
+    ncomp = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += struct.pack(">BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+        hi, vi = planes[ci][2]
+        sof += struct.pack(">BBB", ci + 1, (hi << 4) | vi,
+                           0 if ci == 0 else 1)
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     tables = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
     if not gray:
@@ -275,53 +341,34 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75,
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
-    # interleaved MCUs: with 1×1 sampling an MCU is one block per
-    # component, raster order
-    bw = _BitWriter()
+    # quantized block grid per component, padded to the MCU lattice
     comp_blocks = []
-    for chan, qid, dc_t, ac_t in planes:
-        blks = _blocks(chan - 128.0)
+    for chan, qid, (hi, vi), _dc, _ac in planes:
+        ph, pw = mcuy * vi * 8, mcux * hi * 8
+        c = np.pad(chan, ((0, ph - chan.shape[0]), (0, pw - chan.shape[1])),
+                   mode="edge")
+        blks = _blocks(c - 128.0)
         coef = np.einsum("ux,nxy,vy->nuv", DCT_T, blks, DCT_T)
         qm = qt[qid].reshape(8, 8).astype(np.float64)
-        comp_blocks.append(np.round(coef / qm).astype(np.int64))
-    dc_codes = [_build_codes(*p[2]) for p in planes]
-    ac_codes = [_build_codes(*p[3]) for p in planes]
+        q = np.round(coef / qm).astype(np.int64)
+        comp_blocks.append(q.reshape(mcuy * vi, mcux * hi, 8, 8))
+    dc_codes = [_build_codes(*p[3]) for p in planes]
+    ac_codes = [_build_codes(*p[4]) for p in planes]
+    bw = _BitWriter()
     prev = [0] * len(planes)
-    n_mcu = comp_blocks[0].shape[0]
-    for m in range(n_mcu):
+    for m in range(mcuy * mcux):
         if restart_interval and m and m % restart_interval == 0:
             bw.marker(0xD0 + ((m // restart_interval - 1) & 7))
             prev = [0] * len(planes)
-        for ci in range(len(planes)):
-            blk = comp_blocks[ci][m]
-            zz = blk.reshape(64)[ZZ]
-            diff = int(zz[0]) - prev[ci]
-            prev[ci] = int(zz[0])
-            size = _category(diff)
-            code, ln = dc_codes[ci][size]
-            bw.write(code, ln)
-            if size:
-                bw.write(_value_bits(diff, size), size)
-            run = 0
-            last_nz = np.flatnonzero(zz[1:])
-            end = (int(last_nz[-1]) + 2) if len(last_nz) else 1
-            for i in range(1, end):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[ci][0xF0]
-                    bw.write(code, ln)
-                    run -= 16
-                size = _category(v)
-                code, ln = ac_codes[ci][(run << 4) | size]
-                bw.write(code, ln)
-                bw.write(_value_bits(v, size), size)
-                run = 0
-            if end < 64:
-                code, ln = ac_codes[ci][0x00]
-                bw.write(code, ln)
+        my, mx = divmod(m, mcux)
+        for ci, (_chan, _qid, (hi, vi), _dc, _ac) in enumerate(planes):
+            for v in range(vi):
+                for hb in range(hi):
+                    blk = comp_blocks[ci][my * vi + v, mx * hi + hb]
+                    prev[ci] = _emit_block(
+                        bw, blk.reshape(64)[ZZ], prev[ci],
+                        dc_codes[ci], ac_codes[ci],
+                    )
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -461,9 +508,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 )
             for i in range(nc):
                 cid, hv, qid = struct.unpack_from(">BBB", seg, 6 + 3 * i)
-                if hv != 0x11:
-                    raise NotImplementedError("subsampled JPEG (not 4:4:4)")
-                comps.append({"id": cid, "qid": qid})
+                hi, vi = hv >> 4, hv & 15
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad sampling factors {hi}x{vi}")
+                comps.append({"id": cid, "qid": qid, "h": hi, "v": vi})
         elif marker == 0xC4:  # DHT (possibly several tables)
             o = 0
             while o < len(seg):
@@ -493,49 +541,70 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     if h is None or not scan:
         raise ValueError("JPEG missing SOF0/SOS")
 
-    bh, bw_ = -h % 8, -w % 8
-    by, bx = (h + bh) // 8, (w + bw_) // 8
-    n_mcu = by * bx
-    planes = [np.zeros((by * 8, bx * 8), np.float64) for _ in scan]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    for c in scan:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                f"non-integer sampling ratio {c['h']}x{c['v']} vs "
+                f"{hmax}x{vmax}"
+            )
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
+        for c in scan
+    ]
     reader = _BitReader(data, pos)
     prev = [0] * len(scan)
-    for m in range(n_mcu):
+    for m in range(mcuy * mcux):
         if restart_interval and m and m % restart_interval == 0:
             reader.restart()
             prev = [0] * len(scan)
-        my, mx = divmod(m, bx)
+        my, mx = divmod(m, mcux)
         for ci, comp in enumerate(scan):
             dc_tbl = huff[(0, comp["dc"])]
             ac_tbl = huff[(1, comp["ac"])]
-            zz = np.zeros(64, np.int64)
-            size = reader.decode(dc_tbl)
-            diff = _extend(reader.bits(size), size) if size else 0
-            prev[ci] += diff
-            zz[0] = prev[ci]
-            k = 1
-            while k < 64:
-                sym = reader.decode(ac_tbl)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 15
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("bad AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC index overflow")
-                zz[k] = _extend(reader.bits(size), size)
-                k += 1
-            blk = np.zeros(64, np.int64)
-            blk[ZZ] = zz
-            coef = blk.reshape(8, 8) * quant[comp["qid"]].reshape(8, 8)
-            pix = DCT_T.T @ coef.astype(np.float64) @ DCT_T + 128.0
-            planes[ci][my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = pix
+            for v in range(comp["v"]):
+                for hb in range(comp["h"]):
+                    zz = np.zeros(64, np.int64)
+                    size = reader.decode(dc_tbl)
+                    diff = _extend(reader.bits(size), size) if size else 0
+                    prev[ci] += diff
+                    zz[0] = prev[ci]
+                    k = 1
+                    while k < 64:
+                        sym = reader.decode(ac_tbl)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, size = sym >> 4, sym & 15
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError("bad AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC index overflow")
+                        zz[k] = _extend(reader.bits(size), size)
+                        k += 1
+                    blk = np.zeros(64, np.int64)
+                    blk[ZZ] = zz
+                    coef = blk.reshape(8, 8) * quant[comp["qid"]].reshape(8, 8)
+                    pix = DCT_T.T @ coef.astype(np.float64) @ DCT_T + 128.0
+                    py = (my * comp["v"] + v) * 8
+                    px = (mx * comp["h"] + hb) * 8
+                    planes[ci][py:py + 8, px:px + 8] = pix
+    # upsample subsampled components back to full resolution
+    full = []
+    for ci, comp in enumerate(scan):
+        p = planes[ci]
+        fy, fx = vmax // comp["v"], hmax // comp["h"]
+        if fy > 1 or fx > 1:
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        full.append(p[:h, :w])
     if len(scan) == 1:
-        out = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return out[:, :, None]
-    ycc = np.stack([p[:h, :w] for p in planes], axis=-1)
-    rgb = _ycbcr_to_rgb(ycc)
+    rgb = _ycbcr_to_rgb(np.stack(full, axis=-1))
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

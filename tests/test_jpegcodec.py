@@ -185,3 +185,46 @@ class TestRobustness:
         blob[i + 5] = 9  # scan names component id 9, absent from SOF
         with pytest.raises(ValueError, match="unknown component"):
             jpegcodec.decode_jpeg(bytes(blob))
+
+
+class TestSubsampling:
+    """4:2:0 / 4:2:2 — the dominant real-world chroma layouts."""
+
+    @pytest.mark.parametrize("mode", ["420", "422"])
+    def test_subsampled_roundtrip(self, mode):
+        img = _gradient(40, 56)
+        blob = jpegcodec.encode_jpeg(img, quality=90, subsampling=mode)
+        dec = jpegcodec.decode_jpeg(blob)
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        # chroma is halved, so the bound is looser than 4:4:4 but the
+        # image must still be recognizably intact on smooth content
+        assert err.mean() < 6.0, f"{mode}: mean err {err.mean()}"
+        # luma carries most of the signal: compare intensity directly
+        lum_in = img.astype(float).mean(axis=2)
+        lum_out = dec.astype(float).mean(axis=2)
+        assert np.abs(lum_in - lum_out).mean() < 3.0
+
+    def test_420_smaller_than_444(self):
+        img = _gradient(64, 64)
+        s444 = len(jpegcodec.encode_jpeg(img, 85, subsampling="444"))
+        s420 = len(jpegcodec.encode_jpeg(img, 85, subsampling="420"))
+        assert s420 < s444
+
+    @pytest.mark.parametrize("mode", ["420", "422"])
+    def test_subsampled_odd_dims(self, mode):
+        img = _gradient(19, 27)  # not multiples of the MCU lattice
+        dec = jpegcodec.decode_jpeg(
+            jpegcodec.encode_jpeg(img, quality=92, subsampling=mode)
+        )
+        assert dec.shape == (19, 27, 3)
+
+    def test_420_with_restart_interval(self):
+        img = _gradient(48, 48)
+        blob = jpegcodec.encode_jpeg(img, quality=90, subsampling="420",
+                                     restart_interval=2)
+        dec = jpegcodec.decode_jpeg(blob)
+        base = jpegcodec.decode_jpeg(
+            jpegcodec.encode_jpeg(img, quality=90, subsampling="420")
+        )
+        assert np.array_equal(dec, base)
