@@ -58,11 +58,13 @@ def make_image(media_id: int, seed: int) -> bytes:
         from crawler_tjce_ray.functions.imagecodec import encode_bmp
 
         return encode_bmp(r.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
-    if container == 3:  # real baseline JPEG (4:4:4)
+    if container == 3:  # real baseline JPEG (alternating 4:4:4 / 4:2:0)
         from crawler_tjce_ray.functions.jpegcodec import encode_jpeg
 
+        sub = "420" if (media_id // 12) % 2 else "444"
+        # encode_jpeg ignores subsampling for 1-channel (gray) input
         return encode_jpeg(r.randint(0, 256, size=(h, w, c), dtype=np.uint8),
-                           quality=85)
+                           quality=85, subsampling=sub)
     head = MAGIC_IMG + np.array([w, h], "<u2").tobytes() + bytes([c])
     return head + r.randint(0, 256, size=w * h * c, dtype=np.uint8).tobytes()
 
@@ -115,9 +117,17 @@ def media_cache_dir(n_media: int = 300, seed: int = 7) -> str:
     """Synthesize-once cache under /tmp keyed by params."""
     import shutil
 
-    # v3: images round-robin FIMG/PNG/BMP/JPEG containers
-    out = f"/tmp/crawler_tjce_ray_media/v3_n{n_media}_s{seed}"
+    # v4: images round-robin FIMG/PNG/BMP/JPEG (444 + 420) containers
+    root = "/tmp/crawler_tjce_ray_media"
+    version = "v4"
+    out = f"{root}/{version}_n{n_media}_s{seed}"
     marker = os.path.join(out, "_SUCCESS")
+    # evict corpora from older versions — each key bump would
+    # otherwise strand the previous full corpus under /tmp forever
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if not d.startswith(f"{version}_") and ".tmp." not in d:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     if not os.path.exists(marker):
         # build in a process-private tmp dir, then atomically rename:
         # two concurrent builders can't interleave writes into the
