@@ -70,10 +70,19 @@ def make_image(media_id: int, seed: int) -> bytes:
 
 
 def make_audio(media_id: int, seed: int) -> bytes:
+    """Audio alternates two containers by ordinal: the FAUD fake and
+    a real RIFF/WAVE PCM16 file (functions/wavcodec.py) — both carry
+    identically-distributed samples so the feature stage exercises the
+    real parser end-to-end."""
     r = _rng_for(media_id, seed)
     sr, n = 8000, int(r.randint(100, 2001))
+    samples = (r.randn(n) * 3000).astype("<i2")
+    if (media_id // 3) % 2:  # real WAV
+        from crawler_tjce_ray.functions.wavcodec import encode_wav
+
+        return encode_wav(samples, sr)
     head = MAGIC_AUD + np.array([sr, n], "<u4").tobytes()
-    return head + (r.randn(n) * 3000).astype("<i2").tobytes()
+    return head + samples.tobytes()
 
 
 def make_video(media_id: int, seed: int) -> bytes:
@@ -117,9 +126,10 @@ def media_cache_dir(n_media: int = 300, seed: int = 7) -> str:
     """Synthesize-once cache under /tmp keyed by params."""
     import shutil
 
-    # v4: images round-robin FIMG/PNG/BMP/JPEG (444 + 420) containers
+    # v5: images round-robin FIMG/PNG/BMP/JPEG (444 + 420); audio
+    # alternates FAUD / real WAV
     root = "/tmp/crawler_tjce_ray_media"
-    version = "v4"
+    version = "v5"
     out = f"{root}/{version}_n{n_media}_s{seed}"
     marker = os.path.join(out, "_SUCCESS")
     # evict corpora from older versions — each key bump would

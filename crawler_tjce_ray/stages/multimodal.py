@@ -115,8 +115,25 @@ class ImageResizeStage:
         })
 
 
+def decode_any_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """Audio payload → (sample_rate, int16 samples): FAUD header parse
+    (zero-copy numpy view) or the real WAV codec.  Unknown magics
+    raise NotImplementedError (the ffmpeg routing point)."""
+    if payload.startswith(MAGIC_AUD):
+        sr, n = (int(x) for x in np.frombuffer(payload, "<u4", count=2, offset=4))
+        return sr, np.frombuffer(payload, "<i2", count=n, offset=12)
+    from crawler_tjce_ray.functions import wavcodec
+
+    if wavcodec.is_wav(payload):
+        return wavcodec.decode_wav(payload)
+    raise NotImplementedError(
+        f"no codec for audio magic {payload[:4]!r}; route to ffmpeg"
+    )
+
+
 class AudioFeatureStage:
-    """Audio feature extraction: duration + RMS over int16 samples."""
+    """Audio feature extraction: duration + RMS over int16 samples
+    (FAUD / WAV payloads)."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, durs, rmss = [], [], []
@@ -124,15 +141,16 @@ class AudioFeatureStage:
             t["media_id"].to_pylist(), t["kind"].to_pylist(),
             t["payload"].to_pylist(),
         ):
-            if kind != "audio" or not payload.startswith(MAGIC_AUD):
+            if kind != "audio":
                 continue
-            sr, n = (int(x) for x in np.frombuffer(payload, "<u4", count=2, offset=4))
-            samples = np.frombuffer(payload, "<i2", count=n, offset=12).astype(
-                np.float64
-            )
+            sr, samples = decode_any_audio(payload)
+            n = len(samples)
             ids.append(mid)
             durs.append(n / sr)
-            rmss.append(float(np.sqrt((samples**2).mean())) if n else 0.0)
+            rmss.append(
+                float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
+                if n else 0.0
+            )
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "duration_s": pa.array(durs, pa.float64()),
