@@ -86,10 +86,18 @@ def make_audio(media_id: int, seed: int) -> bytes:
 
 
 def make_video(media_id: int, seed: int) -> bytes:
+    """Video alternates two containers by ordinal: the FVID fake and a
+    real uncompressed 24-bit AVI (functions/avicodec.py) carrying the
+    same grayscale frame distribution."""
     r = _rng_for(media_id, seed)
     w, h, nf = int(r.randint(8, 17)), int(r.randint(8, 17)), int(r.randint(4, 17))
+    pix = r.randint(0, 256, size=nf * w * h, dtype=np.uint8)
+    if (media_id // 3) % 2:  # real AVI
+        from crawler_tjce_ray.functions.avicodec import encode_avi
+
+        return encode_avi(pix.reshape(nf, h, w))
     head = MAGIC_VID + np.array([w, h, nf], "<u2").tobytes()
-    return head + r.randint(0, 256, size=nf * w * h, dtype=np.uint8).tobytes()
+    return head + pix.tobytes()
 
 
 _MAKERS = {"image": make_image, "audio": make_audio, "video": make_video}
@@ -126,10 +134,10 @@ def media_cache_dir(n_media: int = 300, seed: int = 7) -> str:
     """Synthesize-once cache under /tmp keyed by params."""
     import shutil
 
-    # v5: images round-robin FIMG/PNG/BMP/JPEG (444 + 420); audio
-    # alternates FAUD / real WAV
+    # v6: images round-robin FIMG/PNG/BMP/JPEG (444 + 420); audio
+    # alternates FAUD / real WAV; video alternates FVID / real AVI
     root = "/tmp/crawler_tjce_ray_media"
-    version = "v5"
+    version = "v6"
     out = f"{root}/{version}_n{n_media}_s{seed}"
     marker = os.path.join(out, "_SUCCESS")
     # evict corpora from older versions — each key bump would

@@ -158,10 +158,33 @@ class AudioFeatureStage:
         })
 
 
+def decode_any_video(payload: bytes) -> np.ndarray:
+    """Video payload → (nf, h*w) grayscale uint8 frames: FVID header
+    parse (zero-copy numpy view) or the real uncompressed-AVI codec.
+    Unknown magics raise NotImplementedError (the ffmpeg routing
+    point)."""
+    if payload.startswith(MAGIC_VID):
+        w, h, nf = (
+            int(x) for x in np.frombuffer(payload, "<u2", count=3, offset=4)
+        )
+        return np.frombuffer(
+            payload, np.uint8, count=nf * w * h, offset=10
+        ).reshape(nf, h * w)
+    from crawler_tjce_ray.functions import avicodec
+
+    if avicodec.is_avi(payload):
+        frames = avicodec.decode_avi(payload)
+        return frames.reshape(frames.shape[0], -1)
+    raise NotImplementedError(
+        f"no codec for video magic {payload[:4]!r}; route to ffmpeg"
+    )
+
+
 class FrameSampleStage:
-    """Frame sampling: every ``stride``-th frame of each fake video,
-    one output row per sampled frame (row-expanding map_batches — the
-    video→frames explode of a multimodal pipeline)."""
+    """Frame sampling: every ``stride``-th frame of each video
+    (FVID / uncompressed AVI), one output row per sampled frame
+    (row-expanding map_batches — the video→frames explode of a
+    multimodal pipeline)."""
 
     def __init__(self, stride: int = 4, emit_frames: bool = True) -> None:
         self.stride = stride
@@ -175,14 +198,10 @@ class FrameSampleStage:
             t["media_id"].to_pylist(), t["kind"].to_pylist(),
             t["payload"].to_pylist(),
         ):
-            if kind != "video" or not payload.startswith(MAGIC_VID):
+            if kind != "video":
                 continue
-            w, h, nf = (
-                int(x) for x in np.frombuffer(payload, "<u2", count=3, offset=4)
-            )
-            frames = np.frombuffer(
-                payload, np.uint8, count=nf * w * h, offset=10
-            ).reshape(nf, h * w)
+            frames = decode_any_video(payload)
+            nf = frames.shape[0]
             for k in range(0, nf, self.stride):
                 mids.append(mid)
                 fidx.append(k)
@@ -283,14 +302,9 @@ class VideoEmbedStage:
             t["media_id"].to_pylist(), t["kind"].to_pylist(),
             t["payload"].to_pylist(),
         ):
-            if kind != "video" or not payload.startswith(MAGIC_VID):
+            if kind != "video":
                 continue
-            w, h, nf = (
-                int(x) for x in np.frombuffer(payload, "<u2", count=3, offset=4)
-            )
-            frames = np.frombuffer(
-                payload, np.uint8, count=nf * w * h, offset=10
-            ).reshape(nf, h * w)[:: self.stride]
+            frames = decode_any_video(payload)[:: self.stride]
             hist = np.histogram(frames, bins=self.bins, range=(0, 256))[0]
             vec = hist.astype(np.float64)
             norm = np.linalg.norm(vec)

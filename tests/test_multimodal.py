@@ -62,12 +62,17 @@ class TestKernels:
         assert out["rms"][0].as_py() > 0
 
     def test_frame_sample_expands_rows(self):
-        payload = make_video(4, seed=7)
-        nf = int(np.frombuffer(payload, "<u2", count=3, offset=4)[2])
-        t = _tbl([{"media_id": 4, "kind": "video", "payload": payload}])
-        out = FrameSampleStage(stride=4)(t)
-        assert out.num_rows == len(range(0, nf, 4))
-        assert out["frame_idx"].to_pylist() == list(range(0, nf, 4))
+        from crawler_tjce_ray.stages.multimodal import decode_any_video
+
+        # ordinal 4 is a real AVI in the v6 corpus; ordinal 2 is FVID —
+        # the explode must behave identically for both containers
+        for mid in (2, 4):
+            payload = make_video(mid, seed=7)
+            nf = decode_any_video(payload).shape[0]
+            t = _tbl([{"media_id": mid, "kind": "video", "payload": payload}])
+            out = FrameSampleStage(stride=4)(t)
+            assert out.num_rows == len(range(0, nf, 4))
+            assert out["frame_idx"].to_pylist() == list(range(0, nf, 4))
 
     def test_non_matching_kinds_skipped(self):
         t = _tbl([
