@@ -58,14 +58,14 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     hdrl = _list(b"hdrl", _chunk(b"avih", avih)
                  + _list(b"strl", _chunk(b"strh", strh)
                          + _chunk(b"strf", strf)))
-    movi_payload = b""
+    chunks = []
     for f in frames:
         rows = np.zeros((h, stride), np.uint8)
         rows[:, : w * 3] = np.repeat(f[::-1, :, None], 3, axis=2).reshape(
             h, w * 3
         )
-        movi_payload += _chunk(b"00db", rows.tobytes())
-    movi = _list(b"movi", movi_payload)
+        chunks.append(_chunk(b"00db", rows.tobytes()))
+    movi = _list(b"movi", b"".join(chunks))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -80,11 +80,19 @@ def _walk(data: bytes, pos: int, end: int, found: dict) -> None:
         elif cid == b"avih":
             vals = struct.unpack_from("<14I", data, body_start)
             found["w"], found["h"] = int(vals[8]), int(vals[9])
-        elif cid == b"strf":
-            (_sz, _w, _h, _planes, bits, comp) = struct.unpack_from(
+        elif cid == b"strh":
+            # remember which stream the next strf describes: an AVI
+            # with an audio track carries a WAVEFORMATEX strf that
+            # must NOT clobber the video format fields
+            found["_stream"] = data[body_start:body_start + 4]
+        elif cid == b"strf" and found.get("_stream") == b"vids":
+            if clen < 20:
+                raise ValueError("video strf chunk too short")
+            (_sz, _w, bih, _planes, bits, comp) = struct.unpack_from(
                 "<IiiHHI", data, body_start
             )
             found["bits"], found["comp"] = int(bits), int(comp)
+            found["top_down"] = bih < 0
         elif cid in (b"00db", b"00dc"):
             found.setdefault("frames", []).append(
                 (body_start, clen)
@@ -92,8 +100,14 @@ def _walk(data: bytes, pos: int, end: int, found: dict) -> None:
         pos = body_start + clen + (clen & 1)
 
 
-def decode_avi(data: bytes) -> np.ndarray:
-    """AVI bytes → (nf, h, w) grayscale uint8 (BT.601 luma)."""
+def decode_avi(data: bytes,
+               frame_indices: list[int] | None = None
+               ) -> tuple[np.ndarray, int]:
+    """AVI bytes → ``(frames, total_frame_count)`` with frames as
+    (nf, h, w) grayscale uint8 (BT.601 luma).  ``frame_indices``
+    decodes only the named frames (the frame-sampling stages skip
+    most frames — the chunk index makes that skip free instead of
+    paying a full luma conversion per discarded frame)."""
     if not is_avi(data):
         raise ValueError("not an AVI stream")
     found: dict = {}
@@ -111,14 +125,19 @@ def decode_avi(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"{found.get('bits')}-bit AVI unsupported")
     w, h = found["w"], found["h"]
     stride = ((w * 3 + 3) // 4) * 4
-    out = np.empty((len(found["frames"]), h, w), np.uint8)
-    for i, (off, clen) in enumerate(found["frames"]):
-        if clen < stride * h:
+    total = len(found["frames"])
+    wanted = list(range(total)) if frame_indices is None else list(frame_indices)
+    out = np.empty((len(wanted), h, w), np.uint8)
+    for i, fi in enumerate(wanted):
+        off, clen = found["frames"][fi]
+        if clen < stride * h or off + stride * h > len(data):
             raise ValueError("AVI frame chunk shorter than frame size")
         rows = np.frombuffer(data, np.uint8, count=stride * h, offset=off)
-        bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[::-1]
+        bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if not found.get("top_down", False):
+            bgr = bgr[::-1]  # bottom-up DIB (positive biHeight)
         luma = (0.114 * bgr[:, :, 0].astype(np.float64)
                 + 0.587 * bgr[:, :, 1]
                 + 0.299 * bgr[:, :, 2])
         out[i] = np.clip(np.round(luma), 0, 255).astype(np.uint8)
-    return out
+    return out, total

@@ -48,6 +48,8 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
             cid = data[pos:pos + 4]
             (clen,) = struct.unpack_from("<I", data, pos + 4)
             body = data[pos + 8: pos + 8 + clen]
+            if len(body) < clen:
+                raise ValueError("WAV chunk body shorter than declared")
             if cid == b"fmt ":
                 tag, nch, sr, _br, _ba, bits = struct.unpack_from(
                     "<HHIIHH", body, 0

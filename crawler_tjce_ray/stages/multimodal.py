@@ -158,23 +158,32 @@ class AudioFeatureStage:
         })
 
 
-def decode_any_video(payload: bytes) -> np.ndarray:
-    """Video payload → (nf, h*w) grayscale uint8 frames: FVID header
-    parse (zero-copy numpy view) or the real uncompressed-AVI codec.
-    Unknown magics raise NotImplementedError (the ffmpeg routing
-    point)."""
+def decode_any_video(payload: bytes,
+                     stride: int = 1) -> tuple[np.ndarray, int]:
+    """Video payload → ``(frames, total_frame_count)`` with frames as
+    (n_sampled, h*w) grayscale uint8 at every ``stride``-th position:
+    FVID header parse (zero-copy numpy view slice) or the real
+    uncompressed-AVI codec (which decodes ONLY the sampled frames —
+    luma conversion for skipped frames would be wasted actor-pool
+    work).  Unknown magics raise NotImplementedError (the ffmpeg
+    routing point)."""
     if payload.startswith(MAGIC_VID):
         w, h, nf = (
             int(x) for x in np.frombuffer(payload, "<u2", count=3, offset=4)
         )
-        return np.frombuffer(
+        frames = np.frombuffer(
             payload, np.uint8, count=nf * w * h, offset=10
         ).reshape(nf, h * w)
+        return frames[::stride], nf
     from crawler_tjce_ray.functions import avicodec
 
     if avicodec.is_avi(payload):
-        frames = avicodec.decode_avi(payload)
-        return frames.reshape(frames.shape[0], -1)
+        # probe total count cheaply, then decode only sampled frames
+        frames, total = avicodec.decode_avi(payload, frame_indices=[])
+        frames, total = avicodec.decode_avi(
+            payload, frame_indices=list(range(0, total, stride))
+        )
+        return frames.reshape(frames.shape[0], -1), total
     raise NotImplementedError(
         f"no codec for video magic {payload[:4]!r}; route to ffmpeg"
     )
@@ -200,14 +209,13 @@ class FrameSampleStage:
         ):
             if kind != "video":
                 continue
-            frames = decode_any_video(payload)
-            nf = frames.shape[0]
-            for k in range(0, nf, self.stride):
+            frames, nf = decode_any_video(payload, stride=self.stride)
+            for i, k in enumerate(range(0, nf, self.stride)):
                 mids.append(mid)
                 fidx.append(k)
                 if self.emit_frames:
-                    blobs.append(frames[k].tobytes())
-                means.append(float(frames[k].mean()))
+                    blobs.append(frames[i].tobytes())
+                means.append(float(frames[i].mean()))
         cols = {
             "media_id": pa.array(mids, pa.int64()),
             "frame_idx": pa.array(fidx, pa.int64()),
@@ -304,7 +312,7 @@ class VideoEmbedStage:
         ):
             if kind != "video":
                 continue
-            frames = decode_any_video(payload)[:: self.stride]
+            frames, _nf = decode_any_video(payload, stride=self.stride)
             hist = np.histogram(frames, bins=self.bins, range=(0, 256))[0]
             vec = hist.astype(np.float64)
             norm = np.linalg.norm(vec)

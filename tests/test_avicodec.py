@@ -19,7 +19,8 @@ def _frames(nf=6, h=12, w=16, seed=3):
 class TestRoundtrip:
     def test_gray_roundtrip_bit_exact(self):
         f = _frames()
-        out = avicodec.decode_avi(avicodec.encode_avi(f))
+        out, total = avicodec.decode_avi(avicodec.encode_avi(f))
+        assert total == len(f)
         np.testing.assert_array_equal(out, f)
 
     def test_is_avi(self):
@@ -29,7 +30,7 @@ class TestRoundtrip:
     def test_odd_width_stride_padding(self):
         f = _frames(3, 9, 11)  # stride 33 -> padded to 36
         np.testing.assert_array_equal(
-            avicodec.decode_avi(avicodec.encode_avi(f)), f
+            avicodec.decode_avi(avicodec.encode_avi(f))[0], f
         )
 
     def test_idx1_and_extra_chunks_tolerated(self):
@@ -39,7 +40,7 @@ class TestRoundtrip:
         spliced = blob + extra
         spliced = (spliced[:4]
                    + struct.pack("<I", len(spliced) - 8) + spliced[8:])
-        np.testing.assert_array_equal(avicodec.decode_avi(spliced), f)
+        np.testing.assert_array_equal(avicodec.decode_avi(spliced)[0], f)
 
     def test_compressed_fourcc_rejected(self):
         blob = bytearray(avicodec.encode_avi(_frames(2, 8, 8)))
@@ -57,6 +58,55 @@ class TestRoundtrip:
         blob = avicodec.encode_avi(_frames(2, 8, 8))
         with pytest.raises(ValueError):
             avicodec.decode_avi(blob[: len(blob) - 40])
+
+
+class TestExternalShapes:
+    """Stream shapes the in-repo encoder never emits: audio tracks,
+    top-down DIBs, partial frame decode."""
+
+    def test_audio_strl_does_not_clobber_video_format(self):
+        f = _frames(2, 8, 8)
+        blob = avicodec.encode_avi(f)
+        # craft an audio strl (strh 'auds' + 16-byte WAVEFORMAT strf)
+        strh = (b"auds" + b"\x00" * 52)
+        strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        audio_strl = avicodec._list(
+            b"strl", avicodec._chunk(b"strh", strh)
+            + avicodec._chunk(b"strf", strf)
+        )
+        # splice it at the end of hdrl (before the movi LIST)
+        movi_at = blob.index(b"LIST", blob.index(b"movi") - 8)
+        # recompute hdrl LIST length
+        hdrl_at = blob.index(b"LIST")
+        (hdrl_len,) = struct.unpack_from("<I", blob, hdrl_at + 4)
+        spliced = (blob[:hdrl_at + 4]
+                   + struct.pack("<I", hdrl_len + len(audio_strl))
+                   + blob[hdrl_at + 8:movi_at] + audio_strl
+                   + blob[movi_at:])
+        spliced = (spliced[:4]
+                   + struct.pack("<I", len(spliced) - 8) + spliced[8:])
+        out, total = avicodec.decode_avi(spliced)
+        assert total == 2
+        np.testing.assert_array_equal(out, f)
+
+    def test_top_down_dib_not_flipped(self):
+        f = _frames(1, 8, 8)
+        blob = bytearray(avicodec.encode_avi(f))
+        i = bytes(blob).index(b"strf") + 8
+        # flip biHeight sign (offset 8 within BITMAPINFOHEADER)
+        (hv,) = struct.unpack_from("<i", bytes(blob), i + 8)
+        struct.pack_into("<i", blob, i + 8, -hv)
+        out_td, _ = avicodec.decode_avi(bytes(blob))
+        out_bu, _ = avicodec.decode_avi(avicodec.encode_avi(f))
+        # same bytes, opposite row order flag -> vertically mirrored
+        np.testing.assert_array_equal(out_td, out_bu[:, ::-1, :])
+
+    def test_partial_frame_decode(self):
+        f = _frames(7, 8, 8)
+        blob = avicodec.encode_avi(f)
+        out, total = avicodec.decode_avi(blob, frame_indices=[0, 4])
+        assert total == 7
+        np.testing.assert_array_equal(out, f[[0, 4]])
 
 
 class TestCorpusAndStages:

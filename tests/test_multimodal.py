@@ -68,7 +68,7 @@ class TestKernels:
         # the explode must behave identically for both containers
         for mid in (2, 4):
             payload = make_video(mid, seed=7)
-            nf = decode_any_video(payload).shape[0]
+            nf = decode_any_video(payload)[1]
             t = _tbl([{"media_id": mid, "kind": "video", "payload": payload}])
             out = FrameSampleStage(stride=4)(t)
             assert out.num_rows == len(range(0, nf, 4))

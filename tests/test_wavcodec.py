@@ -64,6 +64,12 @@ class TestRoundtrip:
         with pytest.raises(ValueError):
             wavcodec.decode_wav(b"nope")
 
+    def test_truncated_data_chunk_raises(self):
+        samples, sr = _tone(100)
+        blob = wavcodec.encode_wav(samples, sr)
+        with pytest.raises(ValueError):
+            wavcodec.decode_wav(blob[:-50])
+
 
 class TestCorpusAndStage:
     def test_corpus_alternates_faud_and_wav(self):
