@@ -118,11 +118,16 @@ def _is_year_filter(f: dict) -> bool:
 
 def inject_filters(payload: dict, entity: str | None = None,
                    year: int | None = None) -> dict:
-    """The D3 rewrite, as a pure function: strip pre-existing
-    entity/year filters from Where (anti-semijoin on the property
-    name), keep everything else, then append the new entity ``In``
-    filter and/or year ``Comparison`` filter.  Injecting twice is
-    idempotent by construction."""
+    """The D3 rewrite, as a PURE function (the input payload is
+    deep-copied, never mutated — callers may share one base payload
+    across Ray tasks): strip pre-existing entity/year filters from
+    Where (anti-semijoin on the property name), keep everything else,
+    then append the new entity ``In`` filter and/or year
+    ``Comparison`` filter.  Injecting twice is idempotent by
+    construction."""
+    import copy
+
+    payload = copy.deepcopy(payload)
     cmd = _command(payload)
     where = [f for f in cmd["Query"]["Where"]
              if not (entity is not None and _is_entity_filter(f))

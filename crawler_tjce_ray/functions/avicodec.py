@@ -101,13 +101,14 @@ def _walk(data: bytes, pos: int, end: int, found: dict) -> None:
 
 
 def decode_avi(data: bytes,
-               frame_indices: list[int] | None = None
-               ) -> tuple[np.ndarray, int]:
+               frame_indices: list[int] | None = None,
+               frame_stride: int | None = None) -> tuple[np.ndarray, int]:
     """AVI bytes → ``(frames, total_frame_count)`` with frames as
     (nf, h, w) grayscale uint8 (BT.601 luma).  ``frame_indices``
-    decodes only the named frames (the frame-sampling stages skip
-    most frames — the chunk index makes that skip free instead of
-    paying a full luma conversion per discarded frame)."""
+    decodes only the named frames; ``frame_stride`` decodes every
+    n-th frame — both in ONE container walk (the frame-sampling
+    stages skip most frames; the chunk index makes that skip free
+    instead of paying a full luma conversion per discarded frame)."""
     if not is_avi(data):
         raise ValueError("not an AVI stream")
     found: dict = {}
@@ -126,7 +127,12 @@ def decode_avi(data: bytes,
     w, h = found["w"], found["h"]
     stride = ((w * 3 + 3) // 4) * 4
     total = len(found["frames"])
-    wanted = list(range(total)) if frame_indices is None else list(frame_indices)
+    if frame_indices is not None:
+        wanted = list(frame_indices)
+    elif frame_stride is not None:
+        wanted = list(range(0, total, frame_stride))
+    else:
+        wanted = list(range(total))
     out = np.empty((len(wanted), h, w), np.uint8)
     for i, fi in enumerate(wanted):
         off, clen = found["frames"][fi]

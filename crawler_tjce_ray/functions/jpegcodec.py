@@ -409,6 +409,17 @@ class _BitReader:
         self.acc = (self.acc << 8) | b
         self.nbits += 8
 
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        out = (self.acc >> self.nbits) & 1
+        # drop consumed bits — an unmasked accumulator grows with the
+        # stream and turns every shift into a bigint copy (quadratic
+        # decode; a megapixel JPEG would take minutes)
+        self.acc &= (1 << self.nbits) - 1
+        return out
+
     def restart(self) -> None:
         """Discard padding bits and consume the expected RSTn."""
         self.acc = 0
@@ -421,12 +432,6 @@ class _BitReader:
                 and 0xD0 <= d[self.pos + 1] <= 0xD7):
             raise ValueError("expected restart marker")
         self.pos += 2
-
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
         v = 0
@@ -541,6 +546,12 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     if h is None or not scan:
         raise ValueError("JPEG missing SOF0/SOS")
 
+    if len(scan) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — one
+        # data unit per MCU in raster order over the component's own
+        # full-resolution grid, regardless of declared SOF factors
+        # (e.g. grayscale files written with 2x2 sampling factors)
+        scan[0] = {**scan[0], "h": 1, "v": 1}
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
     for c in scan:

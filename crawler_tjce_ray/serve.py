@@ -51,6 +51,8 @@ def _json_default(o):
 class AppState:
     """Shared route logic + TTL response cache (one per server)."""
 
+    CACHE_MAX_ENTRIES = 32
+
     def __init__(self, corpus: str | None = None,
                  artifact_store: str | None = None,
                  cache_ttl: float = 300.0) -> None:
@@ -68,17 +70,33 @@ class AppState:
         self.metrics = Registry()
         self._cache: dict[str, tuple[float, tuple[int, dict]]] = {}
         self._lock = threading.Lock()
+        self._key_locks: dict[str, threading.Lock] = {}
 
     # -- caching ----------------------------------------------------------
     def _cached(self, key: str, build):
+        """TTL cache, BOUNDED (oldest-entry eviction past
+        CACHE_MAX_ENTRIES — full query results would otherwise
+        accumulate until the serve process OOMs) with a per-key build
+        lock so concurrent identical requests run the underlying Ray
+        query once, not once per request."""
         with self._lock:
             hit = self._cache.get(key)
             if hit and time.time() - hit[0] < self.cache_ttl:
                 return hit[1]
-        out = build()
-        with self._lock:
-            self._cache[key] = (time.time(), out)
-        return out
+            key_lock = self._key_locks.setdefault(key, threading.Lock())
+        with key_lock:
+            with self._lock:
+                hit = self._cache.get(key)
+                if hit and time.time() - hit[0] < self.cache_ttl:
+                    return hit[1]
+            out = build()
+            with self._lock:
+                self._cache[key] = (time.time(), out)
+                while len(self._cache) > self.CACHE_MAX_ENTRIES:
+                    oldest = min(self._cache, key=lambda k: self._cache[k][0])
+                    del self._cache[oldest]
+                    self._key_locks.pop(oldest, None)
+            return out
 
     # -- artifact pinning (the pinata_url analog) --------------------------
     def _pin(self, df, kind: str, name: str) -> str | None:

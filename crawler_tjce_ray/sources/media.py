@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -140,12 +141,24 @@ def media_cache_dir(n_media: int = 300, seed: int = 7) -> str:
     version = "v6"
     out = f"{root}/{version}_n{n_media}_s{seed}"
     marker = os.path.join(out, "_SUCCESS")
-    # evict corpora from older versions — each key bump would
-    # otherwise strand the previous full corpus under /tmp forever
+    # evict STALE leftovers (older-version corpora and .tmp dirs from
+    # crashed builders) — each key bump would otherwise strand the
+    # previous full corpus under /tmp forever.  Age-gated: a freshly
+    # touched dir may belong to a concurrently running process from
+    # an older checkout, and deleting it mid-read would break them.
+    evict_after_s = 3600.0
     if os.path.isdir(root):
+        now = time.time()
         for d in os.listdir(root):
-            if not d.startswith(f"{version}_") and ".tmp." not in d:
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            if d.startswith(f"{version}_") and ".tmp." not in d:
+                continue
+            p = os.path.join(root, d)
+            try:
+                age = now - os.path.getmtime(p)
+            except OSError:
+                continue
+            if age > evict_after_s:
+                shutil.rmtree(p, ignore_errors=True)
     if not os.path.exists(marker):
         # build in a process-private tmp dir, then atomically rename:
         # two concurrent builders can't interleave writes into the

@@ -143,7 +143,13 @@ class AudioFeatureStage:
         ):
             if kind != "audio":
                 continue
-            sr, samples = decode_any_audio(payload)
+            try:
+                sr, samples = decode_any_audio(payload)
+            except NotImplementedError:
+                # unknown container (e.g. Ogg): skip the row rather
+                # than abort the whole query — matches the pre-codec
+                # behavior of silently passing over unparseable blobs
+                continue
             n = len(samples)
             ids.append(mid)
             durs.append(n / sr)
@@ -178,11 +184,7 @@ def decode_any_video(payload: bytes,
     from crawler_tjce_ray.functions import avicodec
 
     if avicodec.is_avi(payload):
-        # probe total count cheaply, then decode only sampled frames
-        frames, total = avicodec.decode_avi(payload, frame_indices=[])
-        frames, total = avicodec.decode_avi(
-            payload, frame_indices=list(range(0, total, stride))
-        )
+        frames, total = avicodec.decode_avi(payload, frame_stride=stride)
         return frames.reshape(frames.shape[0], -1), total
     raise NotImplementedError(
         f"no codec for video magic {payload[:4]!r}; route to ffmpeg"
@@ -209,7 +211,10 @@ class FrameSampleStage:
         ):
             if kind != "video":
                 continue
-            frames, nf = decode_any_video(payload, stride=self.stride)
+            try:
+                frames, nf = decode_any_video(payload, stride=self.stride)
+            except NotImplementedError:
+                continue  # unknown container: skip, don't abort
             for i, k in enumerate(range(0, nf, self.stride)):
                 mids.append(mid)
                 fidx.append(k)
@@ -312,7 +317,10 @@ class VideoEmbedStage:
         ):
             if kind != "video":
                 continue
-            frames, _nf = decode_any_video(payload, stride=self.stride)
+            try:
+                frames, _nf = decode_any_video(payload, stride=self.stride)
+            except NotImplementedError:
+                continue  # unknown container: skip, don't abort
             hist = np.histogram(frames, bins=self.bins, range=(0, 256))[0]
             vec = hist.astype(np.float64)
             norm = np.linalg.norm(vec)

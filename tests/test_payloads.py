@@ -79,8 +79,9 @@ class TestD3Rewrite:
             "Right": {"Literal": {"Value": "0D"}},
         }}}
         P._command(p)["Query"]["Where"] = [stale_cmp, stale_in, unrelated]
-        P.inject_filters(p, entity="New")
-        w = _where(p)
+        out = P.inject_filters(p, entity="New")
+        w = _where(out)
+        assert len(_where(p)) == 3  # input payload untouched (pure fn)
         assert unrelated in w  # non-entity filters preserved
         vals = [f["Condition"].get("In", {}).get("Values") for f in w
                 if "In" in f.get("Condition", {})]
@@ -90,12 +91,12 @@ class TestD3Rewrite:
     def test_idempotent_double_injection(self):
         p = P.build_payload("precatorios", entity="A", year=2023)
         once = json.loads(P.canonical_json(p))
-        P.inject_filters(p, entity="A", year=2023)
-        assert json.loads(P.canonical_json(p)) == once
+        twice = P.inject_filters(p, entity="A", year=2023)
+        assert json.loads(P.canonical_json(twice)) == once
 
     def test_year_rewrite_replaces_only_year(self):
         p = P.build_payload("precatorios", entity="A", year=2022)
-        P.inject_filters(p, year=2024)
+        p = P.inject_filters(p, year=2024)
         years = [f["Condition"]["Comparison"]["Right"]["Literal"]["Value"]
                  for f in _where(p) if P._is_year_filter(f)]
         assert years == ["2024L"]
