@@ -242,3 +242,38 @@ class TestJsonSafety:
         )
         assert b5["rows_total"] == b9["rows_total"]
         assert b9["data"][:5] == b5["data"]
+
+
+class TestCacheBounds:
+    def test_concurrent_identical_requests_build_once(self):
+        import time as _time
+
+        from crawler_tjce_ray.serve import AppState
+
+        state = AppState(corpus="/tmp", cache_ttl=600)
+        calls = []
+
+        def build():
+            calls.append(1)
+            _time.sleep(0.2)
+            return 200, {"x": 1}
+
+        results = []
+        ts = [threading.Thread(
+            target=lambda: results.append(state._cached("k", build)))
+            for _ in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(calls) == 1
+        assert all(r == (200, {"x": 1}) for r in results)
+
+    def test_cache_evicts_oldest_past_bound(self):
+        from crawler_tjce_ray.serve import AppState
+
+        state = AppState(corpus="/tmp", cache_ttl=600)
+        for i in range(AppState.CACHE_MAX_ENTRIES + 8):
+            state._cached(f"k{i}", lambda i=i: (200, {"i": i}))
+        assert len(state._cache) == AppState.CACHE_MAX_ENTRIES
+        assert "k0" not in state._cache  # oldest evicted
