@@ -45,7 +45,16 @@ def decode_png(data: bytes) -> np.ndarray:
 
     Palette images resolve through PLTE to RGB.  Raises ValueError on
     malformed streams and NotImplementedError on unsupported variants
-    (16-bit depth, interlaced)."""
+    (16-bit depth, interlaced) — never codec-internal exception types
+    (a crawled garbage payload must not crash an actor pool with
+    zlib.error)."""
+    try:
+        return _decode_png(data)
+    except (struct.error, IndexError, zlib.error) as e:
+        raise ValueError(f"malformed/truncated PNG: {e}") from e
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if not is_png(data):
         raise ValueError("not a PNG stream")
     pos = 8
@@ -153,7 +162,15 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 def decode_bmp(data: bytes) -> np.ndarray:
     """BMP bytes → (h, w, channels) uint8.  BGR(A) reorders to RGB(A);
-    8-bit palette resolves to RGB; bottom-up rows flip to top-down."""
+    8-bit palette resolves to RGB; bottom-up rows flip to top-down.
+    Malformed streams raise ValueError only (see decode_png)."""
+    try:
+        return _decode_bmp(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed/truncated BMP: {e}") from e
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
     if not is_bmp(data):
         raise ValueError("not a BMP stream")
     (pix_off,) = struct.unpack_from("<I", data, 10)
