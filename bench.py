@@ -101,6 +101,10 @@ BENCH_QUERIES = [
     "regr_price_qty",
     "grouped_p90_select",
     "bpe_token_count",
+    "heavy_hitters_exact",
+    "value_histogram",
+    "distinct_users_by_type",
+    "top_terms_per_lang",
 ]
 
 

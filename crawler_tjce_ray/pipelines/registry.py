@@ -177,13 +177,16 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 #   token_count, ... — see CORRECTNESS_r01/r02.json).
 #   r3 window (below): the 43 oracle-backed queries never checked by
 #   the driver, running_total (red in r2, oracle cast fixed),
-#   dedup_minhash_lsh (verify stage rewritten this round), and 5
-#   never-checked rows-only queries.
+#   dedup_minhash_lsh (verify stage rewritten this round), and the 4
+#   oracle-backed queries added late in r3 (heavy_hitters_exact,
+#   value_histogram, distinct_users_by_type, top_terms_per_lang).
 #   r4 should front the remainder: pack_sequences_sharded,
 #   multimodal_image_resize, multimodal_phash_dedup, ann_lsh_topk,
 #   c4_filters, importance_weights, qty_moments_by_flag,
 #   regr_price_qty, grouped_p90_select + the rows-only
-#   bpe_train / bpe_token_count + any new queries.
+#   kmeans_embeddings / semdedup / cms_heavy_hitters /
+#   approx_value_quantiles / bpe_train / bpe_token_count + any new
+#   queries.
 #   The window is EXACTLY _DRIVER_WINDOW_SIZE entries — pinned by
 #   tests/test_registry_window.py so an insertion can never silently
 #   push the tail entry past the driver's horizon.
@@ -211,9 +214,11 @@ _DRIVER_WINDOW_FRONT = [
     "label_centroids",
     # rewritten this round (rows-only; recall pinned in tests)
     "dedup_minhash_lsh",
-    # never driver-checked rows-only
-    "kmeans_embeddings", "semdedup", "cms_heavy_hitters",
-    "approx_value_quantiles",
+    # new this round, oracle-backed (kmeans_embeddings / semdedup /
+    # cms_heavy_hitters / approx_value_quantiles moved to the r4 plan
+    # — rows-only checks are strictly weaker evidence than these)
+    "heavy_hitters_exact", "value_histogram", "distinct_users_by_type",
+    "top_terms_per_lang",
 ]
 
 

@@ -2369,6 +2369,39 @@ ORDER BY lang, source
 """
 
 
+def q_distinct_users_by_type(sf_dir: str):
+    """Grouped EXACT distinct count — ``COUNT(DISTINCT user_id)`` per
+    event_type — with the shuffle-shrinking discipline the exact path
+    needs at 100 TB: each block first dedupes its own (event_type,
+    user_id) pairs — the raw event stream never leaves the map stage,
+    only per-block DISTINCT pairs — and the final dedupe+tally runs
+    over the already-combined pairs (same combiner recipe as
+    ``q_dedup_exact``).  At 10^10 users the final merge becomes a
+    pair-keyed hash-partition ``groupby``; here the distinct-pair set
+    is driver-sized (types × users) by construction.  This is the
+    exact counterpart of the HLL ``approx_distinct_users``: same
+    question, exact pairs instead of a 2^p-byte sketch, the right
+    trade when the distinct set itself is exchange-affordable."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    pairs = ds.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    ).to_pandas()
+    out = (
+        pairs.drop_duplicates()
+        .groupby("event_type", as_index=False)
+        .size()
+        .rename(columns={"size": "n_users"})
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_DISTINCT_USERS_BY_TYPE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "groupby_count": q_groupby_count,
@@ -2403,6 +2436,7 @@ QUERIES = {
     "hash_join_big": q_hash_join_big,
     "left_join_counts": q_left_join_counts,
     "zscore_events": q_zscore_events,
+    "distinct_users_by_type": q_distinct_users_by_type,
     "rollup_revenue": q_rollup_revenue,
     "pivot_status": q_pivot_status,
     "chars_percent_rank": q_chars_percent_rank,
@@ -2454,6 +2488,7 @@ ORACLE_SQL = {
     "hash_join_big": SQL_HASH_JOIN_BIG,
     "left_join_counts": SQL_LEFT_JOIN_COUNTS,
     "zscore_events": SQL_ZSCORE_EVENTS,
+    "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "pivot_status": SQL_PIVOT_STATUS,
     "chars_percent_rank": SQL_CHARS_PERCENT_RANK,

@@ -211,6 +211,161 @@ def q_cms_heavy_hitters(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# sketch-guided EXACT heavy hitters (two-pass)
+# ---------------------------------------------------------------------------
+
+HH_PHI = 0.03  # heavy = global share ≥ phi of all tokens
+
+
+def q_heavy_hitters_exact(sf_dir: str):
+    """EXACT frequent tokens (global share ≥ ``HH_PHI``) in two
+    streaming passes — the sketch-guided counterpart of
+    ``cms_heavy_hitters`` whose OUTPUT is exact and therefore
+    SQL-oracle-checkable:
+
+    pass 1: each block emits one additive CMS partial plus its
+      local-share candidates (every token with local share ≥ phi).  A
+      weighted-average/pigeonhole argument makes the candidate union a
+      SUPERSET of the true heavy hitters: a token with global share
+      ≥ phi must reach share ≥ phi in at least one block.  The merged
+      CMS (est ≥ true, one-sided) then PRUNES candidates whose
+      estimate is already below the threshold T = ⌈phi·N⌉.
+    pass 2: exact counts for the surviving candidates only — each
+      block ships ≤ |survivors| (token, count) rows instead of its
+      whole vocabulary, so the exact aggregation costs
+      O(blocks × |survivors|) regardless of vocabulary size (the
+      100-TB path where an exact full-vocab groupby is the
+      bottleneck).  Survivors ride task closures here; at cluster
+      scale the set goes through ``ray.put`` once."""
+    import math
+
+    from crawler_tjce_ray.pipelines.textops import _read_docs
+
+    ds = _read_docs(sf_dir, ["text"]).materialize()  # two passes
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            df["text"].str.lower().str.findall(r"[a-z0-9]+").explode().dropna()
+        )
+        counts = toks.value_counts()
+        total = int(counts.sum())
+        local = counts[counts >= HH_PHI * total] if total else counts
+        return pd.DataFrame({
+            "sketch": [cms_add(counts).tobytes()],
+            "cand": [list(local.index)],
+            "total": [total],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    sk = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    cands: set[str] = set()
+    for blob, cand in zip(parts["sketch"], parts["cand"]):
+        sk += np.frombuffer(blob, dtype=np.int64).reshape(CMS_D, CMS_W)
+        cands.update(cand)
+    n_tokens = int(parts["total"].sum())
+    threshold = math.ceil(HH_PHI * n_tokens)
+
+    cand_arr = np.array(sorted(cands), dtype=object)
+    est = cms_estimate(sk, cand_arr)
+    survivors = frozenset(cand_arr[est >= threshold])
+
+    def exact(df: pd.DataFrame, _keep=survivors) -> pd.DataFrame:
+        toks = (
+            df["text"].str.lower().str.findall(r"[a-z0-9]+").explode().dropna()
+        )
+        counts = toks.value_counts()
+        sub = counts[counts.index.isin(_keep)]
+        return pd.DataFrame({
+            "token": sub.index.astype(object),
+            "c": sub.to_numpy(dtype=np.int64),
+        })
+
+    exact_counts = (
+        ds.map_batches(exact, batch_format="pandas")
+        .to_pandas()
+        .groupby("token")["c"].sum()
+    )
+    hh = exact_counts[exact_counts >= threshold].sort_index()
+    return pd.DataFrame({
+        "token": hh.index.astype(object),
+        "cnt": hh.to_numpy(dtype=np.int64),
+    })
+
+
+SQL_HEAVY_HITTERS_EXACT = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+), tot AS (SELECT count(*) AS n FROM toks)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM toks, tot
+GROUP BY token, tot.n
+HAVING count(*) >= ceil(0.03 * tot.n)
+ORDER BY token
+"""
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram (two-pass: bounds, then additive bin partials)
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 16
+
+
+def q_value_histogram(sf_dir: str):
+    """Equi-width histogram of a continuous column in two streaming
+    passes: one min/max pass pins the shared bin edges, then every
+    block reports ONE additive int64[bins] count vector — the shuffle
+    carries O(blocks × bins) integers no matter the row count, and the
+    raw values never move (the same partial-merge discipline as the
+    CMS/HLL sketches, but exact).  Bin arithmetic is plain IEEE-double
+    ``floor((v − mn)/w)`` with w = (mx − mn)/bins, clamped to the last
+    bin — the identical expression DuckDB evaluates, so the oracle
+    needs no tolerance."""
+    ds = _read_events(sf_dir, ["value"]).materialize()  # two passes
+    _, mn, mx = _select_base_stats(ds, _derive_value)
+    w = (mx - mn) / HIST_BINS
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        b = np.minimum(
+            np.floor((v - mn) / w), HIST_BINS - 1
+        ).astype(np.int64)
+        c = np.bincount(b, minlength=HIST_BINS)
+        return pd.DataFrame({
+            "bin": np.arange(HIST_BINS, dtype=np.int64),
+            "c": c.astype(np.int64),
+        })
+
+    parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
+    agg = parts.groupby("bin")["c"].sum()
+    agg = agg[agg > 0]  # SQL GROUP BY emits no empty bins
+    bins = agg.index.to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "bin": bins,
+        "bin_lo": np.round(mn + bins * w, 6),
+        "cnt": agg.to_numpy(dtype=np.int64),
+    })
+
+
+SQL_VALUE_HISTOGRAM = """
+WITH s AS (
+  SELECT min(value) AS mn,
+         (max(value) - min(value)) / 16 AS w
+  FROM events
+)
+SELECT CAST(LEAST(FLOOR((value - s.mn) / s.w), 15) AS BIGINT) AS bin,
+       round(s.mn + LEAST(FLOOR((value - s.mn) / s.w), 15) * s.w, 6)
+         AS bin_lo,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events, s
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # mergeable quantile summary (the value_quantiles scale path)
 # ---------------------------------------------------------------------------
 
@@ -666,6 +821,8 @@ QUERIES = {
     "approx_value_quantiles": q_approx_value_quantiles,
     "approx_distinct_users": q_approx_distinct_users,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "heavy_hitters_exact": q_heavy_hitters_exact,
+    "value_histogram": q_value_histogram,
     "quantile_select": q_quantile_select,
     "mad_value": q_mad_value,
     "grouped_median_select": q_grouped_median_select,
@@ -674,6 +831,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "value_quantiles": SQL_VALUE_QUANTILES,
+    "heavy_hitters_exact": SQL_HEAVY_HITTERS_EXACT,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
     "quantile_select": SQL_QUANTILE_SELECT,
     "mad_value": SQL_MAD_VALUE,
     "grouped_median_select": SQL_GROUPED_MEDIAN_SELECT,

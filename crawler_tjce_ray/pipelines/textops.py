@@ -603,6 +603,88 @@ FROM pack ORDER BY doc_id
 """
 
 
+TOP_TERMS_K = 3
+
+
+def q_top_terms_per_lang(sf_dir: str):
+    """Grouped top-k vocabulary: the k most frequent tokens per
+    language with a deterministic (count DESC, token ASC) tie-break —
+    the corpus-inspection query a curation run starts from.  Per-block
+    partial counts keyed (lang, token) shrink the shuffle to the
+    block's DISTINCT vocabulary (not its token stream); one
+    ``groupby(lang, token)`` sums the partials, then a per-lang
+    ``map_groups`` ranks — the second exchange moves only
+    |langs × vocab| rows.  At 100 TB the rank stage stays tiny because
+    the vocabulary, not the corpus, bounds it."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for lang, g in df.groupby("lang", sort=True):
+            toks = (
+                g["text"].str.lower().str.findall(r"[a-z0-9]+")
+                .explode().dropna()
+            )
+            c = toks.value_counts()
+            outs.append(pd.DataFrame({
+                "lang": lang,
+                "token": c.index.astype(object),
+                "c": c.to_numpy(dtype=np.int64),
+            }))
+        if not outs:
+            return pd.DataFrame({
+                "lang": pd.Series([], dtype=object),
+                "token": pd.Series([], dtype=object),
+                "c": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(outs, ignore_index=True)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("c", alias_name="cnt"))
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+        ).head(TOP_TERMS_K)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = (
+        counts.groupby("lang").map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out["cnt"] = out["cnt"].astype("int64")
+    return (
+        out[["lang", "token", "cnt", "rk"]]
+        .sort_values(["lang", "rk"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_TOP_TERMS_PER_LANG = """
+WITH t AS (
+  SELECT lang,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+), c AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM t GROUP BY 1, 2
+), r AS (
+  SELECT lang, token, cnt,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY cnt DESC, token
+         ) AS BIGINT) AS rk
+  FROM c
+)
+SELECT lang, token, cnt, rk FROM r WHERE rk <= 3 ORDER BY lang, rk
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "doc_chunks": q_doc_chunks,
@@ -613,6 +695,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprint": q_winnow_fingerprint,
     "bm25_score": q_bm25_score,
+    "top_terms_per_lang": q_top_terms_per_lang,
 }
 
 ORACLE_SQL = {
@@ -623,4 +706,5 @@ ORACLE_SQL = {
     "lang_id_confusion": SQL_LANG_ID_CONFUSION,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "bm25_score": SQL_BM25_SCORE,
+    "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
 }

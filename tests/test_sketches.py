@@ -330,3 +330,57 @@ class TestGroupedMedianSelect:
         monkeypatch.setattr(sketches, "_SELECT_COLLECT_MAX", 2)
         multi = sketches.q_grouped_median_select(self.SF)
         pd.testing.assert_frame_equal(base, multi)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHeavyHittersExact:
+    def test_excludes_rare_includes_common(self):
+        """The synthetic vocab is ~30 near-uniform tokens (~3.2% share
+        each) plus the rare planted 'dup' (~0.1%): the phi = 3%
+        threshold must keep the uniform mass and drop the rare one."""
+        from crawler_tjce_ray.pipelines.sketches import q_heavy_hitters_exact
+
+        out = q_heavy_hitters_exact(SF_DIR)
+        assert "dup" not in set(out["token"])
+        assert len(out) >= 20
+        assert (out["token"].to_numpy() == np.sort(out["token"].to_numpy())).all()
+
+    def test_counts_are_exact(self):
+        """Output counts must equal brute-force exact counts (the CMS
+        only prunes candidates; it never supplies the published
+        numbers)."""
+        from crawler_tjce_ray.pipelines.sketches import (
+            HH_PHI, q_heavy_hitters_exact,
+        )
+
+        docs = pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["text"]
+        ).to_pandas()
+        toks = (
+            docs["text"].str.lower().str.findall(r"[a-z0-9]+")
+            .explode().dropna()
+        )
+        counts = toks.value_counts()
+        import math
+        threshold = math.ceil(HH_PHI * int(counts.sum()))
+        truth = counts[counts >= threshold].sort_index()
+
+        out = q_heavy_hitters_exact(SF_DIR)
+        assert list(out["token"]) == list(truth.index)
+        assert list(out["cnt"]) == [int(c) for c in truth]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestValueHistogram:
+    def test_partition_of_rows(self):
+        """Bin counts must partition the table: every value lands in
+        exactly one bin, edges clamp the max into the last bin."""
+        from crawler_tjce_ray.pipelines.sketches import q_value_histogram
+
+        out = q_value_histogram(SF_DIR)
+        n = len(pq.read_table(f"{SF_DIR}/events.parquet", columns=["value"]))
+        assert int(out["cnt"].sum()) == n
+        assert out["bin"].between(0, 15).all()
+        assert out["bin"].is_monotonic_increasing
+        # bin_lo is the shared left edge: strictly increasing with bin
+        assert out["bin_lo"].is_monotonic_increasing
