@@ -185,8 +185,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 #   c4_filters, importance_weights, qty_moments_by_flag,
 #   regr_price_qty, grouped_p90_select + the rows-only
 #   kmeans_embeddings / semdedup / cms_heavy_hitters /
-#   approx_value_quantiles / bpe_train / bpe_token_count + any new
-#   queries.
+#   approx_value_quantiles / bpe_train / bpe_token_count +
+#   sources_per_lang and any other new queries.
 #   The window is EXACTLY _DRIVER_WINDOW_SIZE entries — pinned by
 #   tests/test_registry_window.py so an insertion can never silently
 #   push the tail entry past the driver's horizon.

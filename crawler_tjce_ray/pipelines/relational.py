@@ -2402,6 +2402,39 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_sources_per_lang(sf_dir: str):
+    """Ordered list/string aggregation — ``STRING_AGG(DISTINCT source
+    ORDER BY source)`` per language — the one aggregate class
+    (collect-to-list) the registry lacked.  Same combiner discipline
+    as ``q_distinct_users_by_type``: blocks dedupe their own (lang,
+    source) pairs so the exchange carries per-block distinct pairs
+    only; the join-to-string happens once per group over the merged
+    distinct set.  The result is bounded by |langs × sources| — list
+    aggregation is only sane when the collected set is, and the
+    per-block dedupe is what keeps the big side streaming."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    pairs = ds.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    ).to_pandas().drop_duplicates()
+    out = (
+        pairs.sort_values(["lang", "source"])
+        .groupby("lang", as_index=False)
+        .agg(
+            n_sources=("source", "size"),
+            sources=("source", ",".join),
+        )
+    )
+    out["n_sources"] = out["n_sources"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_SOURCES_PER_LANG = """
+SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       STRING_AGG(DISTINCT source, ',' ORDER BY source) AS sources
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "groupby_count": q_groupby_count,
@@ -2437,6 +2470,7 @@ QUERIES = {
     "left_join_counts": q_left_join_counts,
     "zscore_events": q_zscore_events,
     "distinct_users_by_type": q_distinct_users_by_type,
+    "sources_per_lang": q_sources_per_lang,
     "rollup_revenue": q_rollup_revenue,
     "pivot_status": q_pivot_status,
     "chars_percent_rank": q_chars_percent_rank,
@@ -2489,6 +2523,7 @@ ORACLE_SQL = {
     "left_join_counts": SQL_LEFT_JOIN_COUNTS,
     "zscore_events": SQL_ZSCORE_EVENTS,
     "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
+    "sources_per_lang": SQL_SOURCES_PER_LANG,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "pivot_status": SQL_PIVOT_STATUS,
     "chars_percent_rank": SQL_CHARS_PERCENT_RANK,
