@@ -677,8 +677,60 @@ ORDER BY day
 """
 
 
+def q_degree_distribution(sf_dir: str):
+    """Out-degree histogram of the order-adjacency part graph (the
+    first diagnostic run on any web/link graph: degree skew decides
+    shuffle-salting and orientation strategies downstream).
+
+    Reuses the memoized edge Dataset; out-degree is additive edge
+    multiplicity (SUM w — a (src, dst) pair may appear in several
+    order buckets, which sums correctly), so one streaming per-batch
+    partial folds into the O(#distinct-src) driver vector (pagerank's
+    documented state bound; shard on the bucket key past ~10⁸ nodes).
+    Nodes with no outgoing edge report degree 0 via the node array."""
+    edges, nodes = _edges_ds_and_nodes(sf_dir)
+    deg_parts = edges.map_batches(
+        lambda df: df.groupby("src", as_index=False)["w"].sum(),
+        batch_format="pandas",
+    ).to_pandas()
+    deg = deg_parts.groupby("src")["w"].sum()
+    od = deg.to_numpy(np.float64).astype("int64")  # w is whole-valued
+    degrees, counts = np.unique(od, return_counts=True)
+    n_zero = len(nodes) - len(od)
+    if n_zero > 0 and (len(degrees) == 0 or degrees[0] != 0):
+        degrees = np.concatenate([[0], degrees])
+        counts = np.concatenate([[n_zero], counts])
+    elif n_zero > 0:
+        counts = counts.copy()
+        counts[0] += n_zero
+    return pd.DataFrame({
+        "out_degree": degrees.astype("int64"),
+        "n_nodes": counts.astype("int64"),
+    })
+
+
+SQL_DEGREE_DISTRIBUTION = """
+WITH seq AS (
+  SELECT l_partkey AS src,
+         LEAD(l_partkey) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+         ) AS dst
+  FROM lineitem
+), e AS (
+  SELECT src, COUNT(*) AS w FROM seq WHERE dst IS NOT NULL GROUP BY src
+), nodes AS (
+  SELECT DISTINCT l_partkey AS node FROM lineitem
+)
+SELECT CAST(COALESCE(e.w, 0) AS BIGINT) AS out_degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM nodes LEFT JOIN e ON e.src = nodes.node
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "pagerank_parts": q_pagerank_parts,
+    "degree_distribution": q_degree_distribution,
     "event_funnel": q_event_funnel,
     "event_transitions": q_event_transitions,
     "inverted_index": q_inverted_index,
@@ -688,6 +740,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "pagerank_parts": SQL_PAGERANK_PARTS,
+    "degree_distribution": SQL_DEGREE_DISTRIBUTION,
     "event_funnel": SQL_EVENT_FUNNEL,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "inverted_index": SQL_INVERTED_INDEX,

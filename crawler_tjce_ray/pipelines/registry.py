@@ -149,12 +149,13 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     out["crawl_metrics"] = q_crawl_metrics
 
     from crawler_tjce_ray.pipelines import (
-        bpe, clustering, dedup, graph, relational, similarity, sketches,
-        textops, training, webtext,
+        bpe, clustering, dedup, fuzzy, graph, relational, similarity,
+        sketches, textops, training, webtext,
     )
     from crawler_tjce_ray.stages import multimodal
 
     out.update(relational.QUERIES)
+    out.update(fuzzy.QUERIES)
     out.update(training.QUERIES)
     out.update(graph.QUERIES)
     out.update(dedup.QUERIES)
@@ -186,7 +187,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 #   regr_price_qty, grouped_p90_select + the rows-only
 #   kmeans_embeddings / semdedup / cms_heavy_hitters /
 #   approx_value_quantiles / bpe_train / bpe_token_count +
-#   sources_per_lang and any other new queries.
+#   sources_per_lang, the five oracle-backed queries added after the
+#   r3 window froze (fuzzy_name_pairs, degree_distribution,
+#   first_last_order, vocab_overlap_sources, perplexity_buckets) and
+#   any other new queries.
 #   The window is EXACTLY _DRIVER_WINDOW_SIZE entries — pinned by
 #   tests/test_registry_window.py so an insertion can never silently
 #   push the tail entry past the driver's horizon.
@@ -232,11 +236,12 @@ def _rotate_for_driver_window(
 
 def build_oracle_sql() -> dict[str, str]:
     from crawler_tjce_ray.pipelines import (
-        clustering, dedup, graph, relational, similarity, sketches, textops,
-        training, webtext,
+        clustering, dedup, fuzzy, graph, relational, similarity, sketches,
+        textops, training, webtext,
     )
 
     sql = dict(relational.ORACLE_SQL)
+    sql.update(fuzzy.ORACLE_SQL)
     sql.update(training.ORACLE_SQL)
     sql.update(graph.ORACLE_SQL)
     sql.update(dedup.ORACLE_SQL)

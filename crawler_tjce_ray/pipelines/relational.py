@@ -2435,6 +2435,73 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_first_last_order(sf_dir: str):
+    """Per-customer FIRST_VALUE/LAST_VALUE — the order value of each
+    customer's earliest and latest order — via packed argmin/argmax
+    combiners: each block keeps ONE (key, price) extreme per customer
+    (key = epoch-seconds · 10⁸ + orderkey, a single int64 that totally
+    orders (o_orderdate, o_orderkey)), so the groupby exchange carries
+    per-block-distinct customers, never order rows.  This is the
+    window-function class (FIRST/LAST per partition) expressed as an
+    associative aggregate — the form that survives 100 TB, where a
+    PARTITION BY ... ORDER BY window would demand a full sort."""
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sec = df["o_orderdate"].to_numpy().astype("datetime64[s]").astype("int64")
+        t = pd.DataFrame({
+            "c_custkey": df["o_custkey"].to_numpy("int64"),
+            "key": sec * 100_000_000 + df["o_orderkey"].to_numpy("int64"),
+            "price": df["o_totalprice"].to_numpy("float64"),
+        })
+        g = t.groupby("c_custkey")
+        imin = g["key"].idxmin()
+        imax = g["key"].idxmax()
+        # idxmin/idxmax/size all iterate groups in sorted-key order
+        return pd.DataFrame({
+            "c_custkey": imin.index.to_numpy("int64"),
+            "kmin": t.loc[imin, "key"].to_numpy("int64"),
+            "first_price": t.loc[imin, "price"].to_numpy("float64"),
+            "kmax": t.loc[imax, "key"].to_numpy("int64"),
+            "last_price": t.loc[imax, "price"].to_numpy("float64"),
+            "n": g.size().to_numpy("int64"),
+        })
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        i = int(g["kmin"].to_numpy().argmin())
+        j = int(g["kmax"].to_numpy().argmax())
+        return pd.DataFrame({
+            "c_custkey": [int(g["c_custkey"].iloc[0])],
+            "n_orders": [int(g["n"].sum())],
+            "first_price": [float(g["first_price"].iloc[i])],
+            "last_price": [float(g["last_price"].iloc[j])],
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("c_custkey")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_FIRST_LAST_ORDER = """
+SELECT o_custkey AS c_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       min_by(o_totalprice,
+              CAST(epoch(o_orderdate) AS BIGINT) * 100000000 + o_orderkey
+       ) AS first_price,
+       max_by(o_totalprice,
+              CAST(epoch(o_orderdate) AS BIGINT) * 100000000 + o_orderkey
+       ) AS last_price
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "groupby_count": q_groupby_count,
@@ -2471,6 +2538,7 @@ QUERIES = {
     "zscore_events": q_zscore_events,
     "distinct_users_by_type": q_distinct_users_by_type,
     "sources_per_lang": q_sources_per_lang,
+    "first_last_order": q_first_last_order,
     "rollup_revenue": q_rollup_revenue,
     "pivot_status": q_pivot_status,
     "chars_percent_rank": q_chars_percent_rank,
@@ -2524,6 +2592,7 @@ ORACLE_SQL = {
     "zscore_events": SQL_ZSCORE_EVENTS,
     "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
     "sources_per_lang": SQL_SOURCES_PER_LANG,
+    "first_last_order": SQL_FIRST_LAST_ORDER,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "pivot_status": SQL_PIVOT_STATUS,
     "chars_percent_rank": SQL_CHARS_PERCENT_RANK,

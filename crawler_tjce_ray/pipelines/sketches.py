@@ -668,7 +668,10 @@ FROM events, m GROUP BY m.med
 """
 
 
-def _grouped_quantile_select(sf_dir: str, q: float) -> dict[str, float]:
+def _grouped_quantile_select(
+    sf_dir: str, q: float, *, ds=None,
+    group_col: str = "event_type", value_col: str = "value",
+) -> dict[str, float]:
     """EXACT per-group ``quantile_disc(q)`` over a continuous column
     with NO value shuffle — the grouped form of ``_quickselect``:
     every group's rank-k search (k = ceil(q·n), 1-based) advances
@@ -680,17 +683,18 @@ def _grouped_quantile_select(sf_dir: str, q: float) -> dict[str, float]:
     large to sort in one task."""
     import math
 
-    ds = _read_events(sf_dir, ["event_type", "value"]).materialize()
+    if ds is None:
+        ds = _read_events(sf_dir, ["event_type", "value"]).materialize()
 
     base = ds.map_batches(
-        lambda df: df.groupby("event_type", as_index=False).agg(
+        lambda df: df.groupby(group_col, as_index=False).agg(
             # 'count', not 'size': NaNs are excluded from the rank
             # space (the histogram comparisons drop them), so n must
             # count only comparable values to stay quantile_disc-exact
-            n=("value", "count"), mn=("value", "min"), mx=("value", "max"),
+            n=(value_col, "count"), mn=(value_col, "min"), mx=(value_col, "max"),
         ),
         batch_format="pandas",
-    ).to_pandas().groupby("event_type").agg(
+    ).to_pandas().groupby(group_col).agg(
         n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"),
     )
 
@@ -712,10 +716,10 @@ def _grouped_quantile_select(sf_dir: str, q: float) -> dict[str, float]:
 
         def hist(df: pd.DataFrame, _e=edges) -> pd.DataFrame:
             outs = []
-            for g, sub in df.groupby("event_type"):
+            for g, sub in df.groupby(group_col):
                 if g not in _e:
                     continue
-                hw = _hist_window(sub["value"].to_numpy(np.float64), _e[g])
+                hw = _hist_window(sub[value_col].to_numpy(np.float64), _e[g])
                 if hw is None:
                     continue
                 nz, cnz, wmn, wmx = hw
@@ -761,11 +765,11 @@ def _grouped_quantile_select(sf_dir: str, q: float) -> dict[str, float]:
 
         def gather(df: pd.DataFrame, _c=cref_edges) -> pd.DataFrame:
             outs = []
-            for g, sub in df.groupby("event_type"):
+            for g, sub in df.groupby(group_col):
                 if g not in _c:
                     continue
                 lo, hi, _ = _c[g]
-                v = sub["value"].to_numpy(np.float64)
+                v = sub[value_col].to_numpy(np.float64)
                 v = v[(v > lo) & (v <= hi)]
                 if len(v):
                     outs.append(pd.DataFrame({"g": g, "v": v}))

@@ -685,8 +685,115 @@ SELECT lang, token, cnt, rk FROM r WHERE rk <= 3 ORDER BY lang, rk
 """
 
 
+def q_vocab_overlap_sources(sf_dir: str):
+    """Pairwise vocabulary Jaccard across sources — the corpus-mixture
+    diagnostic ("how much does src A's vocabulary overlap src B's?")
+    that guides dedup thresholds and mixture weights.
+
+    Scale shape: per-block DISTINCT (source, token) partials → one
+    ``groupby(source, token)`` exchange finalizes the global distinct
+    set (bounded by Σ per-source vocab, not the token stream) → a
+    ``groupby(token)`` stage emits source pairs per token (group size
+    ≤ #sources, so no hot-key salting needed even for universal
+    tokens) → per-batch pair-count combiners fold to |sources|² rows.
+    The corpus text never rides a shuffle."""
+    import itertools
+
+    from ray.data.aggregate import Count
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for src, g in df.groupby("source", sort=True):
+            toks = (
+                g["text"].str.lower().str.findall(r"[a-z0-9]+")
+                .explode().dropna().unique()
+            )
+            outs.append(pd.DataFrame({"source": src, "token": toks}))
+        if not outs:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype="string"),
+                "token": pd.Series([], dtype="string"),
+            })
+        return pd.concat(outs, ignore_index=True)
+
+    st = (
+        ds.map_batches(distinct_partial, batch_format="pandas")
+        .groupby(["source", "token"])
+        .aggregate(Count("source", alias_name="n"))
+        .select_columns(["source", "token"])
+        .materialize()  # consumed twice: vocab sizes + pair counts
+    )
+
+    vparts = st.map_batches(
+        lambda df: df.groupby("source", as_index=False).agg(v=("token", "size")),
+        batch_format="pandas",
+    ).to_pandas()
+    vsizes = vparts.groupby("source")["v"].sum()
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        srcs = sorted(g["source"])
+        if len(srcs) < 2:
+            return pd.DataFrame({
+                "source_a": pd.Series([], dtype="string"),
+                "source_b": pd.Series([], dtype="string"),
+            })
+        a, b = zip(*itertools.combinations(srcs, 2))
+        return pd.DataFrame({"source_a": list(a), "source_b": list(b)})
+
+    pair_parts = (
+        st.groupby("token")
+        .map_groups(pair_partial, batch_format="pandas")
+        .map_batches(
+            lambda df: df.groupby(["source_a", "source_b"], as_index=False)
+            .agg(n_common=("source_a", "size")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out = pair_parts.groupby(
+        ["source_a", "source_b"], as_index=False
+    )["n_common"].sum()
+    va = out["source_a"].map(vsizes).to_numpy("int64")
+    vb = out["source_b"].map(vsizes).to_numpy("int64")
+    inter = out["n_common"].to_numpy("int64")
+    out["n_common"] = inter
+    out["jaccard"] = inter / (va + vb - inter)
+    return (
+        out[["source_a", "source_b", "n_common", "jaccard"]]
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_VOCAB_OVERLAP_SOURCES = """
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+), st AS (
+  SELECT DISTINCT source, token FROM toks
+), v AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY 1
+), p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.n_common,
+       CAST(p.n_common AS DOUBLE) / (va.n + vb.n - p.n_common) AS jaccard
+FROM p
+JOIN v va ON va.source = p.source_a
+JOIN v vb ON vb.source = p.source_b
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
+    "vocab_overlap_sources": q_vocab_overlap_sources,
     "doc_chunks": q_doc_chunks,
     "pack_sequences": q_pack_sequences,
     "pack_sequences_sharded": q_pack_sequences_sharded,
@@ -707,4 +814,5 @@ ORACLE_SQL = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "bm25_score": SQL_BM25_SCORE,
     "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
+    "vocab_overlap_sources": SQL_VOCAB_OVERLAP_SOURCES,
 }

@@ -595,6 +595,141 @@ ORDER BY d.doc_id
 """
 
 
+PPLX_EPS = 1e-9  # threshold-comparison slack, see q_perplexity_buckets
+
+
+def q_perplexity_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail buckets (Wenzek et al. 2020): per
+    language, split documents into terciles of unigram LM score and
+    report each bucket's size and mean score — the partition a
+    curation run uses to keep "head", subsample "middle", drop "tail".
+
+    Scale shape: the unigram scoring is ``q_unigram_logprob``'s two
+    streaming passes (O(vocab) driver LM, broadcast once); the
+    tercile THRESHOLDS are exact per-lang ``quantile_disc(1/3, 2/3)``
+    picks from the shared simultaneous-quickselect engine
+    (``sketches._grouped_quantile_select`` — no value shuffle, driver
+    state O(langs × 256)); bucketing + (lang, bucket) count/sum
+    partials are one more streaming pass.  Nothing materializes the
+    corpus.
+
+    Thresholds are compared with ``lp <= t + 1e-9`` on BOTH engines:
+    the threshold is a data value, so the slack only matters when two
+    distinct document means sit within 1e-9 — it absorbs the cross-
+    engine float-tail divergence of the two mean computations without
+    changing any real bucket boundary."""
+    import ray
+
+    from crawler_tjce_ray.pipelines.sketches import _grouped_quantile_select
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _explode_words(df)
+        if toks.empty:
+            return pd.DataFrame({"w": pd.Series([], dtype="string"),
+                                 "n": pd.Series([], dtype="int64")})
+        g = toks.groupby("w", as_index=False).size()
+        return pd.DataFrame({"w": g["w"].astype("string"),
+                             "n": g["size"].astype("int64")})
+
+    vocab = (
+        ds.map_batches(counts, batch_format="pandas")
+        .to_pandas().groupby("w", as_index=False).sum()
+    )
+    total = int(vocab["n"].sum())
+    vsize = len(vocab)
+    logp = np.log((vocab["n"].to_numpy(np.float64) + 1.0) / (total + vsize))
+    table_ref = ray.put(dict(zip(vocab["w"], logp)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tbl = ray.get(table_ref)
+        ex = _explode_words(df)
+        out = df[["doc_id", "lang"]].copy()
+        if ex.empty:
+            out["mean_logprob"] = np.float64(0.0)
+            return out
+        ex["lp"] = ex["w"].map(tbl)
+        g = ex.groupby("doc_id", as_index=False).agg(
+            n_tokens=("lp", "size"), sum_lp=("lp", "sum")
+        )
+        out = out.merge(g, on="doc_id", how="left")
+        n = out["n_tokens"].fillna(0).to_numpy(np.int64)
+        out["mean_logprob"] = np.where(n > 0, out["sum_lp"] / n, 0.0)
+        return out[["doc_id", "lang", "mean_logprob"]]
+
+    scored = ds.map_batches(score, batch_format="pandas").materialize()
+    t33 = _grouped_quantile_select(
+        sf_dir, 1.0 / 3, ds=scored, group_col="lang", value_col="mean_logprob"
+    )
+    t67 = _grouped_quantile_select(
+        sf_dir, 2.0 / 3, ds=scored, group_col="lang", value_col="mean_logprob"
+    )
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lp = df["mean_logprob"].to_numpy(np.float64)
+        lo = df["lang"].map(t33).to_numpy(np.float64)
+        hi = df["lang"].map(t67).to_numpy(np.float64)
+        b = np.where(lp <= lo + PPLX_EPS, "tail",
+                     np.where(lp <= hi + PPLX_EPS, "middle", "head"))
+        t = pd.DataFrame({"lang": df["lang"], "bucket": b, "lp": lp})
+        g = t.groupby(["lang", "bucket"], as_index=False).agg(
+            n_docs=("lp", "size"), sum_lp=("lp", "sum")
+        )
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+    parts = scored.map_batches(bucket, batch_format="pandas").to_pandas()
+    out = parts.groupby(["lang", "bucket"], as_index=False).agg(
+        n_docs=("n_docs", "sum"), sum_lp=("sum_lp", "sum")
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["mean_logprob"] = out["sum_lp"] / out["n_docs"]
+    return (
+        out[["lang", "bucket", "n_docs", "mean_logprob"]]
+        .sort_values(["lang", "bucket"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_PERPLEXITY_BUCKETS = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, COUNT(*) AS n FROM toks GROUP BY w
+), consts AS (
+  SELECT SUM(n) AS total, COUNT(*) AS vsize FROM vocab
+), lp AS (
+  SELECT t.doc_id, ln((v.n + 1.0) / (c.total + c.vsize)) AS lp
+  FROM toks t JOIN vocab v USING (w), consts c
+), scored AS (
+  SELECT d.doc_id, d.lang,
+         COALESCE(s.sum_lp / s.n_tokens, 0.0) AS mean_logprob
+  FROM documents d
+  LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp) AS sum_lp
+    FROM lp GROUP BY doc_id
+  ) s ON d.doc_id = s.doc_id
+), q AS (
+  SELECT lang,
+         quantile_disc(mean_logprob, 1.0/3) AS t33,
+         quantile_disc(mean_logprob, 2.0/3) AS t67
+  FROM scored GROUP BY lang
+), b AS (
+  SELECT s.lang,
+         CASE WHEN s.mean_logprob <= q.t33 + {PPLX_EPS} THEN 'tail'
+              WHEN s.mean_logprob <= q.t67 + {PPLX_EPS} THEN 'middle'
+              ELSE 'head' END AS bucket,
+         s.mean_logprob
+  FROM scored s JOIN q ON q.lang = s.lang
+)
+SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       SUM(mean_logprob) / COUNT(*) AS mean_logprob
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 DSIR_MOD = 7
 
 
@@ -1470,6 +1605,7 @@ QUERIES = {
     "lang_median_chars": q_lang_median_chars,
     "char_entropy": q_char_entropy,
     "unigram_logprob": q_unigram_logprob,
+    "perplexity_buckets": q_perplexity_buckets,
     "importance_weights": q_importance_weights,
     "bigram_logprob": q_bigram_logprob,
     "sample_to_budget": q_sample_to_budget,
@@ -1490,6 +1626,7 @@ ORACLE_SQL = {
     "lang_median_chars": SQL_LANG_MEDIAN_CHARS,
     "char_entropy": SQL_CHAR_ENTROPY,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "importance_weights": SQL_IMPORTANCE_WEIGHTS,
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "sample_to_budget": SQL_SAMPLE_TO_BUDGET,
