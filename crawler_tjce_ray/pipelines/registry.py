@@ -187,10 +187,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 #   regr_price_qty, grouped_p90_select + the rows-only
 #   kmeans_embeddings / semdedup / cms_heavy_hitters /
 #   approx_value_quantiles / bpe_train / bpe_token_count +
-#   sources_per_lang, the five oracle-backed queries added after the
+#   sources_per_lang, the seven oracle-backed queries added after the
 #   r3 window froze (fuzzy_name_pairs, degree_distribution,
-#   first_last_order, vocab_overlap_sources, perplexity_buckets) and
-#   any other new queries.
+#   first_last_order, vocab_overlap_sources, perplexity_buckets,
+#   ewma_value_per_user, debounce_events) and any other new queries.
 #   The window is EXACTLY _DRIVER_WINDOW_SIZE entries — pinned by
 #   tests/test_registry_window.py so an insertion can never silently
 #   push the tail entry past the driver's horizon.

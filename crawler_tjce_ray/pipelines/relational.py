@@ -2502,6 +2502,140 @@ FROM orders GROUP BY 1 ORDER BY 1
 """
 
 
+EWMA_ALPHA = 0.3
+
+
+def q_ewma_value_per_user(sf_dir: str):
+    """Exponentially weighted moving average of ``value`` per user in
+    event order (α = 0.3, ``adjust=False`` recurrence: y₁ = x₁,
+    yₜ = (1−α)·yₜ₋₁ + α·xₜ) — the linear-recurrence *scan* class
+    (decayed counters, trend lines) that no associative aggregate
+    covers.  Same plan as sessionize: one shuffle onto 64 coarse
+    ``user_id & 63`` buckets, then the per-user scan runs vectorized
+    inside the bucket (pandas' cython ``groupby.ewm``); a user's whole
+    stream lives in one bucket, so state never crosses tasks.  The
+    oracle expands the recurrence to its closed power form — O(n_u²)
+    per user is fine for DuckDB at oracle scale, while the engine side
+    stays O(n)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        return t.append_column("kb", kb)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = g.reset_index(drop=True)
+        ew = (
+            g.groupby("user_id", sort=False)["value"]
+            .ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "event_id": g["event_id"].astype("int64"),
+            "ewma_value": ew.to_numpy(np.float64),
+        })
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(scan, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+SQL_EWMA_VALUE_PER_USER = f"""
+WITH o AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+)
+SELECT a.user_id, a.event_id,
+       SUM(b.value * CASE WHEN b.rn = 1 THEN power({1 - EWMA_ALPHA}, a.rn - 1)
+                          ELSE {EWMA_ALPHA} * power({1 - EWMA_ALPHA}, a.rn - b.rn)
+                     END) AS ewma_value
+FROM o a JOIN o b ON b.user_id = a.user_id AND b.rn <= a.rn
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+DEBOUNCE_US = 6 * 3600 * 1_000_000  # 6 hours, in timestamp[us] ticks
+
+
+def q_debounce_events(sf_dir: str):
+    """Stateful streaming throttle-dedup (debounce): per user, keep an
+    event only when ≥ 6 h have passed since the last KEPT event — the
+    recurrence is data-dependent (which events are suppressed depends
+    on which were kept), so unlike sessionize no window function
+    expresses it.  Bucketed like sessionize (user streams never cross
+    tasks); inside a bucket each user's kept set is recovered with an
+    output-sensitive ``searchsorted`` hop loop — O(k log n) per user,
+    where k is the number of KEPT events, not the stream length.  The
+    oracle is the same recurrence as a recursive CTE with a LATERAL
+    next-kept probe."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        return t.append_column("kb", kb)
+
+    def debounce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = g.reset_index(drop=True)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        kept = np.zeros(len(g), dtype=bool)
+        starts = np.flatnonzero(
+            g["user_id"].ne(g["user_id"].shift()).to_numpy()
+        )
+        bounds = np.append(starts, len(g))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            i = s
+            while i < e:  # hops kept→kept, not row→row
+                kept[i] = True
+                i = s + np.searchsorted(ts[s:e], ts[i] + DEBOUNCE_US, "left")
+        return pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "event_id": g["event_id"].astype("int64"),
+            "kept": kept.astype("int64"),
+        })
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(debounce, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+SQL_DEBOUNCE_EVENTS = """
+WITH RECURSIVE o AS (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+), k AS (
+  SELECT user_id, event_id, ts, rn FROM o WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.event_id, n.ts, n.rn
+  FROM k JOIN LATERAL (
+    SELECT o.user_id, o.event_id, o.ts, o.rn FROM o
+    WHERE o.user_id = k.user_id AND o.ts >= k.ts + INTERVAL 6 HOUR
+    ORDER BY o.rn LIMIT 1
+  ) n ON true
+)
+SELECT e.user_id, e.event_id,
+       CAST(k.event_id IS NOT NULL AS BIGINT) AS kept
+FROM events e LEFT JOIN k ON k.event_id = e.event_id
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "groupby_count": q_groupby_count,
@@ -2539,6 +2673,8 @@ QUERIES = {
     "distinct_users_by_type": q_distinct_users_by_type,
     "sources_per_lang": q_sources_per_lang,
     "first_last_order": q_first_last_order,
+    "ewma_value_per_user": q_ewma_value_per_user,
+    "debounce_events": q_debounce_events,
     "rollup_revenue": q_rollup_revenue,
     "pivot_status": q_pivot_status,
     "chars_percent_rank": q_chars_percent_rank,
@@ -2593,6 +2729,8 @@ ORACLE_SQL = {
     "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
     "sources_per_lang": SQL_SOURCES_PER_LANG,
     "first_last_order": SQL_FIRST_LAST_ORDER,
+    "ewma_value_per_user": SQL_EWMA_VALUE_PER_USER,
+    "debounce_events": SQL_DEBOUNCE_EVENTS,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "pivot_status": SQL_PIVOT_STATUS,
     "chars_percent_rank": SQL_CHARS_PERCENT_RANK,
