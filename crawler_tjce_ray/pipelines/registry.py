@@ -187,10 +187,13 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 #   regr_price_qty, grouped_p90_select + the rows-only
 #   kmeans_embeddings / semdedup / cms_heavy_hitters /
 #   approx_value_quantiles / bpe_train / bpe_token_count +
-#   sources_per_lang, the seven oracle-backed queries added after the
-#   r3 window froze (fuzzy_name_pairs, degree_distribution,
+#   sources_per_lang, the fifteen oracle-backed queries added after
+#   the r3 window froze (fuzzy_name_pairs, degree_distribution,
 #   first_last_order, vocab_overlap_sources, perplexity_buckets,
-#   ewma_value_per_user, debounce_events) and any other new queries.
+#   ewma_value_per_user, debounce_events, part_cooccurrence,
+#   welch_t_value, burstiness_users, lang_entropy_by_source,
+#   char_trigram_topk, zipf_slope, embedding_dim_variance,
+#   label_cohesion) and any other new queries.
 #   The window is EXACTLY _DRIVER_WINDOW_SIZE entries — pinned by
 #   tests/test_registry_window.py so an insertion can never silently
 #   push the tail entry past the driver's horizon.

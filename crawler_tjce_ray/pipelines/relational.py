@@ -2636,6 +2636,196 @@ ORDER BY 1, 2
 """
 
 
+def q_part_cooccurrence(sf_dir: str):
+    """Market-basket pair mining: the 100 part pairs most often bought
+    together in one order.  Stage 1 shuffles (orderkey, partkey) once
+    on 64 coarse orderkey buckets; inside a bucket the pairs fall out
+    of one vectorized dedup + self-merge (orders are disjoint across
+    buckets, so bucket pair-counts are exact partials that sum).
+    Stage 2 aggregates the packed ``p1<<32|p2`` pair key with a Ray
+    groupby — the pair space grows with the data, so unlike the tiny
+    combiner queries it must NOT merge on the driver — and the top-100
+    is a per-block partial top-k before one small driver reduce.
+    Skew note: the pair blowup per order is C(items,2); baskets are
+    bounded (≤7 lineitems per order in this schema), so no salt is
+    needed — a power-law basket source would cap or split hot
+    orderkeys first."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("kb", _kb64(pc.cast(t["l_orderkey"], pa.int64())))
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        pair = (
+            (m["l_partkey_x"].to_numpy(np.int64) << np.int64(32))
+            | m["l_partkey_y"].to_numpy(np.int64)
+        )
+        u, c = np.unique(pair, return_counts=True)
+        return pd.DataFrame({"pair": u, "c": c.astype(np.int64)})
+
+    def topk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sum(c)", "pair"], ascending=[False, True],
+                            kind="mergesort")
+        return df.head(100)
+
+    parts = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("pair")
+        .sum("c")
+        .map_batches(topk_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    parts = parts.sort_values(["sum(c)", "pair"], ascending=[False, True],
+                              kind="mergesort").head(100)
+    pair = parts["pair"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "p1": pair >> np.int64(32),
+        "p2": pair & np.int64(0xFFFFFFFF),
+        "pair_count": parts["sum(c)"].to_numpy(np.int64),
+    })
+
+
+SQL_PART_COOCCURRENCE = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       CAST(COUNT(*) AS BIGINT) AS pair_count
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 ORDER BY pair_count DESC, p1, p2 LIMIT 100
+"""
+
+
+def q_welch_t_value(sf_dir: str):
+    """Grouped two-sample statistics: Welch's t of ``value`` for each
+    event_type against its complement (all other events).  One
+    streaming pass of per-batch (n, Σv, Σv²) partials per type — the
+    complement's moments fall out of the global totals, so nothing is
+    scanned twice and nothing shuffles.  The oracle spells out the
+    identical naive-moment algebra so both engines share rounding
+    behavior (the ``corr_qty_price`` discipline)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({
+            "event_type": t["event_type"],
+            "v": t["value"],
+            "v2": pc.multiply(t["value"], t["value"]),
+        })
+        g = t2.group_by("event_type").aggregate([
+            ("v", "sum"), ("v2", "sum"), ("v", "count"),
+        ])
+        return pa.table({
+            "event_type": g["event_type"],
+            "s": g["v_sum"], "ss": g["v2_sum"],
+            "n": pc.cast(g["v_count"], pa.int64()),
+        })
+
+    m = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["event_type", "s"], kind="mergesort")
+        .groupby("event_type", as_index=False)
+        .sum()
+        .sort_values("event_type", kind="mergesort")
+    )
+    n = m["n"].to_numpy(np.float64)
+    s = m["s"].to_numpy(np.float64)
+    ss = m["ss"].to_numpy(np.float64)
+    N, S, SS = n.sum(), s.sum(), ss.sum()
+    mean = s / n
+    v = (ss - n * mean**2) / (n - 1.0)
+    nc = N - n
+    mc = (S - s) / nc
+    vc = ((SS - ss) - nc * mc**2) / (nc - 1.0)
+    t_w = (mean - mc) / np.sqrt(v / n + vc / nc)
+    return pd.DataFrame({
+        "event_type": m["event_type"].astype("object"),
+        "n_events": m["n"].astype("int64"),
+        "mean_value": np.round(mean, 6),
+        "t_welch": np.round(t_w, 6),
+    })
+
+
+SQL_WELCH_T = """
+WITH s AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(value) AS sm, SUM(value * value) AS ss
+  FROM events GROUP BY 1),
+tot AS (SELECT SUM(n) AS n, SUM(sm) AS sm, SUM(ss) AS ss FROM s),
+c AS (
+  SELECT s.event_type, s.n, s.sm / s.n AS m,
+         (s.ss - s.n * pow(s.sm / s.n, 2)) / (s.n - 1) AS v,
+         (tot.n - s.n) AS nc,
+         (tot.sm - s.sm) / (tot.n - s.n) AS mc,
+         ((tot.ss - s.ss)
+          - (tot.n - s.n) * pow((tot.sm - s.sm) / (tot.n - s.n), 2))
+         / (tot.n - s.n - 1) AS vc
+  FROM s, tot)
+SELECT event_type, CAST(n AS BIGINT) AS n_events, round(m, 6) AS mean_value,
+       round((m - mc) / sqrt(v / n + vc / nc), 6) AS t_welch
+FROM c ORDER BY event_type
+"""
+
+
+def q_burstiness_users(sf_dir: str):
+    """Per-user inter-arrival statistics (burstiness): count, mean and
+    coefficient of variation of the gaps between consecutive events.
+    CV≈1 is Poisson arrivals, CV≫1 is bursty — the per-host politeness
+    scheduler's admission heuristic, surfaced as a query.  Bucketed
+    like ``sessionize`` (64 coarse user buckets, one shuffle); inside a
+    bucket the gap extraction is one vectorized grouped diff.  Users
+    with a single event have no gaps and drop out (matching the
+    oracle's WHERE); single-gap users get a NULL cv (stddev_samp of
+    one value)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("kb", _kb64(pc.cast(t["user_id"], pa.int64())))
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = g.reset_index(drop=True)
+        gap = g.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds()
+        d = pd.DataFrame({"user_id": g["user_id"], "gap": gap}).dropna()
+        agg = d.groupby("user_id", sort=False)["gap"].agg(
+            ["count", "mean", "std"]
+        ).reset_index()
+        return pd.DataFrame({
+            "user_id": agg["user_id"].astype("int64"),
+            "n_gaps": agg["count"].astype("int64"),
+            "mean_gap_s": np.round(agg["mean"].to_numpy(np.float64), 6),
+            "cv_gap": np.round(
+                agg["std"].to_numpy(np.float64)
+                / agg["mean"].to_numpy(np.float64), 6),
+        })
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(stats, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_BURSTINESS_USERS = """
+WITH g AS (
+  SELECT user_id,
+         epoch(ts - lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+  FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       round(AVG(gap_s), 6) AS mean_gap_s,
+       round(stddev_samp(gap_s) / AVG(gap_s), 6) AS cv_gap
+FROM g WHERE gap_s IS NOT NULL GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "groupby_count": q_groupby_count,
@@ -2690,6 +2880,9 @@ QUERIES = {
     "rolling_avg3": q_rolling_avg3,
     "user_journey": q_user_journey,
     "chi2_lang_source": q_chi2_lang_source,
+    "part_cooccurrence": q_part_cooccurrence,
+    "welch_t_value": q_welch_t_value,
+    "burstiness_users": q_burstiness_users,
 }
 
 ORACLE_SQL = {
@@ -2746,4 +2939,7 @@ ORACLE_SQL = {
     "rolling_avg3": SQL_ROLLING_AVG3,
     "user_journey": SQL_USER_JOURNEY,
     "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
+    "part_cooccurrence": SQL_PART_COOCCURRENCE,
+    "welch_t_value": SQL_WELCH_T,
+    "burstiness_users": SQL_BURSTINESS_USERS,
 }

@@ -388,14 +388,172 @@ FROM scored WHERE rank = 1 ORDER BY query_id
 """
 
 
+def q_embedding_dim_variance(sf_dir: str):
+    """Per-dimension feature statistics: the 10 highest-variance
+    embedding dimensions (the feature-selection / whitening probe a
+    quantizer or PCA pass starts from).  Each batch emits one d-length
+    (Σv, Σv², n) partial — O(blocks × d) rows total, the corpus never
+    shuffles.  Ranked by the ROUNDED variance (dim ascending tie-break)
+    so the two engines can never disagree on knife-edge float
+    orderings; float64 end-to-end on both sides (the oracle casts the
+    float32 list to DOUBLE[], the ``ann_cosine_topk`` discipline)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "dim": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="float64"),
+                "ss": pd.Series([], dtype="float64"),
+                "n": pd.Series([], dtype="int64"),
+            })
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({
+            "dim": np.arange(mat.shape[1], dtype=np.int64),
+            "s": mat.sum(axis=0),
+            "ss": (mat * mat).sum(axis=0),
+            "n": np.full(mat.shape[1], mat.shape[0], dtype=np.int64),
+        })
+
+    m = (
+        _read_emb(sf_dir, columns=("embedding",))
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["dim", "s"], kind="mergesort")
+        .groupby("dim", as_index=False)
+        .sum()
+    )
+    n = m["n"].to_numpy(np.float64)
+    s = m["s"].to_numpy(np.float64)
+    ss = m["ss"].to_numpy(np.float64)
+    mean = s / n
+    var = (ss - n * mean**2) / (n - 1.0)
+    out = pd.DataFrame({
+        "dim": m["dim"].astype("int64"),
+        "dim_var": np.round(var, 6),
+        "dim_mean": np.round(mean, 6),
+    })
+    out = out.sort_values(["dim_var", "dim"], ascending=[False, True],
+                          kind="mergesort")
+    return out.head(10).reset_index(drop=True)
+
+
+SQL_EMBEDDING_DIM_VARIANCE = """
+WITH z AS (
+  SELECT unnest(range(len(embedding))) AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings)
+SELECT CAST(dim AS BIGINT) AS dim, round(var_samp(v), 6) AS dim_var,
+       round(AVG(v), 6) AS dim_mean
+FROM z GROUP BY dim ORDER BY round(var_samp(v), 6) DESC, dim LIMIT 10
+"""
+
+
+def q_label_cohesion(sf_dir: str):
+    """Cluster-quality probe: mean cosine of each member to its own
+    label centroid (the SemDeDup/semantic-cluster tightness metric).
+    Two streaming passes: pass 1 reduces per-batch per-label vector
+    sums (O(blocks × k × d) partials — the ``kmeans_embeddings``
+    shape), pass 2 broadcasts the k×d centroid matrix once via
+    ``ray.put`` and reduces per-label cosine sums.  The corpus is read
+    twice and never shuffled or materialized."""
+    import ray
+
+    def p1(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "label": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="object"),
+            })
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        lab = df["label"].to_numpy(np.int64)
+        rows = []
+        for lb in np.unique(lab):
+            sel = mat[lab == lb]
+            rows.append((int(lb), len(sel), sel.sum(axis=0).tolist()))
+        return pd.DataFrame(rows, columns=["label", "n", "s"])
+
+    parts = (
+        _read_emb(sf_dir, columns=("label", "embedding"))
+        .map_batches(p1, batch_format="pandas")
+        .to_pandas()
+    )
+    parts = parts.sort_values(["label", "n"], kind="mergesort")
+    labels = np.sort(parts["label"].unique()).astype(np.int64)
+    cent = np.zeros((len(labels), len(parts["s"].iloc[0])), np.float64)
+    counts = np.zeros(len(labels), np.float64)
+    for _, r in parts.iterrows():  # O(buckets × k) tiny partials
+        i = int(np.searchsorted(labels, r["label"]))
+        cent[i] += np.asarray(r["s"], np.float64)
+        counts[i] += r["n"]
+    cent /= counts[:, None]
+    cnorm = np.linalg.norm(cent, axis=1)
+    ref = ray.put((labels, cent, cnorm))
+
+    def p2(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "label": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "cs": pd.Series([], dtype="float64"),
+            })
+        lbs, cm, cn = ray.get(ref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        lab = df["label"].to_numpy(np.int64)
+        idx = np.searchsorted(lbs, lab)
+        dots = (mat * cm[idx]).sum(axis=1)
+        cos = dots / (np.linalg.norm(mat, axis=1) * cn[idx])
+        g = pd.DataFrame({"label": lab, "cos": cos}).groupby(
+            "label", as_index=False
+        ).agg(n=("cos", "size"), cs=("cos", "sum"))
+        return g.astype({"label": "int64", "n": "int64"})
+
+    m = (
+        _read_emb(sf_dir, columns=("label", "embedding"))
+        .map_batches(p2, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["label", "cs"], kind="mergesort")
+        .groupby("label", as_index=False)
+        .sum()
+    )
+    return pd.DataFrame({
+        "label": m["label"].astype("int64"),
+        "n_vecs": m["n"].astype("int64"),
+        "mean_cos": np.round(
+            m["cs"].to_numpy(np.float64) / m["n"].to_numpy(np.float64), 6),
+    }).sort_values("label").reset_index(drop=True)
+
+
+SQL_LABEL_COHESION = """
+WITH z AS (
+  SELECT vec_id, label, unnest(range(len(embedding))) AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings),
+cent AS (SELECT label, dim, AVG(v) AS c FROM z GROUP BY 1, 2),
+dots AS (
+  SELECT z.vec_id, z.label,
+         SUM(z.v * cent.c) AS dot,
+         sqrt(SUM(z.v * z.v)) AS vn,
+         sqrt(SUM(cent.c * cent.c)) AS cn
+  FROM z JOIN cent ON cent.label = z.label AND cent.dim = z.dim
+  GROUP BY 1, 2)
+SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       round(AVG(dot / (vn * cn)), 6) AS mean_cos
+FROM dots GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "hard_negatives": q_hard_negatives,
+    "embedding_dim_variance": q_embedding_dim_variance,
+    "label_cohesion": q_label_cohesion,
 }
 
 ORACLE_SQL = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "hard_negatives": SQL_HARD_NEGATIVES,
+    "embedding_dim_variance": SQL_EMBEDDING_DIM_VARIANCE,
+    "label_cohesion": SQL_LABEL_COHESION,
 }

@@ -791,6 +791,191 @@ ORDER BY 1, 2
 """
 
 
+def q_lang_entropy_by_source(sf_dir: str):
+    """Corpus-mix diagnostics: Shannon entropy (bits) of the language
+    distribution inside each source — the "is this source monolingual
+    or mixed" probe a curation pipeline runs before sampling weights.
+    Per-batch (source, lang) count partials; the key space is
+    |sources|×|langs| (data-independent and tiny), so the partials
+    merge on the driver like ``token_histogram``."""
+    ds = _read_docs(sf_dir, ["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "lang"]).aggregate([("lang", "count")])
+        return pa.table({
+            "source": g["source"], "lang": g["lang"],
+            "n": pc.cast(g["lang_count"], pa.int64()),
+        })
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["source", "lang"], as_index=False)["n"]
+        .sum()
+    )
+    tot = parts.groupby("source")["n"].transform("sum")
+    p = parts["n"] / tot
+    parts["h"] = -(p * np.log2(p))
+    out = parts.groupby("source").agg(
+        n_docs=("n", "sum"), n_langs=("lang", "count"),
+        lang_entropy_bits=("h", "sum"),
+    ).reset_index()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_langs"] = out["n_langs"].astype("int64")
+    out["lang_entropy_bits"] = np.round(out["lang_entropy_bits"], 6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_LANG_ENTROPY_BY_SOURCE = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents GROUP BY 1, 2),
+t AS (SELECT source, SUM(n) AS tot FROM c GROUP BY 1)
+SELECT c.source, CAST(SUM(c.n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       round(-SUM((c.n / t.tot) * log2(c.n / t.tot)), 6)
+         AS lang_entropy_bits
+FROM c JOIN t USING (source) GROUP BY c.source ORDER BY c.source
+"""
+
+
+TRI_TOP_K = 20
+
+
+def q_char_trigram_topk(sf_dir: str):
+    """Per-language top-20 character trigrams — the feature table a
+    fastText-style language-ID model trains on.  The per-batch kernel
+    is fully vectorized: each batch's texts concatenate once, decode to
+    a UTF-32 codepoint array, and all trigrams fall out of three
+    shifted views packed into one int64 key (3 × 21 bits covers the
+    whole codepoint range); windows straddling a document boundary are
+    masked by position, not by a sentinel value, so NUL-containing text
+    cannot corrupt counts.  Trigram partials merge per (lang, key) —
+    the key space is alphabet-bounded, not corpus-bounded — and the
+    packed-int ascending tie-break equals the oracle's string ordering
+    because UTF-8 byte order preserves codepoint order."""
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for lang, g in df.groupby("lang", sort=False):
+            texts = g["text"].tolist()
+            joined = "".join(texts)
+            if len(joined) < 3:
+                continue
+            cp = np.frombuffer(
+                joined.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            a, b, c = cp[:-2], cp[1:-1], cp[2:]
+            packed = (a << np.int64(42)) | (b << np.int64(21)) | c
+            # mask windows that cross a document boundary
+            lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                               count=len(texts))
+            starts = np.cumsum(lens)[:-1]
+            valid = np.ones(len(packed), dtype=bool)
+            for off in (1, 2):
+                idx = starts - off
+                valid[idx[(idx >= 0) & (idx < len(packed))]] = False
+            u, cnt = np.unique(packed[valid], return_counts=True)
+            outs.append(pd.DataFrame({
+                "lang": lang, "tri_key": u, "n": cnt.astype(np.int64),
+            }))
+        if not outs:
+            return pd.DataFrame({
+                "lang": pd.Series([], dtype="object"),
+                "tri_key": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(outs, ignore_index=True)
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["lang", "tri_key"], as_index=False)["n"]
+        .sum()
+    )
+    parts = parts.sort_values(["lang", "n", "tri_key"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+    top = parts.groupby("lang", sort=False).head(TRI_TOP_K)
+    key = top["tri_key"].to_numpy(np.int64)
+    tri = [
+        chr((k >> 42) & 0x1FFFFF) + chr((k >> 21) & 0x1FFFFF)
+        + chr(k & 0x1FFFFF)
+        for k in key
+    ]
+    return pd.DataFrame({
+        "lang": top["lang"].astype("object").to_numpy(),
+        "tri": tri,
+        "n": top["n"].astype("int64").to_numpy(),
+    }).reset_index(drop=True)
+
+
+SQL_CHAR_TRIGRAM_TOPK = f"""
+WITH idx AS (
+  SELECT lang, text,
+         unnest(range(1, greatest(length(text) - 1, 1))) AS i
+  FROM documents),
+tri AS (SELECT lang, substr(text, CAST(i AS INT), 3) AS tri FROM idx),
+c AS (SELECT lang, tri, CAST(COUNT(*) AS BIGINT) AS n FROM tri GROUP BY 1, 2)
+SELECT lang, tri, n FROM (
+  SELECT lang, tri, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, tri) AS rk
+  FROM c) WHERE rk <= {TRI_TOP_K}
+ORDER BY lang, n DESC, tri
+"""
+
+
+def q_zipf_slope(sf_dir: str):
+    """Corpus health check: the Zipf exponent — the slope of
+    log-frequency on log-rank over the whole-corpus unigram table
+    (natural text sits near −1; boilerplate-heavy or deduplicated-away
+    corpora drift).  Token counts come from the same per-batch Arrow
+    combiner as ``token_histogram``; the rank/regression finish is
+    O(vocabulary) on the driver (at web scale the vocabulary merge
+    rides the existing token-bucket shuffle of ``unigram_logprob``
+    before this finish)."""
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        g = pa.table({"tok": toks}).group_by("tok").aggregate([
+            ("tok", "count"),
+        ])
+        return pa.table({
+            "tok": g["tok"], "n": pc.cast(g["tok_count"], pa.int64()),
+        })
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("tok", as_index=False)["n"]
+        .sum()
+    )
+    g = g.sort_values(["n", "tok"], ascending=[False, True], kind="mergesort")
+    n = g["n"].to_numpy(np.float64)
+    rank = np.arange(1, len(g) + 1, dtype=np.float64)
+    x, y = np.log(rank), np.log(n)
+    xc, yc = x - x.mean(), y - y.mean()
+    slope = float((xc * yc).sum() / (xc * xc).sum())
+    return pd.DataFrame({
+        "n_types": pd.Series([len(g)], dtype="int64"),
+        "zipf_slope": [round(slope, 6)],
+    })
+
+
+SQL_ZIPF_SLOPE = """
+WITH f AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+  GROUP BY tok),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM f)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+       round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope
+FROM r
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "vocab_overlap_sources": q_vocab_overlap_sources,
@@ -803,6 +988,9 @@ QUERIES = {
     "winnow_fingerprint": q_winnow_fingerprint,
     "bm25_score": q_bm25_score,
     "top_terms_per_lang": q_top_terms_per_lang,
+    "lang_entropy_by_source": q_lang_entropy_by_source,
+    "char_trigram_topk": q_char_trigram_topk,
+    "zipf_slope": q_zipf_slope,
 }
 
 ORACLE_SQL = {
@@ -815,4 +1003,7 @@ ORACLE_SQL = {
     "bm25_score": SQL_BM25_SCORE,
     "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
     "vocab_overlap_sources": SQL_VOCAB_OVERLAP_SOURCES,
+    "lang_entropy_by_source": SQL_LANG_ENTROPY_BY_SOURCE,
+    "char_trigram_topk": SQL_CHAR_TRIGRAM_TOPK,
+    "zipf_slope": SQL_ZIPF_SLOPE,
 }

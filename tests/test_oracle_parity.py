@@ -61,4 +61,13 @@ def test_query_matches_oracle(name, oracle):
         f"{name}: columns {list(mine.columns)} vs {list(ref.columns)}"
     )
     assert len(mine) == len(ref), f"{name}: rows {len(mine)} vs {len(ref)}"
+    # the driver's value hash is dtype-sensitive: an int64 column vs a
+    # float64 column hashes differently even when every value is equal
+    # (the round-2 running_total red row) — pin dtype KIND equality
+    for c in mine.columns:
+        mk, rk = mine[c].dtype.kind, ref[c].dtype.kind
+        assert mk == rk, (
+            f"{name}.{c}: dtype kind {mine[c].dtype} vs oracle "
+            f"{ref[c].dtype} — driver value-hash would diverge"
+        )
     pd.testing.assert_frame_equal(mine, ref, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
