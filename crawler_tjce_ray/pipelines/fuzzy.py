@@ -186,32 +186,81 @@ def _verify_pairs(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+_N_BUCKETS = 64  # coarse shuffle fan-out; same recipe as part_cooccurrence
+
+
+def _hash_bucket(s: pd.Series) -> pd.Series:
+    """Deterministic 64-way bucket of a string column (pandas
+    hash_array uses a fixed hash key, so buckets are stable across
+    processes/rounds)."""
+    h = pd.util.hash_array(s.to_numpy(dtype=object))
+    return pd.Series((h % _N_BUCKETS).astype("int64"), index=s.index)
+
+
+def _pairs_in_key_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one coarse key bucket: pandas groupby on
+    the exact deletion key, pair loop per key group (alphabet-bounded,
+    see module doc), local dedup."""
+    outs = [_empty_pairs()]
+    for _, sub in g.groupby("key", sort=False):
+        outs.append(_bucket_pairs(sub))
+    out = pd.concat(outs, ignore_index=True)
+    return out.drop_duplicates(ignore_index=True) if len(out) else out
+
+
 def q_fuzzy_name_pairs(sf_dir: str):
     """All unordered pairs of distinct customer names within edit
     distance 1 (deletion-neighborhood blocked self-join; see module
-    doc for the 10⁹-name plan)."""
-    from ray.data.aggregate import Count
+    doc for the 10⁹-name plan).
 
+    Every shuffle here is a coarse 64-bucket hash exchange with exact
+    in-bucket pandas work — names, deletion keys and candidate pairs
+    all have cardinality that grows with the data, and Ray 2.49's
+    sort-based groupby degenerates on high-cardinality keys (measured
+    68 s for 116k keys at sf0.01; the part_cooccurrence recipe).  A
+    name / key / pair lands in exactly one bucket, so in-bucket dedup
+    and pairing are globally exact."""
     names = (
         _read_names(sf_dir)
         .map_batches(
             lambda df: pd.DataFrame({"name": df["c_name"].unique()}),
             batch_format="pandas",
         )
-        .groupby("name")
-        .aggregate(Count("name", alias_name="n"))
-        .select_columns(["name"])
+        .map_batches(
+            lambda df: df.assign(nb=_hash_bucket(df["name"])),
+            batch_format="pandas",
+        )
+        .groupby("nb")
+        .map_groups(
+            lambda g: g.drop_duplicates("name")[["name"]],
+            batch_format="pandas",
+        )
     )
     candidates = (
         names.map_batches(_deletion_keys, batch_format="pandas")
-        .groupby("key")
-        .map_groups(_bucket_pairs, batch_format="pandas")
-        .groupby(["name_a", "name_b"])
-        .aggregate(Count("name_a", alias_name="n"))
+        .map_batches(
+            lambda df: df.assign(kb=_hash_bucket(df["key"])),
+            batch_format="pandas",
+        )
+        .groupby("kb")
+        .map_groups(_pairs_in_key_bucket, batch_format="pandas")
     )
+    # a pair can surface from several deletion keys (hence several kb
+    # buckets): one more coarse exchange on the pair hash dedups
+    # globally, then verification runs in-bucket on the deduped set
     out = (
         candidates.map_batches(
-            lambda df: _verify_pairs(df[["name_a", "name_b"]]),
+            lambda df: df.assign(
+                pb=_hash_bucket(df["name_a"].astype(object) + "\x00"
+                                + df["name_b"].astype(object))
+            ),
+            batch_format="pandas",
+        )
+        .groupby("pb")
+        .map_groups(
+            lambda g: _verify_pairs(
+                g.drop_duplicates(["name_a", "name_b"])[["name_a", "name_b"]]
+            ),
             batch_format="pandas",
         )
         .to_pandas()
