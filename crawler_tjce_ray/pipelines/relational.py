@@ -643,15 +643,15 @@ def q_asof_join(sf_dir: str):
     Partitioning assumption: a single key's rows fit one group (true
     for user-keyed activity; salt hot keys otherwise)."""
     import ray.data as rd  # noqa: F401  (union happens on Datasets)
-    from ray.data.aggregate import Max
 
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    # deterministic right side: one row per (custkey, date) — max key
-    o = (
-        orders.groupby(["o_custkey", "o_orderdate"])
-        .aggregate(Max(on="o_orderkey", alias_name="o_orderkey"))
-    )
+    # the deterministic right-side pre-reduce (one row per (custkey,
+    # date), max key) happens INSIDE the kb bucket in merge() — the kb
+    # shuffle already co-locates every row of a custkey, so a separate
+    # Ray groupby(["o_custkey","o_orderdate"]) shuffle (whose key
+    # cardinality is ~#orders — the degenerate high-cardinality
+    # aggregate regime) would be a second exchange for nothing
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
     N_BUCKETS = 64  # shuffle key: coarse buckets, not raw user ids —
     # per-group dispatch over thousands of tiny key groups would dwarf
@@ -688,7 +688,11 @@ def q_asof_join(sf_dir: str):
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["side"] == 0].sort_values("t", kind="mergesort")
-        right = g[g["side"] == 1].sort_values("t", kind="mergesort")
+        right = (
+            g[g["side"] == 1]
+            .groupby(["key", "t"], as_index=False)["o_orderkey"].max()
+            .sort_values("t", kind="mergesort")
+        )
         if left.empty or right.empty:
             return pd.DataFrame(
                 columns=["event_id", "user_id", "ts", "o_orderkey"]

@@ -605,6 +605,21 @@ FROM pack ORDER BY doc_id
 
 TOP_TERMS_K = 3
 
+_VOCAB_BUCKETS = 64
+
+
+def _token_bucket(df: pd.DataFrame, col: str = "token") -> pd.Series:
+    """Deterministic 64-way bucket of a token column.  Vocabulary
+    cardinality grows with the corpus (Heaps' law: 10⁷–10⁸ distinct
+    tokens at 100 TB), and Ray 2.49's sort-based groupby/aggregate
+    degenerates on high-cardinality keys (68 s at 116k keys measured —
+    the part_cooccurrence finding), so vocab-keyed stages ride a
+    coarse hash exchange with exact in-bucket pandas work instead: a
+    token lands in exactly one bucket, so in-bucket sums/dedup/top-k
+    partials are globally exact."""
+    h = pd.util.hash_array(df[col].to_numpy(dtype=object))
+    return pd.Series((h % _VOCAB_BUCKETS).astype("int64"), index=df.index)
+
 
 def q_top_terms_per_lang(sf_dir: str):
     """Grouped top-k vocabulary: the k most frequent tokens per
@@ -612,12 +627,11 @@ def q_top_terms_per_lang(sf_dir: str):
     the corpus-inspection query a curation run starts from.  Per-block
     partial counts keyed (lang, token) shrink the shuffle to the
     block's DISTINCT vocabulary (not its token stream); one
-    ``groupby(lang, token)`` sums the partials, then a per-lang
-    ``map_groups`` ranks — the second exchange moves only
-    |langs × vocab| rows.  At 100 TB the rank stage stays tiny because
-    the vocabulary, not the corpus, bounds it."""
-    from ray.data.aggregate import Sum
-
+    64-way token-hash exchange sums the partials in-bucket (see
+    ``_token_bucket`` — the key space is the vocabulary, which grows
+    with the corpus) and each bucket emits its per-lang top-k partial,
+    so the driver merges ≤ 64·|langs|·k rows no matter the corpus
+    size."""
     ds = _read_docs(sf_dir, ["lang", "text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -641,22 +655,38 @@ def q_top_terms_per_lang(sf_dir: str):
             })
         return pd.concat(outs, ignore_index=True)
 
-    counts = (
+    def sum_topk_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["lang", "token"], as_index=False)["c"].sum()
+        outs = [
+            sub.sort_values(["c", "token"], ascending=[False, True],
+                            kind="mergesort").head(TOP_TERMS_K)
+            for _, sub in s.groupby("lang", sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True) if outs else s
+
+    # a (lang, token)'s whole count lives in one token bucket, so the
+    # global per-lang top-k is inside the union of the ≤64 bucket-local
+    # per-lang top-k partials; the driver merges ≤ 64·|langs|·k rows
+    parts = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby(["lang", "token"])
-        .aggregate(Sum("c", alias_name="cnt"))
+        .map_batches(lambda df: df.assign(tb=_token_bucket(df)),
+                     batch_format="pandas")
+        .groupby("tb")
+        .map_groups(sum_topk_in_bucket, batch_format="pandas")
+        .to_pandas()
     )
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
-            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+            ["c", "token"], ascending=[False, True], kind="mergesort"
         ).head(TOP_TERMS_K)
         g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
     out = (
-        counts.groupby("lang").map_groups(topk, batch_format="pandas")
-        .to_pandas()
+        parts.groupby("lang", group_keys=False)[["lang", "token", "c"]]
+        .apply(topk)
+        .rename(columns={"c": "cnt"})
     )
     out["cnt"] = out["cnt"].astype("int64")
     return (
@@ -690,16 +720,13 @@ def q_vocab_overlap_sources(sf_dir: str):
     diagnostic ("how much does src A's vocabulary overlap src B's?")
     that guides dedup thresholds and mixture weights.
 
-    Scale shape: per-block DISTINCT (source, token) partials → one
-    ``groupby(source, token)`` exchange finalizes the global distinct
-    set (bounded by Σ per-source vocab, not the token stream) → a
-    ``groupby(token)`` stage emits source pairs per token (group size
-    ≤ #sources, so no hot-key salting needed even for universal
-    tokens) → per-batch pair-count combiners fold to |sources|² rows.
-    The corpus text never rides a shuffle."""
+    Scale shape: per-block DISTINCT (source, token) partials → ONE
+    64-way token-hash exchange (see ``_token_bucket``; the key space
+    is the vocabulary, which grows with the corpus) → in-bucket exact
+    dedup + per-source vocab-size and per-pair common-token partials →
+    the driver merges ≤ 64·|sources|² rows.  The corpus text never
+    rides a shuffle."""
     import itertools
-
-    from ray.data.aggregate import Count
 
     ds = _read_docs(sf_dir, ["source", "text"])
 
@@ -718,48 +745,53 @@ def q_vocab_overlap_sources(sf_dir: str):
             })
         return pd.concat(outs, ignore_index=True)
 
-    st = (
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        """Exact per-bucket partials from the globally-deduped
+        (source, token) set this bucket owns: per-source vocab sizes
+        (rows with ``source_b == ""``) and per-pair common-token
+        counts — |S|²/2 vectorized isin probes, S = #sources."""
+        d = g.drop_duplicates(["source", "token"])
+        srcs = sorted(d["source"].unique())
+        tok_by_src = {
+            s: pd.Index(d.loc[d["source"] == s, "token"]) for s in srcs
+        }
+        a_col, b_col, n_col = [], [], []
+        for s in srcs:
+            a_col.append(s); b_col.append(""); n_col.append(len(tok_by_src[s]))
+        for a, b in itertools.combinations(srcs, 2):
+            a_col.append(a); b_col.append(b)
+            n_col.append(int(tok_by_src[a].isin(tok_by_src[b]).sum()))
+        return pd.DataFrame({
+            "source_a": pd.Series(a_col, dtype="string"),
+            "source_b": pd.Series(b_col, dtype="string"),
+            "n": pd.Series(n_col, dtype="int64"),
+        })
+
+    # ONE token-hash exchange (see _token_bucket): a token's rows all
+    # land in one bucket, so in-bucket dedup is globally exact and the
+    # driver merges ≤ 64·|S|² partial rows
+    parts = (
         ds.map_batches(distinct_partial, batch_format="pandas")
-        .groupby(["source", "token"])
-        .aggregate(Count("source", alias_name="n"))
-        .select_columns(["source", "token"])
-        .materialize()  # consumed twice: vocab sizes + pair counts
-    )
-
-    vparts = st.map_batches(
-        lambda df: df.groupby("source", as_index=False).agg(v=("token", "size")),
-        batch_format="pandas",
-    ).to_pandas()
-    vsizes = vparts.groupby("source")["v"].sum()
-
-    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
-        srcs = sorted(g["source"])
-        if len(srcs) < 2:
-            return pd.DataFrame({
-                "source_a": pd.Series([], dtype="string"),
-                "source_b": pd.Series([], dtype="string"),
-            })
-        a, b = zip(*itertools.combinations(srcs, 2))
-        return pd.DataFrame({"source_a": list(a), "source_b": list(b)})
-
-    pair_parts = (
-        st.groupby("token")
-        .map_groups(pair_partial, batch_format="pandas")
-        .map_batches(
-            lambda df: df.groupby(["source_a", "source_b"], as_index=False)
-            .agg(n_common=("source_a", "size")),
-            batch_format="pandas",
-        )
+        .map_batches(lambda df: df.assign(tb=_token_bucket(df)),
+                     batch_format="pandas")
+        .groupby("tb")
+        .map_groups(bucket_stats, batch_format="pandas")
         .to_pandas()
     )
-    out = pair_parts.groupby(
-        ["source_a", "source_b"], as_index=False
-    )["n_common"].sum()
+    agg = parts.groupby(["source_a", "source_b"], as_index=False)["n"].sum()
+    vsizes = (
+        agg[agg["source_b"] == ""].set_index("source_a")["n"]
+    )
+    out = agg[(agg["source_b"] != "") & (agg["n"] > 0)].rename(
+        columns={"n": "n_common"}
+    ).copy()
     va = out["source_a"].map(vsizes).to_numpy("int64")
     vb = out["source_b"].map(vsizes).to_numpy("int64")
     inter = out["n_common"].to_numpy("int64")
     out["n_common"] = inter
     out["jaccard"] = inter / (va + vb - inter)
+    out["source_a"] = out["source_a"].astype(object)
+    out["source_b"] = out["source_b"].astype(object)
     return (
         out[["source_a", "source_b", "n_common", "jaccard"]]
         .sort_values(["source_a", "source_b"])
