@@ -2472,20 +2472,31 @@ def q_first_last_order(sf_dir: str):
             "n": g.size().to_numpy("int64"),
         })
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        i = int(g["kmin"].to_numpy().argmin())
-        j = int(g["kmax"].to_numpy().argmax())
+    # one vectorized combine per 64-way custkey bucket (a customer's
+    # partials all land in one bucket, so the in-bucket idxmin/idxmax
+    # is globally exact) — a raw groupby("c_custkey") would dispatch a
+    # Python `final` per customer, O(#customers) interpreter overhead
+    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.reset_index(drop=True)
+        gb = g.groupby("c_custkey")
+        imin = gb["kmin"].idxmin()
+        imax = gb["kmax"].idxmax()
         return pd.DataFrame({
-            "c_custkey": [int(g["c_custkey"].iloc[0])],
-            "n_orders": [int(g["n"].sum())],
-            "first_price": [float(g["first_price"].iloc[i])],
-            "last_price": [float(g["last_price"].iloc[j])],
+            "c_custkey": imin.index.to_numpy("int64"),
+            "n_orders": gb["n"].sum().to_numpy("int64"),
+            "first_price": g.loc[imin, "first_price"].to_numpy("float64"),
+            "last_price": g.loc[imax, "last_price"].to_numpy("float64"),
         })
 
     out = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("c_custkey")
-        .map_groups(final, batch_format="pandas")
+        .map_batches(
+            lambda df: df.assign(
+                kb=(df["c_custkey"].to_numpy("int64") % 64)),
+            batch_format="pandas",
+        )
+        .groupby("kb")
+        .map_groups(final_bucket, batch_format="pandas")
         .to_pandas()
     )
     out["c_custkey"] = out["c_custkey"].astype("int64")
