@@ -2851,6 +2851,236 @@ FROM g WHERE gap_s IS NOT NULL GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_semi_join_vip(sf_dir: str):
+    """Big-big SEMI-join (EXISTS) via a Bloom prefilter: orders per
+    priority whose customer IS on the VIP list (``c_acctbal > 9000``).
+    Mirror image of ``q_bloom_anti_join``: there Bloom NEGATIVES are
+    the definite answers; here they are definite NON-members, so they
+    drop inside the scan pass and never shuffle.  Only Bloom POSITIVES
+    (true members + ~0.24% false positives at m = 16n bits) ride the
+    64-coarse-bucket exchange for exact verification against the real
+    list, so the result is EXACT and shuffle volume is proportional to
+    the MATCH set, not the corpus — the shape that matters when a
+    100 TB fact table is probed against a 10⁷-row dimension."""
+    import ray
+    import ray.data as rd  # noqa: F401
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int((df["c_acctbal"] > 9000).sum())]})
+
+    n_vip = int(
+        cust.map_batches(count_partial, batch_format="pandas").to_pandas()["n"].sum()
+    )
+    m = _bloom_size(n_vip)
+
+    def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[df["c_acctbal"] > 9000, "c_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({"bloom": [_bloom_build(keys, m).tobytes()]})
+
+    parts = cust.map_batches(bloom_partial, batch_format="pandas").to_pandas()
+    packed = np.zeros(m // 8, dtype=np.uint8)
+    for blob in parts["bloom"]:
+        packed |= np.frombuffer(blob, dtype=np.uint8)
+    bloom_ref = ray.put(packed)
+
+    def split_orders(t: pa.Table) -> pa.Table:
+        bloom = ray.get(bloom_ref)
+        keys = t["o_custkey"].to_numpy().astype(np.int64)
+        cand = t.filter(pa.array(_bloom_test(bloom, keys)))
+        ckey = pc.cast(cand["o_custkey"], pa.int64())
+        return pa.table({
+            "kb": _kb64(ckey),
+            "side": _const(cand.num_rows, 0, pa.int8()),
+            "custkey": ckey,
+            "priority": cand["o_orderpriority"],
+        })
+
+    def tag_vip(t: pa.Table) -> pa.Table:
+        v = t.filter(pc.greater(t["c_acctbal"], pa.scalar(9000.0)))
+        key = pc.cast(v["c_custkey"], pa.int64())
+        return pa.table({
+            "kb": _kb64(key),
+            "side": _const(v.num_rows, 1, pa.int8()),
+            "custkey": key,
+            "priority": _const(v.num_rows, None, pa.string()),
+        })
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    both = orders.map_batches(split_orders, batch_format="pyarrow").union(
+        cust.map_batches(tag_vip, batch_format="pyarrow")
+    )
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        vip = g.loc[g["side"] == 1, "custkey"].to_numpy(np.int64)
+        cand = g[g["side"] == 0]
+        ok = cand.loc[np.isin(cand["custkey"].to_numpy(np.int64), vip)]
+        return ok.groupby("priority", as_index=False).agg(n=("priority", "size"))
+
+    parts = (
+        both.groupby("kb").map_groups(verify_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("priority", as_index=False)["n"].sum()
+    return (
+        pd.DataFrame({
+            "o_orderpriority": out["priority"].astype(str),
+            "n_orders": out["n"].astype("int64"),
+        })
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+
+
+SQL_SEMI_JOIN_VIP = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_customer_year_setops(sf_dir: str):
+    """Distributed set operations (INTERSECT / EXCEPT / UNION-distinct)
+    between two derived key sets: customers who ordered in 1995 vs
+    1996.  Recipe: per-block DISTINCT (custkey, year-flag) partials →
+    ONE 64-way custkey bucket exchange (a custkey's rows all land in
+    one bucket, so the in-bucket membership classification is globally
+    exact) → each bucket emits four partial counts; the driver sums
+    ≤ 64·4 rows.  No full-key materialization anywhere — the classic
+    "EXCEPT needs both sides sorted" plan becomes one hash exchange of
+    the deduped key partials."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        yr = pd.DatetimeIndex(df["o_orderdate"]).year.to_numpy()
+        out = []
+        for y, flag in ((1995, "a"), (1996, "b")):
+            keys = df.loc[yr == y, "o_custkey"].drop_duplicates()
+            out.append(pd.DataFrame({
+                "custkey": keys.to_numpy("int64"),
+                "s": flag,
+            }))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame({
+            "custkey": pd.Series([], dtype="int64"),
+            "s": pd.Series([], dtype=object),
+        })
+
+    def classify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["custkey", "s"])
+        in_a = pd.Index(d.loc[d["s"] == "a", "custkey"])
+        in_b = pd.Index(d.loc[d["s"] == "b", "custkey"])
+        n_int = int(in_a.isin(in_b).sum())
+        return pd.DataFrame({
+            "op": ["except_95_96", "except_96_95", "intersect",
+                   "union_distinct"],
+            "n": pd.Series(
+                [len(in_a) - n_int, len(in_b) - n_int, n_int,
+                 len(in_a) + len(in_b) - n_int],
+                dtype="int64",
+            ),
+        })
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(
+            lambda df: df.assign(kb=(df["custkey"].to_numpy("int64") % 64)),
+            batch_format="pandas",
+        )
+        .groupby("kb")
+        .map_groups(classify_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("op", as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("op").reset_index(drop=True)
+
+
+SQL_CUSTOMER_YEAR_SETOPS = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE year(o_orderdate) = 1995),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE year(o_orderdate) = 1996)
+SELECT 'except_95_96' AS op, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+UNION ALL
+SELECT 'except_96_95', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
+UNION ALL
+SELECT 'intersect', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+UNION ALL
+SELECT 'union_distinct', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT * FROM y95 UNION SELECT * FROM y96)
+ORDER BY op
+"""
+
+
+def q_dense_rank_topk(sf_dir: str):
+    """DENSE_RANK-with-ties top-k per group: each customer's orders
+    whose price sits in the customer's top-2 DISTINCT price values —
+    the window-function shape (rank ≤ k keeps ALL tied rows) that a
+    plain per-group top-k cannot express.
+
+    Scale recipe: a block-local dense-rank ≤ k filter is a SAFE
+    combiner (a row's rank within any subset containing it is ≤ its
+    global rank, so no qualifying row is dropped), shrinking the
+    exchange to ≤ k distinct price classes per (block, customer); one
+    64-way custkey bucket exchange then ranks exactly — vectorized
+    ``groupby.rank(method="dense")``, never a per-customer Python
+    dispatch."""
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_totalprice"])
+    K = 2
+
+    def local_filter(df: pd.DataFrame) -> pd.DataFrame:
+        rk = df.groupby("o_custkey")["o_totalprice"].rank(
+            method="dense", ascending=False)
+        out = df.loc[rk <= K, ["o_custkey", "o_orderkey", "o_totalprice"]]
+        out = out.copy()
+        out["kb"] = out["o_custkey"].to_numpy("int64") % 64
+        return out
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.reset_index(drop=True)
+        rk = g.groupby("o_custkey")["o_totalprice"].rank(
+            method="dense", ascending=False)
+        out = g.loc[rk <= K, ["o_custkey", "o_orderkey", "o_totalprice"]]
+        out = out.copy()
+        out["drk"] = rk[rk <= K].astype("int64").to_numpy()
+        return out
+
+    out = (
+        ds.map_batches(local_filter, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(rank_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.rename(columns={"o_custkey": "c_custkey"})
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return (
+        out.sort_values(["c_custkey", "drk", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_DENSE_RANK_TOPK = """
+SELECT o_custkey AS c_custkey, o_orderkey,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       CAST(drk AS BIGINT) AS drk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             DENSE_RANK() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC) AS drk
+      FROM orders)
+WHERE drk <= 2
+ORDER BY c_custkey, drk, o_orderkey
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "groupby_count": q_groupby_count,
@@ -2908,6 +3138,9 @@ QUERIES = {
     "part_cooccurrence": q_part_cooccurrence,
     "welch_t_value": q_welch_t_value,
     "burstiness_users": q_burstiness_users,
+    "semi_join_vip": q_semi_join_vip,
+    "customer_year_setops": q_customer_year_setops,
+    "dense_rank_topk": q_dense_rank_topk,
 }
 
 ORACLE_SQL = {
@@ -2967,4 +3200,7 @@ ORACLE_SQL = {
     "part_cooccurrence": SQL_PART_COOCCURRENCE,
     "welch_t_value": SQL_WELCH_T,
     "burstiness_users": SQL_BURSTINESS_USERS,
+    "semi_join_vip": SQL_SEMI_JOIN_VIP,
+    "customer_year_setops": SQL_CUSTOMER_YEAR_SETOPS,
+    "dense_rank_topk": SQL_DENSE_RANK_TOPK,
 }
