@@ -3081,6 +3081,143 @@ ORDER BY c_custkey, drk, o_orderkey
 """
 
 
+def _pareto_filter(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized 2-D skyline sweep: keep rows not dominated on
+    (minimize p_size, maximize p_retailprice).  A row is dominated iff
+    a strictly smaller size reaches price >= p (``m_lt``) or any
+    size <= s reaches price > p (``m_le``); both maxima come from one
+    per-size prefix cummax — no pairwise O(n²) comparison."""
+    d = df.sort_values(["p_size", "p_retailprice"], ascending=[True, False])
+    per_size = d.groupby("p_size")["p_retailprice"].max()
+    prefix = per_size.cummax()
+    m_le = d["p_size"].map(prefix)
+    m_lt = d["p_size"].map(prefix.shift(1))
+    price = d["p_retailprice"]
+    dominated = (m_lt.notna() & (m_lt >= price)) | (m_le > price)
+    return d.loc[~dominated]
+
+
+def q_skyline_pareto(sf_dir: str):
+    """Pareto frontier (skyline) over parts: cheapest-for-smallest —
+    the parts no other part beats on BOTH (size lower-or-equal,
+    retail price higher-or-equal, strictly better in one).
+
+    Scale recipe: the block-local skyline filter is a SAFE combiner —
+    a globally non-dominated row is non-dominated in every subset
+    containing it, so no answer row is dropped — and shrinks each
+    block to its local frontier (tiny: bounded by the number of
+    distinct sizes for 2-D skylines).  The survivors (O(#blocks ×
+    frontier), thousands at most regardless of corpus size) take one
+    final exact sweep; the corpus itself never shuffles."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    survivors = (
+        ds.map_batches(_pareto_filter, batch_format="pandas").to_pandas()
+    )
+    out = _pareto_filter(survivors)
+    return (
+        pd.DataFrame({
+            "p_partkey": out["p_partkey"].astype("int64"),
+            "p_size": out["p_size"].astype("int64"),
+            "p_retailprice": out["p_retailprice"].round(2),
+        })
+        .sort_values(["p_size", "p_partkey"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_SKYLINE_PARETO = """
+SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+       ROUND(p_retailprice, 2) AS p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_size <= p.p_size AND q.p_retailprice >= p.p_retailprice
+    AND (q.p_size < p.p_size OR q.p_retailprice > p.p_retailprice))
+ORDER BY p_size, p_partkey
+"""
+
+
+def q_merge_intervals(sf_dir: str):
+    """Gaps-and-islands interval coverage: each event opens a 300 s
+    activity window; overlapping/touching windows per user merge into
+    islands, reporting islands and total covered time per user — the
+    classic sessionized-coverage shape (SQL needs two window passes).
+
+    Scale recipe: ONE 64-way user bucket exchange (a user's events all
+    land in one bucket, so the in-bucket island sweep is globally
+    exact); inside the bucket everything is vectorized pandas — sorted
+    per-user cummax of window ends, shift, break-flag cumsum for
+    island ids, one groupby for (min start, max end).  No window
+    function ever sees more than a bucket, and the driver receives one
+    row per user."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    WIN = pd.Timedelta(seconds=300)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["kb"] = df["user_id"].to_numpy("int64") % 64
+        return df
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"]).reset_index(drop=True)
+        g["end"] = g["ts"] + WIN
+        g["cme"] = g.groupby("user_id")["end"].cummax()
+        prev = g.groupby("user_id")["cme"].shift(1)
+        brk = prev.isna() | (g["ts"] > prev)
+        g["gid"] = brk.cumsum()  # users are contiguous post-sort
+        isl = g.groupby(["user_id", "gid"], as_index=False).agg(
+            s=("ts", "min"), e=("end", "max"))
+        cov_us = (isl["e"] - isl["s"]).to_numpy("timedelta64[us]").astype("int64")
+        return (
+            isl.assign(cov_us=cov_us)
+            .groupby("user_id", as_index=False)
+            .agg(n_islands=("gid", "size"), covered_us=("cov_us", "sum"))
+        )
+
+    out = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(islands, batch_format="pandas")
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_islands"] = out["n_islands"].astype("int64")
+    out["covered_us"] = out["covered_us"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_MERGE_INTERVALS = """
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 300 SECOND AS e FROM events
+), m AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_e
+  FROM iv
+), f AS (
+  SELECT user_id, s, e,
+         CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+              THEN 1 ELSE 0 END AS brk
+  FROM m
+), g AS (
+  SELECT user_id, s, e,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS gid
+  FROM f
+), isl AS (
+  SELECT user_id, gid, MIN(s) AS s, MAX(e) AS e FROM g
+  GROUP BY user_id, gid
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(date_diff('microsecond', s, e)) AS BIGINT) AS covered_us
+FROM isl GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "groupby_count": q_groupby_count,
@@ -3141,6 +3278,8 @@ QUERIES = {
     "semi_join_vip": q_semi_join_vip,
     "customer_year_setops": q_customer_year_setops,
     "dense_rank_topk": q_dense_rank_topk,
+    "skyline_pareto": q_skyline_pareto,
+    "merge_intervals": q_merge_intervals,
 }
 
 ORACLE_SQL = {
@@ -3203,4 +3342,6 @@ ORACLE_SQL = {
     "semi_join_vip": SQL_SEMI_JOIN_VIP,
     "customer_year_setops": SQL_CUSTOMER_YEAR_SETOPS,
     "dense_rank_topk": SQL_DENSE_RANK_TOPK,
+    "skyline_pareto": SQL_SKYLINE_PARETO,
+    "merge_intervals": SQL_MERGE_INTERVALS,
 }
