@@ -720,6 +720,51 @@ WHERE rn = 1 ORDER BY vec_id
 """
 
 
+def _cluster_label_ref(sf_dir: str):
+    """Union-find over the (small) near-dup pair list with min-root
+    union, broadcast as sorted parallel int64 arrays: the per-batch
+    label join is a ``searchsorted`` — pure int64 end to end
+    (``Series.map(dict)`` detours through float64 on misses, which
+    silently rounds ids above 2^53).  Shared by the cluster-assignment
+    and canonical-survivor queries."""
+    import ray
+
+    pairs = _dup_pairs(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # min-root union => cluster_id is the component min doc_id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    label = {x: find(x) for x in list(parent)}
+    lk = np.fromiter(label.keys(), dtype=np.int64, count=len(label))
+    lv = np.fromiter(label.values(), dtype=np.int64, count=len(label))
+    o = np.argsort(lk)
+    return ray.put((lk[o], lv[o]))
+
+
+def _assign_cluster_ids(ids: np.ndarray, keys: np.ndarray,
+                        vals: np.ndarray) -> np.ndarray:
+    """Vectorized label lookup: unlabeled docs are their own cluster."""
+    out = ids.copy()
+    if len(keys):
+        pos = np.searchsorted(keys, ids)
+        pos_c = np.clip(pos, 0, len(keys) - 1)
+        hit = keys[pos_c] == ids
+        out[hit] = vals[pos_c[hit]]
+    return out
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup cluster assignment: connected components over the
     3-gram-Jaccard duplicate pairs; every doc gets the min doc_id of
@@ -741,45 +786,15 @@ def q_dedup_clusters(sf_dir: str):
     (τ=0.8 verified) edges."""
     import ray
 
-    pairs = _dup_pairs(sf_dir)
-
-    # union-find over the small edge list
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            # min-root union => cluster_id is the component min doc_id
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    label = {x: find(x) for x in list(parent)}
-    # broadcast the label map as sorted parallel int64 arrays: the
-    # per-batch join is a searchsorted — pure int64 end to end
-    # (Series.map(dict) goes through float64 when there are misses,
-    # which silently rounds ids above 2^53)
-    lk = np.fromiter(label.keys(), dtype=np.int64, count=len(label))
-    lv = np.fromiter(label.values(), dtype=np.int64, count=len(label))
-    o = np.argsort(lk)
-    label_ref = ray.put((lk[o], lv[o]))
+    label_ref = _cluster_label_ref(sf_dir)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         keys, vals = ray.get(label_ref)
         ids = df["doc_id"].to_numpy(dtype=np.int64)
-        out = ids.copy()  # unlabeled docs are their own cluster
-        if len(keys):
-            pos = np.searchsorted(keys, ids)
-            pos_c = np.clip(pos, 0, len(keys) - 1)
-            hit = keys[pos_c] == ids
-            out[hit] = vals[pos_c[hit]]
-        return pd.DataFrame({"doc_id": ids, "cluster_id": out})
+        return pd.DataFrame({
+            "doc_id": ids,
+            "cluster_id": _assign_cluster_ids(ids, keys, vals),
+        })
 
     out = (
         _read_docs(sf_dir, ["doc_id"])
@@ -789,7 +804,10 @@ def q_dedup_clusters(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-SQL_DEDUP_CLUSTERS = f"""
+# shared transitive-closure prefix: exact 3-gram-Jaccard dup pairs →
+# recursive-CTE connected components (consumed by the cluster and
+# canonical-survivor oracles)
+_SQL_CC_BODY = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, string_split(text,' ') AS ws FROM documents
 ), grams AS (
@@ -813,8 +831,79 @@ WITH RECURSIVE toks AS (
   UNION
   SELECT e.a, cc.comp FROM cc JOIN edges e ON e.b = cc.id
   WHERE cc.comp < e.a
-)
+)"""
+
+SQL_DEDUP_CLUSTERS = _SQL_CC_BODY + """
 SELECT id AS doc_id, MIN(comp) AS cluster_id FROM cc GROUP BY id ORDER BY doc_id
+"""
+
+
+def q_dedup_canonical(sf_dir: str):
+    """Survivorship after near-dup clustering: every doc maps to its
+    cluster's CANONICAL doc — longest text wins, ties to the smallest
+    doc_id (the keep-best policy real curation applies, vs the min-id
+    placeholder ``dedup_clusters`` reports).
+
+    Scale recipe: docs pick up their component label from the
+    broadcast union-find arrays inside ``map_batches`` and ride ONE
+    64-way cluster-bucket exchange (a cluster lives wholly in its
+    bucket, so the in-bucket winner is the global winner); the
+    in-bucket pick is a vectorized sort + ``drop_duplicates`` +
+    ``searchsorted`` map-back — no per-cluster Python dispatch, and
+    the driver never sees texts or labels."""
+    import ray
+
+    label_ref = _cluster_label_ref(sf_dir)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        keys, vals = ray.get(label_ref)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        cid = _assign_cluster_ids(ids, keys, vals)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "cluster_id": cid,
+            "n_chars": df["n_chars"].to_numpy(dtype=np.int64),
+            "kb": cid % 64,
+        })
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["cluster_id", "n_chars", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        canon = d.drop_duplicates("cluster_id")
+        ck = canon["cluster_id"].to_numpy(np.int64)
+        cv = canon["doc_id"].to_numpy(np.int64)
+        pos = np.searchsorted(ck, g["cluster_id"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "canonical_id": cv[pos],
+        })
+
+    out = (
+        _read_docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(assign, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["canonical_id"] = out["canonical_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DEDUP_CANONICAL = _SQL_CC_BODY + """
+, lab AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM cc GROUP BY id)
+, j AS (SELECT l.doc_id, l.cluster_id, d.n_chars
+        FROM lab l JOIN documents d ON d.doc_id = l.doc_id)
+, canon AS (
+  SELECT cluster_id, doc_id AS canonical_id FROM (
+    SELECT cluster_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM j) t WHERE rn = 1
+)
+SELECT j.doc_id, c.canonical_id
+FROM j JOIN canon c ON c.cluster_id = j.cluster_id
+ORDER BY j.doc_id
 """
 
 
@@ -1595,6 +1684,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_canonical": q_dedup_canonical,
     "dedup_clusters_distributed": q_dedup_clusters_distributed,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
@@ -1609,6 +1699,7 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_canonical": SQL_DEDUP_CANONICAL,
     "dedup_clusters_distributed": SQL_DEDUP_CLUSTERS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_jaccard_prefix": SQL_DEDUP_NGRAM_JACCARD,

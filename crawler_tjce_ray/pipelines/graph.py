@@ -728,8 +728,85 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+BFS_MAX_HOPS = 4
+
+
+def q_bfs_hops(sf_dir: str):
+    """Multi-source-free BFS: minimum hop distance (≤ {BFS_MAX_HOPS})
+    from the smallest part node along the directed order-adjacency
+    edges — the reachability probe every link-graph pipeline runs
+    before a crawl-frontier or influence pass.
+
+    Distributed recipe: the frontier is the broadcast state (pagerank
+    / k-means centroid pattern — ``ray.put`` per hop, shard past ~10⁸
+    frontier nodes); each hop is ONE streaming ``map_batches`` pass
+    over the memoized edge blocks emitting per-block distinct
+    successor partials (``np.isin`` against the frontier — no per-row
+    Python).  The driver folds O(blocks × new-nodes) partials, diffs
+    against the visited vector, and stops early when a hop adds
+    nothing.  Edges never land on the driver and never shuffle; the
+    oracle is DuckDB's recursive CTE over the same edge definition."""
+    import ray
+
+    edges, nodes = _edges_ds_and_nodes(sf_dir)
+    seed = int(nodes[0])
+    out_ids = [seed]
+    out_hops = [0]
+    visited = np.array([seed], dtype=np.int64)
+    frontier = visited
+    for h in range(1, BFS_MAX_HOPS + 1):
+        fref = ray.put(frontier)
+
+        def nbrs(df: pd.DataFrame, _fref=fref) -> pd.DataFrame:
+            f = ray.get(_fref)
+            m = np.isin(df["src"].to_numpy(np.int64), f)
+            succ = np.unique(df["dst"].to_numpy(np.int64)[m])
+            return pd.DataFrame({"dst": pd.Series(succ, dtype="int64")})
+
+        parts = edges.map_batches(nbrs, batch_format="pandas").to_pandas()
+        new = np.setdiff1d(
+            parts["dst"].to_numpy(np.int64), visited, assume_unique=False
+        )
+        if len(new) == 0:
+            break
+        out_ids.extend(new.tolist())
+        out_hops.extend([h] * len(new))
+        visited = np.union1d(visited, new)
+        frontier = new
+    return (
+        pd.DataFrame({
+            "part_key": pd.Series(out_ids, dtype="int64"),
+            "hop": pd.Series(out_hops, dtype="int64"),
+        })
+        .sort_values("part_key")
+        .reset_index(drop=True)
+    )
+
+
+SQL_BFS_HOPS = f"""
+WITH RECURSIVE seq AS (
+  SELECT l_partkey AS src,
+         LEAD(l_partkey) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+         ) AS dst
+  FROM lineitem
+), e AS (
+  SELECT DISTINCT src, dst FROM seq WHERE dst IS NOT NULL
+), walk(node, hop) AS (
+  SELECT (SELECT MIN(l_partkey) FROM lineitem), 0
+  UNION
+  SELECT e.dst, w.hop + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hop < {BFS_MAX_HOPS}
+)
+SELECT node AS part_key, CAST(MIN(hop) AS BIGINT) AS hop
+FROM walk GROUP BY node ORDER BY part_key
+"""
+
+
 QUERIES = {
     "pagerank_parts": q_pagerank_parts,
+    "bfs_hops": q_bfs_hops,
     "degree_distribution": q_degree_distribution,
     "event_funnel": q_event_funnel,
     "event_transitions": q_event_transitions,
@@ -740,6 +817,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "pagerank_parts": SQL_PAGERANK_PARTS,
+    "bfs_hops": SQL_BFS_HOPS,
     "degree_distribution": SQL_DEGREE_DISTRIBUTION,
     "event_funnel": SQL_EVENT_FUNNEL,
     "event_transitions": SQL_EVENT_TRANSITIONS,
