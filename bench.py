@@ -105,6 +105,13 @@ BENCH_QUERIES = [
     "value_histogram",
     "distinct_users_by_type",
     "top_terms_per_lang",
+    "semi_join_vip",
+    "customer_year_setops",
+    "dense_rank_topk",
+    "skyline_pareto",
+    "merge_intervals",
+    "bfs_hops",
+    "dedup_canonical",
 ]
 
 
