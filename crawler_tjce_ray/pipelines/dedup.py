@@ -1031,13 +1031,31 @@ def cluster_labels_distributed(sf_dir: str, pairs,
     return out.rename(columns={"node": "doc_id", "label": "cluster_id"})
 
 
+_DUP_PAIRS_CACHE: dict[tuple, pd.DataFrame] = {}
+
+
 def _dup_pairs(sf_dir: str) -> pd.DataFrame:
     """Shared pair source for cluster assignment: exact all-pairs up to
-    the guard, the LSH candidate path past it."""
-    try:
-        return q_dedup_ngram_jaccard(sf_dir)[["doc_a", "doc_b"]]
-    except ValueError:
-        return q_dedup_minhash_lsh(sf_dir)[["doc_a", "doc_b"]]
+    the guard, the LSH candidate path past it.
+
+    Memoized per (sf_dir, documents mtime): three queries (cluster
+    assignment, distributed labels, canonical survivorship) consume the
+    same small pair table, and pair generation dominates their cost.
+    The cached value is a driver-side pandas frame (no object-store
+    refs), so it stays valid across ``ray.init`` cycles — unlike the
+    Dataset caches, no session key is needed."""
+    import os
+
+    key = (sf_dir, os.path.getmtime(f"{sf_dir}/documents.parquet"))
+    if key not in _DUP_PAIRS_CACHE:
+        try:
+            pairs = q_dedup_ngram_jaccard(sf_dir)[["doc_a", "doc_b"]]
+        except ValueError:
+            pairs = q_dedup_minhash_lsh(sf_dir)[["doc_a", "doc_b"]]
+        for old in [k for k in _DUP_PAIRS_CACHE if k[0] == sf_dir]:
+            _DUP_PAIRS_CACHE.pop(old, None)
+        _DUP_PAIRS_CACHE[key] = pairs
+    return _DUP_PAIRS_CACHE[key]
 
 
 def q_dedup_clusters_distributed(sf_dir: str):
