@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "merge_intervals",
     "bfs_hops",
     "dedup_canonical",
+    "rrf_fusion",
 ]
 
 

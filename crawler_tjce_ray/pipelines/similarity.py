@@ -542,8 +542,145 @@ FROM dots GROUP BY label ORDER BY label
 """
 
 
+RRF_K = 60          # standard reciprocal-rank-fusion constant
+RRF_LIST_N = 100    # retrieved-list depth per ranker
+RRF_OUT_N = 20      # fused results returned
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion of a lexical ranking
+    (Okapi BM25 against the fixed query-term set) and a dense ranking
+    (embedding cosine against doc 0's vector), the standard
+    hybrid-search merge: ``rrf = Σ 1/(K + rank)`` over the two
+    top-{RRF_LIST_N} lists, top-{RRF_OUT_N} fused docs out.
+
+    Scale shape: BOTH rankers reduce to bounded top-k partials — each
+    batch keeps its local top-{RRF_LIST_N} by (score desc, doc_id), so
+    the driver folds O(blocks × {RRF_LIST_N}) rows per list and never
+    sees the corpus (the full per-doc ranking is `bm25_score`'s job,
+    not this one's).  Ranks are assigned on scores ROUNDED to 6 dp in
+    both engines — rank boundaries must not hinge on libm last-ulp
+    noise.  The dense side broadcasts one d-vector; the lexical side
+    reuses the shared streaming BM25 scorer."""
+    import pyarrow.parquet as pq_
+
+    from crawler_tjce_ray.pipelines.textops import bm25_scored_ds
+
+    def topk_partial(df: pd.DataFrame, col: str) -> pd.DataFrame:
+        return df.sort_values([col, "doc_id"],
+                              ascending=[False, True]).head(RRF_LIST_N)
+
+    # lexical list: streaming BM25 → per-batch top-k partials
+    bm_parts = (
+        bm25_scored_ds(sf_dir)
+        .map_batches(lambda df: topk_partial(df, "bm25"),
+                     batch_format="pandas")
+        .to_pandas()
+    )
+    list_a = topk_partial(bm_parts, "bm25").reset_index(drop=True)
+    list_a["r"] = np.arange(1, len(list_a) + 1, dtype=np.int64)
+
+    # dense list: cosine vs the broadcast query vector (doc 0)
+    qrow = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
+    ).to_pandas()
+    qvec = np.asarray(qrow["embedding"].iloc[0], dtype=np.float64)
+    qn = np.linalg.norm(qvec)
+
+    def cos_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(columns=["doc_id", "cos"]).astype(
+                {"doc_id": "int64", "cos": "float64"})
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        cos = (mat @ qvec) / (np.linalg.norm(mat, axis=1) * qn)
+        part = pd.DataFrame({
+            "doc_id": df["vec_id"].to_numpy(np.int64),
+            "cos": np.round(cos, 6),
+        })
+        return topk_partial(part, "cos")
+
+    cs_parts = (
+        _read_emb(sf_dir)
+        .map_batches(cos_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    list_b = topk_partial(cs_parts, "cos").reset_index(drop=True)
+    list_b["r"] = np.arange(1, len(list_b) + 1, dtype=np.int64)
+
+    f = list_a[["doc_id", "r"]].merge(
+        list_b[["doc_id", "r"]], on="doc_id", how="outer",
+        suffixes=("_a", "_b"))
+    rrf = (1.0 / (RRF_K + f["r_a"])).fillna(0.0) + (
+        1.0 / (RRF_K + f["r_b"])).fillna(0.0)
+    out = pd.DataFrame({
+        "doc_id": f["doc_id"].astype("int64"),
+        "rrf": np.round(rrf, 9),
+    })
+    return (
+        out.sort_values(["rrf", "doc_id"], ascending=[False, True])
+        .head(RRF_OUT_N)
+        .reset_index(drop=True)
+    )
+
+
+def _rrf_sql() -> str:
+    from crawler_tjce_ray.pipelines.textops import (
+        BM25_B, BM25_K1, BM25_TERMS,
+    )
+
+    terms_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(length(ws)) AS avg_len FROM toks
+), tf AS (
+  SELECT t.doc_id, q.term,
+         length(list_filter(t.ws, x -> x = q.term)) AS tf,
+         length(t.ws) AS dl
+  FROM toks t CROSS JOIN (SELECT unnest([{terms_list}]) AS term) q
+), df AS (
+  SELECT term, SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+  FROM tf GROUP BY term
+), bm AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({BM25_K1} + 1)
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / s.avg_len))
+         ), 6) AS bm25
+  FROM tf JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+), ra AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM bm QUALIFY r <= {RRF_LIST_N}
+), cs AS (
+  SELECT vec_id AS doc_id,
+         ROUND(list_cosine_similarity(
+           embedding,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS cos
+  FROM embeddings
+), rb AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r
+  FROM cs QUALIFY r <= {RRF_LIST_N}
+)
+SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+       ROUND(COALESCE(1.0 / ({RRF_K} + ra.r), 0)
+           + COALESCE(1.0 / ({RRF_K} + rb.r), 0), 9) AS rrf
+FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+ORDER BY rrf DESC, doc_id LIMIT {RRF_OUT_N}
+"""
+
+
+SQL_RRF_FUSION = _rrf_sql()
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
+    "rrf_fusion": q_rrf_fusion,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "hard_negatives": q_hard_negatives,
@@ -553,6 +690,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "rrf_fusion": SQL_RRF_FUSION,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "embedding_dim_variance": SQL_EMBEDDING_DIM_VARIANCE,
     "label_cohesion": SQL_LABEL_COHESION,

@@ -334,8 +334,10 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def q_bm25_score(sf_dir: str):
-    """Okapi BM25 of every document against a fixed query-term set.
+def bm25_scored_ds(sf_dir: str):
+    """The streaming BM25 scorer as a Dataset of (doc_id, bm25) —
+    shared by the full-ranking query and the RRF fusion's top-k
+    partial path (which must never materialize the corpus).
 
     Distributed shape (two streaming passes, nothing materializes the
     corpus):
@@ -388,7 +390,13 @@ def q_bm25_score(sf_dir: str):
             "bm25": np.round(s, 6),
         })
 
-    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def q_bm25_score(sf_dir: str):
+    """Okapi BM25 of every document against a fixed query-term set
+    (see ``bm25_scored_ds`` for the two-pass distributed shape)."""
+    out = bm25_scored_ds(sf_dir).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
