@@ -192,6 +192,119 @@ FROM k JOIN c USING (dkey) GROUP BY k.source ORDER BY k.source
 """
 
 
+_XS_GRAM = 8  # words per shingle (cross-source overlap matrix)
+
+
+def q_cross_source_dup_matrix(sf_dir: str):
+    """WHO copies from WHOM: for every unordered source pair, the
+    number of distinct word-8-gram shingles occurring in BOTH sources
+    (diagonal: shingles occurring ≥2 times within the one source) —
+    the mixture-design follow-up to ``dup_rate_by_source``, which only
+    says how much each source duplicates, not against which peers.
+    Shingle-level because this corpus has no whole-document exact
+    dups; 8-grams are the usual contamination unit (Lee et al. use
+    50-token windows at web scale; the constant is a dial).
+
+    Same digest-bucket shuffle family as ``dup_rate_by_source`` (every
+    occurrence of a shingle key lands in one bucket, so pair
+    membership is decided exactly in-bucket): batches emit per-(key,
+    source) partial COUNTS — not positions, so the shuffle volume is
+    #distinct-(gram, source)-per-batch, text never rides — then each
+    bucket sums counts and self-merges on the 128-bit key; the merge
+    fan-out is bounded by #sources-per-key (≤ #sources), not corpus
+    size.  The driver folds O(buckets × sources²) additive rows."""
+    ds = _read_docs(sf_dir, ["text", "source"])
+
+    def key_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch partial counts per (gram-md5, source): the loop is
+        # O(words); md5 runs once per distinct (gram, source) pair
+        counts: dict[tuple[str, str], int] = {}
+        for src, t in zip(df["source"], df["text"]):
+            ws = t.split(" ")
+            for i in range(len(ws) - (_XS_GRAM - 1)):
+                k = (" ".join(ws[i:i + _XS_GRAM]), src)
+                counts[k] = counts.get(k, 0) + 1
+        if not counts:  # typed empty — Ray drops columns of bare empties
+            return pd.DataFrame({
+                "k1": pd.Series([], dtype="int64"),
+                "k2": pd.Series([], dtype="int64"),
+                "source": pd.Series([], dtype=object),
+                "c": pd.Series([], dtype="int64"),
+                "kb": pd.Series([], dtype="int64"),
+            })
+        digs = np.frombuffer(
+            b"".join(hashlib.md5(g.encode()).digest() for g, _ in counts),
+            dtype=np.uint64,
+        ).reshape(-1, 2)
+        out = pd.DataFrame({
+            "k1": digs[:, 0].view(np.int64),
+            "k2": digs[:, 1].view(np.int64),
+            "source": np.array([s for _, s in counts], object),
+            "c": np.fromiter(counts.values(), np.int64, len(counts)),
+        })
+        out["kb"] = out["k1"].to_numpy(np.int64) & 63
+        return out
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        ks = g.groupby(["k1", "k2", "source"], as_index=False).agg(
+            c=("c", "sum"))
+        m = ks.merge(ks, on=["k1", "k2"], suffixes=("_a", "_b"))
+        keep = (m["source_a"] < m["source_b"]) | (
+            (m["source_a"] == m["source_b"]) & (m["c_a"] >= 2))
+        p = m.loc[keep]
+        if p.empty:  # typed empty — Ray drops columns of bare empties
+            return pd.DataFrame({
+                "source_a": pd.Series([], dtype="string"),
+                "source_b": pd.Series([], dtype="string"),
+                "n_keys": pd.Series([], dtype="int64"),
+            })
+        out = p.groupby(["source_a", "source_b"], as_index=False).agg(
+            n_keys=("k1", "size"))
+        out["source_a"] = out["source_a"].astype("string")
+        out["source_b"] = out["source_b"].astype("string")
+        out["n_keys"] = out["n_keys"].astype("int64")
+        return out
+
+    parts = (
+        ds.map_batches(key_rows, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(pair_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    if "source_a" not in parts.columns:
+        parts = pd.DataFrame({
+            "source_a": pd.Series([], dtype=object),
+            "source_b": pd.Series([], dtype=object),
+            "n_keys": pd.Series([], dtype="int64"),
+        })
+    out = parts.groupby(["source_a", "source_b"], as_index=False)[
+        "n_keys"].sum()
+    out["n_keys"] = out["n_keys"].astype("int64")
+    # object dtype like the DuckDB oracle frame (driver hash is
+    # dtype-sensitive; pandas StringDtype would diverge)
+    out["source_a"] = out["source_a"].astype(object)
+    out["source_b"] = out["source_b"].astype(object)
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+SQL_CROSS_SOURCE_DUP_MATRIX = """
+WITH w AS (
+  SELECT source, string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT source, array_to_string(ws[i:i+7], ' ') AS gram
+  FROM (SELECT source, ws, unnest(range(1, greatest(len(ws) - 6, 1))) AS i
+        FROM w)
+), ks AS (
+  SELECT gram, source, COUNT(*) AS c FROM g GROUP BY gram, source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM ks a JOIN ks b ON a.gram = b.gram
+WHERE a.source < b.source OR (a.source = b.source AND a.c >= 2)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # all-pairs n-gram Jaccard (the verification kernel, oracle-checked)
 # ---------------------------------------------------------------------------
@@ -1711,6 +1824,7 @@ QUERIES = {
     "dedup_embedding_nn": q_dedup_embedding_nn,
     "dedup_substring_clean": q_dedup_substring_clean,
     "dup_rate_by_source": q_dup_rate_by_source,
+    "cross_source_dup_matrix": q_cross_source_dup_matrix,
 }
 
 ORACLE_SQL = {
@@ -1724,4 +1838,5 @@ ORACLE_SQL = {
     "dedup_embedding_nn": SQL_DEDUP_EMBEDDING_NN,
     "dedup_substring_clean": SQL_DEDUP_SUBSTRING_CLEAN,
     "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
+    "cross_source_dup_matrix": SQL_CROSS_SOURCE_DUP_MATRIX,
 }
