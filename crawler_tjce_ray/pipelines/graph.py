@@ -349,6 +349,69 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+TRIGRAM_TOPK = 20
+
+
+def q_event_trigrams(sf_dir: str):
+    """Second-order sequence mining: the global top-{TRIGRAM_TOPK}
+    consecutive event-type TRIGRAMS across user streams (ordered by
+    (ts, event_id) per user) — the pattern the first-order transition
+    matrix cannot see (A→B→A ping-pong vs A→B→C funnels).
+
+    Same recipe as q_event_transitions, one window longer: ONE
+    64-bucket user_id shuffle (streams complete in-bucket) →
+    vectorized double shift → additive (t1, t2, t3, n) partials →
+    driver merge of ≤ 64 × |types|³ rows, deterministic total order
+    (n desc, then t1, t2, t3) before the top-k cut so rank-boundary
+    ties never diverge from the oracle."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ub"] = df["user_id"].astype("int64") & 63
+        return df
+
+    def tris_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        n1 = g["event_type"].shift(-1)
+        n2 = g["event_type"].shift(-2)
+        same = (
+            (g["user_id"].shift(-1) == g["user_id"])
+            & (g["user_id"].shift(-2) == g["user_id"])
+        ).to_numpy()
+        p = pd.DataFrame({
+            "t1": g["event_type"][same], "t2": n1[same], "t3": n2[same]
+        })
+        return p.groupby(["t1", "t2", "t3"], as_index=False).agg(
+            n=("t1", "size"))
+
+    parts = (
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(tris_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["t1", "t2", "t3"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(
+        ["n", "t1", "t2", "t3"], ascending=[False, True, True, True]
+    ).head(TRIGRAM_TOPK)
+    return out.reset_index(drop=True)
+
+
+SQL_EVENT_TRIGRAMS = f"""
+WITH o AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE t3 IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT {TRIGRAM_TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # inverted index (token posting lists)
 # ---------------------------------------------------------------------------
@@ -810,6 +873,7 @@ QUERIES = {
     "degree_distribution": q_degree_distribution,
     "event_funnel": q_event_funnel,
     "event_transitions": q_event_transitions,
+    "event_trigrams": q_event_trigrams,
     "inverted_index": q_inverted_index,
     "triangle_count": q_triangle_count,
     "cumulative_users": q_cumulative_users,
@@ -821,6 +885,7 @@ ORACLE_SQL = {
     "degree_distribution": SQL_DEGREE_DISTRIBUTION,
     "event_funnel": SQL_EVENT_FUNNEL,
     "event_transitions": SQL_EVENT_TRANSITIONS,
+    "event_trigrams": SQL_EVENT_TRIGRAMS,
     "inverted_index": SQL_INVERTED_INDEX,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "cumulative_users": SQL_CUMULATIVE_USERS,

@@ -842,6 +842,54 @@ FROM marked ORDER BY user_id, event_id
 """
 
 
+def q_event_dwell(sf_dir: str):
+    """Per-event dwell time: seconds until the SAME user's next event
+    (LEAD over the user stream; each user's last event drops) — the
+    engagement-duration primitive behind bounce/read-time analytics.
+    Same bucketing as q_sessionize: ONE shuffle on 64 coarse
+    ``user_id % 64`` buckets, in-bucket vectorized sort + shift.
+    Dwell is an exact INTEGER microsecond difference (the timestamps
+    carry µs precision; a float seconds column would hash-diverge on
+    ns-vs-µs division ulps)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        return t.append_column("kb", kb)
+
+    def dwell(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        nxt = g["ts"].shift(-1)
+        same = (g["user_id"].shift(-1) == g["user_id"]).to_numpy()
+        d = (nxt - g["ts"]) / pd.Timedelta(microseconds=1)
+        out = pd.DataFrame({
+            "event_id": g["event_id"][same],
+            "user_id": g["user_id"][same],
+            "dwell_us": d[same].astype("int64"),
+        })
+        return out
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(dwell, batch_format="pandas")
+        .to_pandas()
+        .astype({"event_id": "int64", "user_id": "int64", "dwell_us": "int64"})
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENT_DWELL = """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT event_id, user_id,
+       CAST(date_diff('microsecond', ts, nxt) AS BIGINT) AS dwell_us
+FROM o WHERE nxt IS NOT NULL ORDER BY event_id
+"""
+
+
 def q_token_histogram(sf_dir: str):
     """Heavy hitters: global top-20 token frequencies.  The canonical
     pre-aggregation shape: each batch emits its own token counts (a
@@ -1276,6 +1324,136 @@ SELECT o_orderpriority, l_returnflag,
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority, l_returnflag
 ORDER BY o_orderpriority, l_returnflag
+"""
+
+
+def q_segment_year_revenue(sf_dir: str):
+    """THREE-way big join (TPC-H Q3/Q5 flavor): revenue per customer
+    market segment × order year over lineitem ⋈ orders ⋈ customer —
+    the join chain ``hash_join_big`` (one big-big exchange) doesn't
+    cover.  At 100 TB all three tables are corpus-sized, so the plan
+    is TWO successive bucket exchanges that each carry only pruned
+    columns and shrink between hops:
+
+    1. orderkey exchange — orders rows ride as (orderkey, custkey,
+       year), lineitem rows as (orderkey, revenue term); in-bucket
+       merge pre-aggregates to (custkey, year, rev, n) partials, so
+       what leaves hop 1 is bounded by #customers × years, not joined
+       rows;
+    2. custkey exchange — hop-1 partials union customer's (custkey,
+       mktsegment); in-bucket merge emits (mktsegment, year) partials;
+       the driver folds ≤ 64 × segments × years additive rows.
+
+    Each revenue term is snapped to INTEGER CENTS before any sum
+    (floor(x·100 + 0.5) — identical IEEE ops in both engines), so the
+    aggregate is an order-independent int64 sum: bucket-partial
+    summation can never drift a cent from the oracle's single-pass
+    sum, unlike the ROUND-after-float-SUM convention (which measurably
+    flips the last cent here — 35 groups × ~10⁸ magnitudes)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["o_orderkey"], pa.int64())
+        return pa.table({
+            "key": key, "kb": _kb64(key),
+            "custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            "rev": _const(t.num_rows, None, pa.float64()),
+            "side": _const(t.num_rows, 0, pa.int8()),
+        })
+
+    def tag_line(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["l_orderkey"], pa.int64())
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        n = t.num_rows
+        return pa.table({
+            "key": key, "kb": _kb64(key),
+            "custkey": _const(n, None, pa.int64()),
+            "year": _const(n, None, pa.int64()),
+            "rev": pc.cast(rev, pa.float64()),
+            "side": _const(n, 1, pa.int8()),
+        })
+
+    def join_orderkey(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "custkey", "year"]]
+        right = g[g["side"] == 1][["key", "rev"]]
+        j = right.merge(left, on="key", how="inner")
+        j["rev_c"] = np.floor(
+            j["rev"].to_numpy(np.float64) * 100.0 + 0.5
+        ).astype("int64")
+        out = j.groupby(["custkey", "year"], as_index=False).agg(
+            rev_c=("rev_c", "sum"), n_items=("rev_c", "size"))
+        out["kb2"] = out["custkey"].astype("int64") & 63
+        return out
+
+    hop1 = (
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(line.map_batches(tag_line, batch_format="pyarrow"))
+        .groupby("kb")
+        .map_groups(join_orderkey, batch_format="pandas")
+    )
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["c_custkey"], pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "custkey": key, "kb2": _kb64(key),
+            "year": _const(n, None, pa.int64()),
+            "rev_c": _const(n, None, pa.int64()),
+            "n_items": _const(n, None, pa.int64()),
+            "segment": t["c_mktsegment"],
+        })
+
+    def tag_hop1(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": pc.cast(t["custkey"], pa.int64()),
+            "kb2": pc.cast(t["kb2"], pa.int64()),
+            "year": pc.cast(t["year"], pa.int64()),
+            "rev_c": pc.cast(t["rev_c"], pa.int64()),
+            "n_items": pc.cast(t["n_items"], pa.int64()),
+            "segment": _const(t.num_rows, None, pa.string()),
+        })
+
+    def join_custkey(g: pd.DataFrame) -> pd.DataFrame:
+        facts = g[g["segment"].isna()][["custkey", "year", "rev_c", "n_items"]]
+        dims = g[g["segment"].notna()][["custkey", "segment"]]
+        j = facts.merge(dims, on="custkey", how="inner")
+        return j.groupby(["segment", "year"], as_index=False).agg(
+            rev_c=("rev_c", "sum"), n_items=("n_items", "sum"))
+
+    parts = (
+        hop1.map_batches(tag_hop1, batch_format="pyarrow")
+        .union(cust.map_batches(tag_cust, batch_format="pyarrow"))
+        .groupby("kb2")
+        .map_groups(join_custkey, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["segment", "year"], as_index=False).agg(
+        rev_c=("rev_c", "sum"), n_items=("n_items", "sum"))
+    out = pd.DataFrame({
+        "c_mktsegment": out["segment"].astype(object),
+        "order_year": out["year"].astype("int64"),
+        "revenue": out["rev_c"].astype("int64").to_numpy(np.float64) / 100.0,
+        "n_items": out["n_items"].astype("int64"),
+    })
+    return out.sort_values(["c_mktsegment", "order_year"]).reset_index(drop=True)
+
+
+SQL_SEGMENT_YEAR_REVENUE = """
+SELECT c_mktsegment,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) / 100.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -2373,6 +2551,60 @@ ORDER BY lang, source
 """
 
 
+def q_mi_lang_source(sf_dir: str):
+    """Pointwise mutual information per lang × source cell plus each
+    cell's contribution to the global mutual information I(lang;
+    source) — the information-theoretic sibling of
+    ``q_chi2_lang_source`` (chi² asks "is the mixture independent?",
+    MI says "how many nats does knowing the source tell you about the
+    language").  Same contingency-partials recipe: per-batch zero-copy
+    Arrow group counts, driver folds |langs| × |sources| rows.  PMI =
+    ln(n·total / (rn·cn)) rounded to 6 dp (repo-wide libm convention:
+    ln is the one non-exact op; both engines round the same double)."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "source"]).aggregate([("lang", "count")])
+        return pa.table({
+            "lang": g["lang"], "source": g["source"],
+            "n": pc.cast(g["lang_count"], pa.int64()),
+        })
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas().groupby(["lang", "source"], as_index=False)["n"].sum()
+    )
+    total = float(cells["n"].sum())
+    row_t = cells.groupby("lang")["n"].sum()
+    col_t = cells.groupby("source")["n"].sum()
+    rn = cells["lang"].map(row_t).to_numpy(np.float64)
+    cn = cells["source"].map(col_t).to_numpy(np.float64)
+    n = cells["n"].to_numpy(np.float64)
+    pmi = np.log(n * total / (rn * cn))
+    out = pd.DataFrame({
+        "lang": cells["lang"],
+        "source": cells["source"],
+        "n": cells["n"].astype("int64"),
+        "pmi": pmi.round(6),
+        "mi_part": ((n / total) * pmi).round(6),
+    })
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+SQL_MI_LANG_SOURCE = """
+WITH c AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM c),
+r AS (SELECT lang, CAST(SUM(n) AS DOUBLE) AS rn FROM c GROUP BY lang),
+cl AS (SELECT source, CAST(SUM(n) AS DOUBLE) AS cn FROM c GROUP BY source)
+SELECT c.lang, c.source, CAST(c.n AS BIGINT) AS n,
+       ROUND(LN(c.n * t.tot / (r.rn * cl.cn)), 6) AS pmi,
+       ROUND((c.n / t.tot) * LN(c.n * t.tot / (r.rn * cl.cn)), 6) AS mi_part
+FROM c JOIN r USING (lang) JOIN cl USING (source) CROSS JOIN t
+ORDER BY lang, source
+"""
+
+
 def q_distinct_users_by_type(sf_dir: str):
     """Grouped EXACT distinct count — ``COUNT(DISTINCT user_id)`` per
     event_type — with the shuffle-shrinking discipline the exact path
@@ -3248,8 +3480,10 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
     "sessionize": q_sessionize,
+    "event_dwell": q_event_dwell,
     "token_histogram": q_token_histogram,
     "hash_join_big": q_hash_join_big,
+    "segment_year_revenue": q_segment_year_revenue,
     "left_join_counts": q_left_join_counts,
     "zscore_events": q_zscore_events,
     "distinct_users_by_type": q_distinct_users_by_type,
@@ -3272,6 +3506,7 @@ QUERIES = {
     "rolling_avg3": q_rolling_avg3,
     "user_journey": q_user_journey,
     "chi2_lang_source": q_chi2_lang_source,
+    "mi_lang_source": q_mi_lang_source,
     "part_cooccurrence": q_part_cooccurrence,
     "welch_t_value": q_welch_t_value,
     "burstiness_users": q_burstiness_users,
@@ -3312,8 +3547,10 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "sessionize": SQL_SESSIONIZE,
+    "event_dwell": SQL_EVENT_DWELL,
     "token_histogram": SQL_TOKEN_HISTOGRAM,
     "hash_join_big": SQL_HASH_JOIN_BIG,
+    "segment_year_revenue": SQL_SEGMENT_YEAR_REVENUE,
     "left_join_counts": SQL_LEFT_JOIN_COUNTS,
     "zscore_events": SQL_ZSCORE_EVENTS,
     "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
@@ -3336,6 +3573,7 @@ ORACLE_SQL = {
     "rolling_avg3": SQL_ROLLING_AVG3,
     "user_journey": SQL_USER_JOURNEY,
     "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
+    "mi_lang_source": SQL_MI_LANG_SOURCE,
     "part_cooccurrence": SQL_PART_COOCCURRENCE,
     "welch_t_value": SQL_WELCH_T,
     "burstiness_users": SQL_BURSTINESS_USERS,

@@ -16,6 +16,7 @@ benchmark set) and O(distinct n_chars values).
 
 from __future__ import annotations
 
+import hashlib
 import math
 
 import numpy as np
@@ -1597,6 +1598,122 @@ FROM d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id
 """
 )
 
+# ---------------------------------------------------------------------------
+# n-gram novelty scoring (curation: how much of each doc is first-seen)
+# ---------------------------------------------------------------------------
+
+_NOV_GRAM = 8
+
+
+def q_ngram_novelty(sf_dir: str):
+    """Novelty score per document: the fraction of its distinct word-
+    8-gram shingles whose GLOBAL first occurrence (min doc_id over the
+    corpus) is this document — the "how much of this page is new text"
+    signal curation pipelines use to down-weight boilerplate-heavy and
+    scraped-again content (complement of the Lee-et-al. dedup view:
+    there the repeated gram is removed, here it scores the doc).
+
+    Two streaming passes over text, zero driver text state:
+
+    1. totals — per-batch vectorized distinct-gram COUNT per doc
+       (docs are row-atomic, so batch-local distinct is exact);
+       additive O(#docs) rows;
+    2. first-seen — per-doc distinct (gram-md5, doc_id) rows ride ONE
+       shuffle on 64 digest buckets (a gram's every occurrence lands
+       in one bucket), in-bucket min-doc_id per gram collapses to
+       additive (doc_id, n_first) partials — what returns is bounded
+       by #docs, never by gram volume.
+
+    novelty = n_first / n_grams (exact integers; ratio deterministic),
+    rounded to 6 dp like every libm-adjacent repo ratio."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def doc_grams(doc_id: int, text: str) -> set:
+        ws = text.split(" ")
+        return {
+            " ".join(ws[i:i + _NOV_GRAM])
+            for i in range(len(ws) - (_NOV_GRAM - 1))
+        }
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            (int(d), len(doc_grams(d, t)))
+            for d, t in zip(df["doc_id"], df["text"])
+        ]
+        out = pd.DataFrame(rows, columns=["doc_id", "n_grams"])
+        return out.astype({"doc_id": "int64", "n_grams": "int64"})
+
+    tot = (
+        ds.map_batches(totals, batch_format="pandas")
+        .to_pandas()
+        .groupby("doc_id", as_index=False)["n_grams"].sum()
+    )
+
+    def key_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs = [], []
+        for d, t in zip(df["doc_id"], df["text"]):
+            gs = doc_grams(d, t)
+            ids.append(np.full(len(gs), int(d), dtype=np.int64))
+            blobs.extend(hashlib.md5(g.encode()).digest() for g in gs)
+        if not blobs:  # typed empty — Ray drops columns of bare empties
+            return pd.DataFrame({
+                "k1": pd.Series([], dtype="int64"),
+                "k2": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "kb": pd.Series([], dtype="int64"),
+            })
+        digs = np.frombuffer(b"".join(blobs), dtype=np.uint64).reshape(-1, 2)
+        out = pd.DataFrame({
+            "k1": digs[:, 0].view(np.int64),
+            "k2": digs[:, 1].view(np.int64),
+            "doc_id": np.concatenate(ids),
+        })
+        out["kb"] = out["k1"].to_numpy(np.int64) & 63
+        return out
+
+    def first_counts(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.groupby(["k1", "k2"], as_index=False)["doc_id"].min()
+        out = w.groupby("doc_id", as_index=False).agg(n_first=("k1", "size"))
+        return out.astype({"doc_id": "int64", "n_first": "int64"})
+
+    firsts = (
+        ds.map_batches(key_rows, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(first_counts, batch_format="pandas")
+        .to_pandas()
+        .groupby("doc_id", as_index=False)["n_first"].sum()
+    )
+
+    out = tot.merge(firsts, on="doc_id", how="left")
+    out["n_first"] = out["n_first"].fillna(0).astype("int64")
+    out = out.loc[out["n_grams"] > 0].copy()
+    out["novelty"] = (
+        out["n_first"].to_numpy(np.float64)
+        / out["n_grams"].to_numpy(np.float64)
+    ).round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_NGRAM_NOVELTY = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 6, 1))) AS i
+        FROM w)
+), dg AS (
+  SELECT DISTINCT doc_id, gram FROM g
+), f AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM dg GROUP BY gram
+)
+SELECT dg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) FILTER (f.first_doc = dg.doc_id) AS BIGINT) AS n_first,
+       ROUND(CAST(COUNT(*) FILTER (f.first_doc = dg.doc_id) AS DOUBLE)
+             / COUNT(*), 6) AS novelty
+FROM dg JOIN f USING (gram)
+GROUP BY dg.doc_id HAVING COUNT(*) > 0 ORDER BY dg.doc_id
+"""
+
 
 QUERIES = {
     "gopher_rules": q_gopher_rules,
@@ -1617,6 +1734,7 @@ QUERIES = {
     "quantile_filter": q_quantile_filter,
     "curation_pipeline": q_curation_pipeline,
     "tfidf_keywords": q_tfidf_keywords,
+    "ngram_novelty": q_ngram_novelty,
 }
 
 ORACLE_SQL = {
@@ -1638,4 +1756,5 @@ ORACLE_SQL = {
     "quantile_filter": SQL_QUANTILE_FILTER,
     "curation_pipeline": _sql_curation(),
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
 }
