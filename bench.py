@@ -113,6 +113,16 @@ BENCH_QUERIES = [
     "bfs_hops",
     "dedup_canonical",
     "rrf_fusion",
+    "cross_source_dup_matrix",
+    "mi_lang_source",
+    "event_dwell",
+    "event_trigrams",
+    "segment_year_revenue",
+    "ngram_novelty",
+    "timed_funnel",
+    "cohort_matrix",
+    "big_spenders",
+    "text_ttr",
 ]
 
 

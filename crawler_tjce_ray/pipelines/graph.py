@@ -412,6 +412,88 @@ GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT {TRIGRAM_TOPK}
 """
 
 
+FUNNEL_WINDOW_H = 24
+
+
+def q_timed_funnel(sf_dir: str):
+    """Time-CONSTRAINED funnel: signup → first click within
+    {FUNNEL_WINDOW_H} h of the first signup → first purchase within
+    {FUNNEL_WINDOW_H} h of that qualifying click.  The sequential-
+    pattern-with-deadline operator product analytics runs everywhere;
+    the unconstrained ``event_funnel`` cannot express it (a click six
+    months later still converts there).
+
+    Same recipe: type-filter at the read, ONE 64-bucket user_id
+    shuffle, vectorized in-bucket stage mins with the deadline
+    predicate, additive 64×3 partials.  Timestamp comparisons are
+    exact integer µs, so no float ambiguity exists."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    win = pd.Timedelta(hours=FUNNEL_WINDOW_H)
+
+    def relevant(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["event_type"].isin(FUNNEL)].copy()
+        df["ub"] = df["user_id"].astype("int64") & 63
+        return df
+
+    def stages(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = g.loc[g["event_type"] == FUNNEL[0]].groupby("user_id")["ts"].min()
+        c = g.loc[g["event_type"] == FUNNEL[1], ["user_id", "ts"]].copy()
+        c["t1"] = c["user_id"].map(t1)
+        t2 = c.loc[(c["ts"] > c["t1"]) & (c["ts"] <= c["t1"] + win)] \
+            .groupby("user_id")["ts"].min()
+        p = g.loc[g["event_type"] == FUNNEL[2], ["user_id", "ts"]].copy()
+        p["t2"] = p["user_id"].map(t2)
+        t3 = p.loc[(p["ts"] > p["t2"]) & (p["ts"] <= p["t2"] + win)] \
+            .groupby("user_id")["ts"].min()
+        return pd.DataFrame({
+            "n1": [int(t1.size)], "n2": [int(t2.size)], "n3": [int(t3.size)],
+        })
+
+    parts = (
+        ds.map_batches(relevant, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(stages, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    n = [int(parts["n1"]), int(parts["n2"]), int(parts["n3"])]
+    prev = [n[0], n[0], n[1]]
+    return pd.DataFrame({
+        "stage": pd.Series([1, 2, 3], dtype="int64"),
+        "event": ["signup", "click_24h", "purchase_24h"],
+        "n_users": pd.Series(n, dtype="int64"),
+        "conv": [n[i] / prev[i] if prev[i] else 0.0 for i in range(3)],
+    })
+
+
+SQL_TIMED_FUNNEL = f"""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s ON e.user_id = s.user_id
+        AND e.ts > s.t AND e.ts <= s.t + INTERVAL {FUNNEL_WINDOW_H} HOUR
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN c ON e.user_id = c.user_id
+        AND e.ts > c.t AND e.ts <= c.t + INTERVAL {FUNNEL_WINDOW_H} HOUR
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), counts AS (
+  SELECT * FROM (VALUES
+    (1, 'signup', (SELECT COUNT(*) FROM s), (SELECT COUNT(*) FROM s)),
+    (2, 'click_24h', (SELECT COUNT(*) FROM c), (SELECT COUNT(*) FROM s)),
+    (3, 'purchase_24h', (SELECT COUNT(*) FROM p), (SELECT COUNT(*) FROM c))
+  ) AS t(stage, event, n, prev)
+)
+SELECT CAST(stage AS BIGINT) AS stage, event,
+       CAST(n AS BIGINT) AS n_users,
+       CASE WHEN prev = 0 THEN 0.0 ELSE CAST(n AS DOUBLE) / prev END AS conv
+FROM counts ORDER BY stage
+"""
+
+
 # ---------------------------------------------------------------------------
 # inverted index (token posting lists)
 # ---------------------------------------------------------------------------
@@ -874,6 +956,7 @@ QUERIES = {
     "event_funnel": q_event_funnel,
     "event_transitions": q_event_transitions,
     "event_trigrams": q_event_trigrams,
+    "timed_funnel": q_timed_funnel,
     "inverted_index": q_inverted_index,
     "triangle_count": q_triangle_count,
     "cumulative_users": q_cumulative_users,
@@ -886,6 +969,7 @@ ORACLE_SQL = {
     "event_funnel": SQL_EVENT_FUNNEL,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "event_trigrams": SQL_EVENT_TRIGRAMS,
+    "timed_funnel": SQL_TIMED_FUNNEL,
     "inverted_index": SQL_INVERTED_INDEX,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "cumulative_users": SQL_CUMULATIVE_USERS,

@@ -890,6 +890,168 @@ FROM o WHERE nxt IS NOT NULL ORDER BY event_id
 """
 
 
+def q_cohort_matrix(sf_dir: str):
+    """Weekly cohort-retention matrix — THE product-analytics grid:
+    users grouped by the Monday week of their FIRST event (cohort),
+    counted once per (cohort, whole weeks elapsed) cell they were
+    active in.  ``retention`` gives one diagonal of this; the full
+    matrix is the operator dashboards actually draw.
+
+    ONE 64-bucket user_id shuffle (a user's whole history lives in its
+    bucket, so both the first-event week and the distinct active weeks
+    are exact in-bucket) → additive (cohort_week, week_age,
+    n_users) partials (a user contributes to exactly one bucket, so
+    distinct-user counts add) → driver folds ≤ 64 × weeks² rows.
+    Week arithmetic is integer days-since-Monday, no float anywhere."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        return t.append_column("kb", kb)
+
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["ts"].dt.floor("D")
+        week = day - pd.to_timedelta(day.dt.weekday, unit="D")
+        x = pd.DataFrame({"user_id": g["user_id"], "week": week})
+        first = x.groupby("user_id")["week"].transform("min")
+        x["cohort_week"] = first
+        x["week_age"] = ((x["week"] - first).dt.days // 7).astype("int64")
+        cells = x.drop_duplicates(["user_id", "week_age"])
+        out = cells.groupby(["cohort_week", "week_age"], as_index=False).agg(
+            n_users=("user_id", "size"))
+        return out.astype({"week_age": "int64", "n_users": "int64"})
+
+    parts = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(cells, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["cohort_week", "week_age"], as_index=False)[
+        "n_users"].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_week", "week_age"]).reset_index(drop=True)
+
+
+SQL_COHORT_MATRIX = """
+WITH f AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS w FROM events e
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.w) / 7 AS BIGINT) AS week_age,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_big_spenders(sf_dir: str):
+    """Customers whose lifetime spend exceeds 2× their market
+    segment's average customer spend — the correlated-subquery /
+    HAVING-against-group-average class (TPC-H Q17/Q22 flavor) none of
+    the existing joins cover.
+
+    Three bounded stages: (1) per-batch (custkey, cents) partials over
+    orders — spend snaps to integer cents per order, so every later
+    sum is order-independent; (2) ONE custkey-bucket exchange joining
+    spend partials with customer's (custkey, segment) — emits the
+    per-customer spend table, bounded by #customers; (3) segment
+    averages fold from additive (segment, tot_cents, n_cust) partials,
+    and the filter re-runs over stage-2 blocks with the tiny threshold
+    table broadcast in the closure.  The selection predicate
+    ``spend_c · n > 2 · tot_c`` is pure int64 — bit-exact vs the
+    oracle, no average ever rounds."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def spend_partial(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["o_custkey"], pa.int64())
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        g = pa.table({"custkey": key, "spend_c": cents}) \
+            .group_by("custkey").aggregate([("spend_c", "sum")])
+        key2 = pc.cast(g["custkey"], pa.int64())
+        return pa.table({
+            "custkey": key2, "kb": _kb64(key2),
+            "spend_c": pc.cast(g["spend_c_sum"], pa.int64()),
+            "segment": _const(g.num_rows, None, pa.string()),
+        })
+
+    def cust_tag(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["c_custkey"], pa.int64())
+        return pa.table({
+            "custkey": key, "kb": _kb64(key),
+            "spend_c": _const(t.num_rows, None, pa.int64()),
+            "segment": t["c_mktsegment"],
+        })
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        facts = g[g["segment"].isna()].groupby("custkey", as_index=False)[
+            "spend_c"].sum()
+        dims = g[g["segment"].notna()][["custkey", "segment"]]
+        j = facts.merge(dims, on="custkey", how="inner")
+        return j.astype({"custkey": "int64", "spend_c": "int64"})
+
+    per_cust = (
+        orders.map_batches(spend_partial, batch_format="pyarrow")
+        .union(cust.map_batches(cust_tag, batch_format="pyarrow"))
+        .groupby("kb")
+        .map_groups(join_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+    seg_parts = per_cust.map_batches(
+        lambda df: df.groupby("segment", as_index=False).agg(
+            tot_c=("spend_c", "sum"), n_cust=("spend_c", "size")),
+        batch_format="pandas",
+    ).to_pandas()
+    seg = seg_parts.groupby("segment", as_index=False).sum()
+    tot_by_seg = dict(zip(seg["segment"], seg["tot_c"].astype("int64")))
+    n_by_seg = dict(zip(seg["segment"], seg["n_cust"].astype("int64")))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df["segment"].map(tot_by_seg).to_numpy(np.int64)
+        n = df["segment"].map(n_by_seg).to_numpy(np.int64)
+        sp = df["spend_c"].to_numpy(np.int64)
+        keep = sp * n > 2 * tot
+        out = df.loc[keep, ["custkey", "segment", "spend_c"]].copy()
+        out["spend"] = out["spend_c"].to_numpy(np.float64) / 100.0
+        out["ratio_to_avg"] = (
+            out["spend_c"].to_numpy(np.float64) * n[keep] / tot[keep]
+        ).round(6)
+        return out[["custkey", "segment", "spend", "ratio_to_avg"]]
+
+    out = per_cust.map_batches(pick, batch_format="pandas").to_pandas()
+    out = out.astype({"custkey": "int64", "segment": object,
+                      "spend": "float64", "ratio_to_avg": "float64"})
+    return out.sort_values("custkey").reset_index(drop=True)
+
+
+SQL_BIG_SPENDERS = """
+WITH s AS (
+  SELECT o_custkey AS custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend_c
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT c_custkey AS custkey, c_mktsegment AS segment, spend_c
+  FROM s JOIN customer ON custkey = c_custkey
+), a AS (
+  SELECT segment, SUM(spend_c) AS tot_c, COUNT(*) AS n_cust
+  FROM j GROUP BY 1
+)
+SELECT j.custkey, j.segment, j.spend_c / 100.0 AS spend,
+       ROUND(CAST(j.spend_c AS DOUBLE) * a.n_cust / a.tot_c, 6)
+         AS ratio_to_avg
+FROM j JOIN a USING (segment)
+WHERE j.spend_c * a.n_cust > 2 * a.tot_c
+ORDER BY j.custkey
+"""
+
+
 def q_token_histogram(sf_dir: str):
     """Heavy hitters: global top-20 token frequencies.  The canonical
     pre-aggregation shape: each batch emits its own token counts (a
@@ -3481,6 +3643,8 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "sessionize": q_sessionize,
     "event_dwell": q_event_dwell,
+    "cohort_matrix": q_cohort_matrix,
+    "big_spenders": q_big_spenders,
     "token_histogram": q_token_histogram,
     "hash_join_big": q_hash_join_big,
     "segment_year_revenue": q_segment_year_revenue,
@@ -3548,6 +3712,8 @@ ORACLE_SQL = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "sessionize": SQL_SESSIONIZE,
     "event_dwell": SQL_EVENT_DWELL,
+    "cohort_matrix": SQL_COHORT_MATRIX,
+    "big_spenders": SQL_BIG_SPENDERS,
     "token_histogram": SQL_TOKEN_HISTOGRAM,
     "hash_join_big": SQL_HASH_JOIN_BIG,
     "segment_year_revenue": SQL_SEGMENT_YEAR_REVENUE,

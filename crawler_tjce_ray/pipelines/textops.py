@@ -153,6 +153,49 @@ FROM t ORDER BY doc_id
 """
 
 
+
+
+def q_text_ttr(sf_dir: str):
+    """Type-token ratio per document — the lexical-diversity signal
+    curation stacks use beside the stopword/length heuristics (a
+    near-zero TTR is generated/looping text; ``repetition_stats``
+    looks at n-gram repeats, this at vocabulary width).  Stateless
+    vectorized map over (doc_id, text); ttr = n_types / n_tokens is a
+    ratio of exact ints, rounded to 6 dp."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def ttr(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        n_tok = toks.str.len().to_numpy(np.int64)
+        n_typ = np.fromiter(
+            (len(set(t)) for t in toks), np.int64, len(toks)
+        )
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_tokens": n_tok,
+            "n_types": n_typ,
+            "ttr": np.round(
+                n_typ / np.maximum(n_tok, 1).astype(np.float64), 6
+            ),
+        })
+
+    out = ds.map_batches(ttr, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_TTR = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS n_types
+  FROM documents)
+SELECT doc_id, n_tokens, n_types,
+       ROUND(CAST(n_types AS DOUBLE) / greatest(n_tokens, 1), 6) AS ttr
+FROM t ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # language identification (stopword-vote heuristic) + confusion matrix
 # ---------------------------------------------------------------------------
@@ -1023,6 +1066,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "pack_sequences_sharded": q_pack_sequences_sharded,
     "text_quality": q_text_quality,
+    "text_ttr": q_text_ttr,
     "lang_id_confusion": q_lang_id_confusion,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprint": q_winnow_fingerprint,
@@ -1038,6 +1082,7 @@ ORACLE_SQL = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "text_quality": SQL_TEXT_QUALITY,
+    "text_ttr": SQL_TEXT_TTR,
     "lang_id_confusion": SQL_LANG_ID_CONFUSION,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "bm25_score": SQL_BM25_SCORE,
