@@ -123,6 +123,10 @@ BENCH_QUERIES = [
     "cohort_matrix",
     "big_spenders",
     "text_ttr",
+    "concentration_stats",
+    "assoc_rules",
+    "drawdown_value_per_user",
+    "purchase_id_islands",
 ]
 
 

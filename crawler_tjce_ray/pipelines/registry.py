@@ -198,7 +198,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 #   dedup_canonical, rrf_fusion, cross_source_dup_matrix,
 #   mi_lang_source, event_dwell, event_trigrams, segment_year_revenue,
 #   ngram_novelty, timed_funnel, cohort_matrix, big_spenders,
-#   text_ttr) and any other new queries.
+#   text_ttr, concentration_stats, assoc_rules,
+#   drawdown_value_per_user, purchase_id_islands) and any other new
+#   queries.
 #   The window is EXACTLY _DRIVER_WINDOW_SIZE entries — pinned by
 #   tests/test_registry_window.py so an insertion can never silently
 #   push the tail entry past the driver's horizon.

@@ -1052,6 +1052,314 @@ ORDER BY j.custkey
 """
 
 
+def q_concentration_stats(sf_dir: str):
+    """Revenue-concentration summary: the Gini coefficient of
+    per-customer lifetime spend plus the share held by the top 1 % of
+    customers — the inequality diagnostic behind "how head-heavy is
+    this corpus/market" (the same question webtext pipelines ask of
+    per-domain page counts).
+
+    Recipe: per-batch integer-cent spend partials → ONE custkey-bucket
+    exchange finalizes per-customer spend in-bucket → each bucket
+    emits a VALUE-COUNT histogram partial (spend_c, n) — the
+    chars_percent_rank discipline — and the driver folds O(#distinct
+    spends) rows, computing rank sums with arbitrary-precision Python
+    ints (Σ rank·x at 10¹⁰ customers overflows int64; at that scale
+    the histogram fold itself shards on a value-bucket key first).
+    Gini uses the ROW_NUMBER form (2·Σr·x − (n+1)·Σx)/(n·Σx), which is
+    tie-order invariant because tied ranks multiply equal values; the
+    top-1 % cut is value-invariant at the boundary for the same
+    reason.  Every input to the two final divisions is an exact
+    integer."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def spend_partial(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["o_custkey"], pa.int64())
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        g = pa.table({"custkey": key, "spend_c": cents}) \
+            .group_by("custkey").aggregate([("spend_c", "sum")])
+        key2 = pc.cast(g["custkey"], pa.int64())
+        return pa.table({
+            "custkey": key2, "kb": _kb64(key2),
+            "spend_c": pc.cast(g["spend_c_sum"], pa.int64()),
+        })
+
+    def hist_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g.groupby("custkey", as_index=False)["spend_c"].sum()
+        h = per_cust.groupby("spend_c", as_index=False).agg(
+            n=("spend_c", "size"))
+        return h.astype({"spend_c": "int64", "n": "int64"})
+
+    hist = (
+        orders.map_batches(spend_partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(hist_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("spend_c", as_index=False)["n"].sum()
+        .sort_values("spend_c").reset_index(drop=True)
+    )
+    vals = [int(v) for v in hist["spend_c"]]
+    cnts = [int(c) for c in hist["n"]]
+    n = sum(cnts)
+    tot = sum(v * c for v, c in zip(vals, cnts))
+    # Σ rank·x with ranks 1..n ascending: a value v with count c and
+    # C strictly-smaller customers owns ranks C+1..C+c
+    rs, below = 0, 0
+    for v, c in zip(vals, cnts):
+        rs += v * (c * below + c * (c + 1) // 2)
+        below += c
+    k = -(-n // 100)  # ceil(n/100): top-1% head count
+    top_c, need = 0, k
+    for v, c in zip(reversed(vals), reversed(cnts)):
+        take = min(c, need)
+        top_c += v * take
+        need -= take
+        if need == 0:
+            break
+    gini = (2.0 * rs - (n + 1.0) * tot) / (float(n) * tot) if tot else 0.0
+    return pd.DataFrame({
+        "n_customers": pd.Series([n], dtype="int64"),
+        "total_spend": [tot / 100.0],
+        "gini": [round(gini, 6)],
+        "top1pct_share": [round(top_c / tot, 6) if tot else 0.0],
+    })
+
+
+SQL_CONCENTRATION_STATS = """
+WITH s AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend_c
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT spend_c,
+         ROW_NUMBER() OVER (ORDER BY spend_c, o_custkey) AS rn
+  FROM s
+), t AS (
+  SELECT COUNT(*) AS n, SUM(spend_c) AS tot, SUM(rn * spend_c) AS rs FROM r
+), k AS (
+  SELECT CAST(CEIL(n / 100.0) AS BIGINT) AS k, n, tot, rs FROM t
+), tp AS (
+  SELECT SUM(r.spend_c) AS top_c FROM r CROSS JOIN k WHERE r.rn > k.n - k.k
+)
+SELECT CAST(k.n AS BIGINT) AS n_customers,
+       k.tot / 100.0 AS total_spend,
+       ROUND((2.0 * k.rs - (k.n + 1.0) * k.tot)
+             / (CAST(k.n AS DOUBLE) * k.tot), 6) AS gini,
+       ROUND(CAST(tp.top_c AS DOUBLE) / k.tot, 6) AS top1pct_share
+FROM k CROSS JOIN tp
+"""
+
+
+def q_assoc_rules(sf_dir: str):
+    """Association rules over the top-100 co-bought part pairs:
+    for each pair, BOTH directed rules p_from→p_to with confidence
+    = pairs/orders_with(p_from) and lift = confidence /
+    (orders_with(p_to)/N) — the Apriori-style post-processing of
+    ``part_cooccurrence``'s pair counts.
+
+    Scale shape: the pair counts come from the two-exchange
+    ``q_part_cooccurrence`` machinery (pair space never touches the
+    driver); the supports pass then counts distinct orders per part
+    FILTERED to the ≤200 candidate parts broadcast in the closure —
+    plus each bucket's distinct-order tally — so the second pass
+    returns O(candidates + buckets) rows, never O(#parts).  conf and
+    lift are ratios of exact ints, rounded to 6 dp."""
+    top = q_part_cooccurrence(sf_dir)
+    cand = set(map(int, top["p1"])) | set(map(int, top["p2"]))
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("kb", _kb64(pc.cast(t["l_orderkey"], pa.int64())))
+
+    def support_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        s = d[d["l_partkey"].isin(cand)].groupby(
+            "l_partkey", as_index=False).agg(s=("l_orderkey", "size"))
+        s = s.rename(columns={"l_partkey": "part"})
+        n_orders = pd.DataFrame({
+            "part": [-1], "s": [int(d["l_orderkey"].nunique())]})
+        return pd.concat([s, n_orders]).astype({"part": "int64", "s": "int64"})
+
+    sup = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(support_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("part", as_index=False)["s"].sum()
+    )
+    smap = dict(zip(sup["part"].astype("int64"), sup["s"].astype("int64")))
+    n_orders = smap.pop(-1)
+
+    rules = pd.concat([
+        top.rename(columns={"p1": "p_from", "p2": "p_to"}),
+        top.rename(columns={"p2": "p_from", "p1": "p_to"}),
+    ])[["p_from", "p_to", "pair_count"]]
+    sf = rules["p_from"].map(smap).to_numpy(np.int64)
+    st = rules["p_to"].map(smap).to_numpy(np.int64)
+    c = rules["pair_count"].to_numpy(np.int64)
+    rules["conf"] = np.round(c / sf.astype(np.float64), 6)
+    rules["lift"] = np.round(
+        (c / sf.astype(np.float64)) / (st / float(n_orders)), 6)
+    rules = rules.astype({"p_from": "int64", "p_to": "int64",
+                          "pair_count": "int64"})
+    return rules.sort_values(
+        ["pair_count", "p_from", "p_to"], ascending=[False, True, True]
+    ).reset_index(drop=True)
+
+
+SQL_ASSOC_RULES = """
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pc_ AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS c
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), top AS (
+  SELECT * FROM pc_ ORDER BY c DESC, p1, p2 LIMIT 100
+), sup AS (
+  SELECT l_partkey, COUNT(*) AS s FROM d GROUP BY 1
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem
+), rules AS (
+  SELECT p1 AS p_from, p2 AS p_to, c FROM top
+  UNION ALL
+  SELECT p2 AS p_from, p1 AS p_to, c FROM top
+)
+SELECT r.p_from, r.p_to, CAST(r.c AS BIGINT) AS pair_count,
+       ROUND(CAST(r.c AS DOUBLE) / sf.s, 6) AS conf,
+       ROUND((CAST(r.c AS DOUBLE) / sf.s) / (CAST(st.s AS DOUBLE) / n.n), 6)
+         AS lift
+FROM rules r
+JOIN sup sf ON r.p_from = sf.l_partkey
+JOIN sup st ON r.p_to = st.l_partkey
+CROSS JOIN n
+ORDER BY pair_count DESC, p_from, p_to
+"""
+
+
+def q_drawdown_value_per_user(sf_dir: str):
+    """Maximum drawdown per user over the ``value`` stream ordered by
+    (ts, event_id): the largest drop from a running peak — the
+    scan-class risk statistic (ewma is the smoothing scan, this is the
+    extremum scan; no window-function SQL idiom exists for "max of
+    running-max minus current" without nesting, which is exactly why
+    it earns an operator).  ONE 64-bucket user_id shuffle, in-bucket
+    per-user cummax + subtract — comparisons and subtraction of the
+    raw doubles only, never a float SUM, so the result is bit-exact
+    against the oracle."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        return t.append_column("kb", kb)
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        peak = g.groupby("user_id", sort=False)["value"].cummax()
+        drop = peak - g["value"]
+        out = pd.DataFrame({"user_id": g["user_id"], "p": peak, "d": drop})
+        agg = out.groupby("user_id", as_index=False).agg(
+            peak_value=("p", "max"), max_drawdown=("d", "max"))
+        return agg.astype({"user_id": "int64"})
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(dd, batch_format="pandas")
+        .to_pandas()
+        .astype({"user_id": "int64", "peak_value": "float64",
+                 "max_drawdown": "float64"})
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_DRAWDOWN = """
+WITH r AS (
+  SELECT user_id, value,
+         MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS peak
+  FROM events)
+SELECT user_id, MAX(peak) AS peak_value,
+       MAX(peak - value) AS max_drawdown
+FROM r GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_purchase_id_islands(sf_dir: str):
+    """Gaps-and-islands over a GLOBAL integer sequence: the contiguous
+    runs of event_id among purchase events (start, end, length).
+    ``merge_intervals`` islands per-user timestamp spans; this is the
+    global-sequence form — completeness auditing for id-keyed feeds
+    ("which id ranges are missing?").
+
+    Range-partition recipe (hash would split runs): distinct matching
+    ids ride ONE shuffle on ``event_id >> 10`` range buckets — runs
+    are contiguous, so a bucket's interior islands are exact; only the
+    two boundary islands per bucket can continue into a neighbor, and
+    the driver's final fold stitches islands whose ends touch across
+    the sorted O(#islands) rows it already holds (result-bounded, no
+    second pass)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def matching(t: pa.Table) -> pa.Table:
+        ids = pc.cast(
+            t.filter(pc.equal(t["event_type"], "purchase"))["event_id"],
+            pa.int64())
+        u = pc.unique(ids)
+        return pa.table({"event_id": u, "rb": pc.shift_right(u, 10)})
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["event_id"].to_numpy(np.int64))
+        if not len(ids):
+            return pd.DataFrame({
+                "start_id": pd.Series([], dtype="int64"),
+                "end_id": pd.Series([], dtype="int64"),
+            })
+        brk = np.flatnonzero(np.diff(ids) > 1)
+        starts = ids[np.r_[0, brk + 1]]
+        ends = ids[np.r_[brk, len(ids) - 1]]
+        return pd.DataFrame({"start_id": starts, "end_id": ends})
+
+    parts = (
+        ds.map_batches(matching, batch_format="pyarrow")
+        .groupby("rb")
+        .map_groups(islands, batch_format="pandas")
+        .to_pandas()
+        .sort_values("start_id").reset_index(drop=True)
+    )
+    # stitch islands that touch across range-bucket borders
+    starts, ends = [], []
+    for s0, e0 in zip(parts["start_id"], parts["end_id"]):
+        if ends and s0 == ends[-1] + 1:
+            ends[-1] = e0
+        else:
+            starts.append(s0)
+            ends.append(e0)
+    out = pd.DataFrame({
+        "start_id": pd.Series(starts, dtype="int64"),
+        "end_id": pd.Series(ends, dtype="int64"),
+    })
+    out["n_ids"] = (out["end_id"] - out["start_id"] + 1).astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_PURCHASE_ID_ISLANDS = """
+WITH p AS (
+  SELECT DISTINCT event_id FROM events WHERE event_type = 'purchase'
+), g AS (
+  SELECT event_id,
+         event_id - ROW_NUMBER() OVER (ORDER BY event_id) AS grp
+  FROM p)
+SELECT MIN(event_id) AS start_id, MAX(event_id) AS end_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ids
+FROM g GROUP BY grp ORDER BY start_id
+"""
+
+
 def q_token_histogram(sf_dir: str):
     """Heavy hitters: global top-20 token frequencies.  The canonical
     pre-aggregation shape: each batch emits its own token counts (a
@@ -3645,6 +3953,10 @@ QUERIES = {
     "event_dwell": q_event_dwell,
     "cohort_matrix": q_cohort_matrix,
     "big_spenders": q_big_spenders,
+    "concentration_stats": q_concentration_stats,
+    "assoc_rules": q_assoc_rules,
+    "drawdown_value_per_user": q_drawdown_value_per_user,
+    "purchase_id_islands": q_purchase_id_islands,
     "token_histogram": q_token_histogram,
     "hash_join_big": q_hash_join_big,
     "segment_year_revenue": q_segment_year_revenue,
@@ -3714,6 +4026,10 @@ ORACLE_SQL = {
     "event_dwell": SQL_EVENT_DWELL,
     "cohort_matrix": SQL_COHORT_MATRIX,
     "big_spenders": SQL_BIG_SPENDERS,
+    "concentration_stats": SQL_CONCENTRATION_STATS,
+    "assoc_rules": SQL_ASSOC_RULES,
+    "drawdown_value_per_user": SQL_DRAWDOWN,
+    "purchase_id_islands": SQL_PURCHASE_ID_ISLANDS,
     "token_histogram": SQL_TOKEN_HISTOGRAM,
     "hash_join_big": SQL_HASH_JOIN_BIG,
     "segment_year_revenue": SQL_SEGMENT_YEAR_REVENUE,
