@@ -968,6 +968,15 @@ def q_big_spenders(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
     def spend_partial(t: pa.Table) -> pa.Table:
+        # typed empty: pyarrow group_by on an empty block loses the
+        # schema, and Ray then drops the columns from the whole union
+        if t.num_rows == 0:
+            return pa.table({
+                "custkey": pa.array([], pa.int64()),
+                "kb": pa.array([], pa.int64()),
+                "spend_c": pa.array([], pa.int64()),
+                "segment": pa.array([], pa.string()),
+            })
         key = pc.cast(t["o_custkey"], pa.int64())
         cents = pc.cast(pc.floor(pc.add(
             pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
@@ -1004,16 +1013,31 @@ def q_big_spenders(sf_dir: str):
         .materialize()
     )
 
+    def seg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "segment" not in df.columns:  # schema-less empty block
+            return pd.DataFrame({
+                "segment": pd.Series([], dtype=object),
+                "tot_c": pd.Series([], dtype="int64"),
+                "n_cust": pd.Series([], dtype="int64"),
+            })
+        return df.groupby("segment", as_index=False).agg(
+            tot_c=("spend_c", "sum"), n_cust=("spend_c", "size"))
+
     seg_parts = per_cust.map_batches(
-        lambda df: df.groupby("segment", as_index=False).agg(
-            tot_c=("spend_c", "sum"), n_cust=("spend_c", "size")),
-        batch_format="pandas",
+        seg_partial, batch_format="pandas",
     ).to_pandas()
     seg = seg_parts.groupby("segment", as_index=False).sum()
     tot_by_seg = dict(zip(seg["segment"], seg["tot_c"].astype("int64")))
     n_by_seg = dict(zip(seg["segment"], seg["n_cust"].astype("int64")))
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if "segment" not in df.columns:  # schema-less empty block
+            return pd.DataFrame({
+                "custkey": pd.Series([], dtype="int64"),
+                "segment": pd.Series([], dtype=object),
+                "spend": pd.Series([], dtype="float64"),
+                "ratio_to_avg": pd.Series([], dtype="float64"),
+            })
         tot = df["segment"].map(tot_by_seg).to_numpy(np.int64)
         n = df["segment"].map(n_by_seg).to_numpy(np.int64)
         sp = df["spend_c"].to_numpy(np.int64)
@@ -1026,6 +1050,9 @@ def q_big_spenders(sf_dir: str):
         return out[["custkey", "segment", "spend", "ratio_to_avg"]]
 
     out = per_cust.map_batches(pick, batch_format="pandas").to_pandas()
+    if "custkey" not in out.columns:  # every block empty
+        out = pd.DataFrame({"custkey": [], "segment": [],
+                            "spend": [], "ratio_to_avg": []})
     out = out.astype({"custkey": "int64", "segment": object,
                       "spend": "float64", "ratio_to_avg": "float64"})
     return out.sort_values("custkey").reset_index(drop=True)
@@ -1074,6 +1101,12 @@ def q_concentration_stats(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def spend_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # typed empty (see q_big_spenders)
+            return pa.table({
+                "custkey": pa.array([], pa.int64()),
+                "kb": pa.array([], pa.int64()),
+                "spend_c": pa.array([], pa.int64()),
+            })
         key = pc.cast(t["o_custkey"], pa.int64())
         cents = pc.cast(pc.floor(pc.add(
             pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
