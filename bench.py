@@ -127,6 +127,10 @@ BENCH_QUERIES = [
     "assoc_rules",
     "drawdown_value_per_user",
     "purchase_id_islands",
+    "session_stats",
+    "weekly_revenue_wow",
+    "ship_latency_by_priority",
+    "path_to_purchase",
 ]
 
 

@@ -1393,6 +1393,262 @@ FROM g GROUP BY grp ORDER BY start_id
 """
 
 
+def q_session_stats(sf_dir: str):
+    """Global session summary on top of the 30-minute sessionization:
+    how many sessions, how many span multiple events, mean events per
+    session and mean session duration — the one-row health panel a
+    product team reads before any per-user drill-down.
+
+    Same ONE user-bucket shuffle as ``q_sessionize`` (sessions are
+    per-user, so each is complete in its bucket); a bucket emits ONE
+    additive partial row (n_sessions, n_multi, Σevents, Σduration_µs —
+    all exact int64), and the two means are driver-side ratios of
+    exact integers rounded to 6 dp."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        return t.append_column("kb", kb)
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        gap = g.groupby("user_id", sort=False)["ts"].diff() > pd.Timedelta(
+            minutes=30)
+        sess = gap.groupby(g["user_id"], sort=False).cumsum()
+        key = pd.DataFrame({"u": g["user_id"], "s": sess, "ts": g["ts"]})
+        agg = key.groupby(["u", "s"]).agg(
+            n=("ts", "size"), lo=("ts", "min"), hi=("ts", "max"))
+        dur_us = ((agg["hi"] - agg["lo"]) / pd.Timedelta(microseconds=1)) \
+            .astype("int64")
+        return pd.DataFrame({
+            "n_sessions": [int(len(agg))],
+            "n_multi": [int((agg["n"] > 1).sum())],
+            "sum_events": [int(agg["n"].sum())],
+            "sum_dur_us": [int(dur_us.sum())],
+        })
+
+    p = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(partial, batch_format="pandas")
+        .to_pandas().sum()
+    )
+    ns = int(p["n_sessions"])
+    return pd.DataFrame({
+        "n_sessions": pd.Series([ns], dtype="int64"),
+        "multi_event_sessions": pd.Series([int(p["n_multi"])], dtype="int64"),
+        "avg_events": [round(int(p["sum_events"]) / ns, 6) if ns else 0.0],
+        "avg_duration_s": [
+            round(int(p["sum_dur_us"]) / ns / 1e6, 6) if ns else 0.0],
+    })
+
+
+SQL_SESSION_STATS = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tagged AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), s AS (
+  SELECT user_id, sid, COUNT(*) AS n,
+         CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT) AS dur_us
+  FROM tagged GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) FILTER (n > 1) AS BIGINT) AS multi_event_sessions,
+       ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS avg_events,
+       ROUND(CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1e6, 6)
+         AS avg_duration_s
+FROM s
+"""
+
+
+def q_weekly_revenue_wow(sf_dir: str):
+    """Week-over-week revenue trend: Monday-week order revenue (exact
+    integer cents) with the relative change vs the previous week —
+    the monitoring series every revenue dashboard plots.  Per-batch
+    additive (week, cents) partials (weeks are a tiny key space); the
+    LAG finishes on the driver's folded series; the first week's
+    change is NULL like the window oracle's."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["o_orderdate"].dt.floor("D")
+        week = day - pd.to_timedelta(day.dt.weekday, unit="D")
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0 + 0.5
+        ).astype("int64")
+        out = pd.DataFrame({"week": week, "rev_c": cents})
+        return out.groupby("week", as_index=False)["rev_c"].sum()
+
+    wk = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas().groupby("week", as_index=False)["rev_c"].sum()
+        .sort_values("week").reset_index(drop=True)
+    )
+    prev = wk["rev_c"].shift(1)
+    wow = (wk["rev_c"] - prev) / prev
+    return pd.DataFrame({
+        "week": wk["week"],
+        "revenue": wk["rev_c"].astype("int64").to_numpy(np.float64) / 100.0,
+        "wow_pct": wow.astype("float64").round(6),
+    })
+
+
+SQL_WEEKLY_REVENUE_WOW = """
+WITH w AS (
+  SELECT date_trunc('week', o_orderdate) AS week,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+)
+SELECT week, rev_c / 100.0 AS revenue,
+       ROUND(CAST(rev_c - lag(rev_c) OVER (ORDER BY week) AS DOUBLE)
+             / lag(rev_c) OVER (ORDER BY week), 6) AS wow_pct
+FROM w ORDER BY week
+"""
+
+
+def q_ship_latency_by_priority(sf_dir: str):
+    """Order-fulfilment latency per priority class: days from order
+    date to the order's LAST line shipment — per priority the order
+    count, mean latency and worst case.  The operational-SLA rollup of
+    the orders ⋈ lineitem join.
+
+    Same single orderkey-bucket exchange as ``hash_join_big`` (both
+    sides corpus-sized); in-bucket the per-order max-shipdate join is
+    vectorized, and only additive (priority, n, Σdays, max_days)
+    int64 partials return.  Latency is exact integer days; the mean
+    is a driver-side ratio rounded to 6 dp."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority", "o_orderdate"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["o_orderkey"], pa.int64())
+        return pa.table({
+            "key": key, "kb": _kb64(key),
+            "priority": t["o_orderpriority"],
+            "odate": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+            "sdate": _const(t.num_rows, None, pa.timestamp("us")),
+        })
+
+    def tag_line(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["l_orderkey"], pa.int64())
+        return pa.table({
+            "key": key, "kb": _kb64(key),
+            "priority": _const(t.num_rows, None, pa.string()),
+            "odate": _const(t.num_rows, None, pa.timestamp("us")),
+            "sdate": pc.cast(t["l_shipdate"], pa.timestamp("us")),
+        })
+
+    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["priority"].notna()][["key", "priority", "odate"]]
+        last = g[g["priority"].isna()].groupby("key", as_index=False)[
+            "sdate"].max()
+        j = left.merge(last, on="key", how="inner")
+        days = ((j["sdate"].dt.floor("D") - j["odate"].dt.floor("D"))
+                .dt.days).astype("int64")
+        out = pd.DataFrame({"priority": j["priority"], "days": days})
+        agg = out.groupby("priority", as_index=False).agg(
+            n_orders=("days", "size"), sum_days=("days", "sum"),
+            max_days=("days", "max"))
+        return agg.astype({"n_orders": "int64", "sum_days": "int64",
+                           "max_days": "int64"})
+
+    parts = (
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(line.map_batches(tag_line, batch_format="pyarrow"))
+        .groupby("kb")
+        .map_groups(agg_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("priority", as_index=False).agg(
+        n_orders=("n_orders", "sum"), sum_days=("sum_days", "sum"),
+        max_days=("max_days", "max"))
+    res = pd.DataFrame({
+        "o_orderpriority": out["priority"].astype(object),
+        "n_orders": out["n_orders"].astype("int64"),
+        "avg_days": (out["sum_days"].to_numpy(np.float64)
+                     / out["n_orders"].to_numpy(np.float64)).round(6),
+        "max_days": out["max_days"].astype("int64"),
+    })
+    return res.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_SHIP_LATENCY = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority, o_orderdate,
+         MAX(l_shipdate) AS last_ship
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2, 3
+), d AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', date_trunc('day', o_orderdate),
+                        date_trunc('day', last_ship)) AS BIGINT) AS days
+  FROM o
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(days) AS DOUBLE) / COUNT(*), 6) AS avg_days,
+       MAX(days) AS max_days
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_path_to_purchase(sf_dir: str):
+    """Events before conversion: for every user with a purchase, the
+    number of events STRICTLY before their first purchase timestamp —
+    the journey-length distribution growth teams segment on.  ONE
+    user-bucket shuffle; in-bucket the first-purchase time and the
+    strict-before count are two vectorized passes; users without a
+    purchase drop (inner semantics, matching the oracle join)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        return t.append_column("kb", kb)
+
+    def count_before(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.loc[g["event_type"] == "purchase"] \
+            .groupby("user_id")["ts"].min()
+        t1 = g["user_id"].map(first)
+        before = g.loc[g["ts"] < t1]
+        out = before.groupby("user_id", as_index=False).agg(
+            n_before=("ts", "size"))
+        # converters whose purchase was their very first event
+        zero = first.index.difference(out["user_id"])
+        out = pd.concat([out, pd.DataFrame({
+            "user_id": zero, "n_before": np.zeros(len(zero), np.int64)})])
+        return out.astype({"user_id": "int64", "n_before": "int64"})
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(count_before, batch_format="pandas")
+        .to_pandas()
+        .astype({"user_id": "int64", "n_before": "int64"})
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_PATH_TO_PURCHASE = """
+WITH f AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT f.user_id,
+       CAST(COUNT(e.ts) FILTER (e.ts < f.t1) AS BIGINT) AS n_before
+FROM f JOIN events e USING (user_id)
+GROUP BY f.user_id ORDER BY f.user_id
+"""
+
+
 def q_token_histogram(sf_dir: str):
     """Heavy hitters: global top-20 token frequencies.  The canonical
     pre-aggregation shape: each batch emits its own token counts (a
@@ -3990,6 +4246,10 @@ QUERIES = {
     "assoc_rules": q_assoc_rules,
     "drawdown_value_per_user": q_drawdown_value_per_user,
     "purchase_id_islands": q_purchase_id_islands,
+    "session_stats": q_session_stats,
+    "weekly_revenue_wow": q_weekly_revenue_wow,
+    "ship_latency_by_priority": q_ship_latency_by_priority,
+    "path_to_purchase": q_path_to_purchase,
     "token_histogram": q_token_histogram,
     "hash_join_big": q_hash_join_big,
     "segment_year_revenue": q_segment_year_revenue,
@@ -4063,6 +4323,10 @@ ORACLE_SQL = {
     "assoc_rules": SQL_ASSOC_RULES,
     "drawdown_value_per_user": SQL_DRAWDOWN,
     "purchase_id_islands": SQL_PURCHASE_ID_ISLANDS,
+    "session_stats": SQL_SESSION_STATS,
+    "weekly_revenue_wow": SQL_WEEKLY_REVENUE_WOW,
+    "ship_latency_by_priority": SQL_SHIP_LATENCY,
+    "path_to_purchase": SQL_PATH_TO_PURCHASE,
     "token_histogram": SQL_TOKEN_HISTOGRAM,
     "hash_join_big": SQL_HASH_JOIN_BIG,
     "segment_year_revenue": SQL_SEGMENT_YEAR_REVENUE,
