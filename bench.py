@@ -131,6 +131,9 @@ BENCH_QUERIES = [
     "weekly_revenue_wow",
     "ship_latency_by_priority",
     "path_to_purchase",
+    "lorenz_deciles",
+    "edge_reciprocity",
+    "hapax_rate_by_source",
 ]
 
 

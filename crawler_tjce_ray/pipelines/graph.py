@@ -494,6 +494,81 @@ FROM counts ORDER BY stage
 """
 
 
+
+
+def q_edge_reciprocity(sf_dir: str):
+    """Directed-graph reciprocity over the part-succession graph: the
+    fraction of non-loop directed edges whose reverse edge also exists
+    — the standard "is this graph mutual or feed-forward" diagnostic
+    (near 1 for co-purchase-style graphs, near 0 for strict
+    pipelines).
+
+    Consumes the memoized edge Dataset.  Both directions of a pair
+    must meet to decide reciprocity, so the edges ride ONE shuffle on
+    64 UNORDERED-pair buckets (packed min<<32|max key, xor-folded so
+    both endpoints mix); in-bucket a vectorized dedup + direction
+    count yields two additive integers per bucket — edge rows may
+    repeat across order-buckets upstream, which the in-bucket
+    ``drop_duplicates`` absorbs because a pair always lands whole."""
+    edges, _ = _edges_ds_and_nodes(sf_dir)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["src"].to_numpy(np.int64)
+        dst = df["dst"].to_numpy(np.int64)
+        keep = src != dst  # self-loops are excluded from reciprocity
+        src, dst = src[keep], dst[keep]
+        a = np.minimum(src, dst)
+        b = np.maximum(src, dst)
+        pair = (a << np.int64(32)) | b
+        out = pd.DataFrame({
+            "pair": pair, "fwd": (src < dst),
+        }).drop_duplicates()
+        out["pb"] = ((out["pair"] ^ (out["pair"] >> np.int64(32))) & 63) \
+            .astype("int64")
+        return out
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["pair", "fwd"])
+        dirs = d.groupby("pair")["fwd"].size()
+        n_edges = int(dirs.sum())
+        n_recip = int((dirs == 2).sum()) * 2
+        return pd.DataFrame({"n_edges": [n_edges], "n_recip": [n_recip]})
+
+    p = (
+        edges.map_batches(tag, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(count_bucket, batch_format="pandas")
+        .to_pandas().sum()
+    )
+    ne, nr = int(p["n_edges"]), int(p["n_recip"])
+    return pd.DataFrame({
+        "n_edges": pd.Series([ne], dtype="int64"),
+        "n_reciprocal": pd.Series([nr], dtype="int64"),
+        "reciprocity": [round(nr / ne, 6) if ne else 0.0],
+    })
+
+
+SQL_EDGE_RECIPROCITY = """
+WITH seq AS (
+  SELECT l_partkey AS src,
+         LEAD(l_partkey) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+         ) AS dst
+  FROM lineitem
+), e AS (
+  SELECT DISTINCT src, dst FROM seq
+  WHERE dst IS NOT NULL AND src <> dst
+), j AS (
+  SELECT e.src, e.dst, r.src AS rsrc
+  FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COUNT(rsrc) AS BIGINT) AS n_reciprocal,
+       ROUND(CAST(COUNT(rsrc) AS DOUBLE) / COUNT(*), 6) AS reciprocity
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # inverted index (token posting lists)
 # ---------------------------------------------------------------------------
@@ -957,6 +1032,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "event_trigrams": q_event_trigrams,
     "timed_funnel": q_timed_funnel,
+    "edge_reciprocity": q_edge_reciprocity,
     "inverted_index": q_inverted_index,
     "triangle_count": q_triangle_count,
     "cumulative_users": q_cumulative_users,
@@ -970,6 +1046,7 @@ ORACLE_SQL = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "event_trigrams": SQL_EVENT_TRIGRAMS,
     "timed_funnel": SQL_TIMED_FUNNEL,
+    "edge_reciprocity": SQL_EDGE_RECIPROCITY,
     "inverted_index": SQL_INVERTED_INDEX,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "cumulative_users": SQL_CUMULATIVE_USERS,

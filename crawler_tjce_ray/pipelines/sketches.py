@@ -820,8 +820,123 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_lorenz_deciles(sf_dir: str):
+    """Lorenz curve by spend decile: customers bucketed into ten
+    value-threshold deciles of lifetime spend (thresholds are EXACT
+    ``quantile_disc`` ranks from the shared-pass distributed
+    quickselect, so all nine resolve in one quickselect's streaming
+    passes), with each decile's customer count, revenue and cumulative
+    revenue share — the banded view of ``concentration_stats``'s
+    single Gini number.
+
+    Shape: per-batch integer-cent spend partials → one custkey-bucket
+    exchange finalizes per-customer spend (materialized, bounded by
+    #customers) → ``_quickselect_multi`` finds the nine thresholds →
+    one more streaming pass emits additive (decile, n, cents)
+    partials against the broadcast thresholds.  Ties share a decile
+    by construction (decile = 1 + #thresholds strictly below), so the
+    banding is value-deterministic, never row-order dependent."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from crawler_tjce_ray.pipelines.relational import _const, _kb64, _read
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def spend_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # typed empty (see q_big_spenders)
+            return pa.table({
+                "custkey": pa.array([], pa.int64()),
+                "kb": pa.array([], pa.int64()),
+                "spend_c": pa.array([], pa.int64()),
+            })
+        key = pc.cast(t["o_custkey"], pa.int64())
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        g = pa.table({"custkey": key, "spend_c": cents}) \
+            .group_by("custkey").aggregate([("spend_c", "sum")])
+        key2 = pc.cast(g["custkey"], pa.int64())
+        return pa.table({
+            "custkey": key2, "kb": _kb64(key2),
+            "spend_c": pc.cast(g["spend_c_sum"], pa.int64()),
+        })
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("custkey", as_index=False)["spend_c"].sum()
+        return out.astype({"custkey": "int64", "spend_c": "int64"})
+
+    per_cust = (
+        orders.map_batches(spend_partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(finalize, batch_format="pandas")
+        .materialize()
+    )
+
+    def derive(df: pd.DataFrame) -> np.ndarray:
+        # cents are < 2^53, so the float64 detour is exact
+        return df["spend_c"].to_numpy(np.float64)
+
+    n, gmin, gmax = _select_base_stats(per_cust, derive)
+    ks = [max(1, math.ceil(i / 10.0 * n)) for i in range(1, 10)]
+    thr = np.array(_quickselect_multi(per_cust, derive, ks, n, gmin, gmax))
+
+    def decile_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sp = df["spend_c"].to_numpy(np.int64)
+        dec = 1 + np.searchsorted(thr, sp.astype(np.float64), side="left")
+        out = pd.DataFrame({"decile": dec.astype("int64"), "spend_c": sp})
+        return out.groupby("decile", as_index=False).agg(
+            n=("spend_c", "size"), cents=("spend_c", "sum"))
+
+    parts = per_cust.map_batches(
+        decile_partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("decile", as_index=False).sum() \
+        .sort_values("decile").reset_index(drop=True)
+    tot = int(agg["cents"].sum())
+    cum = agg["cents"].cumsum()
+    return pd.DataFrame({
+        "decile": agg["decile"].astype("int64"),
+        "n_customers": agg["n"].astype("int64"),
+        "revenue": agg["cents"].astype("int64").to_numpy(np.float64) / 100.0,
+        "cum_share": (cum.to_numpy(np.float64) / tot).round(6),
+    })
+
+
+SQL_LORENZ_DECILES = """
+WITH s AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend_c
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT quantile_disc(spend_c, 0.1) AS t1, quantile_disc(spend_c, 0.2) AS t2,
+         quantile_disc(spend_c, 0.3) AS t3, quantile_disc(spend_c, 0.4) AS t4,
+         quantile_disc(spend_c, 0.5) AS t5, quantile_disc(spend_c, 0.6) AS t6,
+         quantile_disc(spend_c, 0.7) AS t7, quantile_disc(spend_c, 0.8) AS t8,
+         quantile_disc(spend_c, 0.9) AS t9
+  FROM s
+), d AS (
+  SELECT spend_c,
+         1 + CAST(spend_c > t.t1 AS INT) + CAST(spend_c > t.t2 AS INT)
+           + CAST(spend_c > t.t3 AS INT) + CAST(spend_c > t.t4 AS INT)
+           + CAST(spend_c > t.t5 AS INT) + CAST(spend_c > t.t6 AS INT)
+           + CAST(spend_c > t.t7 AS INT) + CAST(spend_c > t.t8 AS INT)
+           + CAST(spend_c > t.t9 AS INT) AS decile
+  FROM s CROSS JOIN t
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       SUM(spend_c) / 100.0 AS revenue,
+       ROUND(CAST(SUM(SUM(spend_c)) OVER (ORDER BY decile) AS DOUBLE)
+             / (SELECT SUM(spend_c) FROM s), 6) AS cum_share
+FROM d GROUP BY decile ORDER BY decile
+"""
+
+
 QUERIES = {
     "value_quantiles": q_value_quantiles,
+    "lorenz_deciles": q_lorenz_deciles,
     "approx_value_quantiles": q_approx_value_quantiles,
     "approx_distinct_users": q_approx_distinct_users,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -835,6 +950,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "value_quantiles": SQL_VALUE_QUANTILES,
+    "lorenz_deciles": SQL_LORENZ_DECILES,
     "heavy_hitters_exact": SQL_HEAVY_HITTERS_EXACT,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "quantile_select": SQL_QUANTILE_SELECT,

@@ -196,6 +196,92 @@ FROM t ORDER BY doc_id
 """
 
 
+
+
+def q_hapax_rate_by_source(sf_dir: str):
+    """Hapax legomenon rate per source: each source's vocabulary size
+    and the fraction of it appearing exactly ONCE in that source —
+    the lexical-richness / synthetic-text tell (generated corpora run
+    hapax-poor, scraped natural text hapax-rich).
+
+    Per-batch vectorized (token, source) count partials hash tokens to
+    two-int64 md5 keys (strings never ride the shuffle) → ONE
+    digest-bucket exchange (a token's every partial lands in one
+    bucket, so the global count-==-1 test is exact in-bucket) →
+    additive per-(bucket, source) vocab/hapax counters; the driver
+    folds O(buckets × sources) rows."""
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def key_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        n = toks.str.len().to_numpy(np.int64)
+        if not n.sum():
+            return pd.DataFrame({
+                "k1": pd.Series([], dtype="int64"),
+                "k2": pd.Series([], dtype="int64"),
+                "source": pd.Series([], dtype=object),
+                "c": pd.Series([], dtype="int64"),
+                "kb": pd.Series([], dtype="int64"),
+            })
+        long = pd.DataFrame({
+            "source": np.repeat(df["source"].to_numpy(object), n),
+            "tok": np.concatenate([np.asarray(t, object) for t in toks]),
+        })
+        g = long.groupby(["tok", "source"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        digs = np.frombuffer(
+            b"".join(hashlib.md5(t.encode()).digest() for t in g["tok"]),
+            dtype=np.uint64,
+        ).reshape(-1, 2)
+        out = pd.DataFrame({
+            "k1": digs[:, 0].view(np.int64),
+            "k2": digs[:, 1].view(np.int64),
+            "source": g["source"].to_numpy(object),
+            "c": g["c"].astype("int64"),
+        })
+        out["kb"] = out["k1"].to_numpy(np.int64) & 63
+        return out
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["k1", "k2", "source"], as_index=False)["c"].sum()
+        out = s.groupby("source", as_index=False).agg(
+            vocab=("c", "size"),
+            hapax=("c", lambda x: int((x == 1).sum())),
+        )
+        out["source"] = out["source"].astype(object)
+        return out.astype({"vocab": "int64", "hapax": "int64"})
+
+    parts = (
+        ds.map_batches(key_rows, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("source", as_index=False)[["vocab", "hapax"]].sum()
+    )
+    out = pd.DataFrame({
+        "source": parts["source"].astype(object),
+        "vocab_size": parts["vocab"].astype("int64"),
+        "hapax_count": parts["hapax"].astype("int64"),
+        "hapax_rate": (parts["hapax"].to_numpy(np.float64)
+                       / parts["vocab"].to_numpy(np.float64)).round(6),
+    })
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_HAPAX_RATE = """
+WITH tk AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT source, tok, COUNT(*) AS n FROM tk GROUP BY 1, 2
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(COUNT(*) FILTER (n = 1) AS BIGINT) AS hapax_count,
+       ROUND(CAST(COUNT(*) FILTER (n = 1) AS DOUBLE) / COUNT(*), 6)
+         AS hapax_rate
+FROM c GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # language identification (stopword-vote heuristic) + confusion matrix
 # ---------------------------------------------------------------------------
@@ -1067,6 +1153,7 @@ QUERIES = {
     "pack_sequences_sharded": q_pack_sequences_sharded,
     "text_quality": q_text_quality,
     "text_ttr": q_text_ttr,
+    "hapax_rate_by_source": q_hapax_rate_by_source,
     "lang_id_confusion": q_lang_id_confusion,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprint": q_winnow_fingerprint,
@@ -1083,6 +1170,7 @@ ORACLE_SQL = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "text_quality": SQL_TEXT_QUALITY,
     "text_ttr": SQL_TEXT_TTR,
+    "hapax_rate_by_source": SQL_HAPAX_RATE,
     "lang_id_confusion": SQL_LANG_ID_CONFUSION,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "bm25_score": SQL_BM25_SCORE,
