@@ -134,6 +134,9 @@ BENCH_QUERIES = [
     "lorenz_deciles",
     "edge_reciprocity",
     "hapax_rate_by_source",
+    "bigram_pmi_topk",
+    "session_type_pairs",
+    "time_to_convert",
 ]
 
 

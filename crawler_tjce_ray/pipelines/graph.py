@@ -569,6 +569,83 @@ FROM j
 """
 
 
+
+
+def q_time_to_convert(sf_dir: str):
+    """Signup→purchase conversion-time quantiles: over converters
+    (first purchase strictly after first signup), the count plus the
+    EXACT median and p90 of the delay — quantile_disc semantics, so
+    bit-identical to the oracle.
+
+    Composition showcase: one user-bucket shuffle derives the
+    per-converter delay (exact integer µs) as a materialized Dataset
+    bounded by #converters, and the shared-pass distributed
+    quickselect (``_quickselect_multi``) resolves both ranks in one
+    search's streaming passes — the corpus never sorts."""
+    import math
+
+    from crawler_tjce_ray.pipelines.sketches import (
+        _quickselect_multi, _select_base_stats,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["event_type"].isin(["signup", "purchase"])].copy()
+        df["ub"] = df["user_id"].astype("int64") & 63
+        return df
+
+    def delays(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = g.loc[g["event_type"] == "signup"].groupby("user_id")["ts"].min()
+        p = g.loc[g["event_type"] == "purchase", ["user_id", "ts"]].copy()
+        p["t1"] = p["user_id"].map(t1)
+        t2 = p.loc[p["ts"] > p["t1"]].groupby("user_id")["ts"].min()
+        d = ((t2 - t1[t2.index]) / pd.Timedelta(microseconds=1)).astype(
+            "int64")
+        return pd.DataFrame({"dur_us": d.to_numpy(np.int64)})
+
+    durs = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(delays, batch_format="pandas")
+        .materialize()
+    )
+
+    def derive(df: pd.DataFrame) -> np.ndarray:
+        return df["dur_us"].to_numpy(np.float64)  # µs < 2^53: exact
+
+    n, gmin, gmax = _select_base_stats(durs, derive)
+    if n == 0:
+        return pd.DataFrame({
+            "n_converters": pd.Series([0], dtype="int64"),
+            "median_s": [0.0], "p90_s": [0.0],
+        })
+    ks = [max(1, math.ceil(0.5 * n)), max(1, math.ceil(0.9 * n))]
+    med, p90 = _quickselect_multi(durs, derive, ks, n, gmin, gmax)
+    return pd.DataFrame({
+        "n_converters": pd.Series([n], dtype="int64"),
+        "median_s": [med / 1e6],
+        "p90_s": [p90 / 1e6],
+    })
+
+
+SQL_TIME_TO_CONVERT = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id,
+         CAST(date_diff('microsecond', s.t1, MIN(e.ts)) AS BIGINT) AS dur_us
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t1
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id, s.t1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+       quantile_disc(dur_us, 0.5) / 1e6 AS median_s,
+       quantile_disc(dur_us, 0.9) / 1e6 AS p90_s
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # inverted index (token posting lists)
 # ---------------------------------------------------------------------------
@@ -1033,6 +1110,7 @@ QUERIES = {
     "event_trigrams": q_event_trigrams,
     "timed_funnel": q_timed_funnel,
     "edge_reciprocity": q_edge_reciprocity,
+    "time_to_convert": q_time_to_convert,
     "inverted_index": q_inverted_index,
     "triangle_count": q_triangle_count,
     "cumulative_users": q_cumulative_users,
@@ -1047,6 +1125,7 @@ ORACLE_SQL = {
     "event_trigrams": SQL_EVENT_TRIGRAMS,
     "timed_funnel": SQL_TIMED_FUNNEL,
     "edge_reciprocity": SQL_EDGE_RECIPROCITY,
+    "time_to_convert": SQL_TIME_TO_CONVERT,
     "inverted_index": SQL_INVERTED_INDEX,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "cumulative_users": SQL_CUMULATIVE_USERS,

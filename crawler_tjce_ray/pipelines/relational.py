@@ -1649,6 +1649,75 @@ GROUP BY f.user_id ORDER BY f.user_id
 """
 
 
+
+def q_session_type_pairs(sf_dir: str):
+    """Within-session event-type co-occurrence: for every unordered
+    type pair, how many sessions contain BOTH — the "what do users do
+    together in one sitting" matrix (market-basket over sessions
+    instead of orders).  Same ONE user-bucket shuffle as
+    ``q_sessionize``; in-bucket: session ids → distinct (session,
+    type) → vectorized self-merge (fan-out ≤ |types| per session) →
+    additive per-pair counts; the driver folds ≤ 64 × |types|² rows."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        return t.append_column("kb", kb)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        gap = g.groupby("user_id", sort=False)["ts"].diff() > pd.Timedelta(
+            minutes=30)
+        sess = gap.groupby(g["user_id"], sort=False).cumsum()
+        d = pd.DataFrame({
+            "u": g["user_id"], "s": sess, "t": g["event_type"],
+        }).drop_duplicates()
+        m = d.merge(d, on=["u", "s"])
+        m = m.loc[m["t_x"] < m["t_y"]]
+        out = m.groupby(["t_x", "t_y"], as_index=False).size() \
+            .rename(columns={"t_x": "type_a", "t_y": "type_b",
+                             "size": "n_sessions"})
+        return out.astype({"n_sessions": "int64"})
+
+    parts = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["type_a", "type_b"], as_index=False)[
+        "n_sessions"].sum()
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    out["type_a"] = out["type_a"].astype(object)
+    out["type_b"] = out["type_b"].astype(object)
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+SQL_SESSION_TYPE_PAIRS = """
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tagged AS (
+  SELECT user_id, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), d AS (
+  SELECT DISTINCT user_id, sid, event_type FROM tagged
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM d a JOIN d b
+  ON a.user_id = b.user_id AND a.sid = b.sid
+ AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_token_histogram(sf_dir: str):
     """Heavy hitters: global top-20 token frequencies.  The canonical
     pre-aggregation shape: each batch emits its own token counts (a
@@ -4247,6 +4316,7 @@ QUERIES = {
     "drawdown_value_per_user": q_drawdown_value_per_user,
     "purchase_id_islands": q_purchase_id_islands,
     "session_stats": q_session_stats,
+    "session_type_pairs": q_session_type_pairs,
     "weekly_revenue_wow": q_weekly_revenue_wow,
     "ship_latency_by_priority": q_ship_latency_by_priority,
     "path_to_purchase": q_path_to_purchase,
@@ -4324,6 +4394,7 @@ ORACLE_SQL = {
     "drawdown_value_per_user": SQL_DRAWDOWN,
     "purchase_id_islands": SQL_PURCHASE_ID_ISLANDS,
     "session_stats": SQL_SESSION_STATS,
+    "session_type_pairs": SQL_SESSION_TYPE_PAIRS,
     "weekly_revenue_wow": SQL_WEEKLY_REVENUE_WOW,
     "ship_latency_by_priority": SQL_SHIP_LATENCY,
     "path_to_purchase": SQL_PATH_TO_PURCHASE,

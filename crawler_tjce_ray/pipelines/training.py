@@ -488,10 +488,147 @@ GROUP BY days.d ORDER BY day
 """
 
 
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+def q_bigram_pmi_topk(sf_dir: str):
+    """Collocation mining: the {PMI_TOPK} adjacent word pairs with the
+    highest pointwise mutual information among pairs seen at least
+    {PMI_MIN_COUNT} times — the "new york"/"machine learning" detector
+    (raw bigram frequency ranks stopword pairs; PMI ranks surprise).
+
+    Three bounded pieces: (1) the ``bigram_lm`` w1-bucket exchange
+    finalizes exact c12 counts and the min-count filter prunes the
+    pair space (driver candidate state is bounded by vocab² AFTER the
+    count cut — at web scale raise PMI_MIN_COUNT, same machinery);
+    (2) one streaming unigram pass returns counts ONLY for the
+    broadcast candidate words plus the additive token/bigram totals;
+    (3) PMI = ln((c12/T)/((u1/N)·(u2/N))) evaluated with the same
+    expression tree as the oracle, rounded to 6 dp, ranked (pmi desc,
+    w1, w2) so rank boundaries never diverge."""
+    from crawler_tjce_ray.pipelines.webtext import _explode_words
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    md5 = hashlib.md5
+
+    def bigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_words(df)
+        if ex.empty:
+            return pd.DataFrame({
+                "w1": pd.Series([], dtype="object"),
+                "w2": pd.Series([], dtype="object"),
+                "c": pd.Series([], dtype="int64"),
+                "gb": pd.Series([], dtype="int64"),
+            })
+        ex = ex.reset_index(drop=True)
+        nxt = ex["w"].shift(-1)
+        same = (ex["doc_id"].shift(-1) == ex["doc_id"]).to_numpy()
+        b = pd.DataFrame({"w1": ex["w"][same], "w2": nxt[same]})
+        c = b.groupby(["w1", "w2"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        c["c"] = c["c"].astype("int64")
+        uw = pd.unique(c["w1"])
+        bmap = {w: int(md5(w.encode()).hexdigest()[:2], 16) & 63 for w in uw}
+        c["gb"] = c["w1"].map(bmap).astype("int64")
+        return c
+
+    def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
+        sm = g.groupby(["w1", "w2"], as_index=False).agg(c12=("c", "sum"))
+        return sm.loc[sm["c12"] >= PMI_MIN_COUNT]
+
+    pairs = (
+        ds.map_batches(bigram_partial, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(bucket_final, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame({
+            "w1": pd.Series([], dtype=object),
+            "w2": pd.Series([], dtype=object),
+            "c12": pd.Series([], dtype="int64"),
+            "pmi": pd.Series([], dtype="float64"),
+        })
+    cand = set(pairs["w1"]) | set(pairs["w2"])
+
+    def unigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_words(df)
+        n_tok = len(ex)
+        # adjacent-pair total: tokens minus one per doc with >=1 token
+        docs = ex["doc_id"].nunique() if n_tok else 0
+        hits = ex.loc[ex["w"].isin(cand)].groupby("w", as_index=False) \
+            .size().rename(columns={"size": "c"})
+        hits = hits.rename(columns={"w": "word"})
+        # sentinel keys outside WORD_RE's [a-z0-9]+ alphabet (a NUL
+        # prefix gets truncated by the Arrow-backed groupby hashtable,
+        # silently merging the two totals)
+        totals = pd.DataFrame({
+            "word": ["#N", "#T"],
+            "c": [n_tok, max(n_tok - docs, 0)],
+        })
+        out = pd.concat([hits, totals])
+        out["c"] = out["c"].astype("int64")
+        out["word"] = out["word"].astype(object)
+        return out
+
+    uni = (
+        ds.map_batches(unigram_partial, batch_format="pandas")
+        .to_pandas().groupby("word", as_index=False)["c"].sum()
+    )
+    umap = dict(zip(uni["word"], uni["c"].astype("int64")))
+    n_total = float(umap.pop("#N"))
+    t_total = float(umap.pop("#T"))
+
+    c12 = pairs["c12"].to_numpy(np.float64)
+    u1 = pairs["w1"].map(umap).to_numpy(np.int64).astype(np.float64)
+    u2 = pairs["w2"].map(umap).to_numpy(np.int64).astype(np.float64)
+    pairs = pairs.assign(pmi=np.round(
+        np.log((c12 / t_total) / ((u1 / n_total) * (u2 / n_total))), 6))
+    top = pairs.sort_values(["pmi", "w1", "w2"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(PMI_TOPK)
+    return pd.DataFrame({
+        "w1": top["w1"].astype(object),
+        "w2": top["w2"].astype(object),
+        "c12": top["c12"].astype("int64"),
+        "pmi": top["pmi"].astype("float64"),
+    }).reset_index(drop=True)
+
+
+SQL_BIGRAM_PMI_TOPK = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS ws
+  FROM documents
+), tok AS (
+  SELECT unnest(ws) AS t FROM w
+), u AS (
+  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok
+), pos AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w WHERE len(ws) >= 2
+), b AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM pos
+), c AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2
+), tt AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM b
+)
+SELECT c.w1, c.w2, CAST(c.c12 AS BIGINT) AS c12,
+       ROUND(LN((c.c12 / tt.t) / ((u1.c / nn.n) * (u2.c / nn.n))), 6) AS pmi
+FROM c JOIN u u1 ON c.w1 = u1.t JOIN u u2 ON c.w2 = u2.t
+CROSS JOIN nn CROSS JOIN tt
+WHERE c.c12 >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, c.w1, c.w2 LIMIT {PMI_TOPK}
+"""
+
 QUERIES = {
     "epoch_shuffle": q_epoch_shuffle,
     "dup_ngram_docs": q_dup_ngram_docs,
     "bigram_lm": q_bigram_lm,
+    "bigram_pmi_topk": q_bigram_pmi_topk,
     "retention": q_retention,
     "rolling_unique_users": q_rolling_unique_users,
 }
@@ -500,6 +637,7 @@ ORACLE_SQL = {
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "dup_ngram_docs": SQL_DUP_NGRAM_DOCS,
     "bigram_lm": SQL_BIGRAM_LM,
+    "bigram_pmi_topk": SQL_BIGRAM_PMI_TOPK,
     "retention": SQL_RETENTION,
     "rolling_unique_users": SQL_ROLLING_UNIQUE_USERS,
 }
