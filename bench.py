@@ -137,6 +137,9 @@ BENCH_QUERIES = [
     "bigram_pmi_topk",
     "session_type_pairs",
     "time_to_convert",
+    "ltv_by_cohort",
+    "price_cv_topk",
+    "top_paths",
 ]
 
 

@@ -11,6 +11,8 @@ results are materialized.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1715,6 +1717,261 @@ FROM d a JOIN d b
   ON a.user_id = b.user_id AND a.sid = b.sid
  AND a.event_type < b.event_type
 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+
+def q_ltv_by_cohort(sf_dir: str):
+    """Customer lifetime value by acquisition cohort: customers
+    grouped by their FIRST order's year, with the cohort's size, total
+    and mean lifetime spend — the classic LTV table.  Per-batch
+    partials carry (custkey, min-year, cents) so the custkey exchange
+    decides both the cohort AND the exact spend in one hop; driver
+    folds additive (year, n, cents) rows (≤ #years).  Spend snaps to
+    integer cents per order, the mean is a ratio of exact ints."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # typed empty (see q_big_spenders)
+            return pa.table({
+                "custkey": pa.array([], pa.int64()),
+                "kb": pa.array([], pa.int64()),
+                "yr": pa.array([], pa.int64()),
+                "spend_c": pa.array([], pa.int64()),
+            })
+        key = pc.cast(t["o_custkey"], pa.int64())
+        yr = pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        g = pa.table({"custkey": key, "yr": yr, "spend_c": cents}) \
+            .group_by("custkey").aggregate([
+                ("yr", "min"), ("spend_c", "sum"),
+            ])
+        key2 = pc.cast(g["custkey"], pa.int64())
+        return pa.table({
+            "custkey": key2, "kb": _kb64(key2),
+            "yr": pc.cast(g["yr_min"], pa.int64()),
+            "spend_c": pc.cast(g["spend_c_sum"], pa.int64()),
+        })
+
+    def cohort_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("custkey", as_index=False).agg(
+            yr=("yr", "min"), spend_c=("spend_c", "sum"))
+        out = per.groupby("yr", as_index=False).agg(
+            n_customers=("spend_c", "size"), cents=("spend_c", "sum"))
+        return out.astype({"yr": "int64", "n_customers": "int64",
+                           "cents": "int64"})
+
+    parts = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(cohort_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("yr", as_index=False).sum().sort_values("yr")
+    return pd.DataFrame({
+        "cohort_year": agg["yr"].astype("int64"),
+        "n_customers": agg["n_customers"].astype("int64"),
+        "total_spend": agg["cents"].astype("int64").to_numpy(np.float64)
+        / 100.0,
+        "avg_ltv": ((agg["cents"].to_numpy(np.float64) / 100.0)
+                    / agg["n_customers"].to_numpy(np.float64)).round(6),
+    }).reset_index(drop=True)
+
+
+SQL_LTV_BY_COHORT = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(MIN(EXTRACT(year FROM o_orderdate)) AS BIGINT) AS yr,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend_c
+  FROM orders GROUP BY 1
+)
+SELECT yr AS cohort_year,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       SUM(spend_c) / 100.0 AS total_spend,
+       ROUND((CAST(SUM(spend_c) AS DOUBLE) / 100.0) / COUNT(*), 6)
+         AS avg_ltv
+FROM per GROUP BY yr ORDER BY yr
+"""
+
+
+PRICE_CV_MIN_N = 5
+PRICE_CV_TOPK = 20
+
+
+def q_price_cv_topk(sf_dir: str):
+    """Price-dispersion screen: the {PRICE_CV_TOPK} parts with the
+    highest coefficient of variation of sale price (n ≥
+    {PRICE_CV_MIN_N} lineitems) — the high-CARDINALITY grouped-moments
+    operator (``qty_moments_by_flag`` folds 3 groups on the driver;
+    partkey groups grow with the corpus, so here the moments finalize
+    inside ONE partkey-bucket exchange and only each bucket's local
+    top-k candidates return).  Prices snap to integer cents, so n, Σx
+    and Σx² are exact int64 and the variance numerator n·Σx² − (Σx)²
+    is bit-identical to the oracle's; sqrt/divide happen once at the
+    end, rounded to 6 dp, ranked (cv desc, partkey) with the tie-break
+    making the top-k cut deterministic."""
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # typed empty
+            return pa.table({
+                "part": pa.array([], pa.int64()),
+                "kb": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s1": pa.array([], pa.int64()),
+                "s2": pa.array([], pa.int64()),
+            })
+        part = pc.cast(t["l_partkey"], pa.int64())
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["l_extendedprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        sq = pc.multiply(cents, cents)
+        g = pa.table({"part": part, "one": pc.cast(
+            pc.greater_equal(part, pa.scalar(0)), pa.int64()),
+            "s1": cents, "s2": sq}) \
+            .group_by("part").aggregate([
+                ("one", "sum"), ("s1", "sum"), ("s2", "sum"),
+            ])
+        key = pc.cast(g["part"], pa.int64())
+        return pa.table({
+            "part": key, "kb": _kb64(key),
+            "n": pc.cast(g["one_sum"], pa.int64()),
+            "s1": pc.cast(g["s1_sum"], pa.int64()),
+            "s2": pc.cast(g["s2_sum"], pa.int64()),
+        })
+
+    def cv_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("part", as_index=False)[["n", "s1", "s2"]].sum()
+        agg = agg.loc[agg["n"] >= PRICE_CV_MIN_N]
+        if agg.empty:
+            return pd.DataFrame({
+                "part": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "cv": pd.Series([], dtype="float64"),
+            })
+        n = agg["n"].to_numpy(np.float64)
+        s1 = agg["s1"].to_numpy(np.float64)
+        s2 = agg["s2"].to_numpy(np.float64)
+        # var_samp = (n·Σx² − (Σx)²) / (n·(n−1)); mean = Σx/n — all
+        # inputs exact ints, one expression tree shared with the oracle
+        var = (n * s2 - s1 * s1) / (n * (n - 1.0))
+        cv = np.round(np.sqrt(var) / (s1 / n), 6)
+        out = pd.DataFrame({
+            "part": agg["part"].astype("int64"),
+            "n": agg["n"].astype("int64"),
+            "cv": cv,
+        })
+        return out.sort_values(["cv", "part"], ascending=[False, True],
+                               kind="mergesort").head(PRICE_CV_TOPK)
+
+    parts = (
+        line.map_batches(moment_partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(cv_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    top = parts.sort_values(["cv", "part"], ascending=[False, True],
+                            kind="mergesort").head(PRICE_CV_TOPK)
+    return pd.DataFrame({
+        "l_partkey": top["part"].astype("int64"),
+        "n": top["n"].astype("int64"),
+        "cv": top["cv"].astype("float64"),
+    }).reset_index(drop=True)
+
+
+SQL_PRICE_CV_TOPK = f"""
+WITH m AS (
+  SELECT l_partkey,
+         COUNT(*) AS n,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS s1,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS s2
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, CAST(n AS BIGINT) AS n,
+       ROUND(SQRT((n * s2 - s1 * s1) / (n * (n - 1.0)))
+             / (s1 / CAST(n AS DOUBLE)), 6) AS cv
+FROM m WHERE n >= {PRICE_CV_MIN_N}
+ORDER BY cv DESC, l_partkey LIMIT {PRICE_CV_TOPK}
+"""
+
+
+TOP_PATHS_K = 10
+
+
+def q_top_paths(sf_dir: str):
+    """The {TOP_PATHS_K} most common first-5-event journeys across
+    users — the aggregate twin of ``user_journey`` (which emits every
+    user's path; this asks which paths dominate).  Stage 1: the same
+    user-bucket shuffle assembles each user's head-5 path and emits
+    per-(bucket, path) partial counts.  Stage 2: path cardinality
+    grows with the data, so partials re-shuffle on 64 md5(path)
+    buckets where counts finalize and each bucket keeps its local
+    top-{TOP_PATHS_K}; the driver merges ≤ 64·k candidate rows with a
+    (count desc, path) tie-break shared with the oracle."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    md5 = hashlib.md5
+
+    def bucket(t: pa.Table) -> pa.Table:
+        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        return t.append_column("kb", kb)
+
+    def path_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = g.reset_index(drop=True)
+        g["k"] = g.groupby("user_id", sort=False).cumcount()
+        head = g.loc[g["k"] < 5, ["user_id", "k", "event_type"]]
+        wide = head.pivot(index="user_id", columns="k", values="event_type")
+        journey = wide[0].copy()
+        for c in range(1, 5):
+            if c in wide.columns:
+                seg = ">" + wide[c]
+                journey = journey + seg.where(wide[c].notna(), "")
+        c = pd.DataFrame({"path": journey.to_numpy(object)}) \
+            .groupby("path", as_index=False).size() \
+            .rename(columns={"size": "c"})
+        up = pd.unique(c["path"])
+        bmap = {p_: int(md5(p_.encode()).hexdigest()[:2], 16) & 63
+                for p_ in up}
+        c["pb"] = c["path"].map(bmap).astype("int64")
+        c["c"] = c["c"].astype("int64")
+        return c
+
+    def topk_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sm = g.groupby("path", as_index=False)["c"].sum()
+        return sm.sort_values(["c", "path"], ascending=[False, True],
+                              kind="mergesort").head(TOP_PATHS_K)
+
+    cand = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(path_counts, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(topk_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    top = cand.sort_values(["c", "path"], ascending=[False, True],
+                           kind="mergesort").head(TOP_PATHS_K)
+    return pd.DataFrame({
+        "path": top["path"].astype(object),
+        "n_users": top["c"].astype("int64"),
+    }).reset_index(drop=True)
+
+
+SQL_TOP_PATHS = f"""
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS k
+  FROM events
+), j AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY k) AS path
+  FROM o WHERE k <= 5 GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM j GROUP BY path ORDER BY n_users DESC, path LIMIT {TOP_PATHS_K}
 """
 
 
@@ -4317,6 +4574,9 @@ QUERIES = {
     "purchase_id_islands": q_purchase_id_islands,
     "session_stats": q_session_stats,
     "session_type_pairs": q_session_type_pairs,
+    "ltv_by_cohort": q_ltv_by_cohort,
+    "price_cv_topk": q_price_cv_topk,
+    "top_paths": q_top_paths,
     "weekly_revenue_wow": q_weekly_revenue_wow,
     "ship_latency_by_priority": q_ship_latency_by_priority,
     "path_to_purchase": q_path_to_purchase,
@@ -4395,6 +4655,9 @@ ORACLE_SQL = {
     "purchase_id_islands": SQL_PURCHASE_ID_ISLANDS,
     "session_stats": SQL_SESSION_STATS,
     "session_type_pairs": SQL_SESSION_TYPE_PAIRS,
+    "ltv_by_cohort": SQL_LTV_BY_COHORT,
+    "price_cv_topk": SQL_PRICE_CV_TOPK,
+    "top_paths": SQL_TOP_PATHS,
     "weekly_revenue_wow": SQL_WEEKLY_REVENUE_WOW,
     "ship_latency_by_priority": SQL_SHIP_LATENCY,
     "path_to_purchase": SQL_PATH_TO_PURCHASE,
