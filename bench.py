@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "ltv_by_cohort",
     "price_cv_topk",
     "top_paths",
+    "grouped_mad_value",
+    "vocab_growth",
 ]
 
 

@@ -934,6 +934,49 @@ FROM d GROUP BY decile ORDER BY decile
 """
 
 
+
+def q_grouped_mad_value(sf_dir: str):
+    """Per-group median absolute deviation — the robust outlier gate
+    ``mad_value`` computes globally, HERE per event_type: the grouped
+    quickselect finds every group's median simultaneously, then a
+    second grouped selection runs over the DERIVED column
+    |value − median(group)| (the per-group medians broadcast in the
+    deriving closure; the deviation column exists only inside the
+    second search's streaming passes — values never shuffle in either
+    stage).  Both picks are quantile_disc-exact, so the oracle needs
+    no tolerance."""
+    ds = _read_events(sf_dir, ["event_type", "value"]).materialize()
+    med = _grouped_quantile_select(sf_dir, 0.5, ds=ds)
+
+    def add_dev(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].map(med).to_numpy(np.float64)
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "dev": np.abs(df["value"].to_numpy(np.float64) - m),
+        })
+
+    dev_ds = ds.map_batches(add_dev, batch_format="pandas")
+    mad = _grouped_quantile_select(sf_dir, 0.5, ds=dev_ds, value_col="dev")
+    groups = sorted(med)
+    return pd.DataFrame({
+        "event_type": pd.Series(groups, dtype=object),
+        "median_value": [med[g] for g in groups],
+        "mad_value": [mad[g] for g in groups],
+    })
+
+
+SQL_GROUPED_MAD_VALUE = """
+WITH m AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, m.med AS median_value,
+       quantile_disc(abs(e.value - m.med), 0.5) AS mad_value
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type, m.med ORDER BY e.event_type
+"""
+
+
 QUERIES = {
     "value_quantiles": q_value_quantiles,
     "lorenz_deciles": q_lorenz_deciles,
@@ -945,6 +988,7 @@ QUERIES = {
     "quantile_select": q_quantile_select,
     "mad_value": q_mad_value,
     "grouped_median_select": q_grouped_median_select,
+    "grouped_mad_value": q_grouped_mad_value,
     "grouped_p90_select": q_grouped_p90_select,
 }
 
@@ -956,5 +1000,6 @@ ORACLE_SQL = {
     "quantile_select": SQL_QUANTILE_SELECT,
     "mad_value": SQL_MAD_VALUE,
     "grouped_median_select": SQL_GROUPED_MEDIAN_SELECT,
+    "grouped_mad_value": SQL_GROUPED_MAD_VALUE,
     "grouped_p90_select": SQL_GROUPED_P90_SELECT,
 }

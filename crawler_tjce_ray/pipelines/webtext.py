@@ -1715,6 +1715,102 @@ GROUP BY dg.doc_id HAVING COUNT(*) > 0 ORDER BY dg.doc_id
 """
 
 
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law curve: cumulative distinct word-8-gram vocabulary at
+    ten doc_id cutoffs (deciles of the max id) — "how fast does new
+    text stop being new", the saturation diagnostic behind corpus-
+    size planning.  Reuses the ``ngram_novelty`` machinery: each
+    gram's global FIRST doc_id is decided in its digest bucket, and a
+    bucket emits one additive 10-bin histogram of first-ids binned by
+    the broadcast cutoffs — the driver folds 64 × 10 ints and takes
+    one cumulative sum."""
+    import pyarrow.parquet as _pq
+
+    mx = 0
+    import glob as _glob
+    for f in _glob.glob(f"{sf_dir}/documents.parquet"):
+        t = _pq.read_table(f, columns=["doc_id"])
+        mx = max(mx, int(pd.Series(t["doc_id"].to_numpy(zero_copy_only=False)).max()))
+    cuts = np.array([int(np.ceil((i / 10.0) * mx)) for i in range(1, 11)],
+                    dtype=np.int64)
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def key_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs = [], []
+        for d, t in zip(df["doc_id"], df["text"]):
+            ws = t.split(" ")
+            gs = {" ".join(ws[i:i + _NOV_GRAM])
+                  for i in range(len(ws) - (_NOV_GRAM - 1))}
+            ids.append(np.full(len(gs), int(d), dtype=np.int64))
+            blobs.extend(hashlib.md5(g.encode()).digest() for g in gs)
+        if not blobs:
+            return pd.DataFrame({
+                "k1": pd.Series([], dtype="int64"),
+                "k2": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "kb": pd.Series([], dtype="int64"),
+            })
+        digs = np.frombuffer(b"".join(blobs), dtype=np.uint64).reshape(-1, 2)
+        out = pd.DataFrame({
+            "k1": digs[:, 0].view(np.int64),
+            "k2": digs[:, 1].view(np.int64),
+            "doc_id": np.concatenate(ids),
+        })
+        out["kb"] = out["k1"].to_numpy(np.int64) & 63
+        return out
+
+    def hist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby(["k1", "k2"])["doc_id"].min().to_numpy(np.int64)
+        # bin i counts grams first seen at doc_id <= cuts[i] but
+        # > cuts[i-1]; searchsorted(left) gives the first cutoff >= fd
+        idx = np.searchsorted(cuts, first, side="left")
+        counts = np.bincount(idx, minlength=10)[:10]
+        return pd.DataFrame({
+            "bin": np.arange(10, dtype=np.int64),
+            "n_new": counts.astype(np.int64),
+        })
+
+    parts = (
+        ds.map_batches(key_rows, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(hist_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("bin", as_index=False)["n_new"].sum()
+        .sort_values("bin")
+    )
+    full = np.zeros(10, dtype=np.int64)
+    full[parts["bin"].to_numpy()] = parts["n_new"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "decile": np.arange(1, 11, dtype=np.int64),
+        "doc_cutoff": cuts,
+        "vocab_size": np.cumsum(full).astype("int64"),
+    })
+
+
+SQL_VOCAB_GROWTH = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 6, 1))) AS i
+        FROM w)
+), f AS (
+  SELECT gram, MIN(doc_id) AS fd FROM g GROUP BY gram
+), m AS (
+  SELECT MAX(doc_id) AS mx FROM documents
+), d AS (
+  SELECT unnest(range(1, 11)) AS decile
+)
+SELECT CAST(d.decile AS BIGINT) AS decile,
+       CAST(CEIL((d.decile / 10.0) * m.mx) AS BIGINT) AS doc_cutoff,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM f
+        WHERE f.fd <= CEIL((d.decile / 10.0) * m.mx)) AS vocab_size
+FROM d CROSS JOIN m ORDER BY decile
+"""
+
+
 QUERIES = {
     "gopher_rules": q_gopher_rules,
     "c4_filters": q_c4_filters,
@@ -1735,6 +1831,7 @@ QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "tfidf_keywords": q_tfidf_keywords,
     "ngram_novelty": q_ngram_novelty,
+    "vocab_growth": q_vocab_growth,
 }
 
 ORACLE_SQL = {
@@ -1757,4 +1854,5 @@ ORACLE_SQL = {
     "curation_pipeline": _sql_curation(),
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "vocab_growth": SQL_VOCAB_GROWTH,
 }
