@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "top_paths",
     "grouped_mad_value",
     "vocab_growth",
+    "region_year_revenue",
+    "hash_reservoir_sample",
 ]
 
 

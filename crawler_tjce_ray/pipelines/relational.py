@@ -1975,6 +1975,135 @@ FROM j GROUP BY path ORDER BY n_users DESC, path LIMIT {TOP_PATHS_K}
 """
 
 
+
+def q_region_year_revenue(sf_dir: str):
+    """Snowflake-dimension revenue rollup: lineitem revenue by the
+    SUPPLIER's region and order year — the mixed join strategy
+    ``segment_year_revenue`` (two big exchanges) deliberately does not
+    use: supplier⋈nation⋈region are broadcast-joined driver-side into
+    one small suppkey→region map (dims are lookup-sized even at 100 TB
+    of facts), lineitem⋈orders rides the ONE unavoidable orderkey
+    exchange, and the region attaches inside the bucket via the
+    broadcast map.  Revenue snaps to integer cents per term (the
+    order-independent discipline)."""
+    import ray
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dims = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey") \
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    s2r = dict(zip(dims["s_suppkey"].astype("int64"),
+                   dims["r_name"].astype(object)))
+    s2r_ref = ray.put(s2r)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["o_orderkey"], pa.int64())
+        return pa.table({
+            "key": key, "kb": _kb64(key),
+            "year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            "suppkey": _const(t.num_rows, None, pa.int64()),
+            "rev_c": _const(t.num_rows, None, pa.int64()),
+        })
+
+    def tag_line(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["l_orderkey"], pa.int64())
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(rev, pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({
+            "key": key, "kb": _kb64(key),
+            "year": _const(t.num_rows, None, pa.int64()),
+            "suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "rev_c": cents,
+        })
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(s2r_ref)
+        left = g[g["suppkey"].isna()][["key", "year"]]
+        right = g[g["suppkey"].notna()][["key", "suppkey", "rev_c"]]
+        j = right.merge(left, on="key", how="inner")
+        j["region"] = j["suppkey"].astype("int64").map(lookup)
+        out = j.groupby(["region", "year"], as_index=False).agg(
+            rev_c=("rev_c", "sum"), n_items=("rev_c", "size"))
+        return out.astype({"year": "int64", "rev_c": "int64",
+                           "n_items": "int64"})
+
+    parts = (
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(line.map_batches(tag_line, batch_format="pyarrow"))
+        .groupby("kb")
+        .map_groups(join_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby(["region", "year"], as_index=False).agg(
+        rev_c=("rev_c", "sum"), n_items=("n_items", "sum"))
+    out = pd.DataFrame({
+        "r_name": agg["region"].astype(object),
+        "order_year": agg["year"].astype("int64"),
+        "revenue": agg["rev_c"].astype("int64").to_numpy(np.float64) / 100.0,
+        "n_items": agg["n_items"].astype("int64"),
+    })
+    return out.sort_values(["r_name", "order_year"]).reset_index(drop=True)
+
+
+SQL_REGION_YEAR_REVENUE = """
+SELECT r_name,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) / 100.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+SAMPLE_K = 100
+
+
+def q_hash_reservoir_sample(sf_dir: str):
+    """Deterministic uniform sample: the {SAMPLE_K} orders with the
+    smallest md5(o_orderkey) — hash-rank sampling, the reproducible
+    alternative to RNG reservoirs (same sample on any cluster size,
+    any block order, any restart; the md5 rank IS the reservoir
+    priority).  Per-batch local bottom-k by digest (a combiner — at
+    most k rows leave each block), driver merges ≤ blocks·k
+    candidates.  The md5 is computed identically in the oracle."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    import hashlib as _h
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["o_orderkey"].astype("int64").astype(str)
+        h = [_h.md5(k.encode()).hexdigest() for k in keys]
+        out = pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_totalprice": df["o_totalprice"].astype("float64"),
+            "hk": h,
+        })
+        return out.sort_values(["hk", "o_orderkey"]).head(SAMPLE_K)
+
+    cand = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    top = cand.sort_values(["hk", "o_orderkey"]).head(SAMPLE_K)
+    return top[["o_orderkey", "o_totalprice", "hk"]].reset_index(drop=True)
+
+
+SQL_HASH_RESERVOIR_SAMPLE = f"""
+SELECT o_orderkey, o_totalprice,
+       md5(CAST(o_orderkey AS VARCHAR)) AS hk
+FROM orders
+ORDER BY hk, o_orderkey LIMIT {SAMPLE_K}
+"""
+
+
 def q_token_histogram(sf_dir: str):
     """Heavy hitters: global top-20 token frequencies.  The canonical
     pre-aggregation shape: each batch emits its own token counts (a
@@ -4575,6 +4704,8 @@ QUERIES = {
     "session_stats": q_session_stats,
     "session_type_pairs": q_session_type_pairs,
     "ltv_by_cohort": q_ltv_by_cohort,
+    "region_year_revenue": q_region_year_revenue,
+    "hash_reservoir_sample": q_hash_reservoir_sample,
     "price_cv_topk": q_price_cv_topk,
     "top_paths": q_top_paths,
     "weekly_revenue_wow": q_weekly_revenue_wow,
@@ -4656,6 +4787,8 @@ ORACLE_SQL = {
     "session_stats": SQL_SESSION_STATS,
     "session_type_pairs": SQL_SESSION_TYPE_PAIRS,
     "ltv_by_cohort": SQL_LTV_BY_COHORT,
+    "region_year_revenue": SQL_REGION_YEAR_REVENUE,
+    "hash_reservoir_sample": SQL_HASH_RESERVOIR_SAMPLE,
     "price_cv_topk": SQL_PRICE_CV_TOPK,
     "top_paths": SQL_TOP_PATHS,
     "weekly_revenue_wow": SQL_WEEKLY_REVENUE_WOW,
