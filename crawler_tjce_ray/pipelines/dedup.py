@@ -216,15 +216,13 @@ def q_cross_source_dup_matrix(sf_dir: str):
     ds = _read_docs(sf_dir, ["text", "source"])
 
     def key_rows(df: pd.DataFrame) -> pd.DataFrame:
-        # per-batch partial counts per (gram-md5, source): the loop is
-        # O(words); md5 runs once per distinct (gram, source) pair
-        counts: dict[tuple[str, str], int] = {}
-        for src, t in zip(df["source"], df["text"]):
-            ws = t.split(" ")
-            for i in range(len(ws) - (_XS_GRAM - 1)):
-                k = (" ".join(ws[i:i + _XS_GRAM]), src)
-                counts[k] = counts.get(k, 0) + 1
-        if not counts:  # typed empty — Ray drops columns of bare empties
+        # per-batch partial counts per (gram-key, source) — grams and
+        # their 128-bit identities come from the shared vectorized
+        # kernel (functions/shingles.py), no per-gram Python hashing
+        from crawler_tjce_ray.functions.shingles import shingle_occurrences
+
+        occ = shingle_occurrences(df["text"], _XS_GRAM)
+        if occ.empty:  # typed empty — Ray drops columns of bare empties
             return pd.DataFrame({
                 "k1": pd.Series([], dtype="int64"),
                 "k2": pd.Series([], dtype="int64"),
@@ -232,16 +230,10 @@ def q_cross_source_dup_matrix(sf_dir: str):
                 "c": pd.Series([], dtype="int64"),
                 "kb": pd.Series([], dtype="int64"),
             })
-        digs = np.frombuffer(
-            b"".join(hashlib.md5(g.encode()).digest() for g, _ in counts),
-            dtype=np.uint64,
-        ).reshape(-1, 2)
-        out = pd.DataFrame({
-            "k1": digs[:, 0].view(np.int64),
-            "k2": digs[:, 1].view(np.int64),
-            "source": np.array([s for _, s in counts], object),
-            "c": np.fromiter(counts.values(), np.int64, len(counts)),
-        })
+        occ["source"] = df["source"].to_numpy(object)[occ["row"].to_numpy()]
+        out = occ.groupby(["k1", "k2", "source"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        out["c"] = out["c"].astype("int64")
         out["kb"] = out["k1"].to_numpy(np.int64) & 63
         return out
 

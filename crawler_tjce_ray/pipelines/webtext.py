@@ -1626,21 +1626,34 @@ def q_ngram_novelty(sf_dir: str):
 
     novelty = n_first / n_grams (exact integers; ratio deterministic),
     rounded to 6 dp like every libm-adjacent repo ratio."""
+    from crawler_tjce_ray.functions.shingles import shingle_occurrences
+
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def doc_grams(doc_id: int, text: str) -> set:
-        ws = text.split(" ")
-        return {
-            " ".join(ws[i:i + _NOV_GRAM])
-            for i in range(len(ws) - (_NOV_GRAM - 1))
-        }
+    def _doc_keys(df: pd.DataFrame) -> pd.DataFrame:
+        """Distinct (doc_id, gram-key) pairs for the batch, from the
+        shared vectorized shingle kernel — docs are row-atomic, so
+        batch-local dedup is globally exact per doc."""
+        occ = shingle_occurrences(df["text"], _NOV_GRAM)
+        if occ.empty:  # typed empty — Ray drops columns of bare empties
+            return pd.DataFrame({
+                "k1": pd.Series([], dtype="int64"),
+                "k2": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "kb": pd.Series([], dtype="int64"),
+            })
+        d = occ.drop_duplicates(["row", "k1", "k2"])
+        return pd.DataFrame({
+            "k1": d["k1"].to_numpy(np.int64),
+            "k2": d["k2"].to_numpy(np.int64),
+            "doc_id": df["doc_id"].to_numpy(np.int64)[d["row"].to_numpy()],
+            "kb": d["kb"].to_numpy(np.int64),
+        })
 
     def totals(df: pd.DataFrame) -> pd.DataFrame:
-        rows = [
-            (int(d), len(doc_grams(d, t)))
-            for d, t in zip(df["doc_id"], df["text"])
-        ]
-        out = pd.DataFrame(rows, columns=["doc_id", "n_grams"])
+        k = _doc_keys(df)
+        out = k.groupby("doc_id", as_index=False).size() \
+            .rename(columns={"size": "n_grams"})
         return out.astype({"doc_id": "int64", "n_grams": "int64"})
 
     tot = (
@@ -1649,27 +1662,7 @@ def q_ngram_novelty(sf_dir: str):
         .groupby("doc_id", as_index=False)["n_grams"].sum()
     )
 
-    def key_rows(df: pd.DataFrame) -> pd.DataFrame:
-        ids, blobs = [], []
-        for d, t in zip(df["doc_id"], df["text"]):
-            gs = doc_grams(d, t)
-            ids.append(np.full(len(gs), int(d), dtype=np.int64))
-            blobs.extend(hashlib.md5(g.encode()).digest() for g in gs)
-        if not blobs:  # typed empty — Ray drops columns of bare empties
-            return pd.DataFrame({
-                "k1": pd.Series([], dtype="int64"),
-                "k2": pd.Series([], dtype="int64"),
-                "doc_id": pd.Series([], dtype="int64"),
-                "kb": pd.Series([], dtype="int64"),
-            })
-        digs = np.frombuffer(b"".join(blobs), dtype=np.uint64).reshape(-1, 2)
-        out = pd.DataFrame({
-            "k1": digs[:, 0].view(np.int64),
-            "k2": digs[:, 1].view(np.int64),
-            "doc_id": np.concatenate(ids),
-        })
-        out["kb"] = out["k1"].to_numpy(np.int64) & 63
-        return out
+    key_rows = _doc_keys
 
     def first_counts(g: pd.DataFrame) -> pd.DataFrame:
         w = g.groupby(["k1", "k2"], as_index=False)["doc_id"].min()
@@ -1737,29 +1730,24 @@ def q_vocab_growth(sf_dir: str):
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
+    from crawler_tjce_ray.functions.shingles import shingle_occurrences
+
     def key_rows(df: pd.DataFrame) -> pd.DataFrame:
-        ids, blobs = [], []
-        for d, t in zip(df["doc_id"], df["text"]):
-            ws = t.split(" ")
-            gs = {" ".join(ws[i:i + _NOV_GRAM])
-                  for i in range(len(ws) - (_NOV_GRAM - 1))}
-            ids.append(np.full(len(gs), int(d), dtype=np.int64))
-            blobs.extend(hashlib.md5(g.encode()).digest() for g in gs)
-        if not blobs:
+        occ = shingle_occurrences(df["text"], _NOV_GRAM)
+        if occ.empty:
             return pd.DataFrame({
                 "k1": pd.Series([], dtype="int64"),
                 "k2": pd.Series([], dtype="int64"),
                 "doc_id": pd.Series([], dtype="int64"),
                 "kb": pd.Series([], dtype="int64"),
             })
-        digs = np.frombuffer(b"".join(blobs), dtype=np.uint64).reshape(-1, 2)
-        out = pd.DataFrame({
-            "k1": digs[:, 0].view(np.int64),
-            "k2": digs[:, 1].view(np.int64),
-            "doc_id": np.concatenate(ids),
+        d = occ.drop_duplicates(["row", "k1", "k2"])
+        return pd.DataFrame({
+            "k1": d["k1"].to_numpy(np.int64),
+            "k2": d["k2"].to_numpy(np.int64),
+            "doc_id": df["doc_id"].to_numpy(np.int64)[d["row"].to_numpy()],
+            "kb": d["kb"].to_numpy(np.int64),
         })
-        out["kb"] = out["k1"].to_numpy(np.int64) & 63
-        return out
 
     def hist_bucket(g: pd.DataFrame) -> pd.DataFrame:
         first = g.groupby(["k1", "k2"])["doc_id"].min().to_numpy(np.int64)
