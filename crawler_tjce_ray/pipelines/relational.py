@@ -1912,7 +1912,6 @@ def q_top_paths(sf_dir: str):
     top-{TOP_PATHS_K}; the driver merges ≤ 64·k candidate rows with a
     (count desc, path) tie-break shared with the oracle."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
-    md5 = hashlib.md5
 
     def bucket(t: pa.Table) -> pa.Table:
         kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
@@ -1932,10 +1931,11 @@ def q_top_paths(sf_dir: str):
         c = pd.DataFrame({"path": journey.to_numpy(object)}) \
             .groupby("path", as_index=False).size() \
             .rename(columns={"size": "c"})
-        up = pd.unique(c["path"])
-        bmap = {p_: int(md5(p_.encode()).hexdigest()[:2], 16) & 63
-                for p_ in up}
-        c["pb"] = c["path"].map(bmap).astype("int64")
+        # vectorized keyed hash for the 64-way path bucket (strings
+        # still ride the shuffle — they ARE the output key)
+        c["pb"] = (pd.util.hash_array(
+            c["path"].to_numpy(object), hash_key="tjce-shingle-k1!",
+            categorize=False).view(np.int64) & 63).astype("int64")
         c["c"] = c["c"].astype("int64")
         return c
 

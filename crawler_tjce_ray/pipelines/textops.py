@@ -229,13 +229,16 @@ def q_hapax_rate_by_source(sf_dir: str):
         })
         g = long.groupby(["tok", "source"], as_index=False).size() \
             .rename(columns={"size": "c"})
-        digs = np.frombuffer(
-            b"".join(hashlib.md5(t.encode()).digest() for t in g["tok"]),
-            dtype=np.uint64,
-        ).reshape(-1, 2)
+        # two keyed 64-bit siphashes = 128 identity bits, vectorized
+        # (same scheme as functions/shingles.py; engine-internal only)
+        toks = g["tok"].to_numpy(object)
+        k1 = pd.util.hash_array(toks, hash_key="tjce-shingle-k1!",
+                                categorize=False).view(np.int64)
+        k2 = pd.util.hash_array(toks, hash_key="tjce-shingle-k2!",
+                                categorize=False).view(np.int64)
         out = pd.DataFrame({
-            "k1": digs[:, 0].view(np.int64),
-            "k2": digs[:, 1].view(np.int64),
+            "k1": k1,
+            "k2": k2,
             "source": g["source"].to_numpy(object),
             "c": g["c"].astype("int64"),
         })
