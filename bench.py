@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     "vocab_growth",
     "region_year_revenue",
     "hash_reservoir_sample",
+    "hourly_dense_counts",
+    "attribution_first_touch",
+    "orders_per_customer_hist",
 ]
 
 

@@ -204,8 +204,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 #   lorenz_deciles, edge_reciprocity, hapax_rate_by_source,
 #   bigram_pmi_topk, session_type_pairs, time_to_convert,
 #   ltv_by_cohort, price_cv_topk, top_paths, grouped_mad_value,
-#   vocab_growth, region_year_revenue, hash_reservoir_sample) and any
-#   other new queries.
+#   vocab_growth, region_year_revenue, hash_reservoir_sample,
+#   hourly_dense_counts, attribution_first_touch,
+#   orders_per_customer_hist) and any other new queries.
 #   The window is EXACTLY _DRIVER_WINDOW_SIZE entries — pinned by
 #   tests/test_registry_window.py so an insertion can never silently
 #   push the tail entry past the driver's horizon.

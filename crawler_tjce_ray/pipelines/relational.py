@@ -2104,6 +2104,156 @@ ORDER BY hk, o_orderkey LIMIT {SAMPLE_K}
 """
 
 
+
+def q_hourly_dense_counts(sf_dir: str):
+    """Dense time-series: events per hour INCLUDING empty hours over
+    the corpus's [min, max] hour span — the gap-filling operator
+    (`hourly_window` only emits hours that occur; monitoring and
+    forecasting need the zeros).  Per-batch additive (hour, n)
+    partials plus a (min, max) pass; the dense hour domain generates
+    driver-side (bounded by the time span, not the data) and left-
+    joins the folded counts.  Pure integer timestamp arithmetic."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["ts"].dt.floor("h")
+        out = h.value_counts().rename_axis("hour").reset_index(name="n")
+        return out.astype({"n": "int64"})
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas().groupby("hour", as_index=False)["n"].sum()
+    )
+    lo, hi = parts["hour"].min(), parts["hour"].max()
+    dense = pd.DataFrame({"hour": pd.date_range(lo, hi, freq="h")})
+    out = dense.merge(parts, on="hour", how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    return out.sort_values("hour").reset_index(drop=True)
+
+
+SQL_HOURLY_DENSE_COUNTS = """
+WITH b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+), d AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+), c AS (
+  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT d.hour, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM d LEFT JOIN c USING (hour) ORDER BY d.hour
+"""
+
+
+def q_attribution_first_touch(sf_dir: str):
+    """First-touch attribution: every purchase event credits the
+    user's FIRST-ever event type; output is purchases per attributed
+    channel with its share — the marketing-attribution primitive.
+    ONE user-bucket shuffle (first event and purchase count both
+    resolve in-bucket, ties on (ts, event_id)); additive (channel, n)
+    partials; share is a ratio of exact ints rounded to 6 dp."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        return t.append_column("kb", kb)
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        first = g.drop_duplicates("user_id")[["user_id", "event_type"]] \
+            .rename(columns={"event_type": "channel"})
+        purchases = g.loc[g["event_type"] == "purchase"] \
+            .groupby("user_id", as_index=False).agg(n=("event_id", "size"))
+        j = purchases.merge(first, on="user_id")
+        out = j.groupby("channel", as_index=False)["n"].sum()
+        return out.astype({"n": "int64"})
+
+    parts = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(attribute, batch_format="pandas")
+        .to_pandas()
+        .groupby("channel", as_index=False)["n"].sum()
+    )
+    tot = int(parts["n"].sum())
+    out = pd.DataFrame({
+        "channel": parts["channel"].astype(object),
+        "n_purchases": parts["n"].astype("int64"),
+        "share": (parts["n"].to_numpy(np.float64) / tot).round(6),
+    })
+    return out.sort_values("channel").reset_index(drop=True)
+
+
+SQL_ATTRIBUTION_FIRST_TOUCH = """
+WITH f AS (
+  SELECT DISTINCT ON (user_id) user_id, event_type AS channel
+  FROM events ORDER BY user_id, ts, event_id
+), p AS (
+  SELECT user_id, COUNT(*) AS n FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+), j AS (
+  SELECT f.channel, p.n FROM p JOIN f USING (user_id)
+), t AS (SELECT SUM(n) AS tot FROM j)
+SELECT channel, CAST(SUM(n) AS BIGINT) AS n_purchases,
+       ROUND(CAST(SUM(n) AS DOUBLE) / t.tot, 6) AS share
+FROM j CROSS JOIN t GROUP BY channel, t.tot ORDER BY channel
+"""
+
+
+def q_orders_per_customer_hist(sf_dir: str):
+    """Count-of-counts: how many customers placed exactly k orders —
+    the frequency histogram behind power-law checks on customer
+    activity (the customer-side of ``degree_distribution``).  Stage 1
+    custkey exchange finalizes per-customer order counts; stage 2
+    emits additive (k, n_customers) partials per bucket; the driver
+    folds O(distinct k) rows.  All integers."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # typed empty
+            return pa.table({
+                "custkey": pa.array([], pa.int64()),
+                "kb": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            })
+        key = pc.cast(t["o_custkey"], pa.int64())
+        g = pa.table({"custkey": key}).group_by("custkey").aggregate([
+            ("custkey", "count"),
+        ])
+        key2 = pc.cast(g["custkey"], pa.int64())
+        return pa.table({
+            "custkey": key2, "kb": _kb64(key2),
+            "c": pc.cast(g["custkey_count"], pa.int64()),
+        })
+
+    def hist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("custkey", as_index=False)["c"].sum()
+        out = per.groupby("c", as_index=False).size() \
+            .rename(columns={"c": "n_orders", "size": "n_customers"})
+        return out.astype({"n_orders": "int64", "n_customers": "int64"})
+
+    parts = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(hist_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("n_orders", as_index=False)["n_customers"].sum()
+    )
+    parts["n_customers"] = parts["n_customers"].astype("int64")
+    return parts.sort_values("n_orders").reset_index(drop=True)
+
+
+SQL_ORDERS_PER_CUSTOMER_HIST = """
+WITH per AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_token_histogram(sf_dir: str):
     """Heavy hitters: global top-20 token frequencies.  The canonical
     pre-aggregation shape: each batch emits its own token counts (a
@@ -4705,6 +4855,9 @@ QUERIES = {
     "session_type_pairs": q_session_type_pairs,
     "ltv_by_cohort": q_ltv_by_cohort,
     "region_year_revenue": q_region_year_revenue,
+    "hourly_dense_counts": q_hourly_dense_counts,
+    "attribution_first_touch": q_attribution_first_touch,
+    "orders_per_customer_hist": q_orders_per_customer_hist,
     "hash_reservoir_sample": q_hash_reservoir_sample,
     "price_cv_topk": q_price_cv_topk,
     "top_paths": q_top_paths,
@@ -4788,6 +4941,9 @@ ORACLE_SQL = {
     "session_type_pairs": SQL_SESSION_TYPE_PAIRS,
     "ltv_by_cohort": SQL_LTV_BY_COHORT,
     "region_year_revenue": SQL_REGION_YEAR_REVENUE,
+    "hourly_dense_counts": SQL_HOURLY_DENSE_COUNTS,
+    "attribution_first_touch": SQL_ATTRIBUTION_FIRST_TOUCH,
+    "orders_per_customer_hist": SQL_ORDERS_PER_CUSTOMER_HIST,
     "hash_reservoir_sample": SQL_HASH_RESERVOIR_SAMPLE,
     "price_cv_topk": SQL_PRICE_CV_TOPK,
     "top_paths": SQL_TOP_PATHS,
