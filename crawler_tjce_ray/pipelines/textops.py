@@ -686,9 +686,10 @@ def q_pack_sequences_sharded(sf_dir: str, n_shards: int = 16):
     runs independently per deterministic ``doc_id % n_shards`` shard
     (coarse groups, vectorized length pass), and sequence ids are
     shard-prefixed (``shard << 40 | local``) so no cross-shard
-    coordination exists at any point.  Rows-only (the shard split is
-    an execution choice, not SQL semantics); packing invariants are
-    pinned by tests."""
+    coordination exists at any point.  Fully deterministic, so it
+    carries its own oracle: a per-shard recursive-CTE scan (PARTITION
+    the row numbers by shard, recurse within the shard) reproduces the
+    shard-local greedy folds exactly."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def lens(df: pd.DataFrame) -> pd.DataFrame:
@@ -739,6 +740,34 @@ WITH RECURSIVE d AS (
   FROM pack p JOIN d ON d.rn = p.rn + 1
 )
 SELECT doc_id, seq_id, off AS "offset", len AS n_tokens
+FROM pack ORDER BY doc_id
+"""
+
+
+PACK_SHARDS = 16
+
+SQL_PACK_SEQUENCES_SHARDED = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         least(CAST(length(string_split(text, ' ')) AS BIGINT),
+               {PACK_CAPACITY}) AS len,
+         row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS}
+                            ORDER BY doc_id) AS rn
+  FROM documents
+), pack(shard, rn, doc_id, local_seq, off, len) AS (
+  SELECT shard, rn, doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), len
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id,
+         CASE WHEN p.off + p.len + d.len <= {PACK_CAPACITY}
+              THEN p.local_seq ELSE p.local_seq + 1 END,
+         CASE WHEN p.off + p.len + d.len <= {PACK_CAPACITY}
+              THEN p.off + p.len ELSE CAST(0 AS BIGINT) END,
+         d.len
+  FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT doc_id, shard * 1099511627776 + local_seq AS seq_id,
+       off AS "offset", len AS n_tokens
 FROM pack ORDER BY doc_id
 """
 
@@ -1171,6 +1200,7 @@ ORACLE_SQL = {
     "token_count": SQL_TOKEN_COUNT,
     "doc_chunks": SQL_DOC_CHUNKS,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "pack_sequences_sharded": SQL_PACK_SEQUENCES_SHARDED,
     "text_quality": SQL_TEXT_QUALITY,
     "text_ttr": SQL_TEXT_TTR,
     "hapax_rate_by_source": SQL_HAPAX_RATE,
