@@ -202,3 +202,44 @@ class TestMoneyFvdProperty:
             assert got == want and got.as_tuple() == want.as_tuple(), (
                 dv, got, want
             )
+
+
+# ---------------------------------------------------------------------------
+# vectorized shingle kernel ↔ naive reference (functions/shingles.py)
+# ---------------------------------------------------------------------------
+
+words = st.lists(
+    st.text(alphabet="abcx", min_size=0, max_size=3), min_size=0, max_size=14
+).map(" ".join)
+
+
+@given(st.lists(words, min_size=0, max_size=6), st.integers(2, 5))
+@settings(max_examples=150, deadline=None)
+def test_shingle_occurrences_match_naive(texts, n):
+    import pandas as pd
+
+    from crawler_tjce_ray.functions.shingles import shingle_occurrences
+
+    occ = shingle_occurrences(pd.Series(texts, dtype=object), n)
+    got = occ.groupby(["row", "k1", "k2"]).size().to_dict()
+
+    # naive reference: every n-word window per text, hashed one at a time
+    exp: dict = {}
+    for row, t in enumerate(texts):
+        ws = t.split(" ")
+        for i in range(len(ws) - (n - 1)):
+            g = " ".join(ws[i:i + n])
+            k1 = int(pd.util.hash_array(
+                __import__("numpy").array([g], object),
+                hash_key="tjce-shingle-k1!", categorize=False,
+            ).view("int64")[0])
+            k2 = int(pd.util.hash_array(
+                __import__("numpy").array([g], object),
+                hash_key="tjce-shingle-k2!", categorize=False,
+            ).view("int64")[0])
+            key = (row, k1, k2)
+            exp[key] = exp.get(key, 0) + 1
+    assert got == exp
+    # bucket column is derived from k1 alone
+    if len(occ):
+        assert (occ["kb"] == (occ["k1"] & 63)).all()
