@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "hourly_dense_counts",
     "attribution_first_touch",
     "orders_per_customer_hist",
+    "ks_two_sources",
+    "join_coverage_audit",
 ]
 
 

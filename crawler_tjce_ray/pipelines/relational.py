@@ -2254,6 +2254,140 @@ FROM per GROUP BY 1 ORDER BY 1
 """
 
 
+
+KS_SRC_A = "src0"
+KS_SRC_B = "src1"
+
+
+def q_ks_two_sources(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov distance between {KS_SRC_A} and
+    {KS_SRC_B}'s document-length (n_chars) distributions — the
+    drift/mixture-shift test run between corpus snapshots or sources.
+    Per-batch (value, source) count partials reduce to two value-count
+    histograms (O(distinct lengths) driver state — the
+    chars_percent_rank discipline); the KS statistic is the max
+    |ECDF_a − ECDF_b| over the merged support, a ratio of exact ints
+    evaluated identically in the oracle, rounded to 6 dp."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["source"].isin([KS_SRC_A, KS_SRC_B])]
+        out = d.groupby(["n_chars", "source"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return out.astype({"n_chars": "int64", "n": "int64"})
+
+    h = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas().groupby(["n_chars", "source"], as_index=False)["n"].sum()
+    )
+    pv = h.pivot(index="n_chars", columns="source", values="n") \
+        .fillna(0).sort_index()
+    na = int(pv[KS_SRC_A].sum()) if KS_SRC_A in pv else 0
+    nb = int(pv[KS_SRC_B].sum()) if KS_SRC_B in pv else 0
+    ca = pv.get(KS_SRC_A, pd.Series(0, index=pv.index)).cumsum() \
+        .to_numpy(np.float64)
+    cb = pv.get(KS_SRC_B, pd.Series(0, index=pv.index)).cumsum() \
+        .to_numpy(np.float64)
+    ks = float(np.abs(ca / max(na, 1) - cb / max(nb, 1)).max()) \
+        if len(pv) else 0.0
+    return pd.DataFrame({
+        "n_a": pd.Series([na], dtype="int64"),
+        "n_b": pd.Series([nb], dtype="int64"),
+        "ks_stat": [round(ks, 6)],
+    })
+
+
+SQL_KS_TWO_SOURCES = f"""
+WITH d AS (
+  SELECT n_chars, source FROM documents
+  WHERE source IN ('{KS_SRC_A}', '{KS_SRC_B}')
+), t AS (
+  SELECT
+    CAST(COUNT(*) FILTER (source = '{KS_SRC_A}') AS DOUBLE) AS na,
+    CAST(COUNT(*) FILTER (source = '{KS_SRC_B}') AS DOUBLE) AS nb
+  FROM d
+), c AS (
+  SELECT n_chars,
+         SUM(COUNT(*) FILTER (source = '{KS_SRC_A}'))
+           OVER (ORDER BY n_chars) AS ca,
+         SUM(COUNT(*) FILTER (source = '{KS_SRC_B}'))
+           OVER (ORDER BY n_chars) AS cb
+  FROM d GROUP BY n_chars
+)
+SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+       ROUND(MAX(ABS(c.ca / t.na - c.cb / t.nb)), 6) AS ks_stat
+FROM c CROSS JOIN t GROUP BY t.na, t.nb
+"""
+
+
+def q_join_coverage_audit(sf_dir: str):
+    """Referential-integrity audit of the customer↔orders FULL OUTER
+    relationship: customers with/without orders, orders whose custkey
+    has no customer row, and match coverage — the data-quality panel
+    run before any join-dependent pipeline is trusted.  Customer keys
+    and per-batch deduped order custkeys ride one custkey-bucket
+    exchange; each bucket emits four additive counters."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = pc.unique(pc.cast(t["o_custkey"], pa.int64()))
+        return pa.table({
+            "key": key, "kb": _kb64(key),
+            "side": _const(len(key), 1, pa.int8()),
+        })
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["c_custkey"], pa.int64())
+        return pa.table({
+            "key": key, "kb": _kb64(key),
+            "side": _const(t.num_rows, 0, pa.int8()),
+        })
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        c = set(g.loc[g["side"] == 0, "key"])
+        o = set(g.loc[g["side"] == 1, "key"])
+        return pd.DataFrame({
+            "n_customers": [len(c)],
+            "with_orders": [len(c & o)],
+            "without_orders": [len(c - o)],
+            "orphan_order_keys": [len(o - c)],
+        })
+
+    p = (
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(cust.map_batches(tag_cust, batch_format="pyarrow"))
+        .groupby("kb")
+        .map_groups(audit, batch_format="pandas")
+        .to_pandas().sum()
+    )
+    nc, w = int(p["n_customers"]), int(p["with_orders"])
+    return pd.DataFrame({
+        "n_customers": pd.Series([nc], dtype="int64"),
+        "with_orders": pd.Series([w], dtype="int64"),
+        "without_orders": pd.Series([int(p["without_orders"])],
+                                    dtype="int64"),
+        "orphan_order_keys": pd.Series([int(p["orphan_order_keys"])],
+                                       dtype="int64"),
+        "coverage": [round(w / nc, 6) if nc else 0.0],
+    })
+
+
+SQL_JOIN_COVERAGE_AUDIT = """
+WITH o AS (SELECT DISTINCT o_custkey AS key FROM orders),
+c AS (SELECT c_custkey AS key FROM customer)
+SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_customers,
+       CAST((SELECT COUNT(*) FROM c JOIN o USING (key)) AS BIGINT)
+         AS with_orders,
+       CAST((SELECT COUNT(*) FROM c LEFT JOIN o USING (key)
+             WHERE o.key IS NULL) AS BIGINT) AS without_orders,
+       CAST((SELECT COUNT(*) FROM o LEFT JOIN c USING (key)
+             WHERE c.key IS NULL) AS BIGINT) AS orphan_order_keys,
+       ROUND(CAST((SELECT COUNT(*) FROM c JOIN o USING (key)) AS DOUBLE)
+             / (SELECT COUNT(*) FROM c), 6) AS coverage
+"""
+
+
 def q_token_histogram(sf_dir: str):
     """Heavy hitters: global top-20 token frequencies.  The canonical
     pre-aggregation shape: each batch emits its own token counts (a
@@ -4856,6 +4990,8 @@ QUERIES = {
     "ltv_by_cohort": q_ltv_by_cohort,
     "region_year_revenue": q_region_year_revenue,
     "hourly_dense_counts": q_hourly_dense_counts,
+    "ks_two_sources": q_ks_two_sources,
+    "join_coverage_audit": q_join_coverage_audit,
     "attribution_first_touch": q_attribution_first_touch,
     "orders_per_customer_hist": q_orders_per_customer_hist,
     "hash_reservoir_sample": q_hash_reservoir_sample,
@@ -4942,6 +5078,8 @@ ORACLE_SQL = {
     "ltv_by_cohort": SQL_LTV_BY_COHORT,
     "region_year_revenue": SQL_REGION_YEAR_REVENUE,
     "hourly_dense_counts": SQL_HOURLY_DENSE_COUNTS,
+    "ks_two_sources": SQL_KS_TWO_SOURCES,
+    "join_coverage_audit": SQL_JOIN_COVERAGE_AUDIT,
     "attribution_first_touch": SQL_ATTRIBUTION_FIRST_TOUCH,
     "orders_per_customer_hist": SQL_ORDERS_PER_CUSTOMER_HIST,
     "hash_reservoir_sample": SQL_HASH_RESERVOIR_SAMPLE,
