@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "orders_per_customer_hist",
     "ks_two_sources",
     "join_coverage_audit",
+    "rolling_daily_revenue_p50",
+    "pareto_8020",
 ]
 
 

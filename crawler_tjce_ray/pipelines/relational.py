@@ -2388,6 +2388,147 @@ SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_customers,
 """
 
 
+
+def q_rolling_daily_revenue_p50(sf_dir: str):
+    """Windowed QUANTILE: per day, the exact median of the trailing
+    7 days' revenue (including the day) — the robust rolling baseline
+    dashboards prefer over the mean (``rolling_avg3`` is this family's
+    mean form; a median window cannot be pre-aggregated, which is why
+    it earns an operator).  Per-batch additive (day, cents) partials;
+    the dense day series and its 7-row windows finish on the driver —
+    bounded by the time span — with quantile_disc rank semantics over
+    exact ints, bit-equal to the window oracle."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["o_orderdate"].dt.floor("D")
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0 + 0.5
+        ).astype("int64")
+        out = pd.DataFrame({"day": day, "rev_c": cents})
+        return out.groupby("day", as_index=False)["rev_c"].sum()
+
+    daily = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas().groupby("day", as_index=False)["rev_c"].sum()
+        .sort_values("day").reset_index(drop=True)
+    )
+    rc = daily["rev_c"].to_numpy(np.int64)
+    med = np.empty(len(rc), dtype=np.int64)
+    for i in range(len(rc)):
+        w = np.sort(rc[max(0, i - 6): i + 1])
+        med[i] = w[-(-len(w) // 2) - 1]  # quantile_disc(0.5): ⌈n/2⌉-th
+    return pd.DataFrame({
+        "day": daily["day"],
+        "revenue": rc.astype(np.float64) / 100.0,
+        "p50_7d": med.astype(np.float64) / 100.0,
+    })
+
+
+SQL_ROLLING_DAILY_P50 = """
+WITH d AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+)
+SELECT day, rev_c / 100.0 AS revenue,
+       quantile_disc(rev_c, 0.5) OVER (
+         ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) / 100.0 AS p50_7d
+FROM d ORDER BY day
+"""
+
+
+def q_pareto_8020(sf_dir: str):
+    """The 80/20 mass quantile: the smallest number of customers whose
+    combined spend reaches 80 % of total revenue, plus their exact
+    share — the "how many whales" headline behind
+    ``concentration_stats``'s Gini.  Same spend value-count-histogram
+    fold (per-customer cents decided in a custkey exchange, driver
+    state O(distinct spends)); the top-down walk uses arbitrary-
+    precision Python ints and the 5·spend ≥ 4·total comparison stays
+    integer-exact.  Equal-spend customers are interchangeable, so the
+    count is order-invariant."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def spend_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # typed empty (see q_big_spenders)
+            return pa.table({
+                "custkey": pa.array([], pa.int64()),
+                "kb": pa.array([], pa.int64()),
+                "spend_c": pa.array([], pa.int64()),
+            })
+        key = pc.cast(t["o_custkey"], pa.int64())
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        g = pa.table({"custkey": key, "spend_c": cents}) \
+            .group_by("custkey").aggregate([("spend_c", "sum")])
+        key2 = pc.cast(g["custkey"], pa.int64())
+        return pa.table({
+            "custkey": key2, "kb": _kb64(key2),
+            "spend_c": pc.cast(g["spend_c_sum"], pa.int64()),
+        })
+
+    def hist_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("custkey", as_index=False)["spend_c"].sum()
+        h = per.groupby("spend_c", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return h.astype({"spend_c": "int64", "n": "int64"})
+
+    hist = (
+        orders.map_batches(spend_partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(hist_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("spend_c", as_index=False)["n"].sum()
+        .sort_values("spend_c", ascending=False).reset_index(drop=True)
+    )
+    total = sum(int(v) * int(c) for v, c in zip(hist["spend_c"], hist["n"]))
+    n_cust = int(hist["n"].sum())
+    cum, k = 0, 0
+    for v, c in zip(hist["spend_c"], hist["n"]):
+        v, c = int(v), int(c)
+        if 5 * (cum + c * v) < 4 * total:  # whole tie-group fits below
+            cum += c * v
+            k += c
+            continue
+        # smallest m in this group with 5·(cum + m·v) ≥ 4·total
+        m = -((-(4 * total - 5 * cum)) // (5 * v)) if v else c
+        cum += m * v
+        k += m
+        break
+    return pd.DataFrame({
+        "n_customers": pd.Series([n_cust], dtype="int64"),
+        "top_k_for_80pct": pd.Series([k], dtype="int64"),
+        "top_k_share": [round(cum / total, 6) if total else 0.0],
+    })
+
+
+SQL_PARETO_8020 = """
+WITH s AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend_c
+  FROM orders GROUP BY 1
+), t AS (SELECT SUM(spend_c) AS tot, COUNT(*) AS n FROM s),
+r AS (
+  SELECT spend_c,
+         SUM(spend_c) OVER (ORDER BY spend_c DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+         ROW_NUMBER() OVER (ORDER BY spend_c DESC, o_custkey) AS rn
+  FROM s
+), k AS (
+  SELECT MIN(rn) AS k, MIN(cum) AS cum_k
+  FROM r CROSS JOIN t WHERE 5 * cum >= 4 * t.tot
+)
+SELECT CAST(t.n AS BIGINT) AS n_customers,
+       CAST(k.k AS BIGINT) AS top_k_for_80pct,
+       ROUND(CAST((SELECT cum FROM r WHERE rn = k.k) AS DOUBLE)
+             / t.tot, 6) AS top_k_share
+FROM t CROSS JOIN k
+"""
+
+
 def q_token_histogram(sf_dir: str):
     """Heavy hitters: global top-20 token frequencies.  The canonical
     pre-aggregation shape: each batch emits its own token counts (a
@@ -4991,6 +5132,8 @@ QUERIES = {
     "region_year_revenue": q_region_year_revenue,
     "hourly_dense_counts": q_hourly_dense_counts,
     "ks_two_sources": q_ks_two_sources,
+    "rolling_daily_revenue_p50": q_rolling_daily_revenue_p50,
+    "pareto_8020": q_pareto_8020,
     "join_coverage_audit": q_join_coverage_audit,
     "attribution_first_touch": q_attribution_first_touch,
     "orders_per_customer_hist": q_orders_per_customer_hist,
@@ -5079,6 +5222,8 @@ ORACLE_SQL = {
     "region_year_revenue": SQL_REGION_YEAR_REVENUE,
     "hourly_dense_counts": SQL_HOURLY_DENSE_COUNTS,
     "ks_two_sources": SQL_KS_TWO_SOURCES,
+    "rolling_daily_revenue_p50": SQL_ROLLING_DAILY_P50,
+    "pareto_8020": SQL_PARETO_8020,
     "join_coverage_audit": SQL_JOIN_COVERAGE_AUDIT,
     "attribution_first_touch": SQL_ATTRIBUTION_FIRST_TOUCH,
     "orders_per_customer_hist": SQL_ORDERS_PER_CUSTOMER_HIST,
