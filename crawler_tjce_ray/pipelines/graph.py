@@ -166,7 +166,10 @@ def q_pagerank_parts(sf_dir: str):
         np.add.at(cv, parts["dst_i"].to_numpy(), parts["c"].to_numpy())
         pr = (1.0 - PR_DAMPING) / n + PR_DAMPING * cv
 
-    return pd.DataFrame({"part_key": nodes, "pr": pr})
+    # round 12: five iterations of differently-ordered float
+    # accumulation put the two engines ~1e-18 apart; the driver's
+    # value hash is strict (tolerance lives in the parity test only)
+    return pd.DataFrame({"part_key": nodes, "pr": np.round(pr, 12)})
 
 
 def _sql_pagerank() -> str:
@@ -202,7 +205,8 @@ WITH seq AS (
   GROUP BY nodes.node, nn.n
 )""")
     return head + "".join(steps) + f"""
-SELECT node AS part_key, pr FROM r{PR_ITERS} ORDER BY part_key
+SELECT node AS part_key, ROUND(pr, 12) AS pr
+FROM r{PR_ITERS} ORDER BY part_key
 """
 
 

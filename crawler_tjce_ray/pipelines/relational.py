@@ -3338,11 +3338,16 @@ def q_zscore_events(sf_dir: str):
     })
 
     def normalize(t: pa.Table) -> pa.Table:
+        # round 9: the moment sums fold in different orders across the
+        # two engines (Arrow partials vs one-pass window), so raw z
+        # values disagree in the last ulp — the driver hash is strict
         j = t.join(stats_tbl, keys="event_type")
         return pa.table({
             "event_id": j["event_id"],
             "event_type": j["event_type"],
-            "z": pc.divide(pc.subtract(j["value"], j["mean_"]), j["sd_"]),
+            "z": pc.round(
+                pc.divide(pc.subtract(j["value"], j["mean_"]), j["sd_"]),
+                ndigits=9),
         })
 
     out = ds.map_batches(normalize, batch_format="pyarrow").to_pandas()
@@ -3351,8 +3356,8 @@ def q_zscore_events(sf_dir: str):
 
 SQL_ZSCORE_EVENTS = """
 SELECT event_id, event_type,
-       (value - AVG(value) OVER (PARTITION BY event_type))
-         / STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS z
+       ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+         / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 9) AS z
 FROM events ORDER BY event_id
 """
 
@@ -4417,10 +4422,19 @@ def q_ewma_value_per_user(sf_dir: str):
             .ewm(alpha=EWMA_ALPHA, adjust=False).mean()
             .reset_index(drop=True)
         )
+        # round 6 with a shared +1e-9 nudge: with alpha = 0.3 the
+        # true ewma is an EXACT DECIMAL, so it lands on x.xxxxx5
+        # grid halves where the engines' half-even vs half-away modes
+        # (and their ~1e-13 computational skew) disagree — measured:
+        # two flipped cells at sf0.01.  Adding the same epsilon on
+        # both sides moves the rounding boundary to x.xxxxx5−1e-9, a
+        # point the decimal-valued data never occupies, so both
+        # engines always round the same way.  The driver's value hash
+        # is strict; tolerance lives in the parity test only.
         return pd.DataFrame({
             "user_id": g["user_id"].astype("int64"),
             "event_id": g["event_id"].astype("int64"),
-            "ewma_value": ew.to_numpy(np.float64),
+            "ewma_value": np.round(ew.to_numpy(np.float64) + 1e-9, 6),
         })
 
     out = (
@@ -4441,9 +4455,10 @@ WITH o AS (
   FROM events
 )
 SELECT a.user_id, a.event_id,
-       SUM(b.value * CASE WHEN b.rn = 1 THEN power({1 - EWMA_ALPHA}, a.rn - 1)
-                          ELSE {EWMA_ALPHA} * power({1 - EWMA_ALPHA}, a.rn - b.rn)
-                     END) AS ewma_value
+       ROUND(SUM(b.value *
+             CASE WHEN b.rn = 1 THEN power({1 - EWMA_ALPHA}, a.rn - 1)
+                  ELSE {EWMA_ALPHA} * power({1 - EWMA_ALPHA}, a.rn - b.rn)
+             END) + 1e-9, 6) AS ewma_value
 FROM o a JOIN o b ON b.user_id = a.user_id AND b.rn <= a.rn
 GROUP BY 1, 2 ORDER BY 1, 2
 """
@@ -4686,18 +4701,24 @@ def q_burstiness_users(sf_dir: str):
     def stats(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         g = g.reset_index(drop=True)
-        gap = g.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds()
-        d = pd.DataFrame({"user_id": g["user_id"], "gap": gap}).dropna()
-        agg = d.groupby("user_id", sort=False)["gap"].agg(
-            ["count", "mean", "std"]
+        # exact integer µs gaps: round-6 of a float-seconds mean HITS
+        # half-even/half-away boundaries (µs-exact gaps make x.xxxxxx5
+        # means common — one flipped at sf0.01), so the mean is an
+        # unrounded ratio of exact ints and the CV is unitless over µs
+        gap = g.groupby("user_id", sort=False)["ts"].diff() \
+            / pd.Timedelta(microseconds=1)
+        d = pd.DataFrame({"user_id": g["user_id"], "gap_us": gap}).dropna()
+        agg = d.groupby("user_id", sort=False)["gap_us"].agg(
+            ["count", "sum", "std"]
         ).reset_index()
+        n = agg["count"].to_numpy(np.float64)
+        su = agg["sum"].to_numpy(np.float64)
         return pd.DataFrame({
             "user_id": agg["user_id"].astype("int64"),
             "n_gaps": agg["count"].astype("int64"),
-            "mean_gap_s": np.round(agg["mean"].to_numpy(np.float64), 6),
+            "mean_gap_s": su / n / 1e6,
             "cv_gap": np.round(
-                agg["std"].to_numpy(np.float64)
-                / agg["mean"].to_numpy(np.float64), 6),
+                agg["std"].to_numpy(np.float64) / (su / n), 6),
         })
 
     out = (
@@ -4712,13 +4733,15 @@ def q_burstiness_users(sf_dir: str):
 SQL_BURSTINESS_USERS = """
 WITH g AS (
   SELECT user_id,
-         epoch(ts - lag(ts) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+         CAST(date_diff('microsecond', lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT)
+           AS gap_us
   FROM events)
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
-       round(AVG(gap_s), 6) AS mean_gap_s,
-       round(stddev_samp(gap_s) / AVG(gap_s), 6) AS cv_gap
-FROM g WHERE gap_s IS NOT NULL GROUP BY user_id ORDER BY user_id
+       CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1e6 AS mean_gap_s,
+       round(stddev_samp(CAST(gap_us AS DOUBLE))
+             / (CAST(SUM(gap_us) AS DOUBLE) / COUNT(*)), 6) AS cv_gap
+FROM g WHERE gap_us IS NOT NULL GROUP BY user_id ORDER BY user_id
 """
 
 

@@ -563,9 +563,11 @@ def q_unigram_logprob(sf_dir: str):
         )
         out = df[["doc_id"]].merge(g, on="doc_id", how="left")
         out["n_tokens"] = out["n_tokens"].fillna(0).astype("int64")
-        out["mean_logprob"] = np.where(
+        # round 9: per-doc token-logprob summation order differs
+        # between engines; the driver's value hash is strict
+        out["mean_logprob"] = np.round(np.where(
             out["n_tokens"] > 0, out["sum_lp"] / out["n_tokens"], 0.0
-        )
+        ), 9)
         return out[["doc_id", "n_tokens", "mean_logprob"]]
 
     out = ds.map_batches(score, batch_format="pandas").to_pandas()
@@ -586,7 +588,7 @@ WITH toks AS (
 )
 SELECT d.doc_id,
        CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
-       COALESCE(s.mean_lp, 0.0) AS mean_logprob
+       ROUND(COALESCE(s.mean_lp, 0.0), 9) AS mean_logprob
 FROM documents d
 LEFT JOIN (
   SELECT doc_id, COUNT(*) AS n_tokens, AVG(lp) AS mean_lp
@@ -685,7 +687,9 @@ def q_perplexity_buckets(sf_dir: str):
         n_docs=("n_docs", "sum"), sum_lp=("sum_lp", "sum")
     )
     out["n_docs"] = out["n_docs"].astype("int64")
-    out["mean_logprob"] = out["sum_lp"] / out["n_docs"]
+    # round 9: per-bucket float means (summed in different orders on
+    # the two engines) — the driver's value hash is strict
+    out["mean_logprob"] = np.round(out["sum_lp"] / out["n_docs"], 9)
     return (
         out[["lang", "bucket", "n_docs", "mean_logprob"]]
         .sort_values(["lang", "bucket"])
@@ -726,7 +730,7 @@ WITH toks AS (
   FROM scored s JOIN q ON q.lang = s.lang
 )
 SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       SUM(mean_logprob) / COUNT(*) AS mean_logprob
+       ROUND(SUM(mean_logprob) / COUNT(*), 9) AS mean_logprob
 FROM b GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -752,12 +756,13 @@ def q_importance_weights(sf_dir: str):
     broadcasts once via ``ray.put``, and a second streaming pass
     scores each batch vectorized.  Values never shuffle.
 
-    ``mean_logratio`` is deliberately UNROUNDED, matching the
-    ``unigram_logprob`` family precedent: per-doc means of identical
-    LM terms agree to ~1e-15 relative and the driver's float check is
-    tolerance-based, whereas rounding both sides to a fixed decimal
-    would CREATE boundary cases where the two engines round a
-    straddling pair apart."""
+    ``mean_logratio`` rounds to 9 dp on BOTH engines: per-doc means
+    of identical LM terms agree only to ~1e-15 relative (summation
+    order differs), and the driver's value hash is STRICT — the
+    running_total red row proved tolerance lives in the parity test
+    only, not in the driver.  Rounding can itself straddle a decimal
+    boundary, but at 9 dp the window is ~1e-15/1e-9 per value —
+    vanishing next to a guaranteed ulp mismatch."""
     import ray
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
@@ -804,9 +809,9 @@ def q_importance_weights(sf_dir: str):
         )
         out = base.merge(g, on="doc_id", how="left")
         out["n_tokens"] = out["n_tokens"].fillna(0).astype("int64")
-        out["mean_logratio"] = np.where(
+        out["mean_logratio"] = np.round(np.where(
             out["n_tokens"] > 0, out["sum_lr"] / out["n_tokens"], 0.0
-        )
+        ), 9)
         return out[["doc_id", "is_target", "n_tokens", "mean_logratio"]]
 
     out = ds.map_batches(score, batch_format="pandas").to_pandas()
@@ -834,7 +839,7 @@ WITH toks AS (
 SELECT d.doc_id,
        CAST(d.doc_id % {DSIR_MOD} = 0 AS BIGINT) AS is_target,
        CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
-       COALESCE(s.mean_lr, 0.0) AS mean_logratio
+       ROUND(COALESCE(s.mean_lr, 0.0), 9) AS mean_logratio
 FROM documents d
 LEFT JOIN (
   SELECT doc_id, COUNT(*) AS n_tokens, AVG(lr) AS mean_lr
@@ -937,9 +942,11 @@ def q_bigram_logprob(sf_dir: str):
     ).to_pandas()
     out = ids.merge(parts, on="doc_id", how="left")
     out["n_bigrams"] = out["n"].fillna(0).astype("int64")
-    out["mean_logprob"] = np.where(
+    # round 9: cross-bucket partial-sum order differs from the
+    # oracle's single-pass sum; the driver's value hash is strict
+    out["mean_logprob"] = np.round(np.where(
         out["n_bigrams"] > 0, out["lp"] / out["n_bigrams"], 0.0
-    )
+    ), 9)
     out = out[["doc_id", "n_bigrams", "mean_logprob"]]
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -968,7 +975,7 @@ WITH w AS (
 )
 SELECT w.doc_id,
        CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-       COALESCE(agg.sum_lp / agg.n_bigrams, 0.0) AS mean_logprob
+       ROUND(COALESCE(agg.sum_lp / agg.n_bigrams, 0.0), 9) AS mean_logprob
 FROM w LEFT JOIN agg USING (doc_id) ORDER BY w.doc_id
 """
 
@@ -1102,14 +1109,20 @@ def q_char_entropy(sf_dir: str):
             _, counts = np.unique(cp, return_counts=True)
             p = counts / counts.sum()
             vals[i] = float(-(p * np.log2(p)).sum())
-        return pd.DataFrame({"doc_id": df["doc_id"], "char_entropy": vals})
+        # round 9: the summation ORDER differs between engines (numpy
+        # vs DuckDB group order), so raw doubles disagree in the last
+        # ulp — the driver's value hash is strict (the running_total
+        # lesson), tolerance lives in the parity test only
+        return pd.DataFrame({
+            "doc_id": df["doc_id"], "char_entropy": np.round(vals, 9)
+        })
 
     out = ds.map_batches(entropy, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
 SQL_CHAR_ENTROPY = """
-SELECT doc_id, entropy(c) AS char_entropy
+SELECT doc_id, ROUND(entropy(c), 9) AS char_entropy
 FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
 GROUP BY doc_id ORDER BY doc_id
 """

@@ -55,8 +55,10 @@ def _pairs():
 def test_query_matches_oracle(name, oracle):
     pairs = {n: (q, s) for n, q, s in _pairs()}
     q, sql = pairs[name]
-    mine = _normalize(_to_pandas(q(SF_DIR)))
-    ref = _normalize(oracle.execute(sql).df())
+    raw_mine = _to_pandas(q(SF_DIR))
+    raw_ref = oracle.execute(sql).df()
+    mine = _normalize(raw_mine)
+    ref = _normalize(raw_ref)
     assert list(mine.columns) == list(ref.columns), (
         f"{name}: columns {list(mine.columns)} vs {list(ref.columns)}"
     )
@@ -71,3 +73,18 @@ def test_query_matches_oracle(name, oracle):
             f"{ref[c].dtype} — driver value-hash would diverge"
         )
     pd.testing.assert_frame_equal(mine, ref, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
+    # STRICT pass on the RAW outputs — the driver hashes raw values
+    # with NO tolerance (running_total went red on representation
+    # alone), so the gate must match its strictness: every float
+    # column either rounds identically on BOTH engines inside the
+    # query, or is bit-identical by construction (exact-int ratios).
+    a = raw_mine[sorted(raw_mine.columns)].reset_index(drop=True)
+    b = raw_ref[sorted(raw_ref.columns)].reset_index(drop=True)
+    sa = a.astype(str).sort_values(list(a.columns), kind="mergesort") \
+        .reset_index(drop=True)
+    sb = b.astype(str).sort_values(list(b.columns), kind="mergesort") \
+        .reset_index(drop=True)
+    assert sa.equals(sb), (
+        f"{name}: STRICT raw-value mismatch — the driver's value hash "
+        f"would diverge even though the 1e-9-tolerance compare passed"
+    )
