@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "join_coverage_audit",
     "rolling_daily_revenue_p50",
     "pareto_8020",
+    "longest_streak_per_user",
+    "weekly_churn",
 ]
 
 

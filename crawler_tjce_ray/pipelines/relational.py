@@ -2529,6 +2529,132 @@ FROM t CROSS JOIN k
 """
 
 
+
+def q_longest_streak_per_user(sf_dir: str):
+    """Longest consecutive-day activity streak per user — the
+    engagement metric product dashboards headline.  ONE user-bucket
+    shuffle (a user's distinct active days are complete in-bucket);
+    inside, the classic day − rank(day) islands trick runs vectorized
+    over all users at once, and only (user, longest, n_active_days)
+    rows return.  Pure integer day arithmetic."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        return t.append_column("kb", kb)
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "u": g["user_id"].astype("int64"),
+            "day": (g["ts"].dt.floor("D") - pd.Timestamp("1970-01-01"))
+            .dt.days.astype("int64"),
+        }).drop_duplicates().sort_values(["u", "day"])
+        rk = d.groupby("u", sort=False).cumcount()
+        d["grp"] = d["day"] - rk
+        runs = d.groupby(["u", "grp"], as_index=False).agg(
+            run=("day", "size"))
+        out = runs.groupby("u", as_index=False).agg(
+            longest_streak=("run", "max"))
+        days = d.groupby("u", as_index=False).agg(n_active_days=("day", "size"))
+        out = out.merge(days, on="u").rename(columns={"u": "user_id"})
+        return out.astype({"user_id": "int64", "longest_streak": "int64",
+                           "n_active_days": "int64"})
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(streaks, batch_format="pandas")
+        .to_pandas()
+        .astype({"user_id": "int64", "longest_streak": "int64",
+                 "n_active_days": "int64"})
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_LONGEST_STREAK = """
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), r AS (
+  SELECT user_id, day,
+         day - INTERVAL 1 DAY * row_number() OVER (
+           PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+), runs AS (
+  SELECT user_id, grp, COUNT(*) AS run FROM r GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(MAX(run) AS BIGINT) AS longest_streak,
+       CAST(SUM(run) AS BIGINT) AS n_active_days
+FROM runs GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_weekly_churn(sf_dir: str):
+    """Weekly churn: per Monday week, the count of users active that
+    week but absent the next (plus actives and the churn rate) — the
+    inverse of ``retention``'s diagonal and the number growth teams
+    alarm on.  ONE user-bucket shuffle; per bucket each user's
+    distinct active weeks self-check membership of week+7d (a user's
+    whole history is in-bucket, so the lookahead is exact), emitting
+    additive (week, active, churned) partials.  The last observed
+    corpus week has no next week and is EXCLUDED on both engines."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        return t.append_column("kb", kb)
+
+    def churn(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["ts"].dt.floor("D")
+        week = day - pd.to_timedelta(day.dt.weekday, unit="D")
+        d = pd.DataFrame({"u": g["user_id"], "w": week}).drop_duplicates()
+        nxt = d.copy()
+        nxt["w"] = nxt["w"] - pd.Timedelta(days=7)
+        nxt["has_next"] = True
+        j = d.merge(nxt[["u", "w", "has_next"]], on=["u", "w"], how="left")
+        j["churned"] = j["has_next"].isna()
+        out = j.groupby("w", as_index=False).agg(
+            active=("u", "size"), churned=("churned", "sum"))
+        return out.astype({"active": "int64", "churned": "int64"})
+
+    parts = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(churn, batch_format="pandas")
+        .to_pandas()
+        .groupby("w", as_index=False)[["active", "churned"]].sum()
+        .sort_values("w").reset_index(drop=True)
+    )
+    parts = parts.iloc[:-1]  # final week has no successor on either engine
+    return pd.DataFrame({
+        "week": parts["w"],
+        "active_users": parts["active"].astype("int64"),
+        "churned_users": parts["churned"].astype("int64"),
+        "churn_rate": (parts["churned"].to_numpy(np.float64)
+                       / parts["active"].to_numpy(np.float64)).round(6),
+    }).reset_index(drop=True)
+
+
+SQL_WEEKLY_CHURN = """
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+), m AS (SELECT MAX(w) AS last_w FROM d),
+j AS (
+  SELECT a.w, a.user_id,
+         (b.user_id IS NULL) AS churned
+  FROM d a LEFT JOIN d b
+    ON b.user_id = a.user_id AND b.w = a.w + INTERVAL 7 DAY
+)
+SELECT j.w AS week,
+       CAST(COUNT(*) AS BIGINT) AS active_users,
+       CAST(COUNT(*) FILTER (churned) AS BIGINT) AS churned_users,
+       ROUND(CAST(COUNT(*) FILTER (churned) AS DOUBLE) / COUNT(*), 6)
+         AS churn_rate
+FROM j CROSS JOIN m WHERE j.w < m.last_w
+GROUP BY j.w ORDER BY j.w
+"""
+
+
 def q_token_histogram(sf_dir: str):
     """Heavy hitters: global top-20 token frequencies.  The canonical
     pre-aggregation shape: each batch emits its own token counts (a
@@ -5156,6 +5282,8 @@ QUERIES = {
     "hourly_dense_counts": q_hourly_dense_counts,
     "ks_two_sources": q_ks_two_sources,
     "rolling_daily_revenue_p50": q_rolling_daily_revenue_p50,
+    "longest_streak_per_user": q_longest_streak_per_user,
+    "weekly_churn": q_weekly_churn,
     "pareto_8020": q_pareto_8020,
     "join_coverage_audit": q_join_coverage_audit,
     "attribution_first_touch": q_attribution_first_touch,
@@ -5246,6 +5374,8 @@ ORACLE_SQL = {
     "hourly_dense_counts": SQL_HOURLY_DENSE_COUNTS,
     "ks_two_sources": SQL_KS_TWO_SOURCES,
     "rolling_daily_revenue_p50": SQL_ROLLING_DAILY_P50,
+    "longest_streak_per_user": SQL_LONGEST_STREAK,
+    "weekly_churn": SQL_WEEKLY_CHURN,
     "pareto_8020": SQL_PARETO_8020,
     "join_coverage_audit": SQL_JOIN_COVERAGE_AUDIT,
     "attribution_first_touch": SQL_ATTRIBUTION_FIRST_TOUCH,
