@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     "pareto_8020",
     "longest_streak_per_user",
     "weekly_churn",
+    "median_order_gap",
+    "revenue_reconciliation",
 ]
 
 

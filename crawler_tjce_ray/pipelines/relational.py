@@ -2655,6 +2655,164 @@ GROUP BY j.w ORDER BY j.w
 """
 
 
+
+def q_median_order_gap(sf_dir: str):
+    """Exact median days between consecutive orders, per customer —
+    the grouped quantile at CUSTOMER cardinality, where the
+    grouped-quickselect engine (driver state O(groups × 256)) is the
+    wrong tool: a customer's orders are complete inside its custkey
+    bucket, so the median is decided IN-BUCKET with one vectorized
+    sort + segment-offset gather (quantile_disc rank ⌈n/2⌉), and only
+    result rows return.  Customers with fewer than two orders drop,
+    matching the oracle's HAVING.  Pure integer day gaps."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        kb = _kb64(pc.cast(t["o_custkey"], pa.int64()))
+        return t.append_column("kb", kb)
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort").reset_index(drop=True)
+        day = (g["o_orderdate"].dt.floor("D")
+               - pd.Timestamp("1970-01-01")).dt.days.astype("int64")
+        gap = day.groupby(g["o_custkey"], sort=False).diff()
+        d = pd.DataFrame({"u": g["o_custkey"], "gap": gap}).dropna()
+        d["gap"] = d["gap"].astype("int64")
+        d = d.sort_values(["u", "gap"], kind="mergesort").reset_index(drop=True)
+        starts = d.groupby("u", sort=False).cumcount() == 0
+        idx0 = np.flatnonzero(starts.to_numpy())
+        n = np.diff(np.r_[idx0, len(d)])
+        pick = idx0 + (-(-n // 2) - 1)  # ⌈n/2⌉-th, 1-based
+        return pd.DataFrame({
+            "o_custkey": d["u"].to_numpy(np.int64)[idx0],
+            "n_gaps": n.astype(np.int64),
+            "median_gap_days": d["gap"].to_numpy(np.int64)[pick],
+        })
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(med, batch_format="pandas")
+        .to_pandas()
+        .astype({"o_custkey": "int64", "n_gaps": "int64",
+                 "median_gap_days": "int64"})
+    )
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+SQL_MEDIAN_ORDER_GAP = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+           lag(date_trunc('day', o_orderdate)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           date_trunc('day', o_orderdate)) AS BIGINT) AS gap
+  FROM orders
+)
+SELECT o_custkey, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS median_gap_days
+FROM o WHERE gap IS NOT NULL
+GROUP BY o_custkey HAVING COUNT(gap) >= 1 ORDER BY o_custkey
+"""
+
+
+def q_revenue_reconciliation(sf_dir: str):
+    """Cross-table reconciliation: per order year, the order-header
+    total (Σ o_totalprice) vs the lineitem-derived gross
+    (Σ extendedprice·(1+tax)·(1−discount)) with the delta — the audit
+    every finance pipeline runs before trusting either table.  Both
+    sides snap to integer cents per term, so the partials are additive
+    int64 and the delta is exact; the per-year fold is driver-sized.
+    The lineitem side needs the order year, so it rides the ONE
+    orderkey-bucket exchange with the header's (orderkey, year)."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_totalprice"])
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["o_orderkey"], pa.int64())
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({
+            "key": key, "kb": _kb64(key),
+            "year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            "hdr_c": cents,
+            "line_c": _const(t.num_rows, None, pa.int64()),
+        })
+
+    def tag_line(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["l_orderkey"], pa.int64())
+        gross = pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.add(pa.scalar(1.0), t["l_tax"])),
+            pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(gross, pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "key": key, "kb": _kb64(key),
+            "year": _const(n, None, pa.int64()),
+            "hdr_c": _const(n, None, pa.int64()),
+            "line_c": cents,
+        })
+
+    def recon(g: pd.DataFrame) -> pd.DataFrame:
+        hdr = g[g["year"].notna()][["key", "year", "hdr_c"]]
+        ln = g[g["year"].isna()].groupby("key", as_index=False)[
+            "line_c"].sum()
+        j = hdr.merge(ln, on="key", how="left")
+        j["line_c"] = j["line_c"].fillna(0)
+        out = j.groupby("year", as_index=False).agg(
+            hdr_c=("hdr_c", "sum"), line_c=("line_c", "sum"),
+            n_orders=("key", "size"))
+        return out.astype({"year": "int64", "hdr_c": "int64",
+                           "line_c": "int64", "n_orders": "int64"})
+
+    parts = (
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(line.map_batches(tag_line, batch_format="pyarrow"))
+        .groupby("kb")
+        .map_groups(recon, batch_format="pandas")
+        .to_pandas()
+        .groupby("year", as_index=False)[["hdr_c", "line_c", "n_orders"]]
+        .sum().sort_values("year").reset_index(drop=True)
+    )
+    return pd.DataFrame({
+        "order_year": parts["year"].astype("int64"),
+        "n_orders": parts["n_orders"].astype("int64"),
+        "header_total": parts["hdr_c"].astype("int64")
+        .to_numpy(np.float64) / 100.0,
+        "lineitem_total": parts["line_c"].astype("int64")
+        .to_numpy(np.float64) / 100.0,
+        "delta": (parts["hdr_c"] - parts["line_c"]).astype("int64")
+        .to_numpy(np.float64) / 100.0,
+    })
+
+
+SQL_REVENUE_RECONCILIATION = """
+WITH ln AS (
+  SELECT l_orderkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 + l_tax) * (1 - l_discount)
+                        * 100 + 0.5) AS BIGINT)) AS line_c
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS hdr_c,
+         COALESCE(ln.line_c, 0) AS line_c
+  FROM orders LEFT JOIN ln ON o_orderkey = l_orderkey
+)
+SELECT order_year, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(hdr_c) / 100.0 AS header_total,
+       SUM(line_c) / 100.0 AS lineitem_total,
+       (SUM(hdr_c) - SUM(line_c)) / 100.0 AS delta
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_token_histogram(sf_dir: str):
     """Heavy hitters: global top-20 token frequencies.  The canonical
     pre-aggregation shape: each batch emits its own token counts (a
@@ -5283,6 +5441,8 @@ QUERIES = {
     "ks_two_sources": q_ks_two_sources,
     "rolling_daily_revenue_p50": q_rolling_daily_revenue_p50,
     "longest_streak_per_user": q_longest_streak_per_user,
+    "median_order_gap": q_median_order_gap,
+    "revenue_reconciliation": q_revenue_reconciliation,
     "weekly_churn": q_weekly_churn,
     "pareto_8020": q_pareto_8020,
     "join_coverage_audit": q_join_coverage_audit,
@@ -5375,6 +5535,8 @@ ORACLE_SQL = {
     "ks_two_sources": SQL_KS_TWO_SOURCES,
     "rolling_daily_revenue_p50": SQL_ROLLING_DAILY_P50,
     "longest_streak_per_user": SQL_LONGEST_STREAK,
+    "median_order_gap": SQL_MEDIAN_ORDER_GAP,
+    "revenue_reconciliation": SQL_REVENUE_RECONCILIATION,
     "weekly_churn": SQL_WEEKLY_CHURN,
     "pareto_8020": SQL_PARETO_8020,
     "join_coverage_audit": SQL_JOIN_COVERAGE_AUDIT,
