@@ -40,18 +40,13 @@ EN_STOPWORDS = set(LANG_STOPWORDS["en"])
 
 
 def _read_docs(sf_dir: str, columns):
-    """Pruned read of the documents table, split into enough blocks to
-    keep every CPU busy (the table ships as one parquet file — without
-    ``override_num_blocks`` the whole corpus lands in a single block
-    and every per-batch stage runs serially)."""
-    import ray
-    import ray.data as rd
+    """Pruned, block-split read of the documents table — format-
+    agnostic (parquet, JSONL or CSV; see ``sources/docs.py``), so
+    every registry query runs unchanged over the interchange formats
+    crawl dumps actually arrive in."""
+    from crawler_tjce_ray.sources.docs import read_documents
 
-    cpus = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=columns,
-        override_num_blocks=max(8, min(32, cpus // 4)),
-    )
+    return read_documents(sf_dir, columns)
 
 
 # ---------------------------------------------------------------------------
