@@ -1149,9 +1149,9 @@ def _dup_pairs(sf_dir: str) -> pd.DataFrame:
     The cached value is a driver-side pandas frame (no object-store
     refs), so it stays valid across ``ray.init`` cycles — unlike the
     Dataset caches, no session key is needed."""
-    import os
+    from crawler_tjce_ray.sources.docs import documents_mtime
 
-    key = (sf_dir, os.path.getmtime(f"{sf_dir}/documents.parquet"))
+    key = (sf_dir, documents_mtime(sf_dir))
     if key not in _DUP_PAIRS_CACHE:
         try:
             pairs = q_dedup_ngram_jaccard(sf_dir)[["doc_a", "doc_b"]]

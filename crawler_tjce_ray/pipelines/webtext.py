@@ -1145,11 +1145,11 @@ def q_tfidf_keywords(sf_dir: str):
     vectorized (sort + ``groupby.head``) — docs never shuffle.
     Ranking uses the 6-decimal-rounded score with a lexicographic
     tie-break so both engines pick identical terms."""
-    import pyarrow.parquet as pq_
-
     import ray
 
-    n_docs = pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    from crawler_tjce_ray.sources.docs import documents_row_count
+
+    n_docs = documents_row_count(sf_dir)
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def df_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1731,13 +1731,9 @@ def q_vocab_growth(sf_dir: str):
     bucket emits one additive 10-bin histogram of first-ids binned by
     the broadcast cutoffs — the driver folds 64 × 10 ints and takes
     one cumulative sum."""
-    import pyarrow.parquet as _pq
+    from crawler_tjce_ray.sources.docs import documents_max_doc_id
 
-    mx = 0
-    import glob as _glob
-    for f in _glob.glob(f"{sf_dir}/documents.parquet"):
-        t = _pq.read_table(f, columns=["doc_id"])
-        mx = max(mx, int(pd.Series(t["doc_id"].to_numpy(zero_copy_only=False)).max()))
+    mx = documents_max_doc_id(sf_dir)
     cuts = np.array([int(np.ceil((i / 10.0) * mx)) for i in range(1, 11)],
                     dtype=np.int64)
 

@@ -62,3 +62,48 @@ def read_documents(sf_dir: str, columns=None):
     raise FileNotFoundError(
         f"no documents.(parquet|jsonl|json|csv) under {sf_dir}"
     )
+
+
+def _documents_file(sf_dir: str) -> str:
+    for name in ("documents.parquet", "documents.jsonl",
+                 "documents.json", "documents.csv"):
+        p = os.path.join(sf_dir, name)
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(
+        f"no documents.(parquet|jsonl|json|csv) under {sf_dir}"
+    )
+
+
+def documents_mtime(sf_dir: str) -> float:
+    """Cache-key mtime of whichever documents file the dir provides."""
+    return os.path.getmtime(_documents_file(sf_dir))
+
+
+def documents_row_count(sf_dir: str) -> int:
+    """Row count — parquet metadata when available (no data read),
+    else one pruned Dataset count."""
+    p = _documents_file(sf_dir)
+    if p.endswith(".parquet"):
+        import pyarrow.parquet as pq
+
+        return int(pq.read_metadata(p).num_rows)
+    return int(read_documents(sf_dir, ["doc_id"]).count())
+
+
+def documents_max_doc_id(sf_dir: str) -> int:
+    """Max doc_id — parquet column read when available, else a
+    per-batch max over the pruned Dataset."""
+    p = _documents_file(sf_dir)
+    if p.endswith(".parquet"):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(p, columns=["doc_id"])
+        return int(t["doc_id"].to_pandas().max())
+    import pandas as pd
+
+    parts = read_documents(sf_dir, ["doc_id"]).map_batches(
+        lambda df: pd.DataFrame({"mx": [df["doc_id"].max()]}),
+        batch_format="pandas",
+    ).to_pandas()
+    return int(parts["mx"].max())

@@ -37,3 +37,17 @@ def test_missing_table_raises(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_documents(str(tmp_path))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_and_growth_queries_on_jsonl(mirrors):
+    """The auxiliary probes (row count, max doc_id, cache mtime) must
+    also survive a parquet-less corpus."""
+    from crawler_tjce_ray.pipelines import webtext
+
+    jd, _cd = mirrors
+    base = webtext.QUERIES["vocab_growth"]("/root/testdata/sf0.001")
+    got = webtext.QUERIES["vocab_growth"](jd)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), base.reset_index(drop=True)
+    )
