@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     "weekly_churn",
     "median_order_gap",
     "revenue_reconciliation",
+    "abc_classification",
+    "monthly_seasonality",
 ]
 
 

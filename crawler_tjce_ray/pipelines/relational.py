@@ -2813,6 +2813,160 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+
+def q_abc_classification(sf_dir: str):
+    """ABC inventory-style customer classification: walking customers
+    by spend DESC, class A holds the head up to 70 % of cumulative
+    revenue, B to 90 %, C the tail — the banded sibling of
+    ``pareto_8020`` (one cut) and ``lorenz_deciles`` (value bands;
+    ABC bands by cumulative MASS).  Same custkey-exchange spend
+    histogram; the driver walk steps whole tie-groups with
+    arbitrary-precision ints, and every threshold test (10·cum vs
+    7·total / 9·total) is integer-exact.  A tie-group straddling a
+    boundary splits deterministically because equal-spend customers
+    are interchangeable."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def spend_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # typed empty (see q_big_spenders)
+            return pa.table({
+                "custkey": pa.array([], pa.int64()),
+                "kb": pa.array([], pa.int64()),
+                "spend_c": pa.array([], pa.int64()),
+            })
+        key = pc.cast(t["o_custkey"], pa.int64())
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        g = pa.table({"custkey": key, "spend_c": cents}) \
+            .group_by("custkey").aggregate([("spend_c", "sum")])
+        key2 = pc.cast(g["custkey"], pa.int64())
+        return pa.table({
+            "custkey": key2, "kb": _kb64(key2),
+            "spend_c": pc.cast(g["spend_c_sum"], pa.int64()),
+        })
+
+    def hist_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("custkey", as_index=False)["spend_c"].sum()
+        h = per.groupby("spend_c", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return h.astype({"spend_c": "int64", "n": "int64"})
+
+    hist = (
+        orders.map_batches(spend_partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(hist_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("spend_c", as_index=False)["n"].sum()
+        .sort_values("spend_c", ascending=False).reset_index(drop=True)
+    )
+    total = sum(int(v) * int(c) for v, c in zip(hist["spend_c"], hist["n"]))
+    acc = {"A": [0, 0], "B": [0, 0], "C": [0, 0]}  # class -> [n, cents]
+    cum = 0
+    for v, c in zip(hist["spend_c"], hist["n"]):
+        v, c = int(v), int(c)
+        for _ in range(2):  # a tie-group can straddle both boundaries
+            if c == 0:
+                break
+            if 10 * cum < 7 * total:
+                room = 7 * total - 10 * cum
+                take = min(c, -((-room) // (10 * v)) if v else c)
+                cls = "A"
+            elif 10 * cum < 9 * total:
+                room = 9 * total - 10 * cum
+                take = min(c, -((-room) // (10 * v)) if v else c)
+                cls = "B"
+            else:
+                take, cls = c, "C"
+            acc[cls][0] += take
+            acc[cls][1] += take * v
+            cum += take * v
+            c -= take
+        if c:
+            acc["C"][0] += c
+            acc["C"][1] += c * v
+            cum += c * v
+    return pd.DataFrame({
+        "abc_class": ["A", "B", "C"],
+        "n_customers": pd.Series([acc[k][0] for k in "ABC"], dtype="int64"),
+        "revenue": [acc[k][1] / 100.0 for k in "ABC"],
+        "share": [round(acc[k][1] / total, 6) if total else 0.0
+                  for k in "ABC"],
+    })
+
+
+SQL_ABC_CLASSIFICATION = """
+WITH s AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend_c
+  FROM orders GROUP BY 1
+), t AS (SELECT SUM(spend_c) AS tot FROM s),
+r AS (
+  SELECT spend_c,
+         SUM(spend_c) OVER (ORDER BY spend_c DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+), c AS (
+  SELECT spend_c,
+         CASE WHEN 10 * (cum - spend_c) < 7 * t.tot THEN 'A'
+              WHEN 10 * (cum - spend_c) < 9 * t.tot THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM r CROSS JOIN t
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       SUM(spend_c) / 100.0 AS revenue,
+       ROUND(CAST(SUM(spend_c) AS DOUBLE) / t.tot, 6) AS share
+FROM c CROSS JOIN t GROUP BY abc_class, t.tot ORDER BY abc_class
+"""
+
+
+def q_monthly_seasonality(sf_dir: str):
+    """Calendar-month seasonality index: revenue per month-of-year
+    with index = month_share × 12 (1.0 = a flat month) — the seasonal
+    profile forecasting normalizes by.  Per-batch additive (month,
+    cents) partials fold to 12 driver rows; ratios of exact ints,
+    rounded to 6 dp."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0 + 0.5
+        ).astype("int64")
+        out = pd.DataFrame({
+            "month": df["o_orderdate"].dt.month.astype("int64"),
+            "rev_c": cents,
+        })
+        return out.groupby("month", as_index=False)["rev_c"].sum()
+
+    m = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas().groupby("month", as_index=False)["rev_c"].sum()
+        .sort_values("month").reset_index(drop=True)
+    )
+    tot = int(m["rev_c"].sum())
+    return pd.DataFrame({
+        "month": m["month"].astype("int64"),
+        "revenue": m["rev_c"].astype("int64").to_numpy(np.float64) / 100.0,
+        "seasonality_index": (
+            m["rev_c"].to_numpy(np.float64) * 12.0 / tot
+        ).round(6),
+    })
+
+
+SQL_MONTHLY_SEASONALITY = """
+WITH m AS (
+  SELECT CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS month,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+), t AS (SELECT SUM(rev_c) AS tot FROM m)
+SELECT month, rev_c / 100.0 AS revenue,
+       ROUND(CAST(rev_c AS DOUBLE) * 12.0 / t.tot, 6)
+         AS seasonality_index
+FROM m CROSS JOIN t ORDER BY month
+"""
+
+
 def q_token_histogram(sf_dir: str):
     """Heavy hitters: global top-20 token frequencies.  The canonical
     pre-aggregation shape: each batch emits its own token counts (a
@@ -5442,6 +5596,8 @@ QUERIES = {
     "rolling_daily_revenue_p50": q_rolling_daily_revenue_p50,
     "longest_streak_per_user": q_longest_streak_per_user,
     "median_order_gap": q_median_order_gap,
+    "abc_classification": q_abc_classification,
+    "monthly_seasonality": q_monthly_seasonality,
     "revenue_reconciliation": q_revenue_reconciliation,
     "weekly_churn": q_weekly_churn,
     "pareto_8020": q_pareto_8020,
@@ -5536,6 +5692,8 @@ ORACLE_SQL = {
     "rolling_daily_revenue_p50": SQL_ROLLING_DAILY_P50,
     "longest_streak_per_user": SQL_LONGEST_STREAK,
     "median_order_gap": SQL_MEDIAN_ORDER_GAP,
+    "abc_classification": SQL_ABC_CLASSIFICATION,
+    "monthly_seasonality": SQL_MONTHLY_SEASONALITY,
     "revenue_reconciliation": SQL_REVENUE_RECONCILIATION,
     "weekly_churn": SQL_WEEKLY_CHURN,
     "pareto_8020": SQL_PARETO_8020,
