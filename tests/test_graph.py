@@ -46,10 +46,12 @@ def test_pagerank_matches_local_reference():
         edges_ds.to_pandas()
         .groupby(["src", "dst"], as_index=False)["w"].sum()
     )
-    expect = _local_pagerank(edges, nodes)
+    # the query rounds to 12 dp (driver-hash strictness vs the SQL
+    # oracle); round the local reference identically before comparing
+    expect = np.round(_local_pagerank(edges, nodes), 12)
     got = q_pagerank_parts(SF_DIR)
     assert np.array_equal(got["part_key"].to_numpy(), nodes)
-    np.testing.assert_allclose(got["pr"].to_numpy(), expect, rtol=1e-12)
+    np.testing.assert_allclose(got["pr"].to_numpy(), expect, atol=2e-12)
     # every rank at least the teleport floor, none above 1
     assert (got["pr"] >= (1.0 - PR_DAMPING) / len(nodes) - 1e-15).all()
     assert (got["pr"] < 1.0).all()
