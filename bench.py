@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "revenue_reconciliation",
     "abc_classification",
     "monthly_seasonality",
+    "winsorized_value_stats",
+    "value_outliers_topk",
 ]
 
 

@@ -2967,6 +2967,90 @@ FROM m CROSS JOIN t ORDER BY month
 """
 
 
+
+OUTLIER_TOPK = 20
+
+
+def q_value_outliers_topk(sf_dir: str):
+    """Anomaly surfacing: the {OUTLIER_TOPK} events with the largest
+    |z| within their event_type — the triage list an alerting pipeline
+    pages on (``zscore_events`` emits every z; this asks which rows
+    matter).  The per-type moments fold exactly as in zscore; each
+    block then emits only its local top-k by (|z| desc, event_id), a
+    safe combiner because the global top-k is a subset of the union of
+    block top-ks; the driver merges ≤ blocks·k rows.  z rounds to 9 dp
+    on both engines (strict driver hash), and the |z| ranking uses the
+    ROUNDED value so rank boundaries cannot diverge."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def sums(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # typed empty
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+            })
+        g = t.group_by("event_type").aggregate([
+            ("value", "count"), ("value", "sum"),
+        ])
+        return pa.table({
+            "event_type": g["event_type"],
+            "n": pc.cast(g["value_count"], pa.int64()),
+            "s": g["value_sum"],
+        })
+
+    parts = ds.map_batches(sums, batch_format="pyarrow").to_pandas()
+    st = parts.groupby("event_type", as_index=False).sum()
+    st["mean"] = st["s"] / st["n"]
+    mean_tbl = dict(zip(st["event_type"], st["mean"]))
+
+    def ssd(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].map(mean_tbl).to_numpy(np.float64)
+        d = df["value"].to_numpy(np.float64) - m
+        out = pd.DataFrame({"event_type": df["event_type"], "dd": d * d})
+        return out.groupby("event_type", as_index=False)["dd"].sum()
+
+    sparts = ds.map_batches(ssd, batch_format="pandas").to_pandas() \
+        .groupby("event_type", as_index=False)["dd"].sum()
+    sd_tbl = dict(zip(
+        sparts["event_type"],
+        np.sqrt(sparts["dd"].to_numpy(np.float64)
+                / (st.set_index("event_type").loc[
+                    sparts["event_type"], "n"].to_numpy(np.float64) - 1.0)),
+    ))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].map(mean_tbl).to_numpy(np.float64)
+        sd = df["event_type"].map(sd_tbl).to_numpy(np.float64)
+        z = np.round((df["value"].to_numpy(np.float64) - m) / sd, 9)
+        out = pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "event_type": df["event_type"],
+            "z": z,
+            "abs_z": np.abs(z),
+        })
+        return out.sort_values(["abs_z", "event_id"],
+                               ascending=[False, True],
+                               kind="mergesort").head(OUTLIER_TOPK)
+
+    cand = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    top = cand.sort_values(["abs_z", "event_id"], ascending=[False, True],
+                           kind="mergesort").head(OUTLIER_TOPK)
+    return top[["event_id", "event_type", "z"]].reset_index(drop=True)
+
+
+SQL_VALUE_OUTLIERS_TOPK = f"""
+WITH z AS (
+  SELECT event_id, event_type,
+         ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+           / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 9) AS z
+  FROM events
+)
+SELECT event_id, event_type, z
+FROM z ORDER BY ABS(z) DESC, event_id LIMIT {OUTLIER_TOPK}
+"""
+
+
 def q_token_histogram(sf_dir: str):
     """Heavy hitters: global top-20 token frequencies.  The canonical
     pre-aggregation shape: each batch emits its own token counts (a
@@ -5597,6 +5681,7 @@ QUERIES = {
     "longest_streak_per_user": q_longest_streak_per_user,
     "median_order_gap": q_median_order_gap,
     "abc_classification": q_abc_classification,
+    "value_outliers_topk": q_value_outliers_topk,
     "monthly_seasonality": q_monthly_seasonality,
     "revenue_reconciliation": q_revenue_reconciliation,
     "weekly_churn": q_weekly_churn,
@@ -5693,6 +5778,7 @@ ORACLE_SQL = {
     "longest_streak_per_user": SQL_LONGEST_STREAK,
     "median_order_gap": SQL_MEDIAN_ORDER_GAP,
     "abc_classification": SQL_ABC_CLASSIFICATION,
+    "value_outliers_topk": SQL_VALUE_OUTLIERS_TOPK,
     "monthly_seasonality": SQL_MONTHLY_SEASONALITY,
     "revenue_reconciliation": SQL_REVENUE_RECONCILIATION,
     "weekly_churn": SQL_WEEKLY_CHURN,

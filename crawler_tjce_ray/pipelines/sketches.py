@@ -977,6 +977,65 @@ GROUP BY e.event_type, m.med ORDER BY e.event_type
 """
 
 
+
+def q_winsorized_value_stats(sf_dir: str):
+    """Winsorized moments: the event ``value`` column clipped at its
+    exact p05/p95 (``quantile_disc`` picks from ONE shared-pass
+    distributed quickselect), then count/mean of the clipped column —
+    the robust-stats preprocessing step (outliers saturate instead of
+    dominating).  The clipped values snap to integer micro-units
+    (floor(x·10⁶ + 0.5), identical IEEE ops both engines) so the sum
+    is an order-independent int64 and the mean an exact ratio,
+    rounded to 6 dp."""
+    import math
+
+    ds = _read_events(sf_dir, ["value"]).materialize()
+    n, gmin, gmax = _select_base_stats(ds, _derive_value)
+    ks = [max(1, math.ceil(0.05 * n)), max(1, math.ceil(0.95 * n))]
+    lo, hi = _quickselect_multi(ds, _derive_value, ks, n, gmin, gmax)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        w = np.clip(v, lo, hi)
+        micro = np.floor(w * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "n": [len(v)],
+            "s": [int(micro.sum())],
+            "n_lo": [int((v < lo).sum())],
+            "n_hi": [int((v > hi).sum())],
+        })
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas().sum()
+    nn = int(p["n"])
+    return pd.DataFrame({
+        "n": pd.Series([nn], dtype="int64"),
+        "p05": [lo], "p95": [hi],
+        "clipped_low": pd.Series([int(p["n_lo"])], dtype="int64"),
+        "clipped_high": pd.Series([int(p["n_hi"])], dtype="int64"),
+        "winsorized_mean": [round(int(p["s"]) / nn / 1e6, 6) if nn else 0.0],
+    })
+
+
+SQL_WINSORIZED_VALUE_STATS = """
+WITH t AS (
+  SELECT quantile_disc(value, 0.05) AS lo, quantile_disc(value, 0.95) AS hi
+  FROM events
+), w AS (
+  SELECT CAST(FLOOR(least(greatest(value, t.lo), t.hi) * 1e6 + 0.5)
+              AS BIGINT) AS micro,
+         (value < t.lo) AS is_lo, (value > t.hi) AS is_hi
+  FROM events CROSS JOIN t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       t.lo AS p05, t.hi AS p95,
+       CAST(COUNT(*) FILTER (is_lo) AS BIGINT) AS clipped_low,
+       CAST(COUNT(*) FILTER (is_hi) AS BIGINT) AS clipped_high,
+       ROUND(CAST(SUM(micro) AS DOUBLE) / COUNT(*) / 1e6, 6)
+         AS winsorized_mean
+FROM w CROSS JOIN t GROUP BY t.lo, t.hi
+"""
+
+
 QUERIES = {
     "value_quantiles": q_value_quantiles,
     "lorenz_deciles": q_lorenz_deciles,
@@ -989,6 +1048,7 @@ QUERIES = {
     "mad_value": q_mad_value,
     "grouped_median_select": q_grouped_median_select,
     "grouped_mad_value": q_grouped_mad_value,
+    "winsorized_value_stats": q_winsorized_value_stats,
     "grouped_p90_select": q_grouped_p90_select,
 }
 
@@ -1001,5 +1061,6 @@ ORACLE_SQL = {
     "mad_value": SQL_MAD_VALUE,
     "grouped_median_select": SQL_GROUPED_MEDIAN_SELECT,
     "grouped_mad_value": SQL_GROUPED_MAD_VALUE,
+    "winsorized_value_stats": SQL_WINSORIZED_VALUE_STATS,
     "grouped_p90_select": SQL_GROUPED_P90_SELECT,
 }
