@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "monthly_seasonality",
     "winsorized_value_stats",
     "value_outliers_topk",
+    "lang_purity_by_source",
+    "char_class_profile",
 ]
 
 

@@ -210,8 +210,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 #   pack_sequences_sharded-oracle, rolling_daily_revenue_p50,
 #   pareto_8020, longest_streak_per_user, weekly_churn,
 #   median_order_gap, revenue_reconciliation, abc_classification,
-#   monthly_seasonality, winsorized_value_stats, value_outliers_topk)
-#   and any other new queries.
+#   monthly_seasonality, winsorized_value_stats, value_outliers_topk,
+#   lang_purity_by_source, char_class_profile) and any other new
+#   queries.
 #   The window is EXACTLY _DRIVER_WINDOW_SIZE entries — pinned by
 #   tests/test_registry_window.py so an insertion can never silently
 #   push the tail entry past the driver's horizon.

@@ -280,6 +280,143 @@ FROM c GROUP BY source ORDER BY source
 """
 
 
+
+
+def q_lang_purity_by_source(sf_dir: str):
+    """Label-noise audit: per source, its MAJORITY language (ties to
+    the lexicographically smallest — pinned on both engines), the
+    share of docs carrying it, and the total — the "is this source's
+    lang metadata trustworthy" check run before lang-filtered
+    training mixes.  Contingency count partials (|sources| × |langs|
+    driver fold, independent of corpus size); purity is a ratio of
+    exact ints rounded to 6 dp."""
+    ds = _read_docs(sf_dir, ["source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["source", "lang"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return out.astype({"n": "int64"})
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas().groupby(["source", "lang"], as_index=False)["n"].sum()
+    )
+    cells = cells.sort_values(["source", "n", "lang"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+    top = cells.drop_duplicates("source")
+    tot = cells.groupby("source", as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_docs"})
+    out = top.merge(tot, on="source")
+    return pd.DataFrame({
+        "source": out["source"].astype(object),
+        "majority_lang": out["lang"].astype(object),
+        "n_docs": out["n_docs"].astype("int64"),
+        "purity": (out["n"].to_numpy(np.float64)
+                   / out["n_docs"].to_numpy(np.float64)).round(6),
+    }).sort_values("source").reset_index(drop=True)
+
+
+SQL_LANG_PURITY_BY_SOURCE = """
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+), r AS (
+  SELECT source, lang, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, lang) AS rk,
+         SUM(n) OVER (PARTITION BY source) AS n_docs
+  FROM c
+)
+SELECT source, lang AS majority_lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(CAST(n AS DOUBLE) / n_docs, 6) AS purity
+FROM r WHERE rk = 1 ORDER BY source
+"""
+
+
+def q_char_class_profile(sf_dir: str):
+    """Character-class profile per language: fractions of letters,
+    digits, whitespace and other — the orthography sanity panel
+    (digit-heavy "en" is probably tables, letter-less "zh" is
+    mislabeled).  Zero-copy Arrow RE2 counts per batch → additive
+    (lang, 4 counters) partials → driver ratios of exact ints,
+    rounded to 6 dp."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # typed empty
+            return pa.table({
+                "lang": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+                "letters": pa.array([], pa.int64()),
+                "digits": pa.array([], pa.int64()),
+                "spaces": pa.array([], pa.int64()),
+            })
+        txt = t["text"]
+        g = pa.table({
+            "lang": t["lang"],
+            "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+            "letters": pc.cast(pc.count_substring_regex(
+                txt, r"[\p{L}]"), pa.int64()),
+            "digits": pc.cast(pc.count_substring_regex(
+                txt, r"[0-9]"), pa.int64()),
+            "spaces": pc.cast(pc.count_substring_regex(
+                txt, r"\s"), pa.int64()),
+        }).group_by("lang").aggregate([
+            ("n_chars", "sum"), ("letters", "sum"),
+            ("digits", "sum"), ("spaces", "sum"),
+        ])
+        return pa.table({
+            "lang": g["lang"],
+            "n_chars": g["n_chars_sum"], "letters": g["letters_sum"],
+            "digits": g["digits_sum"], "spaces": g["spaces_sum"],
+        })
+
+    p = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas().groupby("lang", as_index=False)[
+            ["n_chars", "letters", "digits", "spaces"]].sum()
+        .sort_values("lang").reset_index(drop=True)
+    )
+    nc = p["n_chars"].to_numpy(np.float64)
+    other = (p["n_chars"] - p["letters"] - p["digits"] - p["spaces"]) \
+        .to_numpy(np.float64)
+    return pd.DataFrame({
+        "lang": p["lang"].astype(object),
+        "n_chars": p["n_chars"].astype("int64"),
+        "letter_frac": (p["letters"].to_numpy(np.float64) / nc).round(6),
+        "digit_frac": (p["digits"].to_numpy(np.float64) / nc).round(6),
+        "space_frac": (p["spaces"].to_numpy(np.float64) / nc).round(6),
+        "other_frac": (other / nc).round(6),
+    })
+
+
+SQL_CHAR_CLASS_PROFILE = r"""
+WITH c AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g'))
+              AS BIGINT) AS letters,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+              AS BIGINT) AS digits,
+         CAST(length(text) - length(regexp_replace(text, '\s', '', 'g'))
+              AS BIGINT) AS spaces
+  FROM documents
+)
+SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(letters) AS DOUBLE) / SUM(n_chars), 6)
+         AS letter_frac,
+       ROUND(CAST(SUM(digits) AS DOUBLE) / SUM(n_chars), 6) AS digit_frac,
+       ROUND(CAST(SUM(spaces) AS DOUBLE) / SUM(n_chars), 6) AS space_frac,
+       ROUND(CAST(SUM(n_chars - letters - digits - spaces) AS DOUBLE)
+             / SUM(n_chars), 6) AS other_frac
+FROM c GROUP BY lang ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # language identification (stopword-vote heuristic) + confusion matrix
 # ---------------------------------------------------------------------------
@@ -1181,6 +1318,8 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_ttr": q_text_ttr,
     "hapax_rate_by_source": q_hapax_rate_by_source,
+    "lang_purity_by_source": q_lang_purity_by_source,
+    "char_class_profile": q_char_class_profile,
     "lang_id_confusion": q_lang_id_confusion,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprint": q_winnow_fingerprint,
@@ -1199,6 +1338,8 @@ ORACLE_SQL = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_ttr": SQL_TEXT_TTR,
     "hapax_rate_by_source": SQL_HAPAX_RATE,
+    "lang_purity_by_source": SQL_LANG_PURITY_BY_SOURCE,
+    "char_class_profile": SQL_CHAR_CLASS_PROFILE,
     "lang_id_confusion": SQL_LANG_ID_CONFUSION,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "bm25_score": SQL_BM25_SCORE,
