@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "value_outliers_topk",
     "lang_purity_by_source",
     "char_class_profile",
+    "supplier_concentration",
+    "weekday_profile",
 ]
 
 

@@ -211,7 +211,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 #   pareto_8020, longest_streak_per_user, weekly_churn,
 #   median_order_gap, revenue_reconciliation, abc_classification,
 #   monthly_seasonality, winsorized_value_stats, value_outliers_topk,
-#   lang_purity_by_source, char_class_profile) and any other new
+#   lang_purity_by_source, char_class_profile,
+#   supplier_concentration, weekday_profile) and any other new
 #   queries.
 #   The window is EXACTLY _DRIVER_WINDOW_SIZE entries — pinned by
 #   tests/test_registry_window.py so an insertion can never silently

@@ -3051,6 +3051,136 @@ FROM z ORDER BY ABS(z) DESC, event_id LIMIT {OUTLIER_TOPK}
 """
 
 
+
+def q_supplier_concentration(sf_dir: str):
+    """Supply-side concentration: the Gini coefficient of per-supplier
+    revenue plus the top-5 suppliers' share — ``concentration_stats``
+    aimed at the OTHER side of the market (and a different fact path:
+    revenue accrues straight from lineitem, no order join).  Same
+    suppkey-exchange value-count-histogram fold; rank sums in
+    arbitrary-precision ints; both outputs are exact-int ratios
+    rounded to 6 dp."""
+    line = _read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # typed empty
+            return pa.table({
+                "suppkey": pa.array([], pa.int64()),
+                "kb": pa.array([], pa.int64()),
+                "rev_c": pa.array([], pa.int64()),
+            })
+        key = pc.cast(t["l_suppkey"], pa.int64())
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(rev, pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        g = pa.table({"suppkey": key, "rev_c": cents}) \
+            .group_by("suppkey").aggregate([("rev_c", "sum")])
+        key2 = pc.cast(g["suppkey"], pa.int64())
+        return pa.table({
+            "suppkey": key2, "kb": _kb64(key2),
+            "rev_c": pc.cast(g["rev_c_sum"], pa.int64()),
+        })
+
+    def hist_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("suppkey", as_index=False)["rev_c"].sum()
+        h = per.groupby("rev_c", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return h.astype({"rev_c": "int64", "n": "int64"})
+
+    hist = (
+        line.map_batches(partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(hist_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("rev_c", as_index=False)["n"].sum()
+        .sort_values("rev_c").reset_index(drop=True)
+    )
+    vals = [int(v) for v in hist["rev_c"]]
+    cnts = [int(c) for c in hist["n"]]
+    n = sum(cnts)
+    tot = sum(v * c for v, c in zip(vals, cnts))
+    rs, below = 0, 0
+    for v, c in zip(vals, cnts):
+        rs += v * (c * below + c * (c + 1) // 2)
+        below += c
+    top5, need = 0, 5
+    for v, c in zip(reversed(vals), reversed(cnts)):
+        take = min(c, need)
+        top5 += v * take
+        need -= take
+        if need == 0:
+            break
+    gini = (2.0 * rs - (n + 1.0) * tot) / (float(n) * tot) if tot else 0.0
+    return pd.DataFrame({
+        "n_suppliers": pd.Series([n], dtype="int64"),
+        "total_revenue": [tot / 100.0],
+        "gini": [round(gini, 6)],
+        "top5_share": [round(top5 / tot, 6) if tot else 0.0],
+    })
+
+
+SQL_SUPPLIER_CONCENTRATION = """
+WITH s AS (
+  SELECT l_suppkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS rev_c
+  FROM lineitem GROUP BY 1
+), r AS (
+  SELECT rev_c,
+         ROW_NUMBER() OVER (ORDER BY rev_c, l_suppkey) AS rn
+  FROM s
+), t AS (
+  SELECT COUNT(*) AS n, SUM(rev_c) AS tot, SUM(rn * rev_c) AS rs FROM r
+), tp AS (
+  SELECT SUM(r.rev_c) AS top5 FROM r CROSS JOIN t WHERE r.rn > t.n - 5
+)
+SELECT CAST(t.n AS BIGINT) AS n_suppliers,
+       t.tot / 100.0 AS total_revenue,
+       ROUND((2.0 * t.rs - (t.n + 1.0) * t.tot)
+             / (CAST(t.n AS DOUBLE) * t.tot), 6) AS gini,
+       ROUND(CAST(tp.top5 AS DOUBLE) / t.tot, 6) AS top5_share
+FROM t CROSS JOIN tp
+"""
+
+
+def q_weekday_profile(sf_dir: str):
+    """Day-of-week activity profile: events per ISO weekday (1 =
+    Monday) with each day's share — the weekly rhythm panel beside
+    ``monthly_seasonality``.  Additive (weekday, n) partials fold to
+    seven driver rows; shares are ratios of exact ints."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        wd = (df["ts"].dt.weekday + 1).astype("int64")
+        out = wd.value_counts().rename_axis("weekday").reset_index(name="n")
+        return out.astype({"n": "int64"})
+
+    p = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas().groupby("weekday", as_index=False)["n"].sum()
+        .sort_values("weekday").reset_index(drop=True)
+    )
+    tot = int(p["n"].sum())
+    return pd.DataFrame({
+        "weekday": p["weekday"].astype("int64"),
+        "n_events": p["n"].astype("int64"),
+        "share": (p["n"].to_numpy(np.float64) / tot).round(6),
+    })
+
+
+SQL_WEEKDAY_PROFILE = """
+WITH d AS (
+  SELECT CAST(isodow(ts) AS BIGINT) AS weekday, COUNT(*) AS n
+  FROM events GROUP BY 1
+), t AS (SELECT SUM(n) AS tot FROM d)
+SELECT weekday, CAST(n AS BIGINT) AS n_events,
+       ROUND(CAST(n AS DOUBLE) / t.tot, 6) AS share
+FROM d CROSS JOIN t ORDER BY weekday
+"""
+
+
 def q_token_histogram(sf_dir: str):
     """Heavy hitters: global top-20 token frequencies.  The canonical
     pre-aggregation shape: each batch emits its own token counts (a
@@ -5682,6 +5812,8 @@ QUERIES = {
     "median_order_gap": q_median_order_gap,
     "abc_classification": q_abc_classification,
     "value_outliers_topk": q_value_outliers_topk,
+    "supplier_concentration": q_supplier_concentration,
+    "weekday_profile": q_weekday_profile,
     "monthly_seasonality": q_monthly_seasonality,
     "revenue_reconciliation": q_revenue_reconciliation,
     "weekly_churn": q_weekly_churn,
@@ -5779,6 +5911,8 @@ ORACLE_SQL = {
     "median_order_gap": SQL_MEDIAN_ORDER_GAP,
     "abc_classification": SQL_ABC_CLASSIFICATION,
     "value_outliers_topk": SQL_VALUE_OUTLIERS_TOPK,
+    "supplier_concentration": SQL_SUPPLIER_CONCENTRATION,
+    "weekday_profile": SQL_WEEKDAY_PROFILE,
     "monthly_seasonality": SQL_MONTHLY_SEASONALITY,
     "revenue_reconciliation": SQL_REVENUE_RECONCILIATION,
     "weekly_churn": SQL_WEEKLY_CHURN,
