@@ -523,6 +523,13 @@ def q_edge_reciprocity(sf_dir: str):
         src, dst = src[keep], dst[keep]
         a = np.minimum(src, dst)
         b = np.maximum(src, dst)
+        # pair identity packs two keys into one int64; only valid for
+        # non-negative keys below 2^32 (true for TPC-H partkeys — at
+        # larger key spaces switch to a (a, b) two-column key).
+        if len(b) and (int(b.max()) >= (1 << 32) or int(a.min()) < 0):
+            raise ValueError(
+                "edge keys exceed 32-bit packing range; use a "
+                "two-column (a, b) pair key for this key space")
         pair = (a << np.int64(32)) | b
         out = pd.DataFrame({
             "pair": pair, "fwd": (src < dst),
@@ -620,9 +627,11 @@ def q_time_to_convert(sf_dir: str):
 
     n, gmin, gmax = _select_base_stats(durs, derive)
     if n == 0:
+        # Oracle: quantile_disc over an empty set is NULL, not 0 —
+        # emit NaN so the degenerate no-converters corpus still agrees.
         return pd.DataFrame({
             "n_converters": pd.Series([0], dtype="int64"),
-            "median_s": [0.0], "p90_s": [0.0],
+            "median_s": [float("nan")], "p90_s": [float("nan")],
         })
     ks = [max(1, math.ceil(0.5 * n)), max(1, math.ceil(0.9 * n))]
     med, p90 = _quickselect_multi(durs, derive, ks, n, gmin, gmax)

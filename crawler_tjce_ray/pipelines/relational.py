@@ -1447,7 +1447,7 @@ def q_session_stats(sf_dir: str):
 
 SQL_SESSION_STATS = """
 WITH marked AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
@@ -1455,7 +1455,7 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), tagged AS (
   SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS UNBOUNDED PRECEDING) AS sid
   FROM marked
 ), s AS (
@@ -1697,7 +1697,7 @@ def q_session_type_pairs(sf_dir: str):
 
 SQL_SESSION_TYPE_PAIRS = """
 WITH marked AS (
-  SELECT user_id, ts, event_type,
+  SELECT user_id, ts, event_id, event_type,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
@@ -1705,7 +1705,7 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), tagged AS (
   SELECT user_id, event_type,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS UNBOUNDED PRECEDING) AS sid
   FROM marked
 ), d AS (
@@ -2486,6 +2486,17 @@ def q_pareto_8020(sf_dir: str):
     )
     total = sum(int(v) * int(c) for v, c in zip(hist["spend_c"], hist["n"]))
     n_cust = int(hist["n"].sum())
+    if total == 0:
+        # Degenerate all-zero-spend corpus: the oracle's 5*cum >= 4*tot
+        # predicate is satisfied at rn=1 (0 >= 0), so SQL yields k=1 and
+        # a NULL share (division by zero).  Mirror that exactly instead
+        # of counting the whole zero-spend tie group.
+        return pd.DataFrame({
+            "n_customers": pd.Series([n_cust], dtype="int64"),
+            "top_k_for_80pct": pd.Series([1 if n_cust else 0],
+                                         dtype="int64"),
+            "top_k_share": [float("nan")],
+        })
     cum, k = 0, 0
     for v, c in zip(hist["spend_c"], hist["n"]):
         v, c = int(v), int(c)
@@ -2980,49 +2991,53 @@ def q_value_outliers_topk(sf_dir: str):
     safe combiner because the global top-k is a subset of the union of
     block top-ks; the driver merges ≤ blocks·k rows.  z rounds to 9 dp
     on both engines (strict driver hash), and the |z| ranking uses the
-    ROUNDED value so rank boundaries cannot diverge."""
+    the ROUNDED value so rank boundaries cannot diverge.  The sd is
+    built from integer-cent moment sums (n, Σv, Σv²) with the SAME
+    double expression tree the oracle evaluates — exact ints make the
+    summation order irrelevant and the identical IEEE op sequence
+    makes mean/sd/z bit-identical on both engines (the price_cv_topk
+    pattern), so 9-dp rounding cannot flip a rank."""
+    import math
+
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
 
-    def sums(t: pa.Table) -> pa.Table:
+    def moments(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:  # typed empty
             return pa.table({
                 "event_type": pa.array([], pa.string()),
                 "n": pa.array([], pa.int64()),
-                "s": pa.array([], pa.float64()),
+                "s1": pa.array([], pa.int64()),
+                "s2": pa.array([], pa.int64()),
             })
-        g = t.group_by("event_type").aggregate([
-            ("value", "count"), ("value", "sum"),
+        vc = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["value"], pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        g = pa.table({
+            "event_type": t["event_type"], "vc": vc,
+            "vv": pc.multiply(vc, vc),
+        }).group_by("event_type").aggregate([
+            ("vc", "count"), ("vc", "sum"), ("vv", "sum"),
         ])
         return pa.table({
             "event_type": g["event_type"],
-            "n": pc.cast(g["value_count"], pa.int64()),
-            "s": g["value_sum"],
+            "n": pc.cast(g["vc_count"], pa.int64()),
+            "s1": pc.cast(g["vc_sum"], pa.int64()),
+            "s2": pc.cast(g["vv_sum"], pa.int64()),
         })
 
-    parts = ds.map_batches(sums, batch_format="pyarrow").to_pandas()
-    st = parts.groupby("event_type", as_index=False).sum()
-    st["mean"] = st["s"] / st["n"]
-    mean_tbl = dict(zip(st["event_type"], st["mean"]))
-
-    def ssd(df: pd.DataFrame) -> pd.DataFrame:
-        m = df["event_type"].map(mean_tbl).to_numpy(np.float64)
-        d = df["value"].to_numpy(np.float64) - m
-        out = pd.DataFrame({"event_type": df["event_type"], "dd": d * d})
-        return out.groupby("event_type", as_index=False)["dd"].sum()
-
-    sparts = ds.map_batches(ssd, batch_format="pandas").to_pandas() \
-        .groupby("event_type", as_index=False)["dd"].sum()
-    sd_tbl = dict(zip(
-        sparts["event_type"],
-        np.sqrt(sparts["dd"].to_numpy(np.float64)
-                / (st.set_index("event_type").loc[
-                    sparts["event_type"], "n"].to_numpy(np.float64) - 1.0)),
-    ))
+    st = ds.map_batches(moments, batch_format="pyarrow").to_pandas() \
+        .groupby("event_type", as_index=False).sum()
+    mean_tbl, sd_tbl = {}, {}
+    for et, n, s1, s2 in zip(st["event_type"], st["n"], st["s1"], st["s2"]):
+        n, s1d, s2d = int(n), float(int(s1)), float(int(s2))
+        mean_tbl[et] = s1d / n
+        sd_tbl[et] = math.sqrt((s2d - s1d * s1d / n) / (n - 1))
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        vc = np.floor(df["value"].to_numpy(np.float64) * 100.0 + 0.5)
         m = df["event_type"].map(mean_tbl).to_numpy(np.float64)
         sd = df["event_type"].map(sd_tbl).to_numpy(np.float64)
-        z = np.round((df["value"].to_numpy(np.float64) - m) / sd, 9)
+        z = np.round((vc - m) / sd, 9)
         out = pd.DataFrame({
             "event_id": df["event_id"].astype("int64"),
             "event_type": df["event_type"],
@@ -3040,11 +3055,21 @@ def q_value_outliers_topk(sf_dir: str):
 
 
 SQL_VALUE_OUTLIERS_TOPK = f"""
-WITH z AS (
+WITH v AS (
   SELECT event_id, event_type,
-         ROUND((value - AVG(value) OVER (PARTITION BY event_type))
-           / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 9) AS z
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
   FROM events
+), m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(vc) AS s1, SUM(CAST(vc AS HUGEINT) * vc) AS s2
+  FROM v GROUP BY 1
+), z AS (
+  SELECT v.event_id, v.event_type,
+         ROUND((CAST(v.vc AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.n)
+           / SQRT((CAST(m.s2 AS DOUBLE)
+                   - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) / m.n)
+                  / (m.n - 1)), 9) AS z
+  FROM v JOIN m USING (event_type)
 )
 SELECT event_id, event_type, z
 FROM z ORDER BY ABS(z) DESC, event_id LIMIT {OUTLIER_TOPK}
@@ -5215,6 +5240,13 @@ def q_part_cooccurrence(sf_dir: str):
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        # packed-pair identity needs non-negative partkeys < 2^32
+        # (holds for TPC-H; larger key spaces need a 2-column key)
+        pk = d["l_partkey"].to_numpy(np.int64)
+        if len(pk) and (int(pk.max()) >= (1 << 32) or int(pk.min()) < 0):
+            raise ValueError(
+                "partkeys exceed 32-bit packing range; use a "
+                "two-column pair key for this key space")
         m = d.merge(d, on="l_orderkey")
         m = m[m["l_partkey_x"] < m["l_partkey_y"]]
         pair = (

@@ -593,6 +593,9 @@ def _select_base_stats(ds, derive):
         }))(derive(df)),
         batch_format="pandas",
     ).to_pandas()
+    if base.empty or "n" not in base.columns:
+        # a fully-empty upstream yields a schemaless empty frame
+        return 0, float("inf"), float("-inf")
     return int(base["n"].sum()), float(base["mn"].min()), float(base["mx"].max())
 
 

@@ -102,8 +102,16 @@ def documents_max_doc_id(sf_dir: str) -> int:
         return int(t["doc_id"].to_pandas().max())
     import pandas as pd
 
+    def batch_max(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:  # an empty batch has no max — emit nothing
+            return pd.DataFrame({"mx": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"mx": [int(df["doc_id"].max())]})
+
     parts = read_documents(sf_dir, ["doc_id"]).map_batches(
-        lambda df: pd.DataFrame({"mx": [df["doc_id"].max()]}),
-        batch_format="pandas",
+        batch_max, batch_format="pandas",
     ).to_pandas()
+    if parts.empty:
+        raise ValueError(
+            f"documents table in {sf_dir!r} has no rows; "
+            "max doc_id is undefined")
     return int(parts["mx"].max())
