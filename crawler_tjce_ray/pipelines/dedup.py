@@ -395,6 +395,29 @@ WHERE CAST(length(list_intersect(a.gs,b.gs)) AS DOUBLE) /
 ORDER BY doc_a, doc_b
 """
 
+# the MinHash+LSH output contract: the exact all-pairs self-join at
+# τ = 0.8 (same gram construction; LSH recall at this τ is 1 up to a
+# ~5e-8/pair band-miss probability, deterministic per fixed seed)
+SQL_DEDUP_MINHASH_LSH = """
+WITH toks AS (
+  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(1, length(ws)-2)),
+             i -> ws[i] || ' ' || coalesce(ws[i+1],'') || ' ' ||
+                  coalesce(ws[i+2],''))) AS gs
+  FROM toks)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(length(list_intersect(a.gs,b.gs)) AS DOUBLE) /
+       (length(a.gs)+length(b.gs)-length(list_intersect(a.gs,b.gs)))
+         AS jaccard
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE CAST(length(list_intersect(a.gs,b.gs)) AS DOUBLE) /
+      (length(a.gs)+length(b.gs)-length(list_intersect(a.gs,b.gs))) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH (shingle → minhash → band → bucket groupby → verify)
@@ -428,15 +451,17 @@ _GRAM_P = np.uint64(1099511628211)
 _GRAM_P2 = np.uint64((int(_GRAM_P) ** 2) % (1 << 64))
 
 
-def batch_gram_hashes(texts) -> list[np.ndarray]:
+def batch_gram_hashes(texts, sep: str | None = None) -> list[np.ndarray]:
     """Vectorized 3-gram hashes for a whole batch of documents.
 
     One ``pd.util.hash_array`` call (C siphash, process-stable) hashes
     every token of the batch at once; per-doc 3-gram hashes are a
     rolling polynomial combine of the token-hash array — no per-gram
     Python hashing (the md5-per-shingle loop was the minhash hot
-    spot)."""
-    token_lists = [t.split() for t in texts]
+    spot).  ``sep=" "`` splits on a LITERAL space — the oracle's
+    ``string_split(text,' ')`` semantics — while the default ``None``
+    collapses whitespace runs (simhash keeps the default)."""
+    token_lists = [t.split(sep) for t in texts]
     total = sum(len(x) for x in token_lists)
     if total == 0:
         return [np.empty(0, dtype=np.uint64) for _ in token_lists]
@@ -510,7 +535,7 @@ def _verify_pairs_bucketed(docs, pairs, cand_ids: np.ndarray, tau: float):
         sub = df.loc[keep]
         if sub.empty:
             return _vempty()
-        ghs = batch_gram_hashes(sub["text"].tolist())
+        ghs = batch_gram_hashes(sub["text"].tolist(), sep=" ")
         doc = sub["doc_id"].to_numpy(np.int64)
         reps = np.fromiter((len(g) for g in ghs), dtype=np.int64, count=len(ghs))
         k = np.repeat(doc, reps)
@@ -599,8 +624,15 @@ def q_dedup_minhash_lsh(sf_dir: str):
     shingle index via ``ray.put``; above it (dup-heavy corpora where
     candidates ≈ corpus) verification runs fully in-bucket via
     ``_verify_pairs_bucketed`` with no driver text state.
-    Non-SQL (the perm family isn't expressible) → rows-only check; the
-    recall property vs brute force is pinned in
+    Oracle-backed: the candidate generation isn't SQL-expressible, but
+    the OUTPUT contract is — every emitted pair carries exact
+    3-gram Jaccard ≥ τ, and at τ = 0.8 the 32×4 band s-curve misses a
+    qualifying pair with probability (1−0.8⁴)³² ≈ 5·10⁻⁸, so on the
+    fixed-seed test corpora LSH recall is exactly 1 and the output
+    EQUALS the all-pairs τ=0.8 self-join (``SQL_DEDUP_MINHASH_LSH``,
+    the ngram-Jaccard oracle body at τ=0.8).  Equality at both sf
+    levels is deterministic (fixed permutation seed); the recall
+    property vs brute force is additionally pinned in
     tests/test_dedup_similarity.py."""
     import ray
     import ray.data as rd
@@ -608,7 +640,7 @@ def q_dedup_minhash_lsh(sf_dir: str):
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
     def signatures(df: pd.DataFrame) -> pd.DataFrame:
-        gram_lists = batch_gram_hashes(df["text"].tolist())
+        gram_lists = batch_gram_hashes(df["text"].tolist(), sep=" ")
         rows = []
         for doc_id, gh in zip(df["doc_id"], gram_lists):
             sig = minhash_signature(gh)
@@ -669,7 +701,7 @@ def q_dedup_minhash_lsh(sf_dir: str):
         lambda df: df[df["doc_id"].isin(cand_ids)], batch_format="pandas"
     ).to_pandas()
     grams_by_id = {
-        int(i): ngram_set(t.split())
+        int(i): ngram_set(t.split(" "))
         for i, t in zip(idx_df["doc_id"], idx_df["text"])
     }
     ref = ray.put(grams_by_id)
@@ -1826,6 +1858,7 @@ ORACLE_SQL = {
     "dedup_canonical": SQL_DEDUP_CANONICAL,
     "dedup_clusters_distributed": SQL_DEDUP_CLUSTERS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_jaccard_prefix": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_nn": SQL_DEDUP_EMBEDDING_NN,
     "dedup_substring_clean": SQL_DEDUP_SUBSTRING_CLEAN,

@@ -174,78 +174,60 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 # evidence, each round front-loads the queries that have never had a
 # driver CORRECTNESS row (rotation history in BASELINE.md):
 #   r1+r2 verified: the 42 relational/kernel oracles + 8 rows-only
-#   crawl queries + 18 r1-window entries (dedup_exact, ann_cosine_topk,
-#   token_count, ... — see CORRECTNESS_r01/r02.json).
-#   r3 window (below): the 43 oracle-backed queries never checked by
-#   the driver, running_total (red in r2, oracle cast fixed),
-#   dedup_minhash_lsh (verify stage rewritten this round), and the 4
-#   oracle-backed queries added late in r3 (heavy_hitters_exact,
-#   value_histogram, distinct_users_by_type, top_terms_per_lang).
-#   r4 should front the remainder: pack_sequences_sharded,
-#   multimodal_image_resize, multimodal_phash_dedup, ann_lsh_topk,
-#   c4_filters, importance_weights, qty_moments_by_flag,
-#   regr_price_qty, grouped_p90_select + the rows-only
-#   kmeans_embeddings / semdedup / cms_heavy_hitters /
-#   approx_value_quantiles / bpe_train / bpe_token_count +
-#   sources_per_lang, the fifteen oracle-backed queries added after
-#   the r3 window froze (fuzzy_name_pairs, degree_distribution,
-#   first_last_order, vocab_overlap_sources, perplexity_buckets,
-#   ewma_value_per_user, debounce_events, part_cooccurrence,
-#   welch_t_value, burstiness_users, lang_entropy_by_source,
-#   char_trigram_topk, zipf_slope, embedding_dim_variance,
-#   label_cohesion, semi_join_vip, customer_year_setops,
-#   dense_rank_topk, skyline_pareto, merge_intervals, bfs_hops,
-#   dedup_canonical, rrf_fusion, cross_source_dup_matrix,
-#   mi_lang_source, event_dwell, event_trigrams, segment_year_revenue,
-#   ngram_novelty, timed_funnel, cohort_matrix, big_spenders,
-#   text_ttr, concentration_stats, assoc_rules,
-#   drawdown_value_per_user, purchase_id_islands, session_stats,
-#   weekly_revenue_wow, ship_latency_by_priority, path_to_purchase,
-#   lorenz_deciles, edge_reciprocity, hapax_rate_by_source,
-#   bigram_pmi_topk, session_type_pairs, time_to_convert,
-#   ltv_by_cohort, price_cv_topk, top_paths, grouped_mad_value,
-#   vocab_growth, region_year_revenue, hash_reservoir_sample,
-#   hourly_dense_counts, attribution_first_touch,
-#   orders_per_customer_hist, ks_two_sources, join_coverage_audit,
-#   pack_sequences_sharded-oracle, rolling_daily_revenue_p50,
-#   pareto_8020, longest_streak_per_user, weekly_churn,
-#   median_order_gap, revenue_reconciliation, abc_classification,
-#   monthly_seasonality, winsorized_value_stats, value_outliers_topk,
-#   lang_purity_by_source, char_class_profile,
-#   supplier_concentration, weekday_profile) and any other new
-#   queries.
+#   crawl queries + 18 r1-window entries (see CORRECTNESS_r01/r02.json).
+#   r3 verified: 49 oracle-backed queries green incl. strict hash
+#   (windows/dedup-clusters/webtext/graph/training block) +
+#   dedup_minhash_lsh rows-only-err (now oracle-backed, re-fronted).
+#   r4 window (below): 49 of the 80 oracle-backed queries that have
+#   never had a driver row, hardest-first per the r3 verdict, plus
+#   dedup_minhash_lsh whose r3 slot returned err:no_oracle and which
+#   now has an exact-Jaccard τ=0.8 oracle (recall-1 equality verified
+#   at sf0.001 and sf0.01).
+#   r5 remainder (30, simplest aggregates deferred): sources_per_lang,
+#   big_spenders, concentration_stats, region_year_revenue,
+#   hourly_dense_counts, ks_two_sources, rolling_daily_revenue_p50,
+#   abc_classification, supplier_concentration, weekday_profile,
+#   monthly_seasonality, revenue_reconciliation, join_coverage_audit,
+#   orders_per_customer_hist, hash_reservoir_sample, text_ttr,
+#   lang_purity_by_source, char_class_profile, lang_entropy_by_source,
+#   zipf_slope, embedding_dim_variance, vocab_overlap_sources,
+#   hapax_rate_by_source, weekly_churn, median_order_gap,
+#   lorenz_deciles, cohort_matrix, event_dwell, degree_distribution,
+#   first_last_order, vocab_growth + the rows-only set
+#   (kmeans_embeddings, semdedup, cms_heavy_hitters,
+#   approx_value_quantiles, ann_lsh_topk, multimodal_image_resize,
+#   multimodal_phash_dedup, bpe_train, bpe_token_count) if any gain
+#   oracles, plus any new round-5 queries.
 #   The window is EXACTLY _DRIVER_WINDOW_SIZE entries — pinned by
 #   tests/test_registry_window.py so an insertion can never silently
 #   push the tail entry past the driver's horizon.
 _DRIVER_WINDOW_SIZE = 50
 _DRIVER_WINDOW_FRONT = [
-    "running_total",
-    # added this round, never driver-checked (fills slot 50;
-    # ann_lsh_topk moved to the r4 plan to make room)
-    "gopher_rules",
-    # never driver-checked, oracle-backed (hard-evidence conversion)
-    "row_number_ntile", "rolling_avg3", "user_journey",
-    "chi2_lang_source", "epoch_shuffle", "dup_ngram_docs", "bigram_lm",
-    "retention", "rolling_unique_users", "pagerank_parts",
-    "event_funnel", "event_transitions", "inverted_index",
-    "triangle_count", "cumulative_users", "dedup_paragraphs",
-    "dedup_clusters", "dedup_clusters_distributed",
-    "dedup_jaccard_prefix", "dedup_substring_clean",
-    "dup_rate_by_source", "hard_negatives", "doc_chunks",
-    "pack_sequences", "bm25_score", "pii_redact", "lang_median_chars",
-    "char_entropy", "unigram_logprob", "bigram_logprob",
-    "sample_to_budget", "line_filter", "source_token_share",
-    "repetition_stats", "top_bigram_frac", "decontaminate",
-    "quantile_filter", "curation_pipeline", "tfidf_keywords",
-    "quantile_select", "mad_value", "grouped_median_select",
-    "label_centroids",
-    # rewritten this round (rows-only; recall pinned in tests)
+    # hardest-first: the queries whose failure would be most
+    # informative (r3 verdict item 1), all oracle-backed
+    "segment_year_revenue", "c4_filters", "importance_weights",
+    "fuzzy_name_pairs", "perplexity_buckets", "ewma_value_per_user",
+    "debounce_events", "qty_moments_by_flag", "regr_price_qty",
+    # r3 slot returned err:no_oracle — now carries the exact-Jaccard
+    # τ=0.8 oracle (verdict item 6)
     "dedup_minhash_lsh",
-    # new this round, oracle-backed (kmeans_embeddings / semdedup /
-    # cms_heavy_hitters / approx_value_quantiles moved to the r4 plan
-    # — rows-only checks are strictly weaker evidence than these)
-    "heavy_hitters_exact", "value_histogram", "distinct_users_by_type",
-    "top_terms_per_lang",
+    # stateful / sessionized / join-heavy block
+    "session_stats", "session_type_pairs", "purchase_id_islands",
+    "longest_streak_per_user", "drawdown_value_per_user",
+    "ltv_by_cohort", "attribution_first_touch", "path_to_purchase",
+    "top_paths", "timed_funnel", "event_trigrams", "time_to_convert",
+    "weekly_revenue_wow", "ship_latency_by_priority", "pareto_8020",
+    "assoc_rules", "part_cooccurrence", "semi_join_vip",
+    "customer_year_setops", "dense_rank_topk", "skyline_pareto",
+    "merge_intervals", "value_outliers_topk", "price_cv_topk",
+    # graph / dedup / text-statistics block
+    "bfs_hops", "edge_reciprocity", "dedup_canonical",
+    "cross_source_dup_matrix", "rrf_fusion", "label_cohesion",
+    "mi_lang_source", "bigram_pmi_topk", "char_trigram_topk",
+    "ngram_novelty", "welch_t_value", "burstiness_users",
+    # training / grouped-quantile block
+    "pack_sequences_sharded", "grouped_mad_value",
+    "winsorized_value_stats", "grouped_p90_select",
 ]
 
 
