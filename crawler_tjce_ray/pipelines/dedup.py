@@ -507,7 +507,8 @@ def _pairs_empty() -> pd.DataFrame:
     })
 
 
-def _verify_pairs_bucketed(docs, pairs, cand_ids: np.ndarray, tau: float):
+def _verify_pairs_bucketed(docs, pairs, cand_ids: np.ndarray, tau: float,
+                           nb: int | None = None):
     """Exact-Jaccard verification of candidate pairs with ZERO driver
     text state — the scale tier for dup-heavy corpora where candidate
     docs ≈ corpus and a broadcast shingle dict would OOM the driver.
@@ -524,9 +525,15 @@ def _verify_pairs_bucketed(docs, pairs, cand_ids: np.ndarray, tau: float):
     Jaccard here is over hashed distinct grams; it equals the textual
     3-gram Jaccard of the broadcast tier absent 64-bit collisions
     (tests force both tiers on the same corpus and require identical
-    output)."""
+    output).
+
+    Gram rows are corpus-scale (row-carrying exchange), so the caller
+    passes a size-derived fan-out ``nb``; the default keeps the 64
+    floor."""
     import ray
 
+    if nb is None:
+        nb = 64
     ids_ref = ray.put(np.sort(np.asarray(cand_ids, dtype=np.int64)))
 
     def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -541,14 +548,14 @@ def _verify_pairs_bucketed(docs, pairs, cand_ids: np.ndarray, tau: float):
         k = np.repeat(doc, reps)
         gk = np.concatenate(ghs).view(np.int64)
         return pd.DataFrame({
-            "k": k, "db": k & 63, "side": np.int64(1),
+            "k": k, "db": k & np.int64(nb - 1), "side": np.int64(1),
             "doc_b": np.int64(-1), "s_a": np.int64(-1), "gkey": gk,
         })[_VCOLS]
 
     def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
         k = df["doc_a"].to_numpy(np.int64)
         return pd.DataFrame({
-            "k": k, "db": k & 63, "side": np.int64(0),
+            "k": k, "db": k & np.int64(nb - 1), "side": np.int64(0),
             "doc_b": df["doc_b"].to_numpy(np.int64),
             "s_a": np.int64(-1), "gkey": np.int64(0),
         })[_VCOLS]
@@ -564,7 +571,7 @@ def _verify_pairs_bucketed(docs, pairs, cand_ids: np.ndarray, tau: float):
         m = p.merge(gr, on="k")  # one row per (pair, gram-of-A)
         k = m["doc_b"].to_numpy(np.int64)
         return pd.DataFrame({
-            "k": k, "db": k & 63, "side": np.int64(0),
+            "k": k, "db": k & np.int64(nb - 1), "side": np.int64(0),
             "doc_b": m["k"].to_numpy(np.int64),  # carries doc_a now
             "s_a": s_a.reindex(m["k"]).to_numpy(np.int64),
             "gkey": m["gkey"].to_numpy(np.int64),
@@ -689,8 +696,14 @@ def q_dedup_minhash_lsh(sf_dir: str):
         return _pairs_empty()
 
     if len(cand_ids_arr) > MINHASH_BROADCAST_MAX_DOCS:
-        # scale tier: in-bucket verification, zero driver text state
-        return _verify_pairs_bucketed(docs, cands, cand_ids_arr, MINHASH_TAU)
+        # scale tier: in-bucket verification, zero driver text state;
+        # gram rows are corpus-scale so the fan-out sizes from input
+        from crawler_tjce_ray.pipelines import exchange
+
+        nb = exchange.buckets_for_bytes(
+            exchange.table_bytes(sf_dir, "documents"))
+        return _verify_pairs_bucketed(docs, cands, cand_ids_arr, MINHASH_TAU,
+                                      nb=nb)
 
     # broadcast tier: candidate docs ≪ corpus after LSH — build the
     # shingle index once, ship via ray.put, verify pair batches in
@@ -1373,8 +1386,16 @@ def q_dedup_jaccard_prefix(sf_dir: str):
     union-shuffles (the ``q_asof_join`` recipe — every column a
     scalar int64, sentinel-filled): bucket by doc_a to attach A's
     grams, re-bucket by doc_b to inner-merge against B's grams; the
-    per-pair match count IS the exact intersection."""
+    per-pair match count IS the exact intersection.
+
+    The gram/prefix exchanges are corpus-scale (row-carrying), so
+    their fan-out sizes from the documents bytes
+    (``exchange.buckets_for_bytes``)."""
     import ray
+
+    from crawler_tjce_ray.pipelines import exchange
+
+    nb = exchange.buckets_for_bytes(exchange.table_bytes(sf_dir, "documents"))
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
@@ -1426,7 +1447,7 @@ def q_dedup_jaccard_prefix(sf_dir: str):
             "pfx": np.concatenate(pfx) if pfx else np.array([], bool),
             "p": np.concatenate(pos) if pos else np.array([], np.int64),
         })
-        out["gb"] = (out["gkey"] & np.uint64(63)).astype(np.int64)
+        out["gb"] = (out["gkey"] & np.uint64(nb - 1)).astype(np.int64)
         return out
 
     pairs = ds.map_batches(doc_gram_rows, batch_format="pandas").materialize()
@@ -1490,7 +1511,7 @@ def q_dedup_jaccard_prefix(sf_dir: str):
     def semi(df: pd.DataFrame) -> pd.DataFrame:
         keep = np.isin(df["doc_id"].to_numpy(np.int64), ray.get(ids_ref))
         out = df.loc[keep, ["doc_id", "gkey"]].copy()
-        out["db"] = out["doc_id"] & 63
+        out["db"] = exchange.kb_numpy(out["doc_id"].to_numpy(np.int64), nb)
         return out
 
     def _finish(agg: pd.DataFrame) -> pd.DataFrame:
@@ -1586,7 +1607,7 @@ def q_dedup_jaccard_prefix(sf_dir: str):
         k = df["doc_id_a"].to_numpy(np.int64)
         return pd.DataFrame({
             "k": k,
-            "db": k & 63,
+            "db": k & np.int64(nb - 1),
             "side": np.int64(0),
             "doc_b": df["doc_id_b"].to_numpy(np.int64),
             "s_a": df["s_a"].to_numpy(np.int64),
@@ -1598,7 +1619,7 @@ def q_dedup_jaccard_prefix(sf_dir: str):
         k = df["doc_id"].to_numpy(np.int64)
         return pd.DataFrame({
             "k": k,
-            "db": k & 63,
+            "db": k & np.int64(nb - 1),
             "side": np.int64(1),
             "doc_b": np.int64(-1),
             "s_a": np.int64(-1),
@@ -1623,7 +1644,7 @@ def q_dedup_jaccard_prefix(sf_dir: str):
         out = pd.DataFrame({
             # re-keyed by doc_b for the second bucket shuffle
             "k": m["doc_b"].to_numpy(np.int64),
-            "db": m["doc_b"].to_numpy(np.int64) & 63,
+            "db": m["doc_b"].to_numpy(np.int64) & np.int64(nb - 1),
             "side": np.int64(0),
             "doc_b": m["k"].to_numpy(np.int64),  # carries doc_a now
             "s_a": m["s_a"].to_numpy(np.int64),
@@ -1708,8 +1729,17 @@ def q_dedup_substring_clean(sf_dir: str):
     unavoidable: the output IS transformed text); inside a bucket each
     doc's coverage mask is a diff-array cumsum over its dup starts and
     the kept words reassemble in order.  Driver state: none beyond the
-    streamed result."""
+    streamed result.  Both exchanges carry row-level data (window rows
+    ∝ corpus words; the doc-bucket hop carries text), so their
+    fan-outs size from the documents bytes
+    (``exchange.buckets_for_bytes``; the gram hop gets 4× the doc hop
+    because each word fans out into ~1 window row)."""
+    from crawler_tjce_ray.pipelines import exchange
     from crawler_tjce_ray.pipelines.textops import _read_docs as rd
+
+    dbytes = exchange.table_bytes(sf_dir, "documents")
+    nb_doc = exchange.buckets_for_bytes(dbytes)
+    nb_gram = exchange.buckets_for_bytes(dbytes * 4 if dbytes else None)
 
     ds = rd(sf_dir, ["doc_id", "text"])
     md5 = hashlib.md5
@@ -1735,13 +1765,13 @@ def q_dedup_substring_clean(sf_dir: str):
             "pos": np.concatenate(poss) if poss else np.array([], np.int64),
             "gkey": np.concatenate(gks) if gks else np.array([], np.uint64),
         })
-        out["gb"] = (out["gkey"] & np.uint64(63)).astype(np.int64)
+        out["gb"] = (out["gkey"] & np.uint64(nb_gram - 1)).astype(np.int64)
         return out
 
     def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
         nd = g.groupby("gkey")["doc_id"].transform("nunique")
         out = g.loc[nd.to_numpy() >= 2, ["doc_id", "pos"]].copy()
-        out["db"] = out["doc_id"] & 63
+        out["db"] = exchange.kb_numpy(out["doc_id"].to_numpy(np.int64), nb_doc)
         return out
 
     dups = (
@@ -1754,7 +1784,7 @@ def q_dedup_substring_clean(sf_dir: str):
     def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "doc_id": df["doc_id"].astype("int64"),
-            "db": df["doc_id"].astype("int64") & 63,
+            "db": exchange.kb_numpy(df["doc_id"].to_numpy(np.int64), nb_doc),
             "side": np.int64(0),
             "pos": np.int64(-1),
             "text": df["text"].astype(object),

@@ -43,7 +43,17 @@ def _const(n: int, v, dtype) -> pa.Array:
 
 def _kb64(key: pa.ChunkedArray) -> pa.ChunkedArray:
     """key & 63 — the 64-coarse-bucket shuffle key (keys are
-    non-negative, so the AND equals mod 64)."""
+    non-negative, so the AND equals mod 64).
+
+    Use this ONLY for exchanges that carry PARTIALS (bounded per-key
+    aggregates): their bucket payload is O(keys/64) at any corpus
+    size.  Exchanges that carry row-level data (big-big joins,
+    text-carrying hops) must size their fan-out from the input via
+    ``exchange.buckets_for_bytes`` + ``exchange.kb_arrow`` — see
+    q_hash_join_big / q_segment_year_revenue / q_semi_join_vip and
+    dedup.q_dedup_substring_clean for the pattern, and
+    tests/test_exchange_fanout.py for the bucket-count-invariance
+    pins."""
     return pc.bit_wise_and(key, pa.scalar(63, pa.int64()))
 
 
@@ -3567,8 +3577,16 @@ def q_hash_join_big(sf_dir: str):
     ``pd.merge`` + per-bucket partial aggregation inside the bucket,
     tiny driver-side final reduce.  Shuffle volume is the pruned
     columns only; the per-bucket output is O(groups), never the joined
-    rows."""
+    rows.  The exchange carries ROW-LEVEL data (both join sides), so
+    its fan-out is sized from the input bytes
+    (``exchange.buckets_for_bytes`` — 64 at test scale, growing so one
+    bucket's payload stays ~TARGET_BUCKET_BYTES at 100 TB)."""
     import ray.data as rd
+
+    from crawler_tjce_ray.pipelines import exchange
+
+    nb = exchange.buckets_for_bytes(
+        exchange.table_bytes(sf_dir, "orders", "lineitem"))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     line = _read(
@@ -3583,7 +3601,7 @@ def q_hash_join_big(sf_dir: str):
         n = t.num_rows
         return pa.table({
             "key": key,
-            "kb": _kb64(key),
+            "kb": exchange.kb_arrow(key, nb),
             "priority": t["o_orderpriority"],
             "price": _const(n, None, pa.float64()),
             "disc": _const(n, None, pa.float64()),
@@ -3596,7 +3614,7 @@ def q_hash_join_big(sf_dir: str):
         n = t.num_rows
         return pa.table({
             "key": key,
-            "kb": _kb64(key),
+            "kb": exchange.kb_arrow(key, nb),
             "priority": _const(n, None, pa.string()),
             "price": pc.cast(t["l_extendedprice"], pa.float64()),
             "disc": pc.cast(t["l_discount"], pa.float64()),
@@ -3665,7 +3683,19 @@ def q_segment_year_revenue(sf_dir: str):
     aggregate is an order-independent int64 sum: bucket-partial
     summation can never drift a cent from the oracle's single-pass
     sum, unlike the ROUND-after-float-SUM convention (which measurably
-    flips the last cent here — 35 groups × ~10⁸ magnitudes)."""
+    flips the last cent here — 35 groups × ~10⁸ magnitudes).
+
+    Hop 1 carries row-level data (both join sides), so its fan-out is
+    sized from orders+lineitem bytes; hop 2's biggest rider is the
+    customer table, so it sizes from that (hop-1 partials are bounded
+    by customers × years)."""
+    from crawler_tjce_ray.pipelines import exchange
+
+    nb1 = exchange.buckets_for_bytes(
+        exchange.table_bytes(sf_dir, "orders", "lineitem"))
+    nb2 = exchange.buckets_for_bytes(
+        exchange.table_bytes(sf_dir, "customer"))
+
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     line = _read(sf_dir, "lineitem",
                  ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -3674,7 +3704,7 @@ def q_segment_year_revenue(sf_dir: str):
     def tag_orders(t: pa.Table) -> pa.Table:
         key = pc.cast(t["o_orderkey"], pa.int64())
         return pa.table({
-            "key": key, "kb": _kb64(key),
+            "key": key, "kb": exchange.kb_arrow(key, nb1),
             "custkey": pc.cast(t["o_custkey"], pa.int64()),
             "year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
             "rev": _const(t.num_rows, None, pa.float64()),
@@ -3688,7 +3718,7 @@ def q_segment_year_revenue(sf_dir: str):
         )
         n = t.num_rows
         return pa.table({
-            "key": key, "kb": _kb64(key),
+            "key": key, "kb": exchange.kb_arrow(key, nb1),
             "custkey": _const(n, None, pa.int64()),
             "year": _const(n, None, pa.int64()),
             "rev": pc.cast(rev, pa.float64()),
@@ -3704,7 +3734,8 @@ def q_segment_year_revenue(sf_dir: str):
         ).astype("int64")
         out = j.groupby(["custkey", "year"], as_index=False).agg(
             rev_c=("rev_c", "sum"), n_items=("rev_c", "size"))
-        out["kb2"] = out["custkey"].astype("int64") & 63
+        out["kb2"] = exchange.kb_numpy(
+            out["custkey"].to_numpy(np.int64), nb2)
         return out
 
     hop1 = (
@@ -3718,7 +3749,7 @@ def q_segment_year_revenue(sf_dir: str):
         key = pc.cast(t["c_custkey"], pa.int64())
         n = t.num_rows
         return pa.table({
-            "custkey": key, "kb2": _kb64(key),
+            "custkey": key, "kb2": exchange.kb_arrow(key, nb2),
             "year": _const(n, None, pa.int64()),
             "rev_c": _const(n, None, pa.int64()),
             "n_items": _const(n, None, pa.int64()),
@@ -5439,9 +5470,15 @@ def q_semi_join_vip(sf_dir: str):
     64-coarse-bucket exchange for exact verification against the real
     list, so the result is EXACT and shuffle volume is proportional to
     the MATCH set, not the corpus — the shape that matters when a
-    100 TB fact table is probed against a 10⁷-row dimension."""
+    100 TB fact table is probed against a 10⁷-row dimension.  The
+    verify exchange carries the Bloom-positive rows (∝ match set ⊆
+    orders), so its fan-out sizes from the orders bytes."""
     import ray
     import ray.data as rd  # noqa: F401
+
+    from crawler_tjce_ray.pipelines import exchange
+
+    nb = exchange.buckets_for_bytes(exchange.table_bytes(sf_dir, "orders"))
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
 
@@ -5469,7 +5506,7 @@ def q_semi_join_vip(sf_dir: str):
         cand = t.filter(pa.array(_bloom_test(bloom, keys)))
         ckey = pc.cast(cand["o_custkey"], pa.int64())
         return pa.table({
-            "kb": _kb64(ckey),
+            "kb": exchange.kb_arrow(ckey, nb),
             "side": _const(cand.num_rows, 0, pa.int8()),
             "custkey": ckey,
             "priority": cand["o_orderpriority"],
@@ -5479,7 +5516,7 @@ def q_semi_join_vip(sf_dir: str):
         v = t.filter(pc.greater(t["c_acctbal"], pa.scalar(9000.0)))
         key = pc.cast(v["c_custkey"], pa.int64())
         return pa.table({
-            "kb": _kb64(key),
+            "kb": exchange.kb_arrow(key, nb),
             "side": _const(v.num_rows, 1, pa.int8()),
             "custkey": key,
             "priority": _const(v.num_rows, None, pa.string()),

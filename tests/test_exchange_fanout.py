@@ -1,0 +1,106 @@
+"""Exchange fan-out parameterization (r3 verdict item 3): the four
+row-carrying coarse-bucket exchanges — hash_join_big,
+segment_year_revenue, semi_join_vip, dedup_substring_clean (plus the
+jaccard-prefix and minhash scale tiers) — must produce ORACLE-EQUAL
+output at any power-of-two bucket count.  The driver always runs the
+default (64 at test scale); these tests force 16- and 128-way
+fan-outs on the same inputs and require strict equality with DuckDB,
+so the size-derived fan-out at 100 TB is covered by construction."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from crawler_tjce_ray.pipelines import exchange
+
+SF = "/root/testdata/sf0.001"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture()
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    yield c
+    c.close()
+
+
+@pytest.fixture(params=[16, 128])
+def forced_buckets(request):
+    exchange.set_forced_buckets(request.param)
+    yield request.param
+    exchange.set_forced_buckets(None)
+
+
+def _check(qfn, sql, con):
+    mine = qfn(SF)
+    if hasattr(mine, "to_pandas"):
+        mine = mine.to_pandas()
+    ref = con.execute(sql).df()
+    pd.testing.assert_frame_equal(
+        mine.reset_index(drop=True), ref, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFanoutInvariance:
+    def test_hash_join_big(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.relational import (
+            SQL_HASH_JOIN_BIG, q_hash_join_big,
+        )
+        _check(q_hash_join_big, SQL_HASH_JOIN_BIG, con)
+
+    def test_segment_year_revenue(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.relational import (
+            SQL_SEGMENT_YEAR_REVENUE, q_segment_year_revenue,
+        )
+        _check(q_segment_year_revenue, SQL_SEGMENT_YEAR_REVENUE, con)
+
+    def test_semi_join_vip(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.relational import (
+            SQL_SEMI_JOIN_VIP, q_semi_join_vip,
+        )
+        _check(q_semi_join_vip, SQL_SEMI_JOIN_VIP, con)
+
+    def test_dedup_substring_clean(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.dedup import (
+            SQL_DEDUP_SUBSTRING_CLEAN, q_dedup_substring_clean,
+        )
+        _check(q_dedup_substring_clean, SQL_DEDUP_SUBSTRING_CLEAN, con)
+
+    def test_jaccard_prefix(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.dedup import (
+            SQL_DEDUP_NGRAM_JACCARD, q_dedup_jaccard_prefix,
+        )
+        _check(q_dedup_jaccard_prefix, SQL_DEDUP_NGRAM_JACCARD, con)
+
+    def test_minhash_scale_tier(self, forced_buckets, con, monkeypatch):
+        """Force the bucketed verify tier AND a non-default fan-out."""
+        from crawler_tjce_ray.pipelines import dedup
+
+        monkeypatch.setattr(dedup, "MINHASH_BROADCAST_MAX_DOCS", 0)
+        _check(dedup.q_dedup_minhash_lsh, dedup.SQL_DEDUP_MINHASH_LSH, con)
+
+
+class TestBucketSizing:
+    def test_floor_and_growth(self):
+        assert exchange.buckets_for_bytes(None) == 64
+        assert exchange.buckets_for_bytes(1) == 64
+        # 100 TB on disk -> 400 TB decompressed -> ~1.6M target tasks,
+        # clamped at the 65536 ceiling
+        assert exchange.buckets_for_bytes(100 * (1 << 40)) == 65536
+        # 1 TB -> 4 TB decompressed / 256 MB = 16384 buckets
+        assert exchange.buckets_for_bytes(1 << 40) == 16384
+
+    def test_power_of_two_enforced(self):
+        with pytest.raises(ValueError):
+            exchange.set_forced_buckets(48)
+        exchange.set_forced_buckets(None)
+
+    def test_table_bytes(self):
+        b = exchange.table_bytes(SF, "orders", "lineitem")
+        assert b and b > 0
+        assert exchange.table_bytes(SF, "nope_no_such_table") is None
