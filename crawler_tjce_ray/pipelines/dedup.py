@@ -444,6 +444,35 @@ def minhash_signature(gh: np.ndarray) -> np.ndarray:
     return vals.min(axis=0)
 
 
+def batch_minhash_signatures(gram_lists: list[np.ndarray]) -> np.ndarray:
+    """(n_docs × N_PERM) signature matrix for a whole batch in ONE
+    segment-reduced pass: the per-doc gram arrays concatenate once,
+    the perm transform runs on the flat array in perm-blocks (bounding
+    scratch to |grams|×32×8 B), and ``np.minimum.reduceat`` collapses
+    each doc's segment — no per-doc Python dispatch (identical values
+    to per-doc ``minhash_signature``; pinned by tests).  Empty docs
+    keep the all-sentinel signature."""
+    n = len(gram_lists)
+    sigs = np.full((n, N_PERM), int(_M31), dtype=np.uint64)
+    if n == 0:
+        return sigs
+    lens = np.fromiter((len(g) for g in gram_lists), np.int64, count=n)
+    nz = np.nonzero(lens)[0]
+    if len(nz) == 0:
+        return sigs
+    flat = np.concatenate([gram_lists[i] for i in nz])
+    x = (flat >> np.uint64(33)) & _M31
+    starts = np.zeros(len(nz), np.int64)
+    starts[1:] = np.cumsum(lens[nz])[:-1]
+    blk = 32
+    for p0 in range(0, N_PERM, blk):
+        vals = (x[:, None] * _PERM_A[None, p0:p0 + blk]
+                + _PERM_B[None, p0:p0 + blk]) % _M31
+        sigs[nz[:, None], np.arange(p0, p0 + blk)[None, :]] = \
+            np.minimum.reduceat(vals, starts, axis=0)
+    return sigs
+
+
 _GRAM_P = np.uint64(1099511628211)
 # P² mod 2^64 precomputed in exact int arithmetic: computing it as
 # _GRAM_P * _GRAM_P at call time raised a RuntimeWarning per batch
@@ -647,15 +676,26 @@ def q_dedup_minhash_lsh(sf_dir: str):
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
     def signatures(df: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized: one segment-reduced signature matrix, then
+        # a rolling-polynomial band hash over the r rows of every band
+        # of every doc at once — zero per-doc/per-band Python.  Band
+        # bucket identity only needs equal-rows ⇒ equal-hash (true for
+        # the polynomial); a cross-tuple collision merely adds a
+        # candidate that exact verification discards.
         gram_lists = batch_gram_hashes(df["text"].tolist(), sep=" ")
-        rows = []
-        for doc_id, gh in zip(df["doc_id"], gram_lists):
-            sig = minhash_signature(gh)
-            bands = sig.reshape(LSH_BANDS, N_PERM // LSH_BANDS)
-            for b in range(LSH_BANDS):
-                bh = hashlib.md5(bands[b].tobytes()).hexdigest()[:16]
-                rows.append((b, bh, int(doc_id)))
-        return pd.DataFrame(rows, columns=["band", "bhash", "doc_id"])
+        sigs = batch_minhash_signatures(gram_lists)
+        n = len(gram_lists)
+        r = N_PERM // LSH_BANDS
+        bands3 = sigs.reshape(n, LSH_BANDS, r)
+        bh = bands3[:, :, 0].copy()
+        with np.errstate(over="ignore"):  # wraparound IS the hash
+            for k in range(1, r):
+                bh = bh * _GRAM_P + bands3[:, :, k]
+        return pd.DataFrame({
+            "band": np.tile(np.arange(LSH_BANDS, dtype=np.int64), n),
+            "bhash": bh.reshape(-1).view(np.int64),
+            "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), LSH_BANDS),
+        })
 
     banded = docs.map_batches(signatures, batch_format="pandas")
 
@@ -713,18 +753,24 @@ def q_dedup_minhash_lsh(sf_dir: str):
     idx_df = docs.map_batches(
         lambda df: df[df["doc_id"].isin(cand_ids)], batch_format="pandas"
     ).to_pandas()
+    # sorted-unique uint64 gram arrays (same digests the scale tier
+    # verifies with; equals textual Jaccard absent 64-bit collisions)
+    idx_grams = batch_gram_hashes(idx_df["text"].tolist(), sep=" ")
     grams_by_id = {
-        int(i): ngram_set(t.split(" "))
-        for i, t in zip(idx_df["doc_id"], idx_df["text"])
+        int(i): g for i, g in zip(idx_df["doc_id"], idx_grams)
     }
     ref = ray.put(grams_by_id)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         gid = ray.get(ref)
+        das = df["doc_a"].to_numpy(np.int64)
+        dbs = df["doc_b"].to_numpy(np.int64)
         rows = []
-        for a, b in zip(df["doc_a"], df["doc_b"]):
+        for a, b in zip(das, dbs):
             ga, gb = gid[int(a)], gid[int(b)]
-            inter = len(ga & gb)
+            # C merge-intersection of sorted-unique arrays — the only
+            # per-pair work left, bounded by the candidate list
+            inter = int(np.intersect1d(ga, gb, assume_unique=True).size)
             jac = inter / (len(ga) + len(gb) - inter)
             if jac >= MINHASH_TAU:
                 rows.append((int(a), int(b), jac))

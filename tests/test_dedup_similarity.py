@@ -394,3 +394,37 @@ class TestDupRateBySource:
         pd.testing.assert_frame_equal(
             mine.reset_index(drop=True), ref, check_dtype=False)
         assert mine["n_dup_docs"].sum() == 5  # 2 + 3 copies involved
+
+
+class TestBatchSignatureEquivalence:
+    def test_batch_matches_per_doc(self):
+        """The segment-reduced batch kernel must produce bit-identical
+        signatures to the per-doc kernel, empties included."""
+        import numpy as np
+
+        from crawler_tjce_ray.pipelines.dedup import (
+            batch_gram_hashes, batch_minhash_signatures, minhash_signature,
+        )
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "",  # empty -> sentinel signature
+            "one two",  # short -> single padded gram
+            "alpha beta gamma delta epsilon zeta eta theta " * 20,
+            "the quick brown fox jumps over the lazy cat",
+        ]
+        gls = batch_gram_hashes(texts, sep=" ")
+        batch = batch_minhash_signatures(gls)
+        for i, g in enumerate(gls):
+            np.testing.assert_array_equal(batch[i], minhash_signature(g))
+
+    def test_all_empty_batch(self):
+        import numpy as np
+
+        from crawler_tjce_ray.pipelines.dedup import (
+            N_PERM, _M31, batch_minhash_signatures,
+        )
+
+        out = batch_minhash_signatures([np.empty(0, np.uint64)] * 3)
+        assert out.shape == (3, N_PERM)
+        assert (out == np.uint64(_M31)).all()
