@@ -2,9 +2,12 @@
 URLs/s, the BASELINE.json metric) + representative query suite over
 ``$GRAFT_SF_DIR``.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (the driver captures only a ~2 KB
+stdout tail, so the line carries the slowest-10 query timings plus
+totals; the complete per-query map is written to BENCH_detail.json):
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "queries": {slowest10: sec}, "n_queries": N, "queries_total_sec": s,
+   "detail_file": "BENCH_detail.json", "sf": ..., "num_cpus": N,
    "headline": {...}}
 
 ``--scaling`` runs the headline job at two parallelism levels (the
@@ -281,15 +284,29 @@ def main_once(sf_dir: str, headline_only: bool = False,
     headline = run_headline(workdir, num_cpus, scaling_mode=scaling_mode)
     queries = {} if headline_only else run_queries(sf_dir)
     total = headline["seconds"] + sum(queries.values())
-    return {
+    # The driver captures only a ~2 KB stdout tail: the full per-query
+    # map (140+ entries) outgrew it in round 3 and the line failed to
+    # parse.  The stdout line stays compact — slowest 10 queries only —
+    # and the complete timings land in BENCH_detail.json next to this
+    # script.
+    out = {
         "metric": "frontier fetch+parse URLs/s + query suite wall time",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": queries,
+        "queries": dict(sorted(queries.items(), key=lambda kv: -kv[1])[:10]),
+        "n_queries": len(queries),
+        "queries_total_sec": round(sum(queries.values()), 3),
+        "detail_file": "BENCH_detail.json",
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "headline": headline,
     }
+    if queries:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
+        with open(detail_path, "w") as f:
+            json.dump({**out, "queries": queries}, f, indent=1)
+    return out
 
 
 def main_scaling(sf_dir: str) -> dict:

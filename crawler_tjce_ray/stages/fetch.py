@@ -154,6 +154,152 @@ class TokenBucket:
         return False
 
 
+class PageStoreTransport:
+    """Default transport: the bucketed parquet page store IS the
+    network in this sandbox.  Owns the bucket LRU cache and the
+    bounded-retry read (reference T1 analog) that used to live on
+    ``FetchActor``; ``_read_table`` stays the fault-injection point
+    for the retry tests."""
+
+    def __init__(self, store_dir: str, n_buckets: int,
+                 max_cached_buckets: int = 8, max_retries: int = 3,
+                 retry_backoff: float = 0.05):
+        self.store_dir = store_dir
+        self.n_buckets = n_buckets
+        self.bucket_cache: dict[int, dict[str, bytes]] = {}
+        self.bucket_lru: list[int] = []
+        self.max_cached_buckets = max_cached_buckets
+        self.max_retries = max_retries
+        self.retry_backoff = retry_backoff
+        self._read_table = pq.read_table
+        self.fetch_retries = 0
+        self.bucket_loads = 0
+
+    def _read_with_retry(self, path: str) -> pa.Table:
+        """Bounded-retry store read (T1): transient IO errors back off
+        deterministically and recover; persistent errors re-raise after
+        ``max_retries`` extra attempts."""
+        import time
+
+        attempt = 0
+        while True:
+            try:
+                return self._read_table(path, columns=["url", "html"])
+            except (OSError, pa.ArrowInvalid):
+                if attempt >= self.max_retries:
+                    raise
+                self.fetch_retries += 1
+                time.sleep(self.retry_backoff * (2**attempt))
+                attempt += 1
+
+    def _bucket_lookup(self, bucket: int) -> dict[str, bytes]:
+        if bucket in self.bucket_cache:
+            return self.bucket_cache[bucket]
+        path = os.path.join(self.store_dir, f"bucket={bucket}")
+        table = self._read_with_retry(path) if os.path.exists(path) else pa.table(
+            {"url": pa.array([], pa.string()), "html": pa.array([], pa.binary())}
+        )
+        lookup = dict(zip(table["url"].to_pylist(), table["html"].to_pylist()))
+        self.bucket_cache[bucket] = lookup
+        self.bucket_lru.append(bucket)
+        self.bucket_loads += 1
+        if len(self.bucket_lru) > self.max_cached_buckets:
+            evict = self.bucket_lru.pop(0)
+            self.bucket_cache.pop(evict, None)
+        return lookup
+
+    def fetch(self, url: str) -> bytes | None:
+        """Page body for ``url``, or None when absent (the 404
+        analog)."""
+        return self._bucket_lookup(url_sha1_64(url) % self.n_buckets).get(url)
+
+    def stats(self) -> dict[str, int]:
+        return {"fetch_retries": self.fetch_retries,
+                "bucket_loads": self.bucket_loads}
+
+
+class HttpTransport:
+    """Live-HTTP transport matching the reference crawler's session
+    semantics (/root/reference/crawler/crawler.py:252-301): ONE
+    ``requests.Session`` per actor (created lazily inside the worker
+    process, never pickled), each page fetched as a POST of the url's
+    querydata payload (``dsr.payloads.payload_for_url``) with fresh
+    ActivityId/RequestId headers per request, timeout 180 s, and 3
+    attempts with exponential backoff clamped to [4 s, 10 s]
+    (tenacity ``stop_after_attempt(3)`` +
+    ``wait_exponential(multiplier=1, min=4, max=10)``).
+
+    ``post`` is the injection seam: a callable
+    ``(api_url, payload, headers, timeout) -> (status_code, bytes)``.
+    The default builds a real requests session on first use; tests
+    inject a fake so the retry/timeout path is exercised with no
+    network (this sandbox has none — the page store is the default
+    transport and this class exists so the engine is a drop-in for
+    the reference's live path)."""
+
+    def __init__(self, api_url: str, post=None, timeout: float = 180.0,
+                 max_attempts: int = 3, backoff_min: float = 4.0,
+                 backoff_max: float = 10.0, sleeper=None):
+        self.api_url = api_url
+        self._post = post
+        self.timeout = timeout
+        self.max_attempts = max_attempts
+        self.backoff_min = backoff_min
+        self.backoff_max = backoff_max
+        if sleeper is None:
+            import time as _time
+
+            sleeper = _time.sleep
+        self._sleep = sleeper
+        self.fetch_retries = 0
+        self.bucket_loads = 0  # API parity with PageStoreTransport
+        self._session = None
+
+    def _default_post(self, api_url, payload, headers, timeout):
+        if self._session is None:
+            import requests  # deferred: worker-side only, never pickled
+
+            self._session = requests.Session()
+        r = self._session.post(api_url, json=payload, headers=headers,
+                               timeout=timeout)
+        return r.status_code, r.content
+
+    def fetch(self, url: str) -> bytes | None:
+        import uuid
+
+        from crawler_tjce_ray.dsr.payloads import payload_for_url
+
+        payload = payload_for_url(url)
+        post = self._post or self._default_post
+        attempt = 0
+        while True:
+            headers = {
+                "ActivityId": str(uuid.uuid4()),
+                "RequestId": str(uuid.uuid4()),
+            }
+            try:
+                status, body = post(self.api_url, payload, headers,
+                                    self.timeout)
+            except Exception:
+                status, body = None, None  # connection-level failure
+            if status == 404:
+                return None  # page absent — the store's None analog
+            if status is not None and 200 <= status < 300:
+                return body
+            attempt += 1
+            if attempt >= self.max_attempts:
+                raise OSError(
+                    f"HTTP fetch failed after {self.max_attempts} attempts "
+                    f"(last status {status}): {url}")
+            self.fetch_retries += 1
+            # wait_exponential(multiplier=1, min=4, max=10): 4s, 8s, 10s…
+            self._sleep(min(self.backoff_max,
+                            max(self.backoff_min, float(2 ** attempt))))
+
+    def stats(self) -> dict[str, int]:
+        return {"fetch_retries": self.fetch_retries, "bucket_loads": 0}
+
+
 class FetchActor:
     """``map_batches`` callable class: frontier rows → fetched pages,
     with record extraction FUSED into the same actor when
@@ -173,7 +319,8 @@ class FetchActor:
                  current_year: int | None = None, actor_id: int = 0,
                  max_retries: int = 3, retry_backoff: float = 0.05,
                  robots_ttl_waves: int | None = None,
-                 cap_arrow_threads: bool = False):
+                 cap_arrow_threads: bool = False,
+                 transport_factory=None):
         if cap_arrow_threads:
             # cap this actor PROCESS's Arrow threadpools: with ~30
             # actors each defaulting to machine-width pools (32 threads
@@ -189,20 +336,23 @@ class FetchActor:
         self.store_dir = store_dir
         self.n_buckets = n_buckets
         self.robots = RobotsCache(ttl_waves=robots_ttl_waves)
-        self.bucket_cache: dict[int, dict[str, bytes]] = {}
-        self.bucket_lru: list[int] = []
-        self.max_cached_buckets = max_cached_buckets
-        self.bucket_loads = 0
-        # T1 retry policy (reference: tenacity stop_after_attempt(3)
-        # with exponential wait, crawler/crawler.py:252-254).  Backoff
-        # is deterministic (0.05·2^attempt) — no jitter, so retried
-        # runs stay order-identical.  ``_read_table`` is an injection
-        # point for fault-injection tests (the store IS the network
-        # in this sandbox).
-        self.max_retries = max_retries
-        self.retry_backoff = retry_backoff
-        self._read_table = pq.read_table
-        self.fetch_retries = 0
+        # transport seam (T1): the page store is the default network;
+        # pass transport_factory=lambda: HttpTransport(api_url, ...)
+        # for the reference's live POST path.  The factory runs HERE,
+        # in the worker process, so sessions are never pickled.
+        # Retry policy (reference: tenacity stop_after_attempt(3) with
+        # exponential wait, crawler/crawler.py:252-254) lives in the
+        # transport; the store's backoff is deterministic
+        # (0.05·2^attempt, no jitter) so retried runs stay
+        # order-identical.
+        if transport_factory is not None:
+            self.transport = transport_factory()
+        else:
+            self.transport = PageStoreTransport(
+                store_dir, n_buckets,
+                max_cached_buckets=max_cached_buckets,
+                max_retries=max_retries, retry_backoff=retry_backoff,
+            )
         self.counters = {
             "fetched_ok": 0, "missing": 0,
             "robots_denied": 0, "budget_denied": 0,
@@ -244,38 +394,23 @@ class FetchActor:
                 out, os.path.join(dest, f"part-a{self.actor_id:03d}.parquet")
             )
 
-    def _read_with_retry(self, path: str) -> pa.Table:
-        """Bounded-retry store read (T1): transient IO errors back off
-        deterministically and recover; persistent errors re-raise after
-        ``max_retries`` extra attempts."""
-        import time
+    # ---- legacy injection/metric surface (tests + FetchPool.stats
+    # read these off the actor; they delegate to the transport) ----
+    @property
+    def _read_table(self):
+        return self.transport._read_table
 
-        attempt = 0
-        while True:
-            try:
-                return self._read_table(path, columns=["url", "html"])
-            except (OSError, pa.ArrowInvalid):
-                if attempt >= self.max_retries:
-                    raise
-                self.fetch_retries += 1
-                time.sleep(self.retry_backoff * (2**attempt))
-                attempt += 1
+    @_read_table.setter
+    def _read_table(self, fn):
+        self.transport._read_table = fn
 
-    def _bucket_lookup(self, bucket: int) -> dict[str, bytes]:
-        if bucket in self.bucket_cache:
-            return self.bucket_cache[bucket]
-        path = os.path.join(self.store_dir, f"bucket={bucket}")
-        table = self._read_with_retry(path) if os.path.exists(path) else pa.table(
-            {"url": pa.array([], pa.string()), "html": pa.array([], pa.binary())}
-        )
-        lookup = dict(zip(table["url"].to_pylist(), table["html"].to_pylist()))
-        self.bucket_cache[bucket] = lookup
-        self.bucket_lru.append(bucket)
-        self.bucket_loads += 1
-        if len(self.bucket_lru) > self.max_cached_buckets:
-            evict = self.bucket_lru.pop(0)
-            self.bucket_cache.pop(evict, None)
-        return lookup
+    @property
+    def fetch_retries(self) -> int:
+        return self.transport.fetch_retries
+
+    @property
+    def bucket_loads(self) -> int:
+        return self.transport.bucket_loads
 
     def __call__(self, batch: pa.Table, wave: int = 0) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -296,8 +431,7 @@ class FetchActor:
                 statuses.append("budget_denied")
                 links.append([])
                 continue
-            lookup = self._bucket_lookup(url_sha1_64(url) % self.n_buckets)
-            html = lookup.get(url)
+            html = self.transport.fetch(url)
             htmls.append(html)
             statuses.append("ok" if html is not None else "missing")
             # outlink discovery happens HERE, in the actor pool (the
