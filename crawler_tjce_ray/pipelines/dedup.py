@@ -916,6 +916,12 @@ WHERE rn = 1 ORDER BY vec_id
 """
 
 
+# driver-state ceiling (BASELINE.md table): the pair frame is 16 B/pair
+# but the union-find dict is ~100 B/entry → ~2.3 GB at the ceiling;
+# q_dedup_clusters_distributed is the zero-driver-state fallback
+UNIONFIND_MAX_DRIVER_PAIRS = 20_000_000
+
+
 def _cluster_label_ref(sf_dir: str):
     """Union-find over the (small) near-dup pair list with min-root
     union, broadcast as sorted parallel int64 arrays: the per-batch
@@ -926,6 +932,13 @@ def _cluster_label_ref(sf_dir: str):
     import ray
 
     pairs = _dup_pairs(sf_dir)
+    if len(pairs) > UNIONFIND_MAX_DRIVER_PAIRS:
+        raise ValueError(
+            f"driver union-find got {len(pairs)} near-dup pairs, over "
+            f"the documented {UNIONFIND_MAX_DRIVER_PAIRS:,} ceiling "
+            f"(BASELINE.md driver-state table); use "
+            f"q_dedup_clusters_distributed (min-label propagation + "
+            f"pointer jumping, zero driver pair state) past this size")
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

@@ -31,6 +31,10 @@ from crawler_tjce_ray.pipelines.webtext import WORD_RE, _explode_words
 
 PR_DAMPING = 0.85
 PR_ITERS = 5
+# driver-state ceiling (BASELINE.md table): the rank/outdeg/scaled
+# vectors are 24 B/node on the driver — 2.4 GB at the ceiling; larger
+# graphs need the sharded-rank variant described in the docstring
+PR_MAX_DRIVER_NODES = 100_000_000
 
 
 _EDGES_CACHE: dict[str, tuple] = {}
@@ -131,6 +135,13 @@ def q_pagerank_parts(sf_dir: str):
 
     edges, nodes = _edges_ds_and_nodes(sf_dir)
     n = len(nodes)
+    if n > PR_MAX_DRIVER_NODES:
+        raise ValueError(
+            f"pagerank_parts holds 3 float64 driver arrays of {n} nodes "
+            f"(~{24 * n / 1e9:.1f} GB), over the documented "
+            f"{PR_MAX_DRIVER_NODES:,}-node ceiling (BASELINE.md "
+            f"driver-state table); shard the rank vector on the edge "
+            f"bucket key (broadcast per-bucket slices) past this size")
     idx_ref = ray.put(pd.Series(np.arange(n, dtype="int64"), index=nodes))
 
     def add_idx(df: pd.DataFrame) -> pd.DataFrame:

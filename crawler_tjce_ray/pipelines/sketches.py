@@ -671,6 +671,12 @@ FROM events, m GROUP BY m.med
 """
 
 
+# driver-state ceiling (BASELINE.md table): per-group search state is
+# one 256-bin histogram window + scalars ≈ 2.1 KB → ~2 GB at the
+# ceiling; beyond it, hash-bucket the groups and select per bucket
+SELECT_MAX_DRIVER_GROUPS = 1_000_000
+
+
 def _grouped_quantile_select(
     sf_dir: str, q: float, *, ds=None,
     group_col: str = "event_type", value_col: str = "value",
@@ -700,6 +706,13 @@ def _grouped_quantile_select(
     ).to_pandas().groupby(group_col).agg(
         n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"),
     )
+    if len(base) > SELECT_MAX_DRIVER_GROUPS:
+        raise ValueError(
+            f"grouped quantile select holds ~2.1 KB of driver search "
+            f"state per group and got {len(base)} groups, over the "
+            f"documented {SELECT_MAX_DRIVER_GROUPS:,} ceiling "
+            f"(BASELINE.md driver-state table); hash-bucket the groups "
+            f"and run the multi-select per bucket past this size")
 
     # per-group search state (all-NaN groups have no rankable values)
     state = {
