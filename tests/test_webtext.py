@@ -157,3 +157,44 @@ def test_bigram_logprob_short_docs(tmp_path):
     assert mine.set_index("doc_id").loc[0, "n_bigrams"] == 0
     assert mine.set_index("doc_id").loc[1, "n_bigrams"] == 0
     assert mine.set_index("doc_id").loc[3, "n_bigrams"] == 4
+
+
+class TestExplodeWordsArrowEquivalence:
+    def test_matches_pandas_findall(self):
+        """The RE2 complement-split tokenizer must equal the original
+        findall(WORD_RE) semantics on edge shapes: empties, punctuation
+        runs, unicode, leading/trailing separators, digit mixes."""
+        import pandas as pd
+
+        from crawler_tjce_ray.pipelines.webtext import WORD_RE, _explode_words
+
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "Hello, World!  42x y9",
+                "",
+                "---!!!---",
+                "UPPER lower MiXeD",
+                "café naïve — unicode, words",
+                "  leading and trailing  ",
+            ],
+        })
+        words = df["text"].str.lower().str.findall(WORD_RE)
+        want = pd.DataFrame({"doc_id": df["doc_id"], "w": words}).explode(
+            "w", ignore_index=True
+        ).dropna(subset=["w"]).reset_index(drop=True)
+        got = _explode_words(df).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"doc_id": "int64", "w": object}),
+            want.astype({"doc_id": "int64", "w": object}))
+
+    def test_empty_frame(self):
+        import pandas as pd
+
+        from crawler_tjce_ray.pipelines.webtext import _explode_words
+
+        out = _explode_words(pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "text": pd.Series([], dtype=object),
+        }))
+        assert out.empty and list(out.columns) == ["doc_id", "w"]
