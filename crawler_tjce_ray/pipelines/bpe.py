@@ -45,8 +45,9 @@ def corpus_word_counts(sf_dir: str) -> pd.Series:
     ds = _read_docs(sf_dir, ["text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        words = df["text"].str.lower().str.findall(WORD_RE)
-        ex = words.explode().dropna()
+        from crawler_tjce_ray.pipelines.textops import tokens_flat
+
+        ex = pd.Series(tokens_flat(df["text"])[1], dtype=object)
         if ex.empty:
             return pd.DataFrame({"w": pd.Series([], dtype="string"),
                                  "n": pd.Series([], dtype="int64")})
@@ -157,10 +158,10 @@ def q_bpe_token_count(sf_dir: str) -> pd.DataFrame:
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         rk = ray.get(ranks_ref)
-        words = df["text"].str.lower().str.findall(WORD_RE)
-        ex = pd.DataFrame({"doc_id": df["doc_id"], "w": words}).explode(
-            "w", ignore_index=True
-        ).dropna(subset=["w"])
+        from crawler_tjce_ray.pipelines.textops import tokens_flat
+
+        idx, w = tokens_flat(df["text"])
+        ex = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()[idx], "w": w})
         base = pd.DataFrame({"doc_id": df["doc_id"]})
         if ex.empty:
             base["n_words"] = np.int64(0)

@@ -186,9 +186,9 @@ def q_cms_heavy_hitters(sf_dir: str):
     ds = _read_docs(sf_dir, ["text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = (
-            df["text"].str.lower().str.findall(r"[a-z0-9]+").explode().dropna()
-        )
+        from crawler_tjce_ray.pipelines.textops import tokens_flat
+
+        toks = pd.Series(tokens_flat(df["text"])[1], dtype=object)
         counts = toks.value_counts()
         sk = cms_add(counts)
         cand = counts.head(CMS_CAND_PER_BATCH)
@@ -244,9 +244,9 @@ def q_heavy_hitters_exact(sf_dir: str):
     ds = _read_docs(sf_dir, ["text"]).materialize()  # two passes
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = (
-            df["text"].str.lower().str.findall(r"[a-z0-9]+").explode().dropna()
-        )
+        from crawler_tjce_ray.pipelines.textops import tokens_flat
+
+        toks = pd.Series(tokens_flat(df["text"])[1], dtype=object)
         counts = toks.value_counts()
         total = int(counts.sum())
         local = counts[counts >= HH_PHI * total] if total else counts
@@ -270,9 +270,9 @@ def q_heavy_hitters_exact(sf_dir: str):
     survivors = frozenset(cand_arr[est >= threshold])
 
     def exact(df: pd.DataFrame, _keep=survivors) -> pd.DataFrame:
-        toks = (
-            df["text"].str.lower().str.findall(r"[a-z0-9]+").explode().dropna()
-        )
+        from crawler_tjce_ray.pipelines.textops import tokens_flat
+
+        toks = pd.Series(tokens_flat(df["text"])[1], dtype=object)
         counts = toks.value_counts()
         sub = counts[counts.index.isin(_keep)]
         return pd.DataFrame({

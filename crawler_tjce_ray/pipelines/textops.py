@@ -49,6 +49,24 @@ def _read_docs(sf_dir: str, columns):
     return read_documents(sf_dir, columns)
 
 
+def tokens_flat(texts) -> tuple:
+    """(row_index, word) int64/object arrays for the ``[a-z0-9]+``
+    tokens of each text, in row-then-position order — ONE Arrow
+    ``utf8_lower`` + RE2 complement split over the whole input
+    (equivalent to per-row ``findall``; equality pinned in
+    tests/test_webtext.py).  The shared tokenizer under every
+    corpus-touching word kernel (token counts, n-grams, BM25, BPE,
+    CMS/heavy-hitter sketches)."""
+    arr = pa.array(pd.Series(texts).astype(object), type=pa.string())
+    parts = pc.split_pattern_regex(pc.utf8_lower(arr), "[^a-z0-9]+")
+    lens = pc.list_value_length(parts).fill_null(0).to_numpy(
+        zero_copy_only=False)
+    flat = pc.list_flatten(parts)
+    idx = np.repeat(np.arange(len(arr), dtype=np.int64), lens)
+    keep = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+    return idx[keep], flat.to_pandas().to_numpy(dtype=object)[keep]
+
+
 # ---------------------------------------------------------------------------
 # token counting (whitespace + BPE-ish regex)
 # ---------------------------------------------------------------------------
@@ -938,10 +956,7 @@ def q_top_terms_per_lang(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for lang, g in df.groupby("lang", sort=True):
-            toks = (
-                g["text"].str.lower().str.findall(r"[a-z0-9]+")
-                .explode().dropna()
-            )
+            toks = pd.Series(tokens_flat(g["text"])[1], dtype=object)
             c = toks.value_counts()
             outs.append(pd.DataFrame({
                 "lang": lang,
@@ -1034,10 +1049,8 @@ def q_vocab_overlap_sources(sf_dir: str):
     def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for src, g in df.groupby("source", sort=True):
-            toks = (
-                g["text"].str.lower().str.findall(r"[a-z0-9]+")
-                .explode().dropna().unique()
-            )
+            toks = pd.Series(
+                tokens_flat(g["text"])[1], dtype=object).unique()
             outs.append(pd.DataFrame({"source": src, "token": toks}))
         if not outs:
             return pd.DataFrame({

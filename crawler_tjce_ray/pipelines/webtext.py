@@ -163,15 +163,11 @@ def _explode_words(df: pd.DataFrame) -> pd.DataFrame:
     This helper sits under most corpus-touching text kernels (token
     counts, n-grams, BM25/TF-IDF, inverted index), so it IS the text
     hot path."""
-    arr = pa.array(df["text"].astype(object), type=pa.string())
-    parts = pc.split_pattern_regex(pc.utf8_lower(arr), "[^a-z0-9]+")
-    lens = pc.list_value_length(parts).fill_null(0).to_numpy(
-        zero_copy_only=False)
-    flat = pc.list_flatten(parts)
-    ids = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
-    keep = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
-    w = flat.to_pandas().to_numpy(dtype=object)[keep]
-    return pd.DataFrame({"doc_id": ids[keep], "w": w})
+    from crawler_tjce_ray.pipelines.textops import tokens_flat
+
+    idx, w = tokens_flat(df["text"])
+    return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64)[idx],
+                         "w": w})
 
 
 def q_top_bigram_frac(sf_dir: str):
@@ -435,8 +431,13 @@ def q_line_filter(sf_dir: str):
             "line": df["text"].str.split("\n"),
         }).explode("line", ignore_index=True)
         ex["i"] = ex.groupby("doc_id").cumcount()
-        nwords = ex["line"].str.lower().str.count(WORD_RE)
-        kept = ex[nwords >= LINE_MIN_WORDS]
+        # RE2 word count per line (≡ str.count(WORD_RE): non-greedy
+        # runs of [a-z0-9] are non-overlapping in both engines)
+        nwords = pc.count_substring_regex(
+            pc.utf8_lower(pa.array(ex["line"].astype(object),
+                                   type=pa.string())), WORD_RE
+        ).to_numpy(zero_copy_only=False)
+        kept = ex.loc[nwords >= LINE_MIN_WORDS]
         if kept.empty:
             return pd.DataFrame({
                 "doc_id": pd.Series([], dtype="int64"),
