@@ -115,6 +115,67 @@ class AppState:
             )[0]
         return f"cas://{receipt['cid']}"
 
+    # -- HTML pages (reference main.py:54-91 serves home/cronologica/
+    # edital/pagamentos templates; this is the same navigation surface
+    # with original minimal markup — the data flows through the same
+    # /api routes the reference's pages call) --------------------------
+    _PAGES = {
+        "home": ("Sistema de Consulta TJCE",
+                 "Selecione o tipo de consulta."),
+        "cronologica": ("Consulta de Precatórios — Ordem Cronológica",
+                        "Selecione a entidade devedora."),
+        "edital": ("Consulta de Editais",
+                   "Listagem de editais publicados."),
+        "pagamentos": ("Consulta de Pagamentos Realizados",
+                       "Listagem de pagamentos realizados."),
+    }
+
+    def _page_html(self, name: str) -> str:
+        title, subtitle = self._PAGES[name]
+        nav = " | ".join(
+            f'<a href="/{"" if p == "home" else p}">{t[0]}</a>'
+            for p, t in self._PAGES.items()
+        )
+        body = ""
+        if name == "cronologica":
+            # entity dropdown, official-name sorted (main.py:62-75);
+            # reuses the TTL-cached /api/entities build, whose frame
+            # already carries (entidade, slug)
+            _, payload = self.entities()
+            ents = sorted(payload.get("data", []),
+                          key=lambda r: r.get("entidade", ""))
+            opts = "\n".join(
+                f'<option value="{r.get("slug", "")}">'
+                f'{r.get("entidade", "")}</option>'
+                for r in ents
+            )
+            body = (
+                '<form action="/api/fetch" method="get">'
+                f'<select name="entity">{opts}</select> '
+                '<input type="number" name="year" placeholder="ano"> '
+                '<button type="submit">Consultar</button></form>'
+            )
+        elif name == "edital":
+            body = '<p><a href="/api/editais">Ver editais (JSON)</a></p>'
+        elif name == "pagamentos":
+            body = '<p><a href="/api/pagamentos">Ver pagamentos (JSON)</a></p>'
+        else:
+            body = (
+                '<ul>'
+                '<li><a href="/cronologica">Ordem cronológica</a></li>'
+                '<li><a href="/edital">Editais</a></li>'
+                '<li><a href="/pagamentos">Pagamentos</a></li>'
+                '<li><a href="/api/queries">Registro de consultas (JSON)</a></li>'
+                '</ul>'
+            )
+        return (
+            "<!DOCTYPE html>\n"
+            '<html lang="pt-BR"><head><meta charset="UTF-8">'
+            f"<title>{title}</title></head>"
+            f"<body><nav>{nav}</nav><h1>{title}</h1>"
+            f"<p>{subtitle}</p>{body}</body></html>"
+        )
+
     # -- routes ------------------------------------------------------------
     def health(self) -> tuple[int, dict]:
         return 200, {"status": "OK", "message": "API está operacional"}
@@ -329,6 +390,14 @@ class ApiHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _send_html(self, code: int, html: str) -> None:
+        body = html.encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def _send_text(self, code: int, text: str) -> None:
         body = text.encode("utf-8")
         self.send_response(code)
@@ -350,6 +419,10 @@ class ApiHandler(BaseHTTPRequestHandler):
         try:
             if parsed.path == "/metrics":
                 self._send_text(200, m.exposition())
+            elif parsed.path in ("/", "/cronologica", "/edital",
+                                 "/pagamentos"):
+                page = "home" if parsed.path == "/" else parsed.path[1:]
+                self._send_html(200, self.state._page_html(page))
             elif parsed.path == "/api/health":
                 self._send(*self.state.health())
             elif parsed.path == "/api/entities":

@@ -277,3 +277,38 @@ class TestCacheBounds:
             state._cached(f"k{i}", lambda i=i: (200, {"i": i}))
         assert len(state._cache) == AppState.CACHE_MAX_ENTRIES
         assert "k0" not in state._cache  # oldest evicted
+
+
+class TestHtmlPages:
+    """The reference serves home/cronologica/edital/pagamentos HTML
+    pages (main.py:54-91); the rebuild serves the same navigation
+    surface with original markup over the same /api data."""
+
+    def _get_html(self, base, path):
+        with urllib.request.urlopen(base + path) as r:
+            return r.status, r.headers.get("Content-Type"), \
+                r.read().decode("utf-8")
+
+    def test_home(self, server):
+        code, ctype, html = self._get_html(server, "/")
+        assert code == 200 and ctype.startswith("text/html")
+        assert "Sistema de Consulta TJCE" in html
+        for link in ("/cronologica", "/edital", "/pagamentos"):
+            assert link in html
+
+    def test_cronologica_lists_entities_sorted(self, server):
+        code, _, html = self._get_html(server, "/cronologica")
+        assert code == 200
+        # the dropdown is fed by the same build as /api/entities
+        _, ents = _get(server, "/api/entities")
+        names = [r["entidade"] for r in ents["data"]]
+        assert names and all(n in html for n in names[:3])
+        # official-name sort order (reference main.py:62-75)
+        pos = [html.index(n) for n in sorted(names)]
+        assert pos == sorted(pos)
+
+    def test_edital_and_pagamentos_pages(self, server):
+        for path, api in (("/edital", "/api/editais"),
+                          ("/pagamentos", "/api/pagamentos")):
+            code, _, html = self._get_html(server, path)
+            assert code == 200 and api in html
