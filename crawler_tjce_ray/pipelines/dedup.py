@@ -806,6 +806,37 @@ def simhash64(gh: np.ndarray) -> np.uint64:
     return out
 
 
+def batch_simhash64(gram_lists: list[np.ndarray]) -> np.ndarray:
+    """Charikar simhash for a whole batch in one segment-reduced pass:
+    the per-doc gram arrays concatenate once, bit votes accumulate via
+    ``np.add.reduceat`` in 16-bit blocks (bounding scratch to
+    |grams|×16×8 B), and the majority test packs back to uint64 —
+    bit-identical to per-doc ``simhash64`` (pinned by test), empty
+    docs keep the 0 signature."""
+    n = len(gram_lists)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(g) for g in gram_lists), np.int64, count=n)
+    nz = np.nonzero(lens)[0]
+    if len(nz) == 0:
+        return out
+    flat = np.concatenate([gram_lists[i] for i in nz])
+    starts = np.zeros(len(nz), np.int64)
+    starts[1:] = np.cumsum(lens[nz])[:-1]
+    sig = np.zeros(len(nz), dtype=np.uint64)
+    blk = 16
+    for b0 in range(0, 64, blk):
+        shifts = np.arange(b0, b0 + blk, dtype=np.uint64)
+        bits = (flat[:, None] >> shifts[None, :]) & np.uint64(1)
+        sums = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+        votes = sums * 2 > lens[nz][:, None]
+        sig |= (votes.astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64)
+    out[nz] = sig
+    return out
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup pairs (hamming ≤ 3) via 4×16-bit band blocking:
     pigeonhole guarantees every qualifying pair shares ≥1 band, so the
@@ -814,19 +845,22 @@ def q_dedup_simhash(sf_dir: str):
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
     def sigs(df: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized: batch signatures + a (docs × bands) shift
+        # matrix for the band keys; sim64 keeps ALL 64 bits via an
+        # int64 reinterpret (bit 63 must participate in the hamming
+        # distance)
         gram_lists = batch_gram_hashes(df["text"].tolist())
-        rows = []
-        for doc_id, gh in zip(df["doc_id"], gram_lists):
-            h = simhash64(gh)
-            for b in range(SIMHASH_BANDS):
-                band_key = int((h >> np.uint64(16 * b)) & np.uint64(0xFFFF))
-                # keep ALL 64 bits: reinterpret uint64 as int64 (bit 63 must
-                # participate in the hamming distance)
-                rows.append((b, band_key, int(doc_id),
-                             int(np.uint64(h).astype(np.int64))))
-        return pd.DataFrame(
-            rows, columns=["band", "bkey", "doc_id", "sim64"]
-        )
+        h = batch_simhash64(gram_lists)
+        n = len(h)
+        shifts = (np.uint64(16) * np.arange(SIMHASH_BANDS, dtype=np.uint64))
+        bkeys = ((h[:, None] >> shifts[None, :]) & np.uint64(0xFFFF))
+        return pd.DataFrame({
+            "band": np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), n),
+            "bkey": bkeys.reshape(-1).astype(np.int64),
+            "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64),
+                                SIMHASH_BANDS),
+            "sim64": np.repeat(h.view(np.int64), SIMHASH_BANDS),
+        })
 
     banded = docs.map_batches(sigs, batch_format="pandas")
 

@@ -113,22 +113,32 @@ def quality_frame(df: pd.DataFrame) -> pd.DataFrame:
     ``curation_pipeline``.  All ratios are exact IEEE divisions of
     integer counts, so the doubles are bit-identical to the DuckDB
     oracle (no rounding needed)."""
-    # literal-space split: DuckDB string_split(text,' ') keeps empty
-    # tokens on irregular whitespace (and yields 1 token for '') —
-    # pandas .str.split() without args would drop them and divide
-    # by zero on empty docs
-    toks = df["text"].str.split(" ")
-    n_tokens = toks.str.len().astype("int64")
-    n_alpha = (
-        df["text"].str.replace(r"\s", "", regex=True).str.len().astype("int64")
-    )
-    stop_hits = toks.map(
-        lambda ts: sum(1 for w in ts if w in EN_STOPWORDS)
-    ).astype("int64")
+    # All counts are Arrow kernels over the whole batch (no per-doc
+    # Python).  Literal-space token count = separator count + 1 — the
+    # exact string_split(text,' ') length, empty-token and ''-doc
+    # cases included; whitespace is the RE2 ASCII \s class, the SAME
+    # class the oracle's regexp_replace('\s','g') uses (the old
+    # Python \s also matched unicode whitespace — a latent oracle
+    # divergence on exotic corpora, gone now).
+    arr = pa.array(df["text"].astype(object), type=pa.string())
+    n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False)
+    n_tokens = pc.add(pc.count_substring(arr, " "),
+                      pa.scalar(1)).to_numpy(zero_copy_only=False)
+    n_alpha = n_chars - pc.count_substring_regex(arr, r"\s").to_numpy(
+        zero_copy_only=False)
+    parts = pc.split_pattern(arr, " ")
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(parts)
+    hits = pc.is_in(flat, value_set=pa.array(
+        sorted(EN_STOPWORDS), pa.string())).to_numpy(zero_copy_only=False)
+    stop_hits = np.zeros(len(df), np.int64)
+    np.add.at(stop_hits,
+              np.repeat(np.arange(len(df), dtype=np.int64), lens),
+              hits.astype(np.int64))
     out = pd.DataFrame({
         "doc_id": df["doc_id"],
-        "n_chars": df["text"].str.len().astype("int64"),
-        "n_tokens": n_tokens,
+        "n_chars": n_chars.astype("int64"),
+        "n_tokens": n_tokens.astype("int64"),
         "mean_token_len": n_alpha / n_tokens,
         "stopword_ratio": stop_hits / n_tokens,
     })
@@ -178,14 +188,23 @@ def q_text_ttr(sf_dir: str):
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def ttr(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.split(" ")
-        n_tok = toks.str.len().to_numpy(np.int64)
-        n_typ = np.fromiter(
-            (len(set(t)) for t in toks), np.int64, len(toks)
-        )
+        arr = pa.array(df["text"].astype(object), type=pa.string())
+        n_tok = pc.add(pc.count_substring(arr, " "),
+                       pa.scalar(1)).to_numpy(zero_copy_only=False)
+        # distinct tokens per doc: one hash-dedup over the exploded
+        # (row, token) pairs instead of a Python set per doc
+        parts = pc.split_pattern(arr, " ")
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        d = pd.DataFrame({
+            "i": idx, "w": pc.list_flatten(parts).to_pandas().to_numpy()
+        }).drop_duplicates()
+        n_typ = np.zeros(len(df), np.int64)
+        cnt = d.groupby("i").size()
+        n_typ[cnt.index.to_numpy()] = cnt.to_numpy(np.int64)
         return pd.DataFrame({
             "doc_id": df["doc_id"].astype("int64"),
-            "n_tokens": n_tok,
+            "n_tokens": n_tok.astype(np.int64),
             "n_types": n_typ,
             "ttr": np.round(
                 n_typ / np.maximum(n_tok, 1).astype(np.float64), 6

@@ -428,3 +428,21 @@ class TestBatchSignatureEquivalence:
         out = batch_minhash_signatures([np.empty(0, np.uint64)] * 3)
         assert out.shape == (3, N_PERM)
         assert (out == np.uint64(_M31)).all()
+
+    def test_batch_simhash_matches_per_doc(self):
+        import numpy as np
+
+        from crawler_tjce_ray.pipelines.dedup import (
+            batch_gram_hashes, batch_simhash64, simhash64,
+        )
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "",
+            "one two",
+            "alpha beta gamma delta epsilon zeta eta theta " * 20,
+        ]
+        gls = batch_gram_hashes(texts)
+        batch = batch_simhash64(gls)
+        for i, g in enumerate(gls):
+            assert batch[i] == simhash64(g), i
