@@ -3670,10 +3670,13 @@ def q_segment_year_revenue(sf_dir: str):
     columns and shrink between hops:
 
     1. orderkey exchange — orders rows ride as (orderkey, custkey,
-       year), lineitem rows as (orderkey, revenue term); in-bucket
-       merge pre-aggregates to (custkey, year, rev, n) partials, so
-       what leaves hop 1 is bounded by #customers × years, not joined
-       rows;
+       year); lineitem rows PRE-COMBINE per batch to (orderkey,
+       cents-sum, count) partials before the exchange (each term is
+       already snapped to integer cents, so batch-level partial sums
+       commute exactly), cutting hop-1 shuffle volume by the mean
+       lineitems-per-order factor; in-bucket merge pre-aggregates to
+       (custkey, year, rev, n) partials, so what leaves hop 1 is
+       bounded by #customers × years, not joined rows;
     2. custkey exchange — hop-1 partials union customer's (custkey,
        mktsegment); in-bucket merge emits (mktsegment, year) partials;
        the driver folds ≤ 64 × segments × years additive rows.
@@ -3707,7 +3710,7 @@ def q_segment_year_revenue(sf_dir: str):
             "key": key, "kb": exchange.kb_arrow(key, nb1),
             "custkey": pc.cast(t["o_custkey"], pa.int64()),
             "year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
-            "rev": _const(t.num_rows, None, pa.float64()),
+            "rev_c": _const(t.num_rows, None, pa.int64()),
             "side": _const(t.num_rows, 0, pa.int8()),
         })
 
@@ -3716,24 +3719,33 @@ def q_segment_year_revenue(sf_dir: str):
         rev = pc.multiply(
             t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
         )
-        n = t.num_rows
+        # snap each term to integer cents FIRST (identical IEEE ops to
+        # the oracle), then pre-combine per orderkey within the batch:
+        # int sums commute, so the partial is exact
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(rev, pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        g = pa.table({"key": key, "rev_c": cents}) \
+            .group_by("key").aggregate([
+                ("rev_c", "sum"), ("rev_c", "count"),
+            ])
+        gkey = pc.cast(g["key"], pa.int64())
+        n = g.num_rows
         return pa.table({
-            "key": key, "kb": exchange.kb_arrow(key, nb1),
+            "key": gkey, "kb": exchange.kb_arrow(gkey, nb1),
             "custkey": _const(n, None, pa.int64()),
-            "year": _const(n, None, pa.int64()),
-            "rev": pc.cast(rev, pa.float64()),
+            "year": pc.cast(g["rev_c_count"], pa.int64()),  # rides in year
+            "rev_c": pc.cast(g["rev_c_sum"], pa.int64()),
             "side": _const(n, 1, pa.int8()),
         })
 
     def join_orderkey(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["side"] == 0][["key", "custkey", "year"]]
-        right = g[g["side"] == 1][["key", "rev"]]
+        right = g[g["side"] == 1][["key", "rev_c"]].copy()
+        # the lineitem partial reuses the year slot for its count
+        right["n"] = g.loc[g["side"] == 1, "year"].to_numpy(np.int64)
         j = right.merge(left, on="key", how="inner")
-        j["rev_c"] = np.floor(
-            j["rev"].to_numpy(np.float64) * 100.0 + 0.5
-        ).astype("int64")
         out = j.groupby(["custkey", "year"], as_index=False).agg(
-            rev_c=("rev_c", "sum"), n_items=("rev_c", "size"))
+            rev_c=("rev_c", "sum"), n_items=("n", "sum"))
         out["kb2"] = exchange.kb_numpy(
             out["custkey"].to_numpy(np.int64), nb2)
         return out
