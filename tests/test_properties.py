@@ -243,3 +243,75 @@ def test_shingle_occurrences_match_naive(texts, n):
     # bucket column is derived from k1 alone
     if len(occ):
         assert (occ["kb"] == (occ["k1"] & 63)).all()
+
+
+# ---------------------------------------------------------------------------
+# round-4 kernels: tokenizer, exchange sizing, batch signatures
+# ---------------------------------------------------------------------------
+
+_texty = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd", "Po", "Zs"),
+        whitelist_characters="\n\t -_.,!",
+    ),
+    max_size=120,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_texty, max_size=12))
+def test_tokens_flat_equals_findall(texts):
+    """RE2 complement-split tokenization ≡ findall(WORD_RE) on
+    arbitrary text, including unicode and empty rows."""
+    import pandas as pd
+
+    from crawler_tjce_ray.pipelines.textops import tokens_flat
+    from crawler_tjce_ray.pipelines.webtext import WORD_RE
+
+    df = pd.DataFrame({"text": pd.Series(texts, dtype=object)})
+    idx, w = tokens_flat(df["text"])
+    got = list(zip(idx.tolist(), w.tolist()))
+    exp = []
+    for i, t in enumerate(texts):
+        import re
+
+        for m in re.findall(WORD_RE, t.lower()):
+            exp.append((i, m))
+    assert got == exp
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=1 << 50))
+def test_buckets_for_bytes_pow2_and_monotone(b):
+    from crawler_tjce_ray.pipelines.exchange import (
+        MAX_BUCKETS, MIN_BUCKETS, buckets_for_bytes,
+    )
+
+    n = buckets_for_bytes(b)
+    assert MIN_BUCKETS <= n <= MAX_BUCKETS
+    assert n & (n - 1) == 0  # power of two
+    assert buckets_for_bytes(b * 2) >= n  # monotone in input size
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(
+    st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+             max_size=30),
+    max_size=8,
+))
+def test_batch_signatures_equal_per_doc(gram_lists):
+    """Batch minhash/simhash kernels ≡ their per-doc forms on random
+    gram-hash arrays (duplicates and empties included)."""
+    import numpy as np
+
+    from crawler_tjce_ray.pipelines.dedup import (
+        batch_minhash_signatures, batch_simhash64, minhash_signature,
+        simhash64,
+    )
+
+    gls = [np.array(g, dtype=np.uint64) for g in gram_lists]
+    mh = batch_minhash_signatures(gls)
+    sh = batch_simhash64(gls)
+    for i, g in enumerate(gls):
+        np.testing.assert_array_equal(mh[i], minhash_signature(g))
+        assert sh[i] == simhash64(g)
