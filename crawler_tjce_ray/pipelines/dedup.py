@@ -312,21 +312,35 @@ NGRAM_JACCARD_MAX_DOCS = 50_000
 
 
 def _jaccard_pairs_against(
-    ids: np.ndarray, grams: list[set[str]], all_ids: np.ndarray,
-    all_grams: list[set[str]], tau: float,
+    batch_ids: np.ndarray, all_ids: np.ndarray, sizes: np.ndarray,
+    gid: np.ndarray, gkey: np.ndarray, tau: float,
 ) -> pd.DataFrame:
-    rows = []
-    pos = {int(i): k for k, i in enumerate(all_ids)}
-    for k, (i, gi) in enumerate(zip(ids, grams)):
-        for j_idx in range(pos[int(i)] + 1, len(all_ids)):
-            gj = all_grams[j_idx]
-            inter = len(gi & gj)
-            if not inter:
-                continue
-            jac = inter / (len(gi) + len(gj) - inter)
-            if jac >= tau:
-                rows.append((int(i), int(all_ids[j_idx]), jac))
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+    """Pairs (a, b) with a in ``batch_ids``, a < b, exact hashed-gram
+    Jaccard ≥ τ — fully vectorized: one gram-key self-merge counts
+    every shared gram (pairs sharing none never materialize), sizes
+    resolve by searchsorted.  Emitting only a-in-batch ∧ a < b makes
+    each global pair come out of exactly ONE batch (the one holding
+    the smaller id).  Replaces the per-pair Python set-intersection
+    loop (the r4 bench's hottest driver kernel: 4.5M set ops at
+    sf0.1)."""
+    keep = np.isin(gid, batch_ids)
+    left = pd.DataFrame({"a": gid[keep], "g": gkey[keep]})
+    right = pd.DataFrame({"b": gid, "g": gkey})
+    m = left.merge(right, on="g")
+    m = m.loc[m["a"].to_numpy() < m["b"].to_numpy()]
+    if m.empty:
+        return _pairs_empty()
+    cnt = m.groupby(["a", "b"], as_index=False).size()
+    sa = sizes[np.searchsorted(all_ids, cnt["a"].to_numpy(np.int64))]
+    sb = sizes[np.searchsorted(all_ids, cnt["b"].to_numpy(np.int64))]
+    inter = cnt["size"].to_numpy(np.int64)
+    jac = inter / (sa + sb - inter)
+    out = pd.DataFrame({
+        "doc_a": cnt["a"].to_numpy(np.int64),
+        "doc_b": cnt["b"].to_numpy(np.int64),
+        "jaccard": jac,
+    })
+    return out.loc[out["jaccard"] >= tau]
 
 
 def q_dedup_ngram_jaccard(sf_dir: str):
@@ -350,22 +364,25 @@ def q_dedup_ngram_jaccard(sf_dir: str):
             f"use q_dedup_minhash_lsh, which calls this kernel on LSH "
             f"candidates only"
         )
-    # small-side index: ids + shingle sets, broadcast once.  Tokens are
-    # split on a LITERAL space — identical to the oracle's
-    # string_split(text,' ') even on irregular whitespace.
+    # small-side index: ids + distinct gram-hash rows, broadcast once.
+    # Tokens split on a LITERAL space — identical to the oracle's
+    # string_split(text,' ') even on irregular whitespace; hashed
+    # grams equal textual grams absent 64-bit collisions (the same
+    # equivalence the LSH verify tiers rely on, pinned by tests).
     idx_df = docs.to_pandas().sort_values("doc_id")
-    all_ids = idx_df["doc_id"].to_numpy()
-    all_grams = [ngram_set(t.split(" ")) for t in idx_df["text"]]
-    ref = ray.put((all_ids, all_grams))
+    all_ids = idx_df["doc_id"].to_numpy(np.int64)
+    ghs = batch_gram_hashes(idx_df["text"].tolist(), sep=" ")
+    sizes = np.fromiter((len(g) for g in ghs), np.int64, count=len(ghs))
+    gid = np.repeat(all_ids, sizes)
+    gkey = (np.concatenate(ghs).view(np.int64)
+            if len(ghs) else np.empty(0, np.int64))
+    ref = ray.put((all_ids, sizes, gid, gkey))
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids_b, grams_b = ray.get(ref)
-        # each doc's shingles come from the broadcast index (no
-        # per-batch recompute; only doc_id flows through the map)
-        pos = {int(i): k for k, i in enumerate(ids_b)}
-        grams = [grams_b[pos[int(i)]] for i in df["doc_id"]]
+        ids_b, sizes_b, gid_b, gkey_b = ray.get(ref)
         return _jaccard_pairs_against(
-            df["doc_id"].to_numpy(), grams, ids_b, grams_b, JACCARD_TAU
+            df["doc_id"].to_numpy(np.int64), ids_b, sizes_b,
+            gid_b, gkey_b, JACCARD_TAU,
         )
 
     out = docs.select_columns(["doc_id"]).map_batches(
