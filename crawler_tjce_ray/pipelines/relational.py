@@ -2160,27 +2160,37 @@ def q_attribution_first_touch(sf_dir: str):
     """First-touch attribution: every purchase event credits the
     user's FIRST-ever event type; output is purchases per attributed
     channel with its share — the marketing-attribution primitive.
-    ONE user-bucket shuffle (first event and purchase count both
-    resolve in-bucket, ties on (ts, event_id)); additive (channel, n)
-    partials; share is a ratio of exact ints rounded to 6 dp."""
+    Each batch PRE-COMBINES to one row per user (its batch-first
+    event by (ts, event_id) + its batch purchase count — both exact
+    partials: the global first is the min of batch firsts, counts are
+    additive), so the ONE user-bucket exchange carries O(users ×
+    blocks) rows, not every event; in-bucket the true first resolves
+    and (channel, n) partials fold on the driver.  Share is a ratio
+    of exact ints rounded to 6 dp."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
-    def bucket(t: pa.Table) -> pa.Table:
-        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
-        return t.append_column("kb", kb)
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        first = g.drop_duplicates("user_id")[
+            ["user_id", "ts", "event_id", "event_type"]]
+        pn = g.loc[g["event_type"] == "purchase"] \
+            .groupby("user_id").size()
+        out = first.copy()
+        out["pn"] = out["user_id"].map(pn).fillna(0).astype("int64")
+        out["kb"] = out["user_id"].to_numpy(np.int64) & 63
+        return out
 
     def attribute(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         first = g.drop_duplicates("user_id")[["user_id", "event_type"]] \
             .rename(columns={"event_type": "channel"})
-        purchases = g.loc[g["event_type"] == "purchase"] \
-            .groupby("user_id", as_index=False).agg(n=("event_id", "size"))
-        j = purchases.merge(first, on="user_id")
+        purchases = g.groupby("user_id", as_index=False).agg(n=("pn", "sum"))
+        j = purchases.loc[purchases["n"] > 0].merge(first, on="user_id")
         out = j.groupby("channel", as_index=False)["n"].sum()
         return out.astype({"n": "int64"})
 
     parts = (
-        ds.map_batches(bucket, batch_format="pyarrow")
+        ds.map_batches(combine, batch_format="pandas")
         .groupby("kb")
         .map_groups(attribute, batch_format="pandas")
         .to_pandas()
