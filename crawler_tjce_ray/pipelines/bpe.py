@@ -27,7 +27,6 @@ import numpy as np
 import pandas as pd
 
 from crawler_tjce_ray.pipelines.textops import _read_docs
-from crawler_tjce_ray.pipelines.webtext import WORD_RE
 
 END = "</w>"          # Sennrich word-end marker
 # Default merge budget for the queries.  The synthetic corpus has a

@@ -857,7 +857,7 @@ def q_lorenz_deciles(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from crawler_tjce_ray.pipelines.relational import _const, _kb64, _read
+    from crawler_tjce_ray.pipelines.relational import _kb64, _read
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
