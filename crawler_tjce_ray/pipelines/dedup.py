@@ -1510,10 +1510,14 @@ def q_dedup_jaccard_prefix(sf_dir: str):
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     # pass 1: per-batch CMS partials → driver sum → broadcast once
+    # (grams via the vectorized batch kernel — one token-hash pass per
+    # batch instead of an md5 per shingle; digest domain is shared
+    # with doc_gram_rows below, which is all consistency the rarity
+    # order needs)
     def cms_partial(df: pd.DataFrame) -> pd.DataFrame:
         sk = np.zeros((_CMS_D, _CMS_W), np.int64)
-        for t in df["text"]:
-            idx = _cms_cells(gram_hashes(ngram_set(t.split(" "))))
+        for h in batch_gram_hashes(df["text"].tolist(), sep=" "):
+            idx = _cms_cells(h)
             for d in range(_CMS_D):
                 np.add.at(sk[d], idx[d], 1)
         return pd.DataFrame({"sk": [sk.tobytes()]})
@@ -1532,9 +1536,9 @@ def q_dedup_jaccard_prefix(sf_dir: str):
     # batch-local; the broadcast sketch makes the order global)
     def doc_gram_rows(df: pd.DataFrame) -> pd.DataFrame:
         sk = ray.get(sk_ref)
+        ghs = batch_gram_hashes(df["text"].tolist(), sep=" ")
         ids, gks, sizes, pfx, pos = [], [], [], [], []
-        for i, t in zip(df["doc_id"], df["text"]):
-            h = gram_hashes(ngram_set(t.split(" ")))
+        for i, h in zip(df["doc_id"], ghs):
             est = sk[np.arange(_CMS_D)[:, None], _cms_cells(h)].min(axis=0)
             order = np.lexsort((h, est))  # rarity first, digest tie-break
             # exact-integer ⌈τ·s⌉ plus one slack gram (see _alpha_overlap
@@ -1830,7 +1834,7 @@ def q_dedup_substring_clean(sf_dir: str):
     cleaned text.
 
     Distributed plan (two bucket shuffles, both digest-keyed):
-    (1) every window position becomes a (doc, pos, md5-digest) row;
+    (1) every window position becomes a (doc, pos, rolling-digest) row;
     the gram-bucket shuffle holds ALL rows of a digest, so the
     cross-doc test (distinct-doc count ≥ 2) is exact in-bucket and
     only duplicated positions come out.  (2) the doc-bucket shuffle
@@ -1852,21 +1856,37 @@ def q_dedup_substring_clean(sf_dir: str):
     nb_gram = exchange.buckets_for_bytes(dbytes * 4 if dbytes else None)
 
     ds = rd(sf_dir, ["doc_id", "text"])
-    md5 = hashlib.md5
-
     def window_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # window digests without per-window Python: hash every token
+        # of the batch once (process-stable C siphash, the
+        # batch_gram_hashes discipline), then each doc's n_win window
+        # keys fall out of SUBSTR_N Horner slice ops over its token
+        # hashes (digest identity is global because the token hash is;
+        # collisions are the same 64-bit exposure the old truncated
+        # md5 carried)
+        token_lists = [t.split(" ") for t in df["text"]]
+        total = sum(len(x) for x in token_lists)
+        th = np.empty(0, np.uint64)
+        if total:
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for toks in token_lists:
+                flat[pos:pos + len(toks)] = toks
+                pos += len(toks)
+            th = pd.util.hash_array(flat)
         ids, poss, gks = [], [], []
-        for i, t in zip(df["doc_id"], df["text"]):
-            ws = t.split(" ")
-            if len(ws) < SUBSTR_N:
+        pos = 0
+        for i, toks in zip(df["doc_id"], token_lists):
+            n = len(toks)
+            h = th[pos:pos + n]
+            pos += n
+            if n < SUBSTR_N:
                 continue
-            n_win = len(ws) - SUBSTR_N + 1
-            digs = np.fromiter(
-                (int.from_bytes(
-                    md5(" ".join(ws[j:j + SUBSTR_N]).encode()).digest()[:8],
-                    "little") for j in range(n_win)),
-                dtype=np.uint64, count=n_win,
-            )
+            n_win = n - SUBSTR_N + 1
+            digs = np.zeros(n_win, np.uint64)
+            with np.errstate(over="ignore"):  # wraparound IS the hash
+                for k in range(SUBSTR_N):
+                    digs = digs * _GRAM_P + h[k:k + n_win]
             ids.append(np.full(n_win, int(i), np.int64))
             poss.append(np.arange(n_win, dtype=np.int64))
             gks.append(digs)
