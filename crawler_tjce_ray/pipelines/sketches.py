@@ -63,18 +63,15 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 def hll_registers(values) -> np.ndarray:
     """Build one HLL register array (uint8[2^p]) from hashables —
-    vectorized: one md5-derived uint64 per value, then bucket =
-    top p bits, rank = leading zeros of the rest + 1."""
+    vectorized end to end: ONE process-stable C siphash pass
+    (``pd.util.hash_array``) gives the uint64 stream (an md5 loop per
+    value was the sketch stage's hot spot; HLL only needs a uniform
+    stable hash, and the ±2σ error bound is pinned in tests), then
+    bucket = top p bits, rank = leading zeros of the rest + 1."""
     if len(values) == 0:
         return np.zeros(HLL_M, dtype=np.uint8)
-    hashes = np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
-            for v in values
-        ),
-        dtype=np.uint64,
-        count=len(values),
-    )
+    arr = np.array([str(v) for v in values], dtype=object)
+    hashes = pd.util.hash_array(arr)
     buckets = (hashes >> np.uint64(64 - HLL_P)).astype(np.int64)
     rest = (hashes << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
     # leading zero count of the remaining 64 bits, +1
@@ -138,13 +135,16 @@ CMS_CAND_PER_BATCH = 50
 
 def cms_hash_rows(tokens: np.ndarray) -> np.ndarray:
     """(d, n) int64 column indices — d independent 16-bit slices of
-    one md5 per token (deterministic across processes, unlike
-    Python's salted hash())."""
+    ONE process-stable C siphash per token (``pd.util.hash_array``;
+    the md5-per-token Python loop was the sketch stage's hot spot).
+    The d slices of a 64-bit hash are pairwise-independent enough for
+    the CMS one-sided bound, which tests pin empirically."""
+    arr = np.array([str(t) for t in tokens], dtype=object)
+    h = pd.util.hash_array(arr)
     idx = np.empty((CMS_D, len(tokens)), dtype=np.int64)
-    for i, t in enumerate(tokens):
-        dig = hashlib.md5(str(t).encode()).digest()
-        for d in range(CMS_D):
-            idx[d, i] = int.from_bytes(dig[2 * d: 2 * d + 2], "big") % CMS_W
+    for d in range(CMS_D):
+        idx[d] = ((h >> np.uint64(16 * d)) & np.uint64(0xFFFF)).astype(
+            np.int64) % CMS_W
     return idx
 
 
