@@ -388,6 +388,10 @@ def q_dedup_ngram_jaccard(sf_dir: str):
     out = docs.select_columns(["doc_id"]).map_batches(
         pairs, batch_format="pandas"
     ).to_pandas()
+    if "doc_a" not in out.columns:
+        # every batch emitted zero pairs: Ray's to_pandas falls back to
+        # the upstream schema, losing the mapped columns
+        return _pairs_empty()
     out = out.astype({"doc_a": "int64", "doc_b": "int64"})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
@@ -496,6 +500,12 @@ _GRAM_P = np.uint64(1099511628211)
 # (the wraparound itself is intentional — it IS the rolling hash)
 _GRAM_P2 = np.uint64((int(_GRAM_P) ** 2) % (1 << 64))
 
+# siphash of the empty token — the pad value for docs shorter than
+# NGRAM, mirroring the oracle's coalesce(ws[i+k],'') padding (so
+# string_split('',' ') == [''] and [' '] == ['',''] both reduce to
+# the padded gram of three empty tokens, exactly like ngram_set)
+_EMPTY_TOKEN_HASH = int(pd.util.hash_array(np.array([""], dtype=object))[0])
+
 
 def batch_gram_hashes(texts, sep: str | None = None) -> list[np.ndarray]:
     """Vectorized 3-gram hashes for a whole batch of documents.
@@ -510,7 +520,13 @@ def batch_gram_hashes(texts, sep: str | None = None) -> list[np.ndarray]:
     token_lists = [t.split(sep) for t in texts]
     total = sum(len(x) for x in token_lists)
     if total == 0:
-        return [np.empty(0, dtype=np.uint64) for _ in token_lists]
+        # 0-token docs (sep=None on all-whitespace text) still carry
+        # ngram_set's single padded gram — batch composition must
+        # never change a doc's grams
+        acc = 0
+        for _ in range(NGRAM):
+            acc = (acc * int(_GRAM_P) + _EMPTY_TOKEN_HASH) % (1 << 64)
+        return [np.array([acc], dtype=np.uint64) for _ in token_lists]
     flat = np.empty(total, dtype=object)
     pos = 0
     for toks in token_lists:
@@ -525,9 +541,10 @@ def batch_gram_hashes(texts, sep: str | None = None) -> list[np.ndarray]:
         h = th[pos : pos + n]
         pos += n
         if n < NGRAM:  # mirror ngram_set's single padded gram
+            hs = [int(v) for v in h] + [_EMPTY_TOKEN_HASH] * (NGRAM - n)
             acc = 0
-            for k in range(n):  # exact mod-2^64 wraparound
-                acc = (acc * int(_GRAM_P) + int(h[k])) % (1 << 64)
+            for k in range(NGRAM):  # exact mod-2^64 wraparound
+                acc = (acc * int(_GRAM_P) + hs[k]) % (1 << 64)
             out.append(np.array([acc], dtype=np.uint64))
             continue
         with np.errstate(over="ignore"):  # uint64 wraparound is the hash
@@ -798,6 +815,8 @@ def q_dedup_minhash_lsh(sf_dir: str):
         .map_batches(verify, batch_format="pandas")
         .to_pandas()
     )
+    if "doc_a" not in out.columns:
+        return _pairs_empty()
     out = out.astype({"doc_a": "int64", "doc_b": "int64"})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
@@ -908,8 +927,13 @@ def q_dedup_simhash(sf_dir: str):
         banded.groupby("band")
         .map_groups(band_pairs, batch_format="pandas")
         .to_pandas()
-        .drop_duplicates(["doc_a", "doc_b"])
     )
+    if "doc_a" not in out.columns:
+        return pd.DataFrame({
+            c: pd.Series([], dtype="int64")
+            for c in ("doc_a", "doc_b", "hamming")
+        })
+    out = out.drop_duplicates(["doc_a", "doc_b"])
     out = out.astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 

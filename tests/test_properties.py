@@ -275,7 +275,14 @@ def test_tokens_flat_equals_findall(texts):
     for i, t in enumerate(texts):
         import re
 
-        for m in re.findall(WORD_RE, t.lower()):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # case-fold with Arrow's utf8_lower: it agrees with DuckDB's
+        # lower() (the oracle contract) where Python's str.lower()
+        # diverges (e.g. 'İ' → 'i' in utf8proc vs 'i̇' in Python)
+        low = pc.utf8_lower(pa.array([t], type=pa.string()))[0].as_py()
+        for m in re.findall(WORD_RE, low):
             exp.append((i, m))
     assert got == exp
 
