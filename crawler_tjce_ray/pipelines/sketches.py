@@ -745,14 +745,18 @@ def _grouped_quantile_select(
                     "wmn": np.float64(wmn), "wmx": np.float64(wmx),
                 }))
             if not outs:
+                # "string", not object: Ray's block size estimator
+                # chokes (benign but noisy) on size-0 object columns
                 return pd.DataFrame({
-                    "g": pd.Series([], dtype=object),
+                    "g": pd.Series([], dtype="string"),
                     "bin": pd.Series([], dtype="int64"),
                     "c": pd.Series([], dtype="int64"),
                     "wmn": pd.Series([], dtype="float64"),
                     "wmx": pd.Series([], dtype="float64"),
                 })
-            return pd.concat(outs, ignore_index=True)
+            cat = pd.concat(outs, ignore_index=True)
+            cat["g"] = cat["g"].astype("string")
+            return cat
 
         parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
         by_g = {g: sub for g, sub in parts.groupby("g")} if len(parts) else {}
@@ -791,10 +795,12 @@ def _grouped_quantile_select(
                     outs.append(pd.DataFrame({"g": g, "v": v}))
             if not outs:
                 return pd.DataFrame({
-                    "g": pd.Series([], dtype=object),
+                    "g": pd.Series([], dtype="string"),
                     "v": pd.Series([], dtype="float64"),
                 })
-            return pd.concat(outs, ignore_index=True)
+            cat = pd.concat(outs, ignore_index=True)
+            cat["g"] = cat["g"].astype("string")
+            return cat
 
         vals = ds.map_batches(gather, batch_format="pandas").to_pandas()
         for g, sub in vals.groupby("g"):
