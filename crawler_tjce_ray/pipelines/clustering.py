@@ -71,16 +71,23 @@ def _assign_partials(df: pd.DataFrame, cents: np.ndarray) -> pd.DataFrame:
     """Per-batch partials: one row per centroid present in the batch —
     ``(cluster_id, n, inertia, s0..s{d-1})``.  Assignment is a single
     matmul; inertia is Σ(1 − cos) over the batch's members."""
+    if not len(df):
+        return _partials_from_mat(np.empty((0, cents.shape[1])), cents)
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return _partials_from_mat(mat, cents)
+
+
+def _partials_from_mat(mat: np.ndarray, cents: np.ndarray) -> pd.DataFrame:
+    """Partials from an already-normalized B×d float64 matrix."""
     k, d = cents.shape
-    if not len(df):  # Ray may hand an empty block (e.g. tiny tables)
+    if not len(mat):  # Ray may hand an empty block (e.g. tiny tables)
         return pd.DataFrame({
             "cluster_id": pd.Series([], dtype="int64"),
             "n": pd.Series([], dtype="int64"),
             "inertia": pd.Series([], dtype="float64"),
             **{f"s{j}": pd.Series([], dtype="float64") for j in range(d)},
         })
-    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     sims = mat @ cents.T                       # B × k
     cell = sims.argmax(axis=1)
     rows = []
@@ -120,6 +127,60 @@ def _reduce_partials(parts: pd.DataFrame, cents: np.ndarray):
 
 
 _KMEANS_CACHE: dict[tuple, tuple] = {}
+_NORM_DS_CACHE: dict[tuple, object] = {}
+
+
+def _norm_emb_ds(sf_dir: str):
+    """The embeddings matrix as a MATERIALIZED Dataset whose
+    ``embedding`` column is an L2-normalized float64 tensor column —
+    built once per (sf_dir, session) and streamed by every Lloyd's
+    pass and the final assignment pass.  Normalize-once is bit-equal
+    to the old per-pass normalize (same float ops in the same order),
+    but the 7 passes stop paying a parquet read + object-array stack +
+    renormalize each: per-pass work collapses to one matmul per batch.
+    The blocks live in the object store (Ray spills past memory), so
+    at 100 TB this is the documented aggregate-memory trade — drop the
+    ``materialize()`` to fall back to re-reading per pass.
+
+    Same liveness discipline as graph.py's edge cache: a cached
+    Dataset's blocks die with the Ray session and job ids repeat
+    across ``ray.init`` cycles, so key by gcs address and probe one
+    block before trusting a hit."""
+    import ray
+
+    gcs = ray.get_runtime_context().gcs_address if ray.is_initialized() else ""
+    ck = (sf_dir, gcs)
+    if ck in _NORM_DS_CACHE:
+        try:
+            _NORM_DS_CACHE[ck].take(1)
+            return _NORM_DS_CACHE[ck]
+        except Exception:
+            _NORM_DS_CACHE.pop(ck, None)
+
+    import pyarrow.parquet as pq
+
+    first = next(pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+                 .iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first["embedding"][0])
+
+    def prenorm(batch: dict, _d=dim) -> dict:
+        emb = batch["embedding"]
+        if len(emb) == 0:  # keep the tensor shape on empty blocks
+            return {"embedding": np.empty((0, _d), np.float64)}
+        mat = (
+            np.asarray(emb, np.float64)
+            if getattr(emb, "ndim", 1) == 2
+            else np.stack(emb).astype(np.float64)
+        )
+        return {"embedding": mat / np.linalg.norm(mat, axis=1, keepdims=True)}
+
+    ds = (
+        _read_emb(sf_dir, columns=("embedding",))
+        .map_batches(prenorm, batch_format="numpy")
+        .materialize()
+    )
+    _NORM_DS_CACHE[ck] = ds
+    return ds
 
 
 def train_kmeans(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
@@ -152,17 +213,19 @@ def train_kmeans(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
         return _KMEANS_CACHE[_ck()]
 
     cents = _init_centroids(sf_dir, k)
+    norm_ds = _norm_emb_ds(sf_dir)
     history = []
     sizes = np.zeros(k, dtype=np.int64)
     for _ in range(iters):
         ref = ray.put(cents)
 
-        def partial(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
-            return _assign_partials(df, ray.get(_ref))
+        def partial(batch: dict, _ref=ref) -> pd.DataFrame:
+            return _partials_from_mat(
+                np.asarray(batch["embedding"], np.float64), ray.get(_ref)
+            )
 
         parts = (
-            _read_emb(sf_dir)
-            .map_batches(partial, batch_format="pandas")
+            norm_ds.map_batches(partial, batch_format="numpy")
             .to_pandas()
         )
         cents, sizes, inertia = _reduce_partials(parts, cents)
@@ -191,11 +254,15 @@ def q_kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     cents, _, _ = train_kmeans(sf_dir)
     ref = ray.put(cents)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return _assign_partials(df, ray.get(ref))
+    def partial(batch: dict) -> pd.DataFrame:
+        return _partials_from_mat(
+            np.asarray(batch["embedding"], np.float64), ray.get(ref)
+        )
 
     parts = (
-        _read_emb(sf_dir).map_batches(partial, batch_format="pandas").to_pandas()
+        _norm_emb_ds(sf_dir)
+        .map_batches(partial, batch_format="numpy")
+        .to_pandas()
     )
     scols = [c for c in parts.columns if c.startswith("s")]
     parts = parts.sort_values(["cluster_id", "n", "inertia", *scols], kind="mergesort")
