@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from crawler_tjce_ray.pipelines.textops import _read_docs
 
@@ -43,10 +44,10 @@ def corpus_word_counts(sf_dir: str) -> pd.Series:
     corpus-scale pass in BPE training)."""
     ds = _read_docs(sf_dir, ["text"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pd.DataFrame:
         from crawler_tjce_ray.pipelines.textops import tokens_flat
 
-        ex = pd.Series(tokens_flat(df["text"])[1], dtype=object)
+        ex = pd.Series(tokens_flat(t.column("text"))[1], dtype=object)
         if ex.empty:
             return pd.DataFrame({"w": pd.Series([], dtype="string"),
                                  "n": pd.Series([], dtype="int64")})
@@ -54,7 +55,7 @@ def corpus_word_counts(sf_dir: str) -> pd.Series:
         return pd.DataFrame({"w": g.index.astype("string"),
                              "n": g.to_numpy(np.int64)})
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     return parts.groupby("w")["n"].sum().sort_index()
 
 
@@ -155,13 +156,14 @@ def q_bpe_token_count(sf_dir: str) -> pd.DataFrame:
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
+    def score(t: pa.Table) -> pd.DataFrame:
         rk = ray.get(ranks_ref)
         from crawler_tjce_ray.pipelines.textops import tokens_flat
 
-        idx, w = tokens_flat(df["text"])
-        ex = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()[idx], "w": w})
-        base = pd.DataFrame({"doc_id": df["doc_id"]})
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        idx, w = tokens_flat(t.column("text"))
+        ex = pd.DataFrame({"doc_id": doc[idx], "w": w})
+        base = pd.DataFrame({"doc_id": doc})
         if ex.empty:
             base["n_words"] = np.int64(0)
             base["n_bpe_tokens"] = np.int64(0)
@@ -176,7 +178,7 @@ def q_bpe_token_count(sf_dir: str) -> pd.DataFrame:
         out["n_bpe_tokens"] = out["n_bpe_tokens"].fillna(0).astype("int64")
         return out
 
-    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -16,6 +16,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 QUANTILES = [0.5, 0.9, 0.99]
 
@@ -110,11 +111,12 @@ def q_approx_distinct_users(sf_dir: str):
     exact count is pinned in tests/test_sketches.py."""
     ds = _read_events(sf_dir, ["user_id"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        regs = hll_registers(df["user_id"].tolist())
+    def partial(t: pa.Table) -> pd.DataFrame:
+        regs = hll_registers(
+            t.column("user_id").to_numpy(zero_copy_only=False))
         return pd.DataFrame({"regs": [regs.tobytes()]})
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     merged = np.zeros(HLL_M, dtype=np.uint8)
     for blob in parts["regs"]:
         merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
@@ -185,10 +187,10 @@ def q_cms_heavy_hitters(sf_dir: str):
     # would land in ONE block and serialize the sketch stage)
     ds = _read_docs(sf_dir, ["text"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pd.DataFrame:
         from crawler_tjce_ray.pipelines.textops import tokens_flat
 
-        toks = pd.Series(tokens_flat(df["text"])[1], dtype=object)
+        toks = pd.Series(tokens_flat(t.column("text"))[1], dtype=object)
         counts = toks.value_counts()
         sk = cms_add(counts)
         cand = counts.head(CMS_CAND_PER_BATCH)
@@ -197,7 +199,7 @@ def q_cms_heavy_hitters(sf_dir: str):
             "cand": [list(cand.index)],
         })
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     sk = np.zeros((CMS_D, CMS_W), dtype=np.int64)
     cands: set[str] = set()
     for blob, cand in zip(parts["sketch"], parts["cand"]):
@@ -243,10 +245,10 @@ def q_heavy_hitters_exact(sf_dir: str):
 
     ds = _read_docs(sf_dir, ["text"]).materialize()  # two passes
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pd.DataFrame:
         from crawler_tjce_ray.pipelines.textops import tokens_flat
 
-        toks = pd.Series(tokens_flat(df["text"])[1], dtype=object)
+        toks = pd.Series(tokens_flat(t.column("text"))[1], dtype=object)
         counts = toks.value_counts()
         total = int(counts.sum())
         local = counts[counts >= HH_PHI * total] if total else counts
@@ -256,7 +258,7 @@ def q_heavy_hitters_exact(sf_dir: str):
             "total": [total],
         })
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     sk = np.zeros((CMS_D, CMS_W), dtype=np.int64)
     cands: set[str] = set()
     for blob, cand in zip(parts["sketch"], parts["cand"]):
@@ -269,10 +271,10 @@ def q_heavy_hitters_exact(sf_dir: str):
     est = cms_estimate(sk, cand_arr)
     survivors = frozenset(cand_arr[est >= threshold])
 
-    def exact(df: pd.DataFrame, _keep=survivors) -> pd.DataFrame:
+    def exact(t: pa.Table, _keep=survivors) -> pd.DataFrame:
         from crawler_tjce_ray.pipelines.textops import tokens_flat
 
-        toks = pd.Series(tokens_flat(df["text"])[1], dtype=object)
+        toks = pd.Series(tokens_flat(t.column("text"))[1], dtype=object)
         counts = toks.value_counts()
         sub = counts[counts.index.isin(_keep)]
         return pd.DataFrame({
@@ -281,7 +283,7 @@ def q_heavy_hitters_exact(sf_dir: str):
         })
 
     exact_counts = (
-        ds.map_batches(exact, batch_format="pandas")
+        ds.map_batches(exact, batch_format="pyarrow")
         .to_pandas()
         .groupby("token")["c"].sum()
     )

@@ -57,7 +57,17 @@ def tokens_flat(texts) -> tuple:
     tests/test_webtext.py).  The shared tokenizer under every
     corpus-touching word kernel (token counts, n-grams, BM25, BPE,
     CMS/heavy-hitter sketches)."""
-    arr = pa.array(pd.Series(texts).astype(object), type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        # zero-copy fast path for pyarrow-format batches: the pandas
+        # path below would materialize every text as a Python str
+        # first (the batch-format conversion IS the cost)
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(pd.Series(texts).astype(object), type=pa.string())
+    if not pa.types.is_string(arr.type):
+        arr = pc.cast(arr, pa.string())
     parts = pc.split_pattern_regex(pc.utf8_lower(arr), "[^a-z0-9]+")
     lens = pc.list_value_length(parts).fill_null(0).to_numpy(
         zero_copy_only=False)
@@ -972,16 +982,21 @@ def q_top_terms_per_lang(sf_dir: str):
     size."""
     ds = _read_docs(sf_dir, ["lang", "text"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for lang, g in df.groupby("lang", sort=True):
-            toks = pd.Series(tokens_flat(g["text"])[1], dtype=object)
-            c = toks.value_counts()
-            outs.append(pd.DataFrame({
-                "lang": lang,
-                "token": c.index.astype(object),
-                "c": c.to_numpy(dtype=np.int64),
-            }))
+    def partial(t: pa.Table) -> pd.DataFrame:
+        # tokenize the whole batch once (zero-copy Arrow), then count
+        # per (lang, token) — same counts as the old per-lang loop
+        idx, w = tokens_flat(t.column("text"))
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        if len(w):
+            ex = pd.DataFrame({"lang": lang.astype(object)[idx], "w": w})
+            c = ex.groupby(["lang", "w"], as_index=False).size()
+            outs = [pd.DataFrame({
+                "lang": c["lang"].astype(object),
+                "token": c["w"].astype(object),
+                "c": c["size"].to_numpy(dtype=np.int64),
+            })]
+        else:
+            outs = []
         if not outs:
             return pd.DataFrame({
                 "lang": pd.Series([], dtype=object),
@@ -1003,7 +1018,7 @@ def q_top_terms_per_lang(sf_dir: str):
     # global per-lang top-k is inside the union of the ≤64 bucket-local
     # per-lang top-k partials; the driver merges ≤ 64·|langs|·k rows
     parts = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .map_batches(lambda df: df.assign(tb=_token_bucket(df)),
                      batch_format="pandas")
         .groupby("tb")
@@ -1065,18 +1080,19 @@ def q_vocab_overlap_sources(sf_dir: str):
 
     ds = _read_docs(sf_dir, ["source", "text"])
 
-    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for src, g in df.groupby("source", sort=True):
-            toks = pd.Series(
-                tokens_flat(g["text"])[1], dtype=object).unique()
-            outs.append(pd.DataFrame({"source": src, "token": toks}))
-        if not outs:
+    def distinct_partial(t: pa.Table) -> pd.DataFrame:
+        # one whole-batch tokenize, then distinct (source, token)
+        # pairs — same set as the old per-source unique loop
+        idx, w = tokens_flat(t.column("text"))
+        if not len(w):
             return pd.DataFrame({
                 "source": pd.Series([], dtype="string"),
                 "token": pd.Series([], dtype="string"),
             })
-        return pd.concat(outs, ignore_index=True)
+        srcs = t.column("source").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "source": srcs.astype(object)[idx], "token": w,
+        }).drop_duplicates(ignore_index=True)
 
     def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
         """Exact per-bucket partials from the globally-deduped
@@ -1104,7 +1120,7 @@ def q_vocab_overlap_sources(sf_dir: str):
     # land in one bucket, so in-bucket dedup is globally exact and the
     # driver merges ≤ 64·|S|² partial rows
     parts = (
-        ds.map_batches(distinct_partial, batch_format="pandas")
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
         .map_batches(lambda df: df.assign(tb=_token_bucket(df)),
                      batch_format="pandas")
         .groupby("tb")

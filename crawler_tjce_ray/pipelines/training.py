@@ -21,6 +21,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from crawler_tjce_ray.pipelines.relational import _read
 from crawler_tjce_ray.pipelines.textops import _read_docs
@@ -123,14 +124,14 @@ FROM documents ORDER BY pos
 DUP_N = 8  # words per window — the cross-doc duplication unit
 
 
-def _doc_window_pairs(df: pd.DataFrame) -> pd.DataFrame:
+def _doc_window_pairs(b) -> pd.DataFrame:
     """Distinct (doc_id, md5(window)) pairs for every DUP_N-word
     window of every document in the batch.  Windows are formed with
     plain frame-level shifts (vectorized); a window is valid iff the
     row DUP_N-1 ahead still belongs to the same doc, so no window
     crosses a document boundary.  Dedup happens here, doc-locally —
     the pairs stay globally distinct however Ray re-blocks them."""
-    ex = _explode_words(df)
+    ex = _explode_words(b)
     if ex.empty:
         return pd.DataFrame({
             "doc_id": pd.Series([], dtype="int64"),
@@ -173,7 +174,7 @@ def q_dup_ngram_docs(sf_dir: str):
     would drop to uint64 and the result would stream to parquet
     instead of the driver; the structure is unchanged."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    pairs = ds.map_batches(_doc_window_pairs, batch_format="pandas").materialize()
+    pairs = ds.map_batches(_doc_window_pairs, batch_format="pyarrow").materialize()
 
     n_grams = (
         pairs.map_batches(
@@ -264,8 +265,8 @@ def q_bigram_lm(sf_dir: str):
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     md5 = hashlib.md5
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ex = _explode_words(df)
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ex = _explode_words(t)
         if ex.empty:
             return pd.DataFrame({
                 "w1": pd.Series([], dtype="object"),
@@ -293,7 +294,7 @@ def q_bigram_lm(sf_dir: str):
                              kind="mergesort").head(BIGRAM_TOPK)
 
     cand = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("gb")
         .map_groups(bucket_final, batch_format="pandas")
         .to_pandas()
@@ -513,8 +514,8 @@ def q_bigram_pmi_topk(sf_dir: str):
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     md5 = hashlib.md5
 
-    def bigram_partial(df: pd.DataFrame) -> pd.DataFrame:
-        ex = _explode_words(df)
+    def bigram_partial(t: pa.Table) -> pd.DataFrame:
+        ex = _explode_words(t)
         if ex.empty:
             return pd.DataFrame({
                 "w1": pd.Series([], dtype="object"),
@@ -539,7 +540,7 @@ def q_bigram_pmi_topk(sf_dir: str):
         return sm.loc[sm["c12"] >= PMI_MIN_COUNT]
 
     pairs = (
-        ds.map_batches(bigram_partial, batch_format="pandas")
+        ds.map_batches(bigram_partial, batch_format="pyarrow")
         .groupby("gb")
         .map_groups(bucket_final, batch_format="pandas")
         .to_pandas()
@@ -553,8 +554,8 @@ def q_bigram_pmi_topk(sf_dir: str):
         })
     cand = set(pairs["w1"]) | set(pairs["w2"])
 
-    def unigram_partial(df: pd.DataFrame) -> pd.DataFrame:
-        ex = _explode_words(df)
+    def unigram_partial(t: pa.Table) -> pd.DataFrame:
+        ex = _explode_words(t)
         n_tok = len(ex)
         # adjacent-pair total: tokens minus one per doc with >=1 token
         docs = ex["doc_id"].nunique() if n_tok else 0
@@ -574,7 +575,7 @@ def q_bigram_pmi_topk(sf_dir: str):
         return out
 
     uni = (
-        ds.map_batches(unigram_partial, batch_format="pandas")
+        ds.map_batches(unigram_partial, batch_format="pyarrow")
         .to_pandas().groupby("word", as_index=False)["c"].sum()
     )
     umap = dict(zip(uni["word"], uni["c"].astype("int64")))

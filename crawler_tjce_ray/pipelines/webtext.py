@@ -153,7 +153,7 @@ FROM a ORDER BY doc_id
 WORD_RE = r"[a-z0-9]+"
 
 
-def _explode_words(df: pd.DataFrame) -> pd.DataFrame:
+def _explode_words(b) -> pd.DataFrame:
     """(doc_id, word) rows in document order, per-doc order preserved
     so groupby().shift() forms n-grams.  Tokenization is zero-copy
     Arrow RE2 — one ``utf8_lower`` + ``split_pattern_regex`` on the
@@ -162,12 +162,32 @@ def _explode_words(df: pd.DataFrame) -> pd.DataFrame:
     ~2× the pandas findall/explode path with no per-row Python regex.
     This helper sits under most corpus-touching text kernels (token
     counts, n-grams, BM25/TF-IDF, inverted index), so it IS the text
-    hot path."""
+    hot path.
+
+    Accepts a pandas batch OR a pyarrow Table; stages should pass
+    ``batch_format="pyarrow"`` so the text column reaches the Arrow
+    tokenizer without ever materializing Python str objects (the
+    batch-format conversion itself was the dominant per-batch cost)."""
     from crawler_tjce_ray.pipelines.textops import tokens_flat
 
-    idx, w = tokens_flat(df["text"])
-    return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64)[idx],
+    if isinstance(b, pa.Table):
+        idx, w = tokens_flat(b.column("text"))
+        doc = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"doc_id": doc.astype(np.int64)[idx], "w": w})
+    idx, w = tokens_flat(b["text"])
+    return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64)[idx],
                          "w": w})
+
+
+def _doc_base(b) -> pd.DataFrame:
+    """One-column ``doc_id`` frame from a pandas or pyarrow batch —
+    the merge base for per-doc score stages."""
+    if isinstance(b, pa.Table):
+        return pd.DataFrame({
+            "doc_id": b.column("doc_id").to_numpy(
+                zero_copy_only=False).astype("int64"),
+        })
+    return b[["doc_id"]].copy()
 
 
 def q_top_bigram_frac(sf_dir: str):
@@ -180,8 +200,8 @@ def q_top_bigram_frac(sf_dir: str):
     is one whole document (a doc never spans batches)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def top_bigram(df: pd.DataFrame) -> pd.DataFrame:
-        ex = _explode_words(df)
+    def top_bigram(t: pa.Table) -> pd.DataFrame:
+        ex = _explode_words(t)
         if ex.empty:
             return pd.DataFrame({
                 "doc_id": pd.Series([], dtype="int64"),
@@ -210,7 +230,7 @@ def q_top_bigram_frac(sf_dir: str):
             / top["total"].to_numpy(np.float64),
         })
 
-    out = ds.map_batches(top_bigram, batch_format="pandas").to_pandas()
+    out = ds.map_batches(top_bigram, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -248,10 +268,11 @@ DECON_N = 5  # words per contamination shingle
 DECON_MOD = 97  # doc_id % DECON_MOD == 0 → benchmark member
 
 
-def _doc_ngrams(df: pd.DataFrame, n: int) -> pd.DataFrame:
+def _doc_ngrams(b, n: int) -> pd.DataFrame:
     """Distinct word n-grams per doc as (doc_id, ng) rows — exploded
-    words + (n-1) groupby shifts, all vectorized."""
-    ex = _explode_words(df)
+    words + (n-1) groupby shifts, all vectorized.  Takes a pandas or
+    pyarrow batch (``_explode_words`` is polymorphic)."""
+    ex = _explode_words(b)
     if ex.empty:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "ng": pd.Series([], dtype="object")})
@@ -263,11 +284,12 @@ def _doc_ngrams(df: pd.DataFrame, n: int) -> pd.DataFrame:
     return out.drop_duplicates(["doc_id", "ng"])
 
 
-def _bench_gram_partial(df: pd.DataFrame) -> pd.DataFrame:
+def _bench_gram_partial(t: pa.Table) -> pd.DataFrame:
     """Per-batch distinct 5-grams of the benchmark slice
     (``doc_id % DECON_MOD == 0``) — shared by ``decontaminate`` and
     ``curation_pipeline`` so both agree on the benchmark set."""
-    part = df[df["doc_id"] % DECON_MOD == 0]
+    doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+    part = t.filter(pa.array(doc % DECON_MOD == 0))
     grams = _doc_ngrams(part, DECON_N)[["ng"]].drop_duplicates()
     # "string" dtype (not object) so Ray can size empty blocks
     return grams.astype({"ng": "string"})
@@ -277,7 +299,7 @@ def _collect_bench_grams(ds) -> set:
     """Reduce the benchmark slice's distinct 5-grams from per-batch
     partials (eval sets are tiny next to the corpus)."""
     return set(
-        ds.map_batches(_bench_gram_partial, batch_format="pandas")
+        ds.map_batches(_bench_gram_partial, batch_format="pyarrow")
         .to_pandas()["ng"]
     )
 
@@ -297,9 +319,10 @@ def q_decontaminate(sf_dir: str):
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     bench_ref = ray.put(_collect_bench_grams(ds))
 
-    def hits(df: pd.DataFrame) -> pd.DataFrame:
+    def hits(t: pa.Table) -> pd.DataFrame:
         bset = ray.get(bench_ref)
-        tgt = df[df["doc_id"] % DECON_MOD != 0]
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        tgt = t.filter(pa.array(doc % DECON_MOD != 0))
         grams = _doc_ngrams(tgt, DECON_N)
         if grams.empty:
             shared = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
@@ -309,12 +332,16 @@ def q_decontaminate(sf_dir: str):
             shared = grams.groupby("doc_id", as_index=False).agg(
                 n_shared=("hit", "sum")
             )
-        out = tgt[["doc_id"]].merge(shared, on="doc_id", how="left")
+        base = pd.DataFrame({
+            "doc_id": tgt.column("doc_id").to_numpy(
+                zero_copy_only=False).astype("int64"),
+        })
+        out = base.merge(shared, on="doc_id", how="left")
         out["n_shared"] = out["n_shared"].fillna(0).astype("int64")
         out["contaminated"] = (out["n_shared"] > 0).astype("int64")
         return out
 
-    out = ds.map_batches(hits, batch_format="pandas").to_pandas()
+    out = ds.map_batches(hits, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -543,8 +570,8 @@ def q_unigram_logprob(sf_dir: str):
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def counts(df: pd.DataFrame) -> pd.DataFrame:
-        toks = _explode_words(df)
+    def counts(t: pa.Table) -> pd.DataFrame:
+        toks = _explode_words(t)
         if toks.empty:
             return pd.DataFrame({"w": pd.Series([], dtype="string"),
                                  "n": pd.Series([], dtype="int64")})
@@ -553,7 +580,7 @@ def q_unigram_logprob(sf_dir: str):
                              "n": g["size"].astype("int64")})
 
     vocab = (
-        ds.map_batches(counts, batch_format="pandas")
+        ds.map_batches(counts, batch_format="pyarrow")
         .to_pandas().groupby("w", as_index=False).sum()
     )
     total = int(vocab["n"].sum())
@@ -562,9 +589,9 @@ def q_unigram_logprob(sf_dir: str):
     table = dict(zip(vocab["w"], logp))
     table_ref = ray.put(table)
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
+    def score(b) -> pd.DataFrame:
         tbl = ray.get(table_ref)
-        ex = _explode_words(df)
+        ex = _explode_words(b)
         if ex.empty:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "n_tokens": pd.Series([], dtype="int64"),
@@ -573,7 +600,7 @@ def q_unigram_logprob(sf_dir: str):
         g = ex.groupby("doc_id", as_index=False).agg(
             n_tokens=("lp", "size"), sum_lp=("lp", "sum")
         )
-        out = df[["doc_id"]].merge(g, on="doc_id", how="left")
+        out = _doc_base(b).merge(g, on="doc_id", how="left")
         out["n_tokens"] = out["n_tokens"].fillna(0).astype("int64")
         # round 9: per-doc token-logprob summation order differs
         # between engines; the driver's value hash is strict
@@ -582,7 +609,7 @@ def q_unigram_logprob(sf_dir: str):
         ), 9)
         return out[["doc_id", "n_tokens", "mean_logprob"]]
 
-    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -639,8 +666,8 @@ def q_perplexity_buckets(sf_dir: str):
 
     ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
 
-    def counts(df: pd.DataFrame) -> pd.DataFrame:
-        toks = _explode_words(df)
+    def counts(t: pa.Table) -> pd.DataFrame:
+        toks = _explode_words(t)
         if toks.empty:
             return pd.DataFrame({"w": pd.Series([], dtype="string"),
                                  "n": pd.Series([], dtype="int64")})
@@ -649,7 +676,7 @@ def q_perplexity_buckets(sf_dir: str):
                              "n": g["size"].astype("int64")})
 
     vocab = (
-        ds.map_batches(counts, batch_format="pandas")
+        ds.map_batches(counts, batch_format="pyarrow")
         .to_pandas().groupby("w", as_index=False).sum()
     )
     total = int(vocab["n"].sum())
@@ -657,10 +684,11 @@ def q_perplexity_buckets(sf_dir: str):
     logp = np.log((vocab["n"].to_numpy(np.float64) + 1.0) / (total + vsize))
     table_ref = ray.put(dict(zip(vocab["w"], logp)))
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
+    def score(t: pa.Table) -> pd.DataFrame:
         tbl = ray.get(table_ref)
-        ex = _explode_words(df)
-        out = df[["doc_id", "lang"]].copy()
+        ex = _explode_words(t)
+        out = _doc_base(t)
+        out["lang"] = t.column("lang").to_pandas().to_numpy(dtype=object)
         if ex.empty:
             out["mean_logprob"] = np.float64(0.0)
             return out
@@ -673,7 +701,7 @@ def q_perplexity_buckets(sf_dir: str):
         out["mean_logprob"] = np.where(n > 0, out["sum_lp"] / n, 0.0)
         return out[["doc_id", "lang", "mean_logprob"]]
 
-    scored = ds.map_batches(score, batch_format="pandas").materialize()
+    scored = ds.map_batches(score, batch_format="pyarrow").materialize()
     t33 = _grouped_quantile_select(
         sf_dir, 1.0 / 3, ds=scored, group_col="lang", value_col="mean_logprob"
     )
@@ -779,8 +807,8 @@ def q_importance_weights(sf_dir: str):
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def counts(df: pd.DataFrame) -> pd.DataFrame:
-        toks = _explode_words(df)
+    def counts(t: pa.Table) -> pd.DataFrame:
+        toks = _explode_words(t)
         if toks.empty:
             return pd.DataFrame({"w": pd.Series([], dtype="string"),
                                  "nt": pd.Series([], dtype="int64"),
@@ -794,7 +822,7 @@ def q_importance_weights(sf_dir: str):
         return g
 
     vocab = (
-        ds.map_batches(counts, batch_format="pandas")
+        ds.map_batches(counts, batch_format="pyarrow")
         .to_pandas().groupby("w", as_index=False).sum()
     )
     tott, tots, vsize = int(vocab["nt"].sum()), int(vocab["ns"].sum()), len(vocab)
@@ -804,13 +832,11 @@ def q_importance_weights(sf_dir: str):
     )
     table_ref = ray.put(dict(zip(vocab["w"], lr)))
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
+    def score(t: pa.Table) -> pd.DataFrame:
         tbl = ray.get(table_ref)
-        ex = _explode_words(df)
-        base = pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "is_target": (df["doc_id"] % DSIR_MOD == 0).astype("int64"),
-        })
+        ex = _explode_words(t)
+        base = _doc_base(t)
+        base["is_target"] = (base["doc_id"] % DSIR_MOD == 0).astype("int64")
         if ex.empty:
             base["n_tokens"] = np.int64(0)
             base["mean_logratio"] = 0.0
@@ -826,7 +852,7 @@ def q_importance_weights(sf_dir: str):
         ), 9)
         return out[["doc_id", "is_target", "n_tokens", "mean_logratio"]]
 
-    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -884,8 +910,8 @@ def q_bigram_logprob(sf_dir: str):
         return {w: int(md5(w.encode()).hexdigest()[:2], 16) & 63 for w in words}
 
     # pass 1: V from per-batch distinct words, counted per md5 bucket
-    def distinct_words(df: pd.DataFrame) -> pd.DataFrame:
-        ex = _explode_words(df)
+    def distinct_words(t: pa.Table) -> pd.DataFrame:
+        ex = _explode_words(t)
         uw = pd.unique(ex["w"])
         bmap = _bucket_map(uw)
         return pd.DataFrame({
@@ -894,7 +920,7 @@ def q_bigram_logprob(sf_dir: str):
         })
 
     vparts = (
-        ds.map_batches(distinct_words, batch_format="pandas")
+        ds.map_batches(distinct_words, batch_format="pyarrow")
         .groupby("gb")
         .map_groups(
             lambda g: pd.DataFrame({"nv": [g["w"].nunique()]}),
@@ -906,8 +932,8 @@ def q_bigram_logprob(sf_dir: str):
 
     # pass 2: per-batch per-doc bigram-count partials (the combiner —
     # raw word streams never shuffle), bucketed on md5(w1)
-    def doc_bigrams(df: pd.DataFrame) -> pd.DataFrame:
-        ex = _explode_words(df).reset_index(drop=True)
+    def doc_bigrams(t: pa.Table) -> pd.DataFrame:
+        ex = _explode_words(t).reset_index(drop=True)
         nxt = ex["w"].shift(-1)
         same = (ex["doc_id"].shift(-1) == ex["doc_id"]).to_numpy()
         b = pd.DataFrame({
@@ -943,15 +969,13 @@ def q_bigram_logprob(sf_dir: str):
         )
 
     parts = (
-        ds.map_batches(doc_bigrams, batch_format="pandas")
+        ds.map_batches(doc_bigrams, batch_format="pyarrow")
         .groupby("gb")
         .map_groups(score_bucket, batch_format="pandas")
         .to_pandas()
         .groupby("doc_id", as_index=False).sum()
     )
-    ids = ds.map_batches(
-        lambda df: df[["doc_id"]], batch_format="pandas"
-    ).to_pandas()
+    ids = ds.select_columns(["doc_id"]).to_pandas()
     out = ids.merge(parts, on="doc_id", how="left")
     out["n_bigrams"] = out["n"].fillna(0).astype("int64")
     # round 9: cross-bucket partial-sum order differs from the
@@ -1164,8 +1188,8 @@ def q_tfidf_keywords(sf_dir: str):
     n_docs = documents_row_count(sf_dir)
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
-        ex = _explode_words(df).drop_duplicates(["doc_id", "w"])
+    def df_partial(t: pa.Table) -> pd.DataFrame:
+        ex = _explode_words(t).drop_duplicates(["doc_id", "w"])
         if ex.empty:
             return pd.DataFrame({"w": pd.Series([], dtype="string"),
                                  "c": pd.Series([], dtype="int64")})
@@ -1174,15 +1198,15 @@ def q_tfidf_keywords(sf_dir: str):
                              "c": g["size"].astype("int64")})
 
     dfc = (
-        ds.map_batches(df_partial, batch_format="pandas")
+        ds.map_batches(df_partial, batch_format="pyarrow")
         .to_pandas().groupby("w")["c"].sum()
     )
     idf = dict(zip(dfc.index, np.log(float(n_docs) / dfc.to_numpy(np.float64))))
     idf_ref = ray.put(idf)
 
-    def topk(df: pd.DataFrame) -> pd.DataFrame:
+    def topk(t: pa.Table) -> pd.DataFrame:
         tbl = ray.get(idf_ref)
-        ex = _explode_words(df)
+        ex = _explode_words(t)
         if ex.empty:
             return pd.DataFrame({
                 "doc_id": pd.Series([], dtype="int64"),
@@ -1208,7 +1232,7 @@ def q_tfidf_keywords(sf_dir: str):
             "score": top["score"].astype("float64"),
         })
 
-    out = ds.map_batches(topk, batch_format="pandas").to_pandas()
+    out = ds.map_batches(topk, batch_format="pyarrow").to_pandas()
     out["term"] = out["term"].astype(str)
     return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
