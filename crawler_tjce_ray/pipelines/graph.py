@@ -142,21 +142,28 @@ def q_pagerank_parts(sf_dir: str):
             f"{PR_MAX_DRIVER_NODES:,}-node ceiling (BASELINE.md "
             f"driver-state table); shard the rank vector on the edge "
             f"bucket key (broadcast per-bucket slices) past this size")
-    idx_ref = ray.put(pd.Series(np.arange(n, dtype="int64"), index=nodes))
+    # nodes is sorted, so searchsorted IS the node→index map — no
+    # hash join, no pandas frame per batch (numpy batches end to end)
+    nodes_ref = ray.put(np.asarray(nodes, dtype=np.int64))
 
-    def add_idx(df: pd.DataFrame) -> pd.DataFrame:
-        idx = ray.get(idx_ref)
-        return pd.DataFrame({
-            "src_i": idx[df["src"].to_numpy()].to_numpy(),
-            "dst_i": idx[df["dst"].to_numpy()].to_numpy(),
-            "w": df["w"].to_numpy(np.float64),
-        })
+    def add_idx(batch: dict) -> dict:
+        nd = ray.get(nodes_ref)
+        return {
+            "src_i": np.searchsorted(nd, batch["src"]).astype(np.int64),
+            "dst_i": np.searchsorted(nd, batch["dst"]).astype(np.int64),
+            "w": np.asarray(batch["w"], np.float64),
+        }
 
-    edges_idx = edges.map_batches(add_idx, batch_format="pandas").materialize()
+    edges_idx = edges.map_batches(add_idx, batch_format="numpy").materialize()
+
+    def deg_partial(batch: dict) -> dict:
+        # bincount over the compact per-batch key set: row-order
+        # accumulation, same summation order as the groupby it replaces
+        u, inv = np.unique(batch["src_i"], return_inverse=True)
+        return {"src_i": u, "w": np.bincount(inv, weights=batch["w"])}
 
     deg_parts = edges_idx.map_batches(
-        lambda df: df.groupby("src_i", as_index=False)["w"].sum(),
-        batch_format="pandas",
+        deg_partial, batch_format="numpy"
     ).to_pandas()
     outdeg = np.zeros(n, dtype=np.float64)
     np.add.at(outdeg, deg_parts["src_i"].to_numpy(), deg_parts["w"].to_numpy())
@@ -166,13 +173,13 @@ def q_pagerank_parts(sf_dir: str):
         scaled = np.divide(pr, outdeg, out=np.zeros_like(pr), where=outdeg > 0)
         sref = ray.put(scaled)
 
-        def contrib(df: pd.DataFrame, _sref=sref) -> pd.DataFrame:
+        def contrib(batch: dict, _sref=sref) -> dict:
             s = ray.get(_sref)
-            c = s[df["src_i"].to_numpy()] * df["w"].to_numpy(np.float64)
-            p = pd.DataFrame({"dst_i": df["dst_i"].to_numpy(), "c": c})
-            return p.groupby("dst_i", as_index=False)["c"].sum()
+            c = s[batch["src_i"]] * batch["w"]
+            u, inv = np.unique(batch["dst_i"], return_inverse=True)
+            return {"dst_i": u, "c": np.bincount(inv, weights=c)}
 
-        parts = edges_idx.map_batches(contrib, batch_format="pandas").to_pandas()
+        parts = edges_idx.map_batches(contrib, batch_format="numpy").to_pandas()
         cv = np.zeros(n, dtype=np.float64)
         np.add.at(cv, parts["dst_i"].to_numpy(), parts["c"].to_numpy())
         pr = (1.0 - PR_DAMPING) / n + PR_DAMPING * cv
