@@ -1085,13 +1085,13 @@ def q_bfs_hops(sf_dir: str):
     for h in range(1, BFS_MAX_HOPS + 1):
         fref = ray.put(frontier)
 
-        def nbrs(df: pd.DataFrame, _fref=fref) -> pd.DataFrame:
+        def nbrs(batch: dict, _fref=fref) -> dict:
             f = ray.get(_fref)
-            m = np.isin(df["src"].to_numpy(np.int64), f)
-            succ = np.unique(df["dst"].to_numpy(np.int64)[m])
-            return pd.DataFrame({"dst": pd.Series(succ, dtype="int64")})
+            m = np.isin(np.asarray(batch["src"], np.int64), f)
+            succ = np.unique(np.asarray(batch["dst"], np.int64)[m])
+            return {"dst": succ}
 
-        parts = edges.map_batches(nbrs, batch_format="pandas").to_pandas()
+        parts = edges.map_batches(nbrs, batch_format="numpy").to_pandas()
         new = np.setdiff1d(
             parts["dst"].to_numpy(np.int64), visited, assume_unique=False
         )
