@@ -146,10 +146,13 @@ def _norm_emb_ds(sf_dir: str):
     Dataset's blocks die with the Ray session and job ids repeat
     across ``ray.init`` cycles, so key by gcs address and probe one
     block before trusting a hit."""
+    import os
+
     import ray
 
     gcs = ray.get_runtime_context().gcs_address if ray.is_initialized() else ""
-    ck = (sf_dir, gcs)
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    ck = (sf_dir, st.st_mtime_ns, st.st_size, gcs)
     if ck in _NORM_DS_CACHE:
         try:
             _NORM_DS_CACHE[ck].take(1)
