@@ -287,6 +287,32 @@ def test_tokens_flat_equals_findall(texts):
     assert got == exp
 
 
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.one_of(st.none(), _texty), max_size=10))
+def test_tokens_flat_input_polymorphism(texts):
+    """The pa.Array / ChunkedArray / large_string fast paths return
+    exactly what the pandas-Series path returns (nulls included) —
+    the pyarrow-batch stages must not change a single token."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from crawler_tjce_ray.pipelines.textops import tokens_flat
+
+    ref_idx, ref_w = tokens_flat(pd.Series(texts, dtype=object))
+    cut = len(texts) // 2
+    for arr in (
+        pa.array(texts, pa.string()),
+        pa.array(texts, pa.large_string()),
+        pa.chunked_array([
+            pa.array(texts[:cut], pa.string()),
+            pa.array(texts[cut:], pa.string()),
+        ]),
+    ):
+        idx, w = tokens_flat(arr)
+        assert idx.tolist() == ref_idx.tolist()
+        assert w.tolist() == ref_w.tolist()
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.integers(min_value=0, max_value=1 << 50))
 def test_buckets_for_bytes_pow2_and_monotone(b):
