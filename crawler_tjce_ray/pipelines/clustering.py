@@ -182,6 +182,11 @@ def _norm_emb_ds(sf_dir: str):
         .map_batches(prenorm, batch_format="numpy")
         .materialize()
     )
+    # evict other-session entries (their blocks are dead with the old
+    # Ray session) — same purge as _KMEANS_CACHE, so ray.init cycles
+    # in one process can't grow the dict unboundedly
+    for stale in [kk for kk in _NORM_DS_CACHE if kk[-1] != gcs]:
+        _NORM_DS_CACHE.pop(stale)
     _NORM_DS_CACHE[ck] = ds
     return ds
 

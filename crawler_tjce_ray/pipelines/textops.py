@@ -1090,9 +1090,14 @@ def q_vocab_overlap_sources(sf_dir: str):
                 "token": pd.Series([], dtype="string"),
             })
         srcs = t.column("source").to_numpy(zero_copy_only=False)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "source": srcs.astype(object)[idx], "token": w,
-        }).drop_duplicates(ignore_index=True)
+        })
+        # null-source docs never enter the overlap matrix (the old
+        # per-source pandas groupby dropped NaN keys; bucket_stats
+        # sorts source labels and cannot order None against str)
+        out = out.loc[out["source"].notna()]
+        return out.drop_duplicates(ignore_index=True)
 
     def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
         """Exact per-bucket partials from the globally-deduped

@@ -332,11 +332,7 @@ def q_decontaminate(sf_dir: str):
             shared = grams.groupby("doc_id", as_index=False).agg(
                 n_shared=("hit", "sum")
             )
-        base = pd.DataFrame({
-            "doc_id": tgt.column("doc_id").to_numpy(
-                zero_copy_only=False).astype("int64"),
-        })
-        out = base.merge(shared, on="doc_id", how="left")
+        out = _doc_base(tgt).merge(shared, on="doc_id", how="left")
         out["n_shared"] = out["n_shared"].fillna(0).astype("int64")
         out["contaminated"] = (out["n_shared"] > 0).astype("int64")
         return out
@@ -688,7 +684,8 @@ def q_perplexity_buckets(sf_dir: str):
         tbl = ray.get(table_ref)
         ex = _explode_words(t)
         out = _doc_base(t)
-        out["lang"] = t.column("lang").to_pandas().to_numpy(dtype=object)
+        out["lang"] = t.column("lang").to_numpy(
+            zero_copy_only=False).astype(object)
         if ex.empty:
             out["mean_logprob"] = np.float64(0.0)
             return out
