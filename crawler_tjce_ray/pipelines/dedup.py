@@ -439,6 +439,32 @@ WHERE CAST(length(list_intersect(a.gs,b.gs)) AS DOUBLE) /
 ORDER BY doc_a, doc_b
 """
 
+# The exact τ=0.8 oracle above relies on LSH recall being exactly 1.
+# That holds deterministically on the PINNED fixed-seed corpora (the
+# /root/testdata sf dirs — verified externally at sf0.01 in round 4),
+# but an arbitrary new corpus can legitimately miss a qualifying pair
+# (~5e-8/pair band-miss probability), failing a raw-equality gate
+# despite correct code.  Harnesses comparing on a NON-pinned corpus
+# must fall back to the recall-bounded check: engine pairs ⊆ oracle
+# pairs (LSH never emits false positives — every candidate is
+# exact-verified) and recall ≥ MINHASH_MIN_RECALL.
+# tests/test_oracle_parity.py consumes these markers.
+RECALL_BOUNDED_ORACLES = frozenset({"dedup_minhash_lsh"})
+MINHASH_PINNED_SF_DIRS = frozenset({
+    "/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+})
+MINHASH_MIN_RECALL = 0.999
+
+
+def minhash_oracle_is_exact(sf_dir: str) -> bool:
+    """True when raw equality against SQL_DEDUP_MINHASH_LSH is the
+    right gate (pinned fixed-seed corpus); False → use the
+    recall-bounded subset check instead."""
+    import os
+
+    return os.path.normpath(os.path.abspath(sf_dir)) in MINHASH_PINNED_SF_DIRS
+
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH (shingle → minhash → band → bucket groupby → verify)

@@ -3032,6 +3032,22 @@ def q_value_outliers_topk(sf_dir: str):
         vc = pc.cast(pc.floor(pc.add(
             pc.multiply(t["value"], pa.scalar(100.0)),
             pa.scalar(0.5))), pa.int64())
+        # int64 exactness ceilings for the in-batch Σvc² partial (the
+        # oracle runs HUGEINT): per-element vc² needs |vc| < 2^31
+        # (a single event value below ~$21M — documented magnitude
+        # ceiling, same style as the driver-state guards); the batch
+        # sum needs rows·max(vc²) < 2^63, restored by halving the
+        # batch — partials are additive Python-int on the driver, so
+        # several partial rows per type fold exactly.
+        vmax = pc.max(pc.abs(vc)).as_py() or 0
+        if vmax >= (1 << 31):
+            raise ValueError(
+                "value_outliers_topk: |value| cents >= 2^31 exceeds the "
+                "int64 moment ceiling; widen to a hi/lo split partial")
+        if t.num_rows > 1 and t.num_rows * vmax * vmax >= (1 << 63):
+            half = t.num_rows // 2
+            return pa.concat_tables(
+                [moments(t.slice(0, half)), moments(t.slice(half))])
         g = pa.table({
             "event_type": t["event_type"], "vc": vc,
             "vv": pc.multiply(vc, vc),
@@ -3045,13 +3061,26 @@ def q_value_outliers_topk(sf_dir: str):
             "s2": pc.cast(g["vv_sum"], pa.int64()),
         })
 
-    st = ds.map_batches(moments, batch_format="pyarrow").to_pandas() \
-        .groupby("event_type", as_index=False).sum()
+    st = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    # Python-int fold: Σvc² per type is arbitrary precision on the
+    # driver (the oracle's HUGEINT analog), never an int64 wraparound
+    st["s1"] = st["s1"].map(int)
+    st["s2"] = st["s2"].map(int)
+    st = st.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
     mean_tbl, sd_tbl = {}, {}
     for et, n, s1, s2 in zip(st["event_type"], st["n"], st["s1"], st["s2"]):
         n, s1d, s2d = int(n), float(int(s1)), float(int(s2))
         mean_tbl[et] = s1d / n
-        sd_tbl[et] = math.sqrt((s2d - s1d * s1d / n) / (n - 1))
+        if n < 2:
+            # STDDEV_SAMP of one row is NULL in the oracle; NaN z
+            # reproduces that (NaN serializes as NULL in the compare)
+            sd_tbl[et] = float("nan")
+            continue
+        var = (s2d - s1d * s1d / n) / (n - 1)
+        # var == 0 → oracle divides by SQRT(0) → NULL; tiny negative
+        # (double rounding of an all-equal group) must not raise
+        sd_tbl[et] = math.sqrt(var) if var > 0 else float("nan")
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         vc = np.floor(df["value"].to_numpy(np.float64) * 100.0 + 0.5)

@@ -21,6 +21,7 @@ CLI subcommand does; tests use the shared session fixture).
 
 from __future__ import annotations
 
+import html as _html
 import json
 import os
 import tempfile
@@ -144,9 +145,14 @@ class AppState:
             _, payload = self.entities()
             ents = sorted(payload.get("data", []),
                           key=lambda r: r.get("entidade", ""))
+            # entity names/slugs come from the crawled corpus (untrusted
+            # HTML) — escape them like the reference's Jinja autoescape
+            # does (main.py render_template), or this page is stored XSS
             opts = "\n".join(
-                f'<option value="{r.get("slug", "")}">'
-                f'{r.get("entidade", "")}</option>'
+                '<option value="{}">{}</option>'.format(
+                    _html.escape(str(r.get("slug", "")), quote=True),
+                    _html.escape(str(r.get("entidade", ""))),
+                )
                 for r in ents
             )
             body = (

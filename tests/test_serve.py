@@ -312,3 +312,23 @@ class TestHtmlPages:
                           ("/pagamentos", "/api/pagamentos")):
             code, _, html = self._get_html(server, path)
             assert code == 200 and api in html
+
+
+class TestPageEscaping:
+    """Entity names/slugs come from crawled (untrusted) HTML; the
+    dropdown must escape them (the reference gets this via Jinja
+    autoescape — ADVICE r4 flagged the divergence as stored XSS)."""
+
+    def test_cronologica_escapes_entity_markup(self):
+        from crawler_tjce_ray.serve import AppState
+
+        state = AppState.__new__(AppState)
+        evil = '<script>alert(1)</script> & "Q"'
+        state.entities = lambda: (200, {"data": [
+            {"entidade": evil, "slug": 'x" onmouseover="alert(2)'},
+        ]})
+        html = state._page_html("cronologica")
+        assert "<script>alert(1)" not in html
+        assert "&lt;script&gt;alert(1)&lt;/script&gt;" in html
+        assert 'onmouseover="alert(2)' not in html
+        assert "x&quot; onmouseover=&quot;alert(2)" in html
