@@ -183,51 +183,44 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 #   dedup_minhash_lsh whose r3 slot returned err:no_oracle and which
 #   now has an exact-Jaccard τ=0.8 oracle (recall-1 equality verified
 #   at sf0.001 and sf0.01).
-#   r5 remainder (30, simplest aggregates deferred): sources_per_lang,
-#   big_spenders, concentration_stats, region_year_revenue,
-#   hourly_dense_counts, ks_two_sources, rolling_daily_revenue_p50,
-#   abc_classification, supplier_concentration, weekday_profile,
-#   monthly_seasonality, revenue_reconciliation, join_coverage_audit,
-#   orders_per_customer_hist, hash_reservoir_sample, text_ttr,
-#   lang_purity_by_source, char_class_profile, lang_entropy_by_source,
-#   zipf_slope, embedding_dim_variance, vocab_overlap_sources,
-#   hapax_rate_by_source, weekly_churn, median_order_gap,
-#   lorenz_deciles, cohort_matrix, event_dwell, degree_distribution,
-#   first_last_order, vocab_growth + the rows-only set
-#   (kmeans_embeddings, semdedup, cms_heavy_hitters,
-#   approx_value_quantiles, ann_lsh_topk, multimodal_image_resize,
-#   multimodal_phash_dedup, bpe_train, bpe_token_count) if any gain
-#   oracles, plus any new round-5 queries.
+#   r5 window (below): the ENTIRE never-checked remainder — the 31
+#   oracle-backed queries listed in the r4 verdict plus the 9
+#   rows-only queries that have never had a driver row (rows-only
+#   entries record the weaker rows-only check; any that gain oracles
+#   this round upgrade to strict automatically) — closing the
+#   external-verification debt to zero: after r5 every registry query
+#   has a driver CORRECTNESS row in at least one round.  The 10
+#   remaining slots re-verify queries whose row-carrying exchanges
+#   were converted to the size-derived fan-out THIS round (regression
+#   guard on the rollout; each was green in r1-r4 before conversion).
 #   The window is EXACTLY _DRIVER_WINDOW_SIZE entries — pinned by
 #   tests/test_registry_window.py so an insertion can never silently
 #   push the tail entry past the driver's horizon.
 _DRIVER_WINDOW_SIZE = 50
 _DRIVER_WINDOW_FRONT = [
-    # hardest-first: the queries whose failure would be most
-    # informative (r3 verdict item 1), all oracle-backed
-    "segment_year_revenue", "c4_filters", "importance_weights",
-    "fuzzy_name_pairs", "perplexity_buckets", "ewma_value_per_user",
-    "debounce_events", "qty_moments_by_flag", "regr_price_qty",
-    # r3 slot returned err:no_oracle — now carries the exact-Jaccard
-    # τ=0.8 oracle (verdict item 6)
-    "dedup_minhash_lsh",
-    # stateful / sessionized / join-heavy block
-    "session_stats", "session_type_pairs", "purchase_id_islands",
-    "longest_streak_per_user", "drawdown_value_per_user",
-    "ltv_by_cohort", "attribution_first_touch", "path_to_purchase",
-    "top_paths", "timed_funnel", "event_trigrams", "time_to_convert",
-    "weekly_revenue_wow", "ship_latency_by_priority", "pareto_8020",
-    "assoc_rules", "part_cooccurrence", "semi_join_vip",
-    "customer_year_setops", "dense_rank_topk", "skyline_pareto",
-    "merge_intervals", "value_outliers_topk", "price_cv_topk",
-    # graph / dedup / text-statistics block
-    "bfs_hops", "edge_reciprocity", "dedup_canonical",
-    "cross_source_dup_matrix", "rrf_fusion", "label_cohesion",
-    "mi_lang_source", "bigram_pmi_topk", "char_trigram_topk",
-    "ngram_novelty", "welch_t_value", "burstiness_users",
-    # training / grouped-quantile block
-    "pack_sequences_sharded", "grouped_mad_value",
-    "winsorized_value_stats", "grouped_p90_select",
+    # never-checked oracle-backed remainder (31)
+    "event_dwell", "cohort_matrix", "big_spenders",
+    "concentration_stats", "region_year_revenue",
+    "hourly_dense_counts", "ks_two_sources",
+    "rolling_daily_revenue_p50", "median_order_gap",
+    "abc_classification", "supplier_concentration", "weekday_profile",
+    "monthly_seasonality", "revenue_reconciliation", "weekly_churn",
+    "join_coverage_audit", "orders_per_customer_hist",
+    "hash_reservoir_sample", "sources_per_lang", "first_last_order",
+    "degree_distribution", "embedding_dim_variance",
+    "vocab_overlap_sources", "text_ttr", "hapax_rate_by_source",
+    "lang_purity_by_source", "char_class_profile",
+    "lang_entropy_by_source", "zipf_slope", "vocab_growth",
+    "lorenz_deciles",
+    # never-checked rows-only (9; oracle conversions upgrade in place)
+    "kmeans_embeddings", "semdedup", "cms_heavy_hitters",
+    "approx_value_quantiles", "ann_lsh_topk", "bpe_train",
+    "bpe_token_count", "multimodal_image_resize",
+    "multimodal_phash_dedup",
+    # fan-out-rollout regression re-checks (10, all previously green)
+    "sessionize", "running_total", "order_gap_days", "rolling_avg3",
+    "left_join_counts", "asof_join", "range_join", "inverted_index",
+    "triangle_count", "bloom_anti_join",
 ]
 
 
