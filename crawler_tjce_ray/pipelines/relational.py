@@ -18,6 +18,19 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from crawler_tjce_ray.pipelines import exchange as _ex
+
+
+def _nb_rows(sf_dir: str, *tables: str) -> int:
+    """Size-derived fan-out for a ROW-carrying exchange whose bucket
+    payload scales with the named tables' bytes (events streams, order
+    windows, join sides, per-key partials whose key cardinality grows
+    with the corpus).  64 at test scale — identical plans and strict
+    oracle hashes — widening so one bucket stays ~TARGET_BUCKET_BYTES
+    at 100 TB (see pipelines/exchange.py; invariance pinned by
+    tests/test_exchange_fanout.py at forced 16/128-way)."""
+    return _ex.buckets_for_bytes(_ex.table_bytes(sf_dir, *tables))
+
 
 def _read(sf_dir: str, table: str, columns=None):
     """Pruned, block-split read: each table ships as ONE parquet file,
@@ -471,8 +484,10 @@ def q_topk_per_user(sf_dir: str):
     one vectorized sort + ``groupby.head(3)``."""
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
+    nb = _nb_rows(sf_dir, "events")  # row-carrying exchange: size fan-out
+
     def bucket(t: pa.Table) -> pa.Table:
-        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        kb = _ex.kb_arrow(t["user_id"], nb)
         return t.append_column("kb", kb)
 
     def head3(g: pd.DataFrame) -> pd.DataFrame:
@@ -654,6 +669,7 @@ def q_asof_join(sf_dir: str):
     on the key — the per-group merge is a sorted ``np.searchsorted``.
     Partitioning assumption: a single key's rows fit one group (true
     for user-keyed activity; salt hot keys otherwise)."""
+    nb = _nb_rows(sf_dir, 'events', 'orders')  # row-carrying exchange
     import ray.data as rd  # noqa: F401  (union happens on Datasets)
 
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
@@ -665,9 +681,9 @@ def q_asof_join(sf_dir: str):
     # aggregate regime) would be a second exchange for nothing
     o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
-    N_BUCKETS = 64  # shuffle key: coarse buckets, not raw user ids —
-    # per-group dispatch over thousands of tiny key groups would dwarf
-    # the merge work; inside a bucket the as-of is one vectorized
+    # shuffle key: nb coarse buckets, not raw user ids — per-group
+    # dispatch over thousands of tiny key groups would dwarf the merge
+    # work; inside a bucket the as-of is one vectorized
     # pd.merge_asof(by=key)
 
     # Arrow-native tags: zero-copy column selects + one constant
@@ -676,7 +692,7 @@ def q_asof_join(sf_dir: str):
         key = pc.cast(t["user_id"], pa.int64())
         return pa.table({
             "key": key,
-            "kb": _kb64(key),
+            "kb": _ex.kb_arrow(key, nb),
             "t": pc.cast(t["ts"], pa.timestamp("us")),
             "side": _const(t.num_rows, 0, pa.int64()),
             "event_id": pc.cast(t["event_id"], pa.int64()),
@@ -687,7 +703,7 @@ def q_asof_join(sf_dir: str):
         key = pc.cast(t["o_custkey"], pa.int64())
         return pa.table({
             "key": key,
-            "kb": _kb64(key),
+            "kb": _ex.kb_arrow(key, nb),
             "t": pc.cast(t["o_orderdate"], pa.timestamp("us")),
             "side": _const(t.num_rows, 1, pa.int64()),
             "event_id": _const(t.num_rows, -1, pa.int64()),
@@ -754,13 +770,13 @@ def q_range_join(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
     lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
 
-    N_BUCKETS = 64
+    nb = _nb_rows(sf_dir, 'orders', 'lineitem')  # row-carrying exchange
 
     def tag_orders(t: pa.Table) -> pa.Table:
         key = pc.cast(t["o_orderkey"], pa.int64())
         return pa.table({
             "key": key,
-            "kb": _kb64(key),
+            "kb": _ex.kb_arrow(key, nb),
             "side": _const(t.num_rows, 0, pa.int64()),
             "t": pc.cast(t["o_orderdate"], pa.timestamp("us")),
         })
@@ -769,7 +785,7 @@ def q_range_join(sf_dir: str):
         key = pc.cast(t["l_orderkey"], pa.int64())
         return pa.table({
             "key": key,
-            "kb": _kb64(key),
+            "kb": _ex.kb_arrow(key, nb),
             "side": _const(t.num_rows, 1, pa.int64()),
             "t": pc.cast(t["l_shipdate"], pa.timestamp("us")),
         })
@@ -818,8 +834,10 @@ def q_sessionize(sf_dir: str):
     the assignment is one vectorized per-user diff + cumsum."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
+    nb = _nb_rows(sf_dir, "events")  # row-carrying exchange: size fan-out
+
     def bucket(t: pa.Table) -> pa.Table:
-        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        kb = _ex.kb_arrow(t["user_id"], nb)
         return t.append_column("kb", kb)
 
     def assign(g: pd.DataFrame) -> pd.DataFrame:
@@ -865,8 +883,10 @@ def q_event_dwell(sf_dir: str):
     ns-vs-µs division ulps)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
+    nb = _nb_rows(sf_dir, "events")  # row-carrying exchange: size fan-out
+
     def bucket(t: pa.Table) -> pa.Table:
-        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        kb = _ex.kb_arrow(t["user_id"], nb)
         return t.append_column("kb", kb)
 
     def dwell(g: pd.DataFrame) -> pd.DataFrame:
@@ -917,8 +937,10 @@ def q_cohort_matrix(sf_dir: str):
     Week arithmetic is integer days-since-Monday, no float anywhere."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
+    nb = _nb_rows(sf_dir, "events")  # row-carrying exchange: size fan-out
+
     def bucket(t: pa.Table) -> pa.Table:
-        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        kb = _ex.kb_arrow(t["user_id"], nb)
         return t.append_column("kb", kb)
 
     def cells(g: pd.DataFrame) -> pd.DataFrame:
@@ -976,6 +998,7 @@ def q_big_spenders(sf_dir: str):
     table broadcast in the closure.  The selection predicate
     ``spend_c · n > 2 · tot_c`` is pure int64 — bit-exact vs the
     oracle, no average ever rounds."""
+    nb = _nb_rows(sf_dir, 'orders', 'customer')  # row-carrying exchange
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
@@ -997,7 +1020,7 @@ def q_big_spenders(sf_dir: str):
             .group_by("custkey").aggregate([("spend_c", "sum")])
         key2 = pc.cast(g["custkey"], pa.int64())
         return pa.table({
-            "custkey": key2, "kb": _kb64(key2),
+            "custkey": key2, "kb": _ex.kb_arrow(key2, nb),
             "spend_c": pc.cast(g["spend_c_sum"], pa.int64()),
             "segment": _const(g.num_rows, None, pa.string()),
         })
@@ -1005,7 +1028,7 @@ def q_big_spenders(sf_dir: str):
     def cust_tag(t: pa.Table) -> pa.Table:
         key = pc.cast(t["c_custkey"], pa.int64())
         return pa.table({
-            "custkey": key, "kb": _kb64(key),
+            "custkey": key, "kb": _ex.kb_arrow(key, nb),
             "spend_c": _const(t.num_rows, None, pa.int64()),
             "segment": t["c_mktsegment"],
         })
@@ -1110,6 +1133,7 @@ def q_concentration_stats(sf_dir: str):
     top-1 % cut is value-invariant at the boundary for the same
     reason.  Every input to the two final divisions is an exact
     integer."""
+    nb = _nb_rows(sf_dir, 'orders')  # row-carrying exchange
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def spend_partial(t: pa.Table) -> pa.Table:
@@ -1127,7 +1151,7 @@ def q_concentration_stats(sf_dir: str):
             .group_by("custkey").aggregate([("spend_c", "sum")])
         key2 = pc.cast(g["custkey"], pa.int64())
         return pa.table({
-            "custkey": key2, "kb": _kb64(key2),
+            "custkey": key2, "kb": _ex.kb_arrow(key2, nb),
             "spend_c": pc.cast(g["spend_c_sum"], pa.int64()),
         })
 
@@ -1211,13 +1235,14 @@ def q_assoc_rules(sf_dir: str):
     plus each bucket's distinct-order tally — so the second pass
     returns O(candidates + buckets) rows, never O(#parts).  conf and
     lift are ratios of exact ints, rounded to 6 dp."""
+    nb = _nb_rows(sf_dir, 'lineitem')  # row-carrying exchange
     top = q_part_cooccurrence(sf_dir)
     cand = set(map(int, top["p1"])) | set(map(int, top["p2"]))
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("kb", _kb64(pc.cast(t["l_orderkey"], pa.int64())))
+        return t.append_column("kb", _ex.kb_arrow(t["l_orderkey"], nb))
 
     def support_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
@@ -1298,8 +1323,10 @@ def q_drawdown_value_per_user(sf_dir: str):
     against the oracle."""
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
 
+    nb = _nb_rows(sf_dir, "events")  # row-carrying exchange: size fan-out
+
     def bucket(t: pa.Table) -> pa.Table:
-        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        kb = _ex.kb_arrow(t["user_id"], nb)
         return t.append_column("kb", kb)
 
     def dd(g: pd.DataFrame) -> pd.DataFrame:
@@ -1418,8 +1445,10 @@ def q_session_stats(sf_dir: str):
     exact integers rounded to 6 dp."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
+    nb = _nb_rows(sf_dir, "events")  # row-carrying exchange: size fan-out
+
     def bucket(t: pa.Table) -> pa.Table:
-        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        kb = _ex.kb_arrow(t["user_id"], nb)
         return t.append_column("kb", kb)
 
     def partial(g: pd.DataFrame) -> pd.DataFrame:
@@ -1538,6 +1567,7 @@ def q_ship_latency_by_priority(sf_dir: str):
     vectorized, and only additive (priority, n, Σdays, max_days)
     int64 partials return.  Latency is exact integer days; the mean
     is a driver-side ratio rounded to 6 dp."""
+    nb = _nb_rows(sf_dir, 'orders', 'lineitem')  # row-carrying exchange
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_orderpriority", "o_orderdate"])
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
@@ -1545,7 +1575,7 @@ def q_ship_latency_by_priority(sf_dir: str):
     def tag_orders(t: pa.Table) -> pa.Table:
         key = pc.cast(t["o_orderkey"], pa.int64())
         return pa.table({
-            "key": key, "kb": _kb64(key),
+            "key": key, "kb": _ex.kb_arrow(key, nb),
             "priority": t["o_orderpriority"],
             "odate": pc.cast(t["o_orderdate"], pa.timestamp("us")),
             "sdate": _const(t.num_rows, None, pa.timestamp("us")),
@@ -1554,7 +1584,7 @@ def q_ship_latency_by_priority(sf_dir: str):
     def tag_line(t: pa.Table) -> pa.Table:
         key = pc.cast(t["l_orderkey"], pa.int64())
         return pa.table({
-            "key": key, "kb": _kb64(key),
+            "key": key, "kb": _ex.kb_arrow(key, nb),
             "priority": _const(t.num_rows, None, pa.string()),
             "odate": _const(t.num_rows, None, pa.timestamp("us")),
             "sdate": pc.cast(t["l_shipdate"], pa.timestamp("us")),
@@ -1622,8 +1652,10 @@ def q_path_to_purchase(sf_dir: str):
     purchase drop (inner semantics, matching the oracle join)."""
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
 
+    nb = _nb_rows(sf_dir, "events")  # row-carrying exchange: size fan-out
+
     def bucket(t: pa.Table) -> pa.Table:
-        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        kb = _ex.kb_arrow(t["user_id"], nb)
         return t.append_column("kb", kb)
 
     def count_before(g: pd.DataFrame) -> pd.DataFrame:
@@ -1672,8 +1704,10 @@ def q_session_type_pairs(sf_dir: str):
     additive per-pair counts; the driver folds ≤ 64 × |types|² rows."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
+    nb = _nb_rows(sf_dir, "events")  # row-carrying exchange: size fan-out
+
     def bucket(t: pa.Table) -> pa.Table:
-        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        kb = _ex.kb_arrow(t["user_id"], nb)
         return t.append_column("kb", kb)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -1739,6 +1773,7 @@ def q_ltv_by_cohort(sf_dir: str):
     decides both the cohort AND the exact spend in one hop; driver
     folds additive (year, n, cents) rows (≤ #years).  Spend snaps to
     integer cents per order, the mean is a ratio of exact ints."""
+    nb = _nb_rows(sf_dir, 'orders')  # row-carrying exchange
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1760,7 +1795,7 @@ def q_ltv_by_cohort(sf_dir: str):
             ])
         key2 = pc.cast(g["custkey"], pa.int64())
         return pa.table({
-            "custkey": key2, "kb": _kb64(key2),
+            "custkey": key2, "kb": _ex.kb_arrow(key2, nb),
             "yr": pc.cast(g["yr_min"], pa.int64()),
             "spend_c": pc.cast(g["spend_c_sum"], pa.int64()),
         })
@@ -1822,6 +1857,7 @@ def q_price_cv_topk(sf_dir: str):
     is bit-identical to the oracle's; sqrt/divide happen once at the
     end, rounded to 6 dp, ranked (cv desc, partkey) with the tie-break
     making the top-k cut deterministic."""
+    nb = _nb_rows(sf_dir, 'lineitem')  # row-carrying exchange
     line = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
 
     def moment_partial(t: pa.Table) -> pa.Table:
@@ -1846,7 +1882,7 @@ def q_price_cv_topk(sf_dir: str):
             ])
         key = pc.cast(g["part"], pa.int64())
         return pa.table({
-            "part": key, "kb": _kb64(key),
+            "part": key, "kb": _ex.kb_arrow(key, nb),
             "n": pc.cast(g["one_sum"], pa.int64()),
             "s1": pc.cast(g["s1_sum"], pa.int64()),
             "s2": pc.cast(g["s2_sum"], pa.int64()),
@@ -1923,8 +1959,10 @@ def q_top_paths(sf_dir: str):
     (count desc, path) tie-break shared with the oracle."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
+    nb = _nb_rows(sf_dir, "events")  # row-carrying exchange: size fan-out
+
     def bucket(t: pa.Table) -> pa.Table:
-        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        kb = _ex.kb_arrow(t["user_id"], nb)
         return t.append_column("kb", kb)
 
     def path_counts(g: pd.DataFrame) -> pd.DataFrame:
@@ -1945,7 +1983,7 @@ def q_top_paths(sf_dir: str):
         # still ride the shuffle — they ARE the output key)
         c["pb"] = (pd.util.hash_array(
             c["path"].to_numpy(object), hash_key="tjce-shingle-k1!",
-            categorize=False).view(np.int64) & 63).astype("int64")
+            categorize=False).view(np.int64) & np.int64(nb - 1)).astype("int64")
         c["c"] = c["c"].astype("int64")
         return c
 
@@ -1996,6 +2034,7 @@ def q_region_year_revenue(sf_dir: str):
     exchange, and the region attaches inside the bucket via the
     broadcast map.  Revenue snaps to integer cents per term (the
     order-independent discipline)."""
+    nb = _nb_rows(sf_dir, 'orders', 'lineitem')  # row-carrying exchange
     import ray
 
     sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
@@ -2014,7 +2053,7 @@ def q_region_year_revenue(sf_dir: str):
     def tag_orders(t: pa.Table) -> pa.Table:
         key = pc.cast(t["o_orderkey"], pa.int64())
         return pa.table({
-            "key": key, "kb": _kb64(key),
+            "key": key, "kb": _ex.kb_arrow(key, nb),
             "year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
             "suppkey": _const(t.num_rows, None, pa.int64()),
             "rev_c": _const(t.num_rows, None, pa.int64()),
@@ -2027,7 +2066,7 @@ def q_region_year_revenue(sf_dir: str):
         cents = pc.cast(pc.floor(pc.add(
             pc.multiply(rev, pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
         return pa.table({
-            "key": key, "kb": _kb64(key),
+            "key": key, "kb": _ex.kb_arrow(key, nb),
             "year": _const(t.num_rows, None, pa.int64()),
             "suppkey": pc.cast(t["l_suppkey"], pa.int64()),
             "rev_c": cents,
@@ -2167,6 +2206,7 @@ def q_attribution_first_touch(sf_dir: str):
     blocks) rows, not every event; in-bucket the true first resolves
     and (channel, n) partials fold on the driver.  Share is a ratio
     of exact ints rounded to 6 dp."""
+    nb = _nb_rows(sf_dir, 'events')  # row-carrying exchange
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
@@ -2177,7 +2217,7 @@ def q_attribution_first_touch(sf_dir: str):
             .groupby("user_id").size()
         out = first.copy()
         out["pn"] = out["user_id"].map(pn).fillna(0).astype("int64")
-        out["kb"] = out["user_id"].to_numpy(np.int64) & 63
+        out["kb"] = out["user_id"].to_numpy(np.int64) & np.int64(nb - 1)
         return out
 
     def attribute(g: pd.DataFrame) -> pd.DataFrame:
@@ -2228,6 +2268,7 @@ def q_orders_per_customer_hist(sf_dir: str):
     custkey exchange finalizes per-customer order counts; stage 2
     emits additive (k, n_customers) partials per bucket; the driver
     folds O(distinct k) rows.  All integers."""
+    nb = _nb_rows(sf_dir, 'orders')  # row-carrying exchange
     orders = _read(sf_dir, "orders", ["o_custkey"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -2243,7 +2284,7 @@ def q_orders_per_customer_hist(sf_dir: str):
         ])
         key2 = pc.cast(g["custkey"], pa.int64())
         return pa.table({
-            "custkey": key2, "kb": _kb64(key2),
+            "custkey": key2, "kb": _ex.kb_arrow(key2, nb),
             "c": pc.cast(g["custkey_count"], pa.int64()),
         })
 
@@ -2347,20 +2388,21 @@ def q_join_coverage_audit(sf_dir: str):
     run before any join-dependent pipeline is trusted.  Customer keys
     and per-batch deduped order custkeys ride one custkey-bucket
     exchange; each bucket emits four additive counters."""
+    nb = _nb_rows(sf_dir, 'customer', 'orders')  # row-carrying exchange
     orders = _read(sf_dir, "orders", ["o_custkey"])
     cust = _read(sf_dir, "customer", ["c_custkey"])
 
     def tag_orders(t: pa.Table) -> pa.Table:
         key = pc.unique(pc.cast(t["o_custkey"], pa.int64()))
         return pa.table({
-            "key": key, "kb": _kb64(key),
+            "key": key, "kb": _ex.kb_arrow(key, nb),
             "side": _const(len(key), 1, pa.int8()),
         })
 
     def tag_cust(t: pa.Table) -> pa.Table:
         key = pc.cast(t["c_custkey"], pa.int64())
         return pa.table({
-            "key": key, "kb": _kb64(key),
+            "key": key, "kb": _ex.kb_arrow(key, nb),
             "side": _const(t.num_rows, 0, pa.int8()),
         })
 
@@ -2469,6 +2511,7 @@ def q_pareto_8020(sf_dir: str):
     precision Python ints and the 5·spend ≥ 4·total comparison stays
     integer-exact.  Equal-spend customers are interchangeable, so the
     count is order-invariant."""
+    nb = _nb_rows(sf_dir, 'orders')  # row-carrying exchange
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def spend_partial(t: pa.Table) -> pa.Table:
@@ -2486,7 +2529,7 @@ def q_pareto_8020(sf_dir: str):
             .group_by("custkey").aggregate([("spend_c", "sum")])
         key2 = pc.cast(g["custkey"], pa.int64())
         return pa.table({
-            "custkey": key2, "kb": _kb64(key2),
+            "custkey": key2, "kb": _ex.kb_arrow(key2, nb),
             "spend_c": pc.cast(g["spend_c_sum"], pa.int64()),
         })
 
@@ -2570,8 +2613,10 @@ def q_longest_streak_per_user(sf_dir: str):
     rows return.  Pure integer day arithmetic."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
+    nb = _nb_rows(sf_dir, "events")  # row-carrying exchange: size fan-out
+
     def bucket(t: pa.Table) -> pa.Table:
-        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        kb = _ex.kb_arrow(t["user_id"], nb)
         return t.append_column("kb", kb)
 
     def streaks(g: pd.DataFrame) -> pd.DataFrame:
@@ -2631,8 +2676,10 @@ def q_weekly_churn(sf_dir: str):
     corpus week has no next week and is EXCLUDED on both engines."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
+    nb = _nb_rows(sf_dir, "events")  # row-carrying exchange: size fan-out
+
     def bucket(t: pa.Table) -> pa.Table:
-        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        kb = _ex.kb_arrow(t["user_id"], nb)
         return t.append_column("kb", kb)
 
     def churn(g: pd.DataFrame) -> pd.DataFrame:
@@ -2696,10 +2743,11 @@ def q_median_order_gap(sf_dir: str):
     sort + segment-offset gather (quantile_disc rank ⌈n/2⌉), and only
     result rows return.  Customers with fewer than two orders drop,
     matching the oracle's HAVING.  Pure integer day gaps."""
+    nb = _nb_rows(sf_dir, 'orders')  # row-carrying exchange
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
 
     def bucket(t: pa.Table) -> pa.Table:
-        kb = _kb64(pc.cast(t["o_custkey"], pa.int64()))
+        kb = _ex.kb_arrow(t["o_custkey"], nb)
         return t.append_column("kb", kb)
 
     def med(g: pd.DataFrame) -> pd.DataFrame:
@@ -2757,6 +2805,7 @@ def q_revenue_reconciliation(sf_dir: str):
     int64 and the delta is exact; the per-year fold is driver-sized.
     The lineitem side needs the order year, so it rides the ONE
     orderkey-bucket exchange with the header's (orderkey, year)."""
+    nb = _nb_rows(sf_dir, 'orders', 'lineitem')  # row-carrying exchange
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_orderdate", "o_totalprice"])
     line = _read(sf_dir, "lineitem",
@@ -2768,7 +2817,7 @@ def q_revenue_reconciliation(sf_dir: str):
             pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
             pa.scalar(0.5))), pa.int64())
         return pa.table({
-            "key": key, "kb": _kb64(key),
+            "key": key, "kb": _ex.kb_arrow(key, nb),
             "year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
             "hdr_c": cents,
             "line_c": _const(t.num_rows, None, pa.int64()),
@@ -2785,7 +2834,7 @@ def q_revenue_reconciliation(sf_dir: str):
             pa.int64())
         n = t.num_rows
         return pa.table({
-            "key": key, "kb": _kb64(key),
+            "key": key, "kb": _ex.kb_arrow(key, nb),
             "year": _const(n, None, pa.int64()),
             "hdr_c": _const(n, None, pa.int64()),
             "line_c": cents,
@@ -2856,6 +2905,7 @@ def q_abc_classification(sf_dir: str):
     7·total / 9·total) is integer-exact.  A tie-group straddling a
     boundary splits deterministically because equal-spend customers
     are interchangeable."""
+    nb = _nb_rows(sf_dir, 'orders')  # row-carrying exchange
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def spend_partial(t: pa.Table) -> pa.Table:
@@ -2873,7 +2923,7 @@ def q_abc_classification(sf_dir: str):
             .group_by("custkey").aggregate([("spend_c", "sum")])
         key2 = pc.cast(g["custkey"], pa.int64())
         return pa.table({
-            "custkey": key2, "kb": _kb64(key2),
+            "custkey": key2, "kb": _ex.kb_arrow(key2, nb),
             "spend_c": pc.cast(g["spend_c_sum"], pa.int64()),
         })
 
@@ -3134,6 +3184,7 @@ def q_supplier_concentration(sf_dir: str):
     suppkey-exchange value-count-histogram fold; rank sums in
     arbitrary-precision ints; both outputs are exact-int ratios
     rounded to 6 dp."""
+    nb = _nb_rows(sf_dir, 'lineitem')  # row-carrying exchange
     line = _read(sf_dir, "lineitem",
                  ["l_suppkey", "l_extendedprice", "l_discount"])
 
@@ -3153,7 +3204,7 @@ def q_supplier_concentration(sf_dir: str):
             .group_by("suppkey").aggregate([("rev_c", "sum")])
         key2 = pc.cast(g["suppkey"], pa.int64())
         return pa.table({
-            "suppkey": key2, "kb": _kb64(key2),
+            "suppkey": key2, "kb": _ex.kb_arrow(key2, nb),
             "rev_c": pc.cast(g["rev_c_sum"], pa.int64()),
         })
 
@@ -4127,13 +4178,14 @@ def q_left_join_counts(sf_dir: str):
     per batch to (custkey, n) partials BEFORE the single 64-bucket
     shuffle, so the exchange carries counts, not orders; outer
     semantics come from the in-bucket left merge + fillna(0)."""
+    nb = _nb_rows(sf_dir, 'customer')  # row-carrying exchange
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", ["o_custkey"])
 
     def tag_cust(t: pa.Table) -> pa.Table:
         key = pc.cast(t["c_custkey"], pa.int64())
         return pa.table({
-            "key": key, "kb": _kb64(key),
+            "key": key, "kb": _ex.kb_arrow(key, nb),
             "seg": t["c_mktsegment"],
             "n": _const(t.num_rows, 0, pa.int64()),
             "side": _const(t.num_rows, 0, pa.int8()),
@@ -4143,7 +4195,7 @@ def q_left_join_counts(sf_dir: str):
         g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
         key = pc.cast(g["o_custkey"], pa.int64())
         return pa.table({
-            "key": key, "kb": _kb64(key),
+            "key": key, "kb": _ex.kb_arrow(key, nb),
             "seg": _const(g.num_rows, None, pa.string()),
             "n": pc.cast(g["o_custkey_count"], pa.int64()),
             "side": _const(g.num_rows, 1, pa.int8()),
@@ -4182,14 +4234,16 @@ GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey
 
 def _bucketed_orders_window(sf_dir: str, kernel):
     """Shared shell for per-customer window functions: ONE shuffle on
-    64 coarse ``o_custkey`` buckets (the q_asof_join recipe — never
+    coarse ``o_custkey`` buckets (the q_asof_join recipe — never
     per-customer dispatch), then a vectorized kernel over each bucket
-    sorted by (custkey, date, key)."""
+    sorted by (custkey, date, key).  The exchange carries raw ORDER
+    ROWS, so its fan-out is sized from the orders bytes."""
     ds = _read(sf_dir, "orders",
                ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    nb = _nb_rows(sf_dir, "orders")
 
     def bucket(t: pa.Table) -> pa.Table:
-        kb = pc.bit_wise_and(pc.cast(t["o_custkey"], pa.int64()), 63)
+        kb = _ex.kb_arrow(t["o_custkey"], nb)
         return t.append_column("kb", kb)
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
@@ -4329,6 +4383,7 @@ def q_bloom_anti_join(sf_dir: str):
     union shuffle against the real blocklist — making the final result
     EXACT (oracle-checked), with shuffle volume proportional to the
     blocklist, not the corpus."""
+    nb = _nb_rows(sf_dir, 'orders')  # row-carrying exchange
     import ray.data as rd
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
@@ -4375,7 +4430,7 @@ def q_bloom_anti_join(sf_dir: str):
             "n": pc.cast(keep["o_custkey_count"], pa.int64()),
         })
         candidates = pa.table({
-            "kb": _kb64(ckey),
+            "kb": _ex.kb_arrow(ckey, nb),
             "side": _const(cand.num_rows, 0, pa.int8()),
             "custkey": ckey,
             "priority": cand["o_orderpriority"],
@@ -4387,7 +4442,7 @@ def q_bloom_anti_join(sf_dir: str):
         b = t.filter(pc.less(t["c_acctbal"], pa.scalar(0.0)))
         key = pc.cast(b["c_custkey"], pa.int64())
         return pa.table({
-            "kb": _kb64(key),
+            "kb": _ex.kb_arrow(key, nb),
             "side": _const(b.num_rows, 1, pa.int8()),
             "custkey": key,
             "priority": _const(b.num_rows, None, pa.string()),
@@ -4762,8 +4817,11 @@ def q_row_number_ntile(sf_dir: str):
     q, r = divmod(total, k)
     boundary = r * (q + 1)  # rows in the r first (larger) buckets
 
+    # document rows ride the tie-rank exchange: size from the table
+    nbv = _nb_rows(sf_dir, "documents")
+
     def bucket(t: pa.Table) -> pa.Table:
-        vb = pc.bit_wise_and(pc.cast(t["n_chars"], pa.int64()), 63)
+        vb = _ex.kb_arrow(t["n_chars"], nbv)
         return t.append_column("vb", vb)
 
     def rank_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -4807,8 +4865,10 @@ def q_rolling_avg3(sf_dir: str):
     float tail matches the oracle's sequential accumulation."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
+    nb = _nb_rows(sf_dir, "events")  # row-carrying exchange: size fan-out
+
     def bucket(t: pa.Table) -> pa.Table:
-        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        kb = _ex.kb_arrow(t["user_id"], nb)
         return t.append_column("kb", kb)
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
@@ -4854,8 +4914,10 @@ def q_user_journey(sf_dir: str):
     apply loop)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
+    nb = _nb_rows(sf_dir, "events")  # row-carrying exchange: size fan-out
+
     def bucket(t: pa.Table) -> pa.Table:
-        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        kb = _ex.kb_arrow(t["user_id"], nb)
         return t.append_column("kb", kb)
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
@@ -5084,6 +5146,7 @@ def q_first_last_order(sf_dir: str):
     window-function class (FIRST/LAST per partition) expressed as an
     associative aggregate — the form that survives 100 TB, where a
     PARTITION BY ... ORDER BY window would demand a full sort."""
+    nb = _nb_rows(sf_dir, 'orders')  # row-carrying exchange
     ds = _read(sf_dir, "orders",
                ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
 
@@ -5127,7 +5190,7 @@ def q_first_last_order(sf_dir: str):
         ds.map_batches(partial, batch_format="pandas")
         .map_batches(
             lambda df: df.assign(
-                kb=(df["c_custkey"].to_numpy("int64") % 64)),
+                kb=(df["c_custkey"].to_numpy("int64") & np.int64(nb - 1))),
             batch_format="pandas",
         )
         .groupby("kb")
@@ -5169,8 +5232,10 @@ def q_ewma_value_per_user(sf_dir: str):
     stays O(n)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
+    nb = _nb_rows(sf_dir, "events")  # row-carrying exchange: size fan-out
+
     def bucket(t: pa.Table) -> pa.Table:
-        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        kb = _ex.kb_arrow(t["user_id"], nb)
         return t.append_column("kb", kb)
 
     def scan(g: pd.DataFrame) -> pd.DataFrame:
@@ -5239,8 +5304,10 @@ def q_debounce_events(sf_dir: str):
     next-kept probe."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
+    nb = _nb_rows(sf_dir, "events")  # row-carrying exchange: size fan-out
+
     def bucket(t: pa.Table) -> pa.Table:
-        kb = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63)
+        kb = _ex.kb_arrow(t["user_id"], nb)
         return t.append_column("kb", kb)
 
     def debounce(g: pd.DataFrame) -> pd.DataFrame:
@@ -5315,10 +5382,11 @@ def q_part_cooccurrence(sf_dir: str):
     bounded (≤7 lineitems per order in this schema), so no salt is
     needed — a power-law basket source would cap or split hot
     orderkeys first."""
+    nb = _nb_rows(sf_dir, 'lineitem')  # row-carrying exchange
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("kb", _kb64(pc.cast(t["l_orderkey"], pa.int64())))
+        return t.append_column("kb", _ex.kb_arrow(t["l_orderkey"], nb))
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
@@ -5340,7 +5408,7 @@ def q_part_cooccurrence(sf_dir: str):
 
     def pair_bucket(t: pa.Table) -> pa.Table:
         folded = pc.bit_wise_xor(t["pair"], pc.shift_right(t["pair"], 32))
-        return t.append_column("pb", _kb64(folded))
+        return t.append_column("pb", _ex.kb_arrow(folded, nb))
 
     def sum_topk_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         s = g.groupby("pair", as_index=False)["c"].sum()
@@ -5459,10 +5527,11 @@ def q_burstiness_users(sf_dir: str):
     with a single event have no gaps and drop out (matching the
     oracle's WHERE); single-gap users get a NULL cv (stddev_samp of
     one value)."""
+    nb = _nb_rows(sf_dir, 'events')  # row-carrying exchange
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("kb", _kb64(pc.cast(t["user_id"], pa.int64())))
+        return t.append_column("kb", _ex.kb_arrow(t["user_id"], nb))
 
     def stats(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -5618,6 +5687,7 @@ def q_customer_year_setops(sf_dir: str):
     ≤ 64·4 rows.  No full-key materialization anywhere — the classic
     "EXCEPT needs both sides sorted" plan becomes one hash exchange of
     the deduped key partials."""
+    nb = _nb_rows(sf_dir, 'orders')  # row-carrying exchange
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -5652,7 +5722,7 @@ def q_customer_year_setops(sf_dir: str):
     parts = (
         ds.map_batches(partial, batch_format="pandas")
         .map_batches(
-            lambda df: df.assign(kb=(df["custkey"].to_numpy("int64") % 64)),
+            lambda df: df.assign(kb=(df["custkey"].to_numpy("int64") & np.int64(nb - 1))),
             batch_format="pandas",
         )
         .groupby("kb")
@@ -5697,6 +5767,7 @@ def q_dense_rank_topk(sf_dir: str):
     64-way custkey bucket exchange then ranks exactly — vectorized
     ``groupby.rank(method="dense")``, never a per-customer Python
     dispatch."""
+    nb = _nb_rows(sf_dir, 'orders')  # row-carrying exchange
     ds = _read(sf_dir, "orders",
                ["o_custkey", "o_orderkey", "o_totalprice"])
     K = 2
@@ -5706,7 +5777,7 @@ def q_dense_rank_topk(sf_dir: str):
             method="dense", ascending=False)
         out = df.loc[rk <= K, ["o_custkey", "o_orderkey", "o_totalprice"]]
         out = out.copy()
-        out["kb"] = out["o_custkey"].to_numpy("int64") % 64
+        out["kb"] = out["o_custkey"].to_numpy("int64") & np.int64(nb - 1)
         return out
 
     def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -5817,12 +5888,13 @@ def q_merge_intervals(sf_dir: str):
     island ids, one groupby for (min start, max end).  No window
     function ever sees more than a bucket, and the driver receives one
     row per user."""
+    nb = _nb_rows(sf_dir, 'events')  # row-carrying exchange
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     WIN = pd.Timedelta(seconds=300)
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["kb"] = df["user_id"].to_numpy("int64") % 64
+        df["kb"] = df["user_id"].to_numpy("int64") & np.int64(nb - 1)
         return df
 
     def islands(g: pd.DataFrame) -> pd.DataFrame:
