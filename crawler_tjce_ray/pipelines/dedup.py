@@ -29,6 +29,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
+from crawler_tjce_ray.pipelines.relational import _nb_rows
 from crawler_tjce_ray.pipelines.textops import normalize_text_series
 
 # ---------------------------------------------------------------------------
@@ -114,6 +115,7 @@ def q_dup_rate_by_source(sf_dir: str):
     per-(bucket, source) counters come back; per-source totals reduce
     from a column-pruned read of ``source`` alone.  Text never
     shuffles."""
+    nb = _nb_rows(sf_dir, 'documents')  # row-carrying exchange
     ds = _read_docs(sf_dir, ["text", "source"])
 
     def key_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -127,7 +129,7 @@ def q_dup_rate_by_source(sf_dir: str):
             "k2": digs[:, 1].view(np.int64),
             "source": df["source"].astype(object),
         })
-        out["kb"] = out["k1"].to_numpy(np.int64) & 63
+        out["kb"] = out["k1"].to_numpy(np.int64) & np.int64(nb - 1)
         return out
 
     def dup_counts(g: pd.DataFrame) -> pd.DataFrame:
@@ -213,6 +215,7 @@ def q_cross_source_dup_matrix(sf_dir: str):
     bucket sums counts and self-merges on the 128-bit key; the merge
     fan-out is bounded by #sources-per-key (≤ #sources), not corpus
     size.  The driver folds O(buckets × sources²) additive rows."""
+    nb = _nb_rows(sf_dir, 'documents')  # row-carrying exchange
     ds = _read_docs(sf_dir, ["text", "source"])
 
     def key_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -234,7 +237,7 @@ def q_cross_source_dup_matrix(sf_dir: str):
         out = occ.groupby(["k1", "k2", "source"], as_index=False).size() \
             .rename(columns={"size": "c"})
         out["c"] = out["c"].astype("int64")
-        out["kb"] = out["k1"].to_numpy(np.int64) & 63
+        out["kb"] = out["k1"].to_numpy(np.int64) & np.int64(nb - 1)
         return out
 
     def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
@@ -1161,6 +1164,7 @@ def q_dedup_canonical(sf_dir: str):
     in-bucket pick is a vectorized sort + ``drop_duplicates`` +
     ``searchsorted`` map-back — no per-cluster Python dispatch, and
     the driver never sees texts or labels."""
+    nb = _nb_rows(sf_dir, 'documents')  # row-carrying exchange
     import ray
 
     label_ref = _cluster_label_ref(sf_dir)
@@ -1173,7 +1177,7 @@ def q_dedup_canonical(sf_dir: str):
             "doc_id": ids,
             "cluster_id": cid,
             "n_chars": df["n_chars"].to_numpy(dtype=np.int64),
-            "kb": cid % 64,
+            "kb": cid % nb,
         })
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
@@ -1221,7 +1225,7 @@ def cluster_labels_distributed(sf_dir: str, pairs,
                                max_rounds: int = 64):
     """Distributed min-label propagation with pointer jumping:
     connected components where labels, edges and messages all live as
-    Datasets bucketed on ``node % 64`` (never per-node groups).
+    Datasets bucketed on ``node % nb`` (size-derived, never per-node groups).
 
     Per round:
 
@@ -1241,6 +1245,7 @@ def cluster_labels_distributed(sf_dir: str, pairs,
     ``pairs`` may be a pandas DataFrame (small candidate lists) or a
     Dataset with ``doc_a``/``doc_b`` columns; the bidirectional edge
     expansion runs inside ``map_batches`` either way."""
+    nb = _nb_rows(sf_dir, 'documents')  # row-carrying exchange
     import ray.data as rd
 
     docs = _read_docs(sf_dir, ["doc_id"])
@@ -1248,7 +1253,7 @@ def cluster_labels_distributed(sf_dir: str, pairs,
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].astype("int64")
         return pd.DataFrame({"node": ids, "label": ids, "nbr": np.int64(-1),
-                             "kind": np.int64(0), "kb": ids % 64})
+                             "kind": np.int64(0), "kb": ids % nb})
 
     labels = docs.map_batches(init_labels, batch_format="pandas")
     if isinstance(pairs, pd.DataFrame):
@@ -1266,7 +1271,7 @@ def cluster_labels_distributed(sf_dir: str, pairs,
             "nbr": pd.concat([b, a], ignore_index=True),
             "kind": np.int64(1),
         })
-        out["kb"] = out["node"] % 64
+        out["kb"] = out["node"] % nb
         return out
 
     edges = pairs.map_batches(both_directions, batch_format="pandas")
@@ -1278,7 +1283,7 @@ def cluster_labels_distributed(sf_dir: str, pairs,
             columns={"nbr": "node"}
         )
         out = pd.concat([lab, msgs], ignore_index=True)
-        out["kb"] = out["node"] % 64
+        out["kb"] = out["node"] % nb
         return out
 
     def shortcut(g: pd.DataFrame) -> pd.DataFrame:
@@ -1290,7 +1295,7 @@ def cluster_labels_distributed(sf_dir: str, pairs,
             columns={"nbr": "node"}
         )
         out = pd.concat([lab, ans], ignore_index=True)
-        out["kb"] = out["node"] % 64
+        out["kb"] = out["node"] % nb
         return out
 
     def make_queries(df: pd.DataFrame) -> pd.DataFrame:
@@ -1301,14 +1306,14 @@ def cluster_labels_distributed(sf_dir: str, pairs,
             "nbr": lab["node"],            # requester
             "kind": np.int64(2),
         })
-        q["kb"] = q["node"] % 64
+        q["kb"] = q["node"] % nb
         return pd.concat([lab, q], ignore_index=True)
 
     def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("node", as_index=False)["label"].min()
         out["nbr"] = np.int64(-1)
         out["kind"] = np.int64(0)
-        out["kb"] = out["node"] % 64
+        out["kb"] = out["node"] % nb
         return out
 
     prev_sum = None
@@ -1391,6 +1396,7 @@ def q_dedup_paragraphs(sf_dir: str):
     (min (doc_id, position)) is decided in-bucket with a vectorized
     sort + drop_duplicates, no join; (3) ONE shuffle on 64 doc-id
     buckets to reassemble each document's survivors in order."""
+    nb = _nb_rows(sf_dir, 'documents')  # row-carrying exchange
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -1401,7 +1407,7 @@ def q_dedup_paragraphs(sf_dir: str):
         ex["i"] = (ex.groupby("doc_id").cumcount() + 1).astype("int64")
         # deterministic cross-process hash (pandas siphash, fixed key)
         ex["kb"] = (
-            pd.util.hash_array(ex["para"].to_numpy(object)) % 64
+            pd.util.hash_array(ex["para"].to_numpy(object)) % nb
         ).astype("int64")
         return ex
 
@@ -1411,7 +1417,7 @@ def q_dedup_paragraphs(sf_dir: str):
 
     def bucket_doc(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["db"] = (df["doc_id"] % 64).astype("int64")
+        df["db"] = (df["doc_id"] % nb).astype("int64")
         return df
 
     def reassemble(g: pd.DataFrame) -> pd.DataFrame:

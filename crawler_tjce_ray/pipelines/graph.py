@@ -5,8 +5,9 @@ streams, a Markov transition matrix, and inverted-index construction
 (token posting lists).
 
 Same discipline as the rest of the engine: vectorized batch kernels,
-per-batch partials before any shuffle, ONE coarse 64-bucket shuffle
-per query (never per-key dispatch), and driver state bounded by
+per-batch partials before any shuffle, ONE coarse size-derived
+bucket shuffle per query (never per-key dispatch; see
+pipelines/exchange.py), and driver state bounded by
 O(result), O(#buckets) or — for PageRank's rank vector — O(#nodes),
 the same honestly-documented broadcast pattern as the k-means
 centroids in ``pipelines/clustering.py`` (at 10^9+ nodes the rank
@@ -21,7 +22,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-from crawler_tjce_ray.pipelines.relational import _read
+from crawler_tjce_ray.pipelines.relational import _nb_rows, _read
 from crawler_tjce_ray.pipelines.textops import _read_docs
 from crawler_tjce_ray.pipelines.webtext import WORD_RE, _explode_words
 
@@ -55,6 +56,7 @@ def _edges_ds_and_nodes(sf_dir: str):
     triangle count all consume the same graph, and the order-bucket
     shuffle is the dominant fixed cost at small scale — exactly the
     'build the graph once' discipline a real pipeline would use."""
+    nb = _nb_rows(sf_dir, 'lineitem')  # row-carrying exchange
     import ray
 
     # a cached Dataset's blocks die with the Ray session, and job ids
@@ -74,7 +76,7 @@ def _edges_ds_and_nodes(sf_dir: str):
 
     def keyed(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["ob"] = df["l_orderkey"].astype("int64") & 63
+        df["ob"] = df["l_orderkey"].astype("int64") & np.int64(nb - 1)
         return df
 
     def edges_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -265,11 +267,12 @@ def q_event_funnel(sf_dir: str):
     so each user's stage history is complete in its bucket → vectorized
     in-bucket stage mins → additive per-bucket counts, driver sums a
     64×3 table.  No per-user dispatch anywhere."""
+    nb = _nb_rows(sf_dir, 'events')  # row-carrying exchange
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
 
     def relevant(df: pd.DataFrame) -> pd.DataFrame:
         df = df.loc[df["event_type"].isin(FUNNEL)].copy()
-        df["ub"] = df["user_id"].astype("int64") & 63
+        df["ub"] = df["user_id"].astype("int64") & np.int64(nb - 1)
         return df
 
     parts = (
@@ -328,11 +331,12 @@ def q_event_transitions(sf_dir: str):
     complete in its bucket) → in-bucket sort + groupby-shift adjacency
     (vectorized) → additive (src, dst, n) partials → driver merge of
     ≤ 64 × |types|² rows and one exact integer division."""
+    nb = _nb_rows(sf_dir, 'events')  # row-carrying exchange
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
 
     def keyed(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["ub"] = df["user_id"].astype("int64") & 63
+        df["ub"] = df["user_id"].astype("int64") & np.int64(nb - 1)
         return df
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -386,11 +390,12 @@ def q_event_trigrams(sf_dir: str):
     driver merge of ≤ 64 × |types|³ rows, deterministic total order
     (n desc, then t1, t2, t3) before the top-k cut so rank-boundary
     ties never diverge from the oracle."""
+    nb = _nb_rows(sf_dir, 'events')  # row-carrying exchange
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
 
     def keyed(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["ub"] = df["user_id"].astype("int64") & 63
+        df["ub"] = df["user_id"].astype("int64") & np.int64(nb - 1)
         return df
 
     def tris_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -449,12 +454,13 @@ def q_timed_funnel(sf_dir: str):
     shuffle, vectorized in-bucket stage mins with the deadline
     predicate, additive 64×3 partials.  Timestamp comparisons are
     exact integer µs, so no float ambiguity exists."""
+    nb = _nb_rows(sf_dir, 'events')  # row-carrying exchange
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
     win = pd.Timedelta(hours=FUNNEL_WINDOW_H)
 
     def relevant(df: pd.DataFrame) -> pd.DataFrame:
         df = df.loc[df["event_type"].isin(FUNNEL)].copy()
-        df["ub"] = df["user_id"].astype("int64") & 63
+        df["ub"] = df["user_id"].astype("int64") & np.int64(nb - 1)
         return df
 
     def stages(g: pd.DataFrame) -> pd.DataFrame:
@@ -532,6 +538,7 @@ def q_edge_reciprocity(sf_dir: str):
     count yields two additive integers per bucket — edge rows may
     repeat across order-buckets upstream, which the in-bucket
     ``drop_duplicates`` absorbs because a pair always lands whole."""
+    nb = _nb_rows(sf_dir, 'lineitem')  # row-carrying exchange
     edges, _ = _edges_ds_and_nodes(sf_dir)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
@@ -552,7 +559,7 @@ def q_edge_reciprocity(sf_dir: str):
         out = pd.DataFrame({
             "pair": pair, "fwd": (src < dst),
         }).drop_duplicates()
-        out["pb"] = ((out["pair"] ^ (out["pair"] >> np.int64(32))) & 63) \
+        out["pb"] = ((out["pair"] ^ (out["pair"] >> np.int64(32))) & np.int64(nb - 1)) \
             .astype("int64")
         return out
 
@@ -611,6 +618,7 @@ def q_time_to_convert(sf_dir: str):
     bounded by #converters, and the shared-pass distributed
     quickselect (``_quickselect_multi``) resolves both ranks in one
     search's streaming passes — the corpus never sorts."""
+    nb = _nb_rows(sf_dir, 'events')  # row-carrying exchange
     import math
 
     from crawler_tjce_ray.pipelines.sketches import (
@@ -621,7 +629,7 @@ def q_time_to_convert(sf_dir: str):
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.loc[df["event_type"].isin(["signup", "purchase"])].copy()
-        df["ub"] = df["user_id"].astype("int64") & 63
+        df["ub"] = df["user_id"].astype("int64") & np.int64(nb - 1)
         return df
 
     def delays(g: pd.DataFrame) -> pd.DataFrame:
@@ -696,6 +704,7 @@ def q_inverted_index(sf_dir: str):
     bucket; the pairs ARE the index content, so this shuffle is the
     irreducible minimum) → in-bucket df + sorted posting-head build,
     per-bucket top-k → driver merge of ≤ 64·k candidate rows."""
+    nb = _nb_rows(sf_dir, 'documents')  # row-carrying exchange
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     md5 = hashlib.md5
 
@@ -709,7 +718,7 @@ def q_inverted_index(sf_dir: str):
             })
         p = ex.drop_duplicates(["doc_id", "w"]).rename(columns={"w": "tok"})
         uw = pd.unique(p["tok"])
-        bmap = {t: int(md5(t.encode()).hexdigest()[:2], 16) & 63 for t in uw}
+        bmap = {t: int(md5(t.encode()).hexdigest()[:4], 16) & (nb - 1) for t in uw}
         return pd.DataFrame({
             "tok": p["tok"],
             "doc_id": p["doc_id"].astype("int64"),
@@ -780,6 +789,7 @@ def q_triangle_count(sf_dir: str):
     (triangle count, Σ d·(d−1)/2).  Wedge volume is the standard
     hub-node hazard; at web scale the orientation would flip to degree
     order (strictly fewer wedges), same two-shuffle shape."""
+    nb = _nb_rows(sf_dir, 'lineitem')  # row-carrying exchange
     edges_ds, _nodes = _edges_ds_and_nodes(sf_dir)
 
     def undirect(df: pd.DataFrame) -> pd.DataFrame:
@@ -789,7 +799,7 @@ def q_triangle_count(sf_dir: str):
         u = np.minimum(s[keep], d[keep])
         v = np.maximum(s[keep], d[keep])
         e = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
-        e["ub"] = e["u"] & 63
+        e["ub"] = e["u"] & np.int64(nb - 1)
         return e
 
     # rows are (t, kb, k, d): (u, v) packs into ONE int64 key (node
@@ -806,7 +816,7 @@ def q_triangle_count(sf_dir: str):
         v = g["v"].to_numpy(np.int64)
         ekey = (u << 32) | v
         edges = pd.DataFrame({
-            "t": np.int64(0), "kb": u & 63, "k": ekey, "d": np.int64(0),
+            "t": np.int64(0), "kb": u & np.int64(nb - 1), "k": ekey, "d": np.int64(0),
         })
         # wedge pairs per u WITHOUT a self-merge: triangular-index
         # expansion over the (u, v)-sorted neighbor slices (the i-th
@@ -839,7 +849,7 @@ def q_triangle_count(sf_dir: str):
             wb = v[base + j]
             wkey = (wa << 32) | wb  # slices sorted by v ⇒ wa < wb
             wedges = pd.DataFrame({
-                "t": np.int64(1), "kb": wa & 63, "k": wkey, "d": np.int64(0),
+                "t": np.int64(1), "kb": wa & np.int64(nb - 1), "k": wkey, "d": np.int64(0),
             })
         else:
             wedges = pd.DataFrame({
@@ -851,7 +861,7 @@ def q_triangle_count(sf_dir: str):
         nodes = pd.Series(np.concatenate([u, v])).value_counts()
         deg = pd.DataFrame({
             "t": np.int64(2),
-            "kb": nodes.index.to_numpy(np.int64) & 63,
+            "kb": nodes.index.to_numpy(np.int64) & np.int64(nb - 1),
             "k": nodes.index.to_numpy(np.int64),
             "d": nodes.to_numpy(np.int64),
         })
@@ -942,6 +952,7 @@ def q_cumulative_users(sf_dir: str):
     new-user counts → driver cumsum over O(#days) rows.  Active days
     with zero new users still appear (per-batch distinct-day partials
     carry them)."""
+    nb = _nb_rows(sf_dir, 'events')  # row-carrying exchange
     ds = _read(sf_dir, "events", ["ts", "user_id"])
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
@@ -950,7 +961,7 @@ def q_cumulative_users(sf_dir: str):
             "user_id": df["user_id"].astype("int64"),
         })
         p = p.groupby("user_id", as_index=False)["day"].min()
-        p["ub"] = p["user_id"] & 63
+        p["ub"] = p["user_id"] & np.int64(nb - 1)
         return p
 
     first_parts = (

@@ -54,22 +54,6 @@ def _const(n: int, v, dtype) -> pa.Array:
     return pa.array(np.full(n, v), type=dtype)
 
 
-def _kb64(key: pa.ChunkedArray) -> pa.ChunkedArray:
-    """key & 63 — the 64-coarse-bucket shuffle key (keys are
-    non-negative, so the AND equals mod 64).
-
-    Use this ONLY for exchanges that carry PARTIALS (bounded per-key
-    aggregates): their bucket payload is O(keys/64) at any corpus
-    size.  Exchanges that carry row-level data (big-big joins,
-    text-carrying hops) must size their fan-out from the input via
-    ``exchange.buckets_for_bytes`` + ``exchange.kb_arrow`` — see
-    q_hash_join_big / q_segment_year_revenue / q_semi_join_vip and
-    dedup.q_dedup_substring_clean for the pattern, and
-    tests/test_exchange_fanout.py for the bucket-count-invariance
-    pins."""
-    return pc.bit_wise_and(key, pa.scalar(63, pa.int64()))
-
-
 # ---------------------------------------------------------------------------
 # A: aggregations (A1-A5) — groupby + global aggregates
 # ---------------------------------------------------------------------------
@@ -479,7 +463,7 @@ def q_topk_per_user(sf_dir: str):
 
     Grouping directly on ``user_id`` dispatches one pandas group per
     user (the tiny-group anti-pattern — a scale-killer at 10⁹ users);
-    instead the shuffle groups on 64 coarse ``user_id % 64`` buckets
+    instead the shuffle groups on coarse size-derived ``user_id`` buckets
     (the same recipe as ``q_asof_join``) and the per-bucket kernel is
     one vectorized sort + ``groupby.head(3)``."""
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
@@ -760,7 +744,7 @@ def q_range_join(sf_dir: str):
     window (key equality + range predicate on the time axis).
 
     Distributed recipe (same skeleton as ``q_asof_join``): tag both
-    sides, ``union``, hash-shuffle ONCE on 64 coarse ``key % 64``
+    sides, ``union``, hash-shuffle ONCE on coarse size-derived key
     buckets; inside a bucket one vectorized ``pd.merge`` on the key
     followed by the window filter + groupby count.  Partitioning
     assumption: one key's order×lineitem pairs fit a group — bounded
@@ -829,7 +813,7 @@ GROUP BY o.o_orderkey ORDER BY o.o_orderkey
 def q_sessionize(sf_dir: str):
     """Sessionization (streaming-shaped §2.9): gap-based session ids
     per user (new session when >30 min since the previous event).
-    One shuffle on 64 coarse ``user_id % 64`` buckets (not per-user —
+    One shuffle on coarse size-derived ``user_id`` buckets (not per-user —
     per-user dispatch is the tiny-group anti-pattern); inside a bucket
     the assignment is one vectorized per-user diff + cumsum."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
@@ -877,7 +861,7 @@ def q_event_dwell(sf_dir: str):
     (LEAD over the user stream; each user's last event drops) — the
     engagement-duration primitive behind bounce/read-time analytics.
     Same bucketing as q_sessionize: ONE shuffle on 64 coarse
-    ``user_id % 64`` buckets, in-bucket vectorized sort + shift.
+    size-derived ``user_id`` buckets, in-bucket vectorized sort + shift.
     Dwell is an exact INTEGER microsecond difference (the timestamps
     carry µs precision; a float seconds column would hash-diverge on
     ns-vs-µs division ulps)."""
@@ -5224,7 +5208,7 @@ def q_ewma_value_per_user(sf_dir: str):
     yₜ = (1−α)·yₜ₋₁ + α·xₜ) — the linear-recurrence *scan* class
     (decayed counters, trend lines) that no associative aggregate
     covers.  Same plan as sessionize: one shuffle onto 64 coarse
-    ``user_id & 63`` buckets, then the per-user scan runs vectorized
+    size-derived ``user_id`` buckets, then the per-user scan runs vectorized
     inside the bucket (pandas' cython ``groupby.ewm``); a user's whole
     stream lives in one bucket, so state never crosses tasks.  The
     oracle expands the recurrence to its closed power form — O(n_u²)

@@ -865,7 +865,10 @@ def q_lorenz_deciles(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from crawler_tjce_ray.pipelines.relational import _kb64, _read
+    from crawler_tjce_ray.pipelines import exchange as _ex
+    from crawler_tjce_ray.pipelines.relational import _nb_rows, _read
+
+    nb = _nb_rows(sf_dir, "orders")  # row-carrying exchange
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
@@ -884,7 +887,7 @@ def q_lorenz_deciles(sf_dir: str):
             .group_by("custkey").aggregate([("spend_c", "sum")])
         key2 = pc.cast(g["custkey"], pa.int64())
         return pa.table({
-            "custkey": key2, "kb": _kb64(key2),
+            "custkey": key2, "kb": _ex.kb_arrow(key2, nb),
             "spend_c": pc.cast(g["spend_c_sum"], pa.int64()),
         })
 

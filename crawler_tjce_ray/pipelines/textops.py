@@ -22,6 +22,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from crawler_tjce_ray.pipelines.relational import _nb_rows
+
 # Both pyarrow.compute and DuckDB use RE2 — identical match semantics
 # keeps the Ray result byte-identical to the oracle.
 WS_TOKEN_RE = r"\S+"
@@ -252,6 +254,7 @@ def q_hapax_rate_by_source(sf_dir: str):
     bucket, so the global count-==-1 test is exact in-bucket) →
     additive per-(bucket, source) vocab/hapax counters; the driver
     folds O(buckets × sources) rows."""
+    nb = _nb_rows(sf_dir, 'documents')  # row-carrying exchange
     ds = _read_docs(sf_dir, ["source", "text"])
 
     def key_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -284,7 +287,7 @@ def q_hapax_rate_by_source(sf_dir: str):
             "source": g["source"].to_numpy(object),
             "c": g["c"].astype("int64"),
         })
-        out["kb"] = out["k1"].to_numpy(np.int64) & 63
+        out["kb"] = out["k1"].to_numpy(np.int64) & np.int64(nb - 1)
         return out
 
     def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:

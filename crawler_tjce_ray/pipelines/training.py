@@ -10,9 +10,10 @@ kernels, per-batch partials before any shuffle, coarse hash buckets
 driver state bounded by O(result) or O(#buckets) — never O(corpus).
 
 Scale notes per query are on the function docstrings; the common
-theme is that the only all-to-all exchanges here are (a) the 256
-uniform md5 buckets of the epoch shuffle and (b) the 64-bucket gram /
-user shuffles, each carrying fixed-width keys rather than text.
+theme is that the only all-to-all exchanges here are (a) the
+uniform md5 range buckets of the epoch shuffle and (b) the
+size-derived gram / user bucket shuffles, each carrying fixed-width
+keys rather than text.
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from crawler_tjce_ray.pipelines.relational import _read
+from crawler_tjce_ray.pipelines.relational import _nb_rows, _read
 from crawler_tjce_ray.pipelines.textops import _read_docs
 from crawler_tjce_ray.pipelines.webtext import WORD_RE, _explode_words
 
@@ -61,15 +62,21 @@ def q_epoch_shuffle(sf_dir: str):
     the payload columns are re-attached later by doc_id, they never
     ride the shuffle."""
     ds = _read_docs(sf_dir, ["doc_id"])
+    # uniform RANGE buckets (prefix order == bucket order), 256 floor,
+    # widening with the corpus so one bucket's (doc_id, key) rows stay
+    # task-sized; nb ≤ 65536, so two hex bytes scale the whole range
+    nb = max(256, _nb_rows(sf_dir, "documents"))
 
     def keyed(df: pd.DataFrame) -> pd.DataFrame:
         skey = _md5_hex(df["doc_id"], EPOCH_SALT)
         return pd.DataFrame({
             "doc_id": df["doc_id"].astype("int64"),
             "skey": skey,
-            # first hex byte: 256 uniform range buckets, and 2-char
-            # hex prefix order == numeric byte order (fixed width)
-            "sb": pd.Series([int(k[:2], 16) for k in skey], dtype="int64"),
+            # first two hex bytes scaled to nb uniform range buckets;
+            # fixed-width hex prefix order == numeric order, so bucket
+            # order == key order at any nb (nb=256 → first byte)
+            "sb": pd.Series([int(k[:4], 16) * nb // 65536 for k in skey],
+                            dtype="int64"),
         })
 
     # consumed twice (count pass + enumerate pass): materialize the
@@ -124,7 +131,7 @@ FROM documents ORDER BY pos
 DUP_N = 8  # words per window — the cross-doc duplication unit
 
 
-def _doc_window_pairs(b) -> pd.DataFrame:
+def _doc_window_pairs(b, nb: int = 64) -> pd.DataFrame:
     """Distinct (doc_id, md5(window)) pairs for every DUP_N-word
     window of every document in the batch.  Windows are formed with
     plain frame-level shifts (vectorized); a window is valid iff the
@@ -153,7 +160,8 @@ def _doc_window_pairs(b) -> pd.DataFrame:
     return pd.DataFrame({
         "doc_id": pairs["doc_id"].astype("int64").to_numpy(),
         "gkey": gkey,
-        "gb": pd.Series([int(k[:2], 16) & 63 for k in gkey], dtype="int64"),
+        "gb": pd.Series([int(k[:4], 16) & (nb - 1) for k in gkey],
+                        dtype="int64"),
     })
 
 
@@ -174,7 +182,10 @@ def q_dup_ngram_docs(sf_dir: str):
     would drop to uint64 and the result would stream to parquet
     instead of the driver; the structure is unchanged."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    pairs = ds.map_batches(_doc_window_pairs, batch_format="pyarrow").materialize()
+    nb = _nb_rows(sf_dir, "documents")  # digest rows ride the exchange
+    pairs = ds.map_batches(
+        lambda b: _doc_window_pairs(b, nb), batch_format="pyarrow"
+    ).materialize()
 
     n_grams = (
         pairs.map_batches(
@@ -262,6 +273,7 @@ def q_bigram_lm(sf_dir: str):
     the c1 marginal finalize in-bucket → per-bucket top-k, driver
     merge of ≤ 64·k candidates.  Global top-k is safe because each
     bucket's counts are final (bucket key depends on w1 only)."""
+    nb = _nb_rows(sf_dir, 'documents')  # row-carrying exchange
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     md5 = hashlib.md5
 
@@ -282,7 +294,8 @@ def q_bigram_lm(sf_dir: str):
         c["c"] = c["c"].astype("int64")
         # md5 once per DISTINCT left word in the batch, not per row
         uw = pd.unique(c["w1"])
-        bmap = {w: int(md5(w.encode()).hexdigest()[:2], 16) & 63 for w in uw}
+        bmap = {w: int(md5(w.encode()).hexdigest()[:4], 16) & (nb - 1)
+                for w in uw}
         c["gb"] = c["w1"].map(bmap).astype("int64")
         return c
 
@@ -343,6 +356,7 @@ def q_retention(sf_dir: str):
     history is complete in its bucket → vectorized next-day detection
     (sort + groupby-shift) emitting per-day additive partials →
     driver sum over O(#days × 64) rows."""
+    nb = _nb_rows(sf_dir, 'events')  # row-carrying exchange
     ds = _read(sf_dir, "events", ["ts", "user_id"])
 
     def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -350,7 +364,7 @@ def q_retention(sf_dir: str):
             "day": df["ts"].dt.normalize(),
             "user_id": df["user_id"].astype("int64"),
         }).drop_duplicates()
-        p["ub"] = p["user_id"] & 63
+        p["ub"] = p["user_id"] & np.int64(nb - 1)
         return p
 
     def bucket_kernel(g: pd.DataFrame) -> pd.DataFrame:
@@ -418,6 +432,7 @@ def q_rolling_unique_users(sf_dir: str):
     rows (+1 at start, −1 past end) → additive per-day diff partials
     → O(#days) driver cumsum.  Raw events never shuffle; nothing is
     ever user × day sized."""
+    nb = _nb_rows(sf_dir, 'events')  # row-carrying exchange
     ds = _read(sf_dir, "events", ["ts", "user_id"])
     w = ROLLING_WINDOW_DAYS
 
@@ -426,7 +441,7 @@ def q_rolling_unique_users(sf_dir: str):
             "day": df["ts"].values.astype("datetime64[D]").astype(np.int64),
             "user_id": df["user_id"].astype("int64"),
         }).drop_duplicates()
-        p["ub"] = p["user_id"] & 63
+        p["ub"] = p["user_id"] & np.int64(nb - 1)
         return p
 
     def diff_partial(g: pd.DataFrame) -> pd.DataFrame:
@@ -509,6 +524,7 @@ def q_bigram_pmi_topk(sf_dir: str):
     (3) PMI = ln((c12/T)/((u1/N)·(u2/N))) evaluated with the same
     expression tree as the oracle, rounded to 6 dp, ranked (pmi desc,
     w1, w2) so rank boundaries never diverge."""
+    nb = _nb_rows(sf_dir, 'documents')  # row-carrying exchange
     from crawler_tjce_ray.pipelines.webtext import _explode_words
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
@@ -531,7 +547,8 @@ def q_bigram_pmi_topk(sf_dir: str):
             .rename(columns={"size": "c"})
         c["c"] = c["c"].astype("int64")
         uw = pd.unique(c["w1"])
-        bmap = {w: int(md5(w.encode()).hexdigest()[:2], 16) & 63 for w in uw}
+        bmap = {w: int(md5(w.encode()).hexdigest()[:4], 16) & (nb - 1)
+                for w in uw}
         c["gb"] = c["w1"].map(bmap).astype("int64")
         return c
 

@@ -24,6 +24,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from crawler_tjce_ray.pipelines.relational import _nb_rows
 from crawler_tjce_ray.pipelines.textops import _read_docs
 
 # ---------------------------------------------------------------------------
@@ -898,13 +899,15 @@ def q_bigram_logprob(sf_dir: str):
     only things that cross back are per-(bucket, doc) partial sums,
     output-sized.  V (corpus distinct-word count) reduces from 64
     per-bucket distinct counts (driver state: 64 ints)."""
+    nb = _nb_rows(sf_dir, 'documents')  # row-carrying exchange
     import hashlib
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     md5 = hashlib.md5
 
     def _bucket_map(words) -> dict:
-        return {w: int(md5(w.encode()).hexdigest()[:2], 16) & 63 for w in words}
+        return {w: int(md5(w.encode()).hexdigest()[:4], 16) & (nb - 1)
+                for w in words}
 
     # pass 1: V from per-batch distinct words, counted per md5 bucket
     def distinct_words(t: pa.Table) -> pd.DataFrame:
@@ -1287,6 +1290,7 @@ def q_curation_pipeline(sf_dir: str):
     the corpus row count but never its text — and every stage
     streams.  Output: per-language doc and token counts of the final
     curated corpus (exact; DuckDB-oracle-checked end-to-end)."""
+    nb = _nb_rows(sf_dir, 'documents')  # row-carrying exchange
     import hashlib
 
     import ray
@@ -1320,7 +1324,7 @@ def q_curation_pipeline(sf_dir: str):
         ).to_numpy(zero_copy_only=False)
         out = pd.DataFrame({
             "kb": pd.Series(
-                [int.from_bytes(d[:8], "big") % 64 for d in digests],
+                [int.from_bytes(d[:8], "big") % nb for d in digests],
                 dtype="int64",
             ),
             "dkey": pd.Series([d.hex() for d in digests], dtype="string"),

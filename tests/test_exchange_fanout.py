@@ -84,6 +84,75 @@ class TestFanoutInvariance:
         monkeypatch.setattr(dedup, "MINHASH_BROADCAST_MAX_DOCS", 0)
         _check(dedup.q_dedup_minhash_lsh, dedup.SQL_DEDUP_MINHASH_LSH, con)
 
+    # ---- round-5 rollout: one representative per converted family ----
+
+    def test_sessionize_events_stream(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.relational import (
+            SQL_SESSIONIZE, q_sessionize,
+        )
+        _check(q_sessionize, SQL_SESSIONIZE, con)
+
+    def test_running_total_orders_window(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.relational import (
+            SQL_RUNNING_TOTAL, q_running_total,
+        )
+        _check(q_running_total, SQL_RUNNING_TOTAL, con)
+
+    def test_left_join_counts(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.relational import (
+            SQL_LEFT_JOIN_COUNTS, q_left_join_counts,
+        )
+        _check(q_left_join_counts, SQL_LEFT_JOIN_COUNTS, con)
+
+    def test_asof_join(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.relational import (
+            SQL_ASOF_JOIN, q_asof_join,
+        )
+        _check(q_asof_join, SQL_ASOF_JOIN, con)
+
+    def test_bloom_anti_join_verify_hop(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.relational import (
+            SQL_BLOOM_ANTI_JOIN, q_bloom_anti_join,
+        )
+        _check(q_bloom_anti_join, SQL_BLOOM_ANTI_JOIN, con)
+
+    def test_dedup_paragraphs_text_hop(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.dedup import (
+            SQL_DEDUP_PARAGRAPHS, q_dedup_paragraphs,
+        )
+        _check(q_dedup_paragraphs, SQL_DEDUP_PARAGRAPHS, con)
+
+    def test_inverted_index_posting_lists(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.graph import (
+            SQL_INVERTED_INDEX, q_inverted_index,
+        )
+        _check(q_inverted_index, SQL_INVERTED_INDEX, con)
+
+    def test_triangle_count_wedges(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.graph import (
+            SQL_TRIANGLE_COUNT, q_triangle_count,
+        )
+        _check(q_triangle_count, SQL_TRIANGLE_COUNT, con)
+
+    def test_epoch_shuffle_range_buckets(self, forced_buckets, con):
+        # range buckets floor at 256: forcing below exercises max()
+        from crawler_tjce_ray.pipelines.training import (
+            SQL_EPOCH_SHUFFLE, q_epoch_shuffle,
+        )
+        _check(q_epoch_shuffle, SQL_EPOCH_SHUFFLE, con)
+
+    def test_bigram_lm_word_buckets(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.training import (
+            SQL_BIGRAM_LM, q_bigram_lm,
+        )
+        _check(q_bigram_lm, SQL_BIGRAM_LM, con)
+
+    def test_dup_rate_by_source_digests(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.dedup import (
+            SQL_DUP_RATE_BY_SOURCE, q_dup_rate_by_source,
+        )
+        _check(q_dup_rate_by_source, SQL_DUP_RATE_BY_SOURCE, con)
+
 
 class TestBucketSizing:
     def test_floor_and_growth(self):
