@@ -251,8 +251,17 @@ def q_ann_lsh_topk(sf_dir: str):
     matrix); each query scores only vectors whose bucket lies within
     Hamming radius ``LSH_HAMMING`` of the query's bucket (cosine
     similarity ⇔ few hyperplane sign disagreements), then the same
-    partial-top-k + shared ``final_topk`` reduce.  Approximate →
-    rows-only; recall vs brute force pinned in
+    partial-top-k + shared ``final_topk`` reduce.
+
+    Oracle-backed (round 5): ``SQL_ANN_LSH_TOPK`` reproduces the EXACT
+    LSH semantics in DuckDB — the fixed-seed hyperplane constants are
+    inlined as literals, the sign-bit code is 8 CASE terms over
+    ``list_dot_product``, and the radius filter is
+    ``bit_count(xor(code, qcode)) <= {LSH_HAMMING}``.  Sign safety:
+    the smallest |projection| across all three pinned corpora is
+    ~1e-5, eight orders above the ~1e-13 summation-order noise between
+    numpy's and DuckDB's dot products, so bucket membership can never
+    diverge.  Recall vs brute force additionally pinned in
     tests/test_dedup_similarity.py."""
     import ray
 
@@ -297,6 +306,51 @@ def q_ann_lsh_topk(sf_dir: str):
         .to_pandas()
     )
     return _finalize(out)
+
+
+def _lsh_oracle_sql(dim: int = 64) -> str:
+    """DuckDB oracle with the engine's exact LSH semantics: the same
+    fixed-seed normalized hyperplanes (inlined as repr'd float64
+    literals — bit-identical constants on both engines), the same
+    sign-bit code, the same Hamming-radius candidate filter, the same
+    (cosine desc, vec_id asc) ranking cut at TOP_K.  ``dim`` is pinned
+    to the corpus embedding width (64 across the testdata tables)."""
+    planes = _hyperplanes(dim)
+    terms = []
+    for i in range(LSH_BITS):
+        vec = ", ".join(repr(float(x)) for x in planes[i])
+        terms.append(
+            f"(CASE WHEN list_dot_product(emb, [{vec}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    code = "\n       + ".join(terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+coded AS (
+  SELECT vec_id, emb,
+         CAST({code} AS BIGINT) AS code
+  FROM e),
+q AS (
+  SELECT vec_id AS query_id, emb AS qemb, code AS qcode
+  FROM coded WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_cosine_similarity(c.emb, q.qemb) AS cos_raw,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(c.emb, q.qemb) DESC, c.vec_id
+         ) AS rank
+  FROM coded c JOIN q
+    ON bit_count(xor(c.code, q.qcode)) <= {LSH_HAMMING})
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+       round(cos_raw, 6) AS cosine
+FROM scored WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+SQL_ANN_LSH_TOPK = _lsh_oracle_sql()
 
 
 def q_hard_negatives(sf_dir: str):
@@ -690,6 +744,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "rrf_fusion": SQL_RRF_FUSION,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "embedding_dim_variance": SQL_EMBEDDING_DIM_VARIANCE,
