@@ -244,6 +244,38 @@ def _media_ds():
     return rd.read_parquet(media_cache_dir())
 
 
+# driver-state ceiling (BASELINE.md table): the q_multimodal_* queries
+# return per-media FEATURE rows (scalars only — payloads never reach
+# the driver), so the driver frame is O(#media).  Past this ceiling
+# the honest path is ds.write_parquet(features_dir) and a downstream
+# aggregate — asserted up front from parquet metadata (O(1)), not
+# discovered after the collect.
+MEDIA_MAX_DRIVER_ROWS = 5_000_000
+
+
+def _assert_media_driver_bound(rows_per_media: int = 1) -> None:
+    """O(1) precheck: #media rows (parquet metadata) × the stage's
+    worst-case output rows per media must fit the documented driver
+    ceiling; raises naming the streaming fallback otherwise."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from crawler_tjce_ray.sources.media import media_cache_dir
+
+    d = media_cache_dir()
+    n = sum(
+        pq.read_metadata(p).num_rows
+        for p in _glob.glob(f"{d}/*.parquet")
+    )
+    if n * rows_per_media > MEDIA_MAX_DRIVER_ROWS:
+        raise ValueError(
+            f"multimodal feature collect: {n} media × {rows_per_media} "
+            f"rows exceeds MEDIA_MAX_DRIVER_ROWS={MEDIA_MAX_DRIVER_ROWS}; "
+            f"write_parquet the feature Dataset and aggregate downstream "
+            f"instead of collecting to the driver")
+
+
 def _stage_concurrency() -> tuple[int, int]:
     """Actor-pool size derived from the cluster, not hard-coded: an
     autoscaling (2, cpus-2) pool — a fixed ``concurrency=2`` ran the
@@ -258,6 +290,7 @@ def _stage_concurrency() -> tuple[int, int]:
 def q_multimodal_image_features(sf_dir: str) -> pd.DataFrame:
     """Actor-pool decode: small batches (binary payloads), pool sized
     to the cluster."""
+    _assert_media_driver_bound()
     out = (
         _media_ds()
         .map_batches(
@@ -270,6 +303,9 @@ def q_multimodal_image_features(sf_dir: str) -> pd.DataFrame:
 
 
 def q_multimodal_frame_sample(sf_dir: str) -> pd.DataFrame:
+    # ≤ 64 sampled-frame stat rows per video (synthetic clips are short;
+    # a longer-clip corpus lowers the media ceiling proportionally)
+    _assert_media_driver_bound(rows_per_media=64)
     out = (
         _media_ds()
         .map_batches(
@@ -283,6 +319,7 @@ def q_multimodal_frame_sample(sf_dir: str) -> pd.DataFrame:
 
 
 def q_multimodal_audio_features(sf_dir: str) -> pd.DataFrame:
+    _assert_media_driver_bound()
     out = (
         _media_ds()
         .map_batches(
@@ -344,6 +381,7 @@ def q_multimodal_video_nn(sf_dir: str) -> pd.DataFrame:
     Rows-only (binary decode isn't SQL-expressible)."""
     import ray
 
+    _assert_media_driver_bound()  # broadcast index is O(#videos × 16 floats)
     emb_ds = (
         _media_ds()
         .map_batches(
@@ -379,6 +417,7 @@ def q_multimodal_video_nn(sf_dir: str) -> pd.DataFrame:
 def q_multimodal_image_resize(sf_dir: str) -> pd.DataFrame:
     """Binary→binary thumbnailing stage end-to-end: resize by 2 and
     report the payload-size reduction per image (rows-only)."""
+    _assert_media_driver_bound()
     out = (
         _media_ds()
         .map_batches(

@@ -34,10 +34,21 @@ class TestCeilingsAsserted:
                            match="dedup_clusters_distributed"):
             dedup._cluster_label_ref(SF)
 
+    def test_multimodal_collect_ceiling(self, monkeypatch):
+        from crawler_tjce_ray.stages import multimodal
+
+        monkeypatch.setattr(multimodal, "MEDIA_MAX_DRIVER_ROWS", 0)
+        with pytest.raises(ValueError, match="write_parquet the feature"):
+            multimodal.q_multimodal_image_features(SF)
+        with pytest.raises(ValueError, match="write_parquet the feature"):
+            multimodal.q_multimodal_frame_sample(SF)
+
     def test_defaults_pass_at_test_scale(self):
         """The real ceilings must NOT fire on the test corpora."""
         from crawler_tjce_ray.pipelines import dedup, graph, sketches
+        from crawler_tjce_ray.stages import multimodal
 
         assert graph.q_pagerank_parts(SF) is not None
         assert sketches._grouped_quantile_select(SF, 0.5)
         assert dedup._cluster_label_ref(SF) is not None
+        multimodal._assert_media_driver_bound(rows_per_media=64)
