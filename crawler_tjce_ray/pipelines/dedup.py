@@ -28,6 +28,8 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from crawler_tjce_ray.pipelines.relational import _nb_rows
 from crawler_tjce_ray.pipelines.textops import normalize_text_series
@@ -536,6 +538,32 @@ _GRAM_P2 = np.uint64((int(_GRAM_P) ** 2) % (1 << 64))
 _EMPTY_TOKEN_HASH = int(pd.util.hash_array(np.array([""], dtype=object))[0])
 
 
+def _tokens_arrow(texts, sep: str | None) -> tuple[np.ndarray, np.ndarray]:
+    """(lens, flat object tokens) for an Arrow string array — the
+    zero-copy sibling of the Python ``t.split(sep)`` loop.  Literal
+    ``sep`` maps 1:1 onto ``pc.split_pattern``; ``sep=None`` maps onto
+    ``utf8_split_whitespace`` minus the leading/trailing empty tokens
+    Arrow keeps but ``str.split()`` drops (interior runs already
+    collapse identically, incl. unicode whitespace; equality pinned in
+    tests/test_dedup_similarity.py)."""
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    if not pa.types.is_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    parts = (pc.split_pattern(arr, sep) if sep is not None
+             else pc.utf8_split_whitespace(arr))
+    lens = pc.list_value_length(parts).fill_null(0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(parts).to_pandas().to_numpy(dtype=object)
+    if sep is None and len(flat):
+        empty = np.array([t == "" for t in flat], dtype=bool)
+        if empty.any():
+            doc_of = np.repeat(np.arange(len(lens)), lens)
+            lens = lens - np.bincount(
+                doc_of[empty], minlength=len(lens)).astype(np.int64)
+            flat = flat[~empty]
+    return lens, flat
+
+
 def batch_gram_hashes(texts, sep: str | None = None) -> list[np.ndarray]:
     """Vectorized 3-gram hashes for a whole batch of documents.
 
@@ -545,9 +573,23 @@ def batch_gram_hashes(texts, sep: str | None = None) -> list[np.ndarray]:
     Python hashing (the md5-per-shingle loop was the minhash hot
     spot).  ``sep=" "`` splits on a LITERAL space — the oracle's
     ``string_split(text,' ')`` semantics — while the default ``None``
-    collapses whitespace runs (simhash keeps the default)."""
-    token_lists = [t.split(sep) for t in texts]
-    total = sum(len(x) for x in token_lists)
+    collapses whitespace runs (simhash keeps the default).
+
+    ``texts`` may be a pyarrow (Chunked)Array — the zero-copy fast
+    path for ``batch_format="pyarrow"`` stages: tokenization runs as
+    one Arrow split kernel instead of a Python ``t.split()`` loop over
+    materialized strs (the r4 ``tokens_flat`` discipline)."""
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        lens, flat = _tokens_arrow(texts, sep)
+    else:
+        token_lists = [t.split(sep) for t in texts]
+        lens = np.array([len(x) for x in token_lists], dtype=np.int64)
+        flat = np.empty(int(lens.sum()), dtype=object)
+        pos = 0
+        for toks in token_lists:
+            flat[pos : pos + len(toks)] = toks
+            pos += len(toks)
+    total = int(lens.sum())
     if total == 0:
         # 0-token docs (sep=None on all-whitespace text) still carry
         # ngram_set's single padded gram — batch composition must
@@ -555,18 +597,13 @@ def batch_gram_hashes(texts, sep: str | None = None) -> list[np.ndarray]:
         acc = 0
         for _ in range(NGRAM):
             acc = (acc * int(_GRAM_P) + _EMPTY_TOKEN_HASH) % (1 << 64)
-        return [np.array([acc], dtype=np.uint64) for _ in token_lists]
-    flat = np.empty(total, dtype=object)
-    pos = 0
-    for toks in token_lists:
-        flat[pos : pos + len(toks)] = toks
-        pos += len(toks)
+        return [np.array([acc], dtype=np.uint64) for _ in range(len(lens))]
     th = pd.util.hash_array(flat)  # uint64, deterministic key
     out: list[np.ndarray] = []
     pos = 0
     p2 = _GRAM_P2
-    for toks in token_lists:
-        n = len(toks)
+    for n in lens:
+        n = int(n)
         h = th[pos : pos + n]
         pos += n
         if n < NGRAM:  # mirror ngram_set's single padded gram
@@ -628,14 +665,15 @@ def _verify_pairs_bucketed(docs, pairs, cand_ids: np.ndarray, tau: float,
         nb = 64
     ids_ref = ray.put(np.sort(np.asarray(cand_ids, dtype=np.int64)))
 
-    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+    def gram_rows(t: pa.Table) -> pd.DataFrame:
         ids = ray.get(ids_ref)
-        keep = np.isin(df["doc_id"].to_numpy(np.int64), ids)
-        sub = df.loc[keep]
-        if sub.empty:
+        doc_all = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(doc_all, ids)
+        if not keep.any():
             return _vempty()
-        ghs = batch_gram_hashes(sub["text"].tolist(), sep=" ")
-        doc = sub["doc_id"].to_numpy(np.int64)
+        sub = t.filter(pa.array(keep))
+        ghs = batch_gram_hashes(sub["text"], sep=" ")
+        doc = sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         reps = np.fromiter((len(g) for g in ghs), dtype=np.int64, count=len(ghs))
         k = np.repeat(doc, reps)
         gk = np.concatenate(ghs).view(np.int64)
@@ -692,7 +730,7 @@ def _verify_pairs_bucketed(docs, pairs, cand_ids: np.ndarray, tau: float,
         })
         return out.loc[out["jaccard"] >= tau]
 
-    cand_grams = docs.map_batches(gram_rows, batch_format="pandas").materialize()
+    cand_grams = docs.map_batches(gram_rows, batch_format="pyarrow").materialize()
     # materialize between the two sort-shuffles: chaining them in one
     # lazy plan ran >2x slower (see the triangle_count note)
     exploded = (
@@ -738,14 +776,16 @@ def q_dedup_minhash_lsh(sf_dir: str):
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def signatures(df: pd.DataFrame) -> pd.DataFrame:
+    def signatures(t: pa.Table) -> pd.DataFrame:
         # fully vectorized: one segment-reduced signature matrix, then
         # a rolling-polynomial band hash over the r rows of every band
         # of every doc at once — zero per-doc/per-band Python.  Band
         # bucket identity only needs equal-rows ⇒ equal-hash (true for
         # the polynomial); a cross-tuple collision merely adds a
-        # candidate that exact verification discards.
-        gram_lists = batch_gram_hashes(df["text"].tolist(), sep=" ")
+        # candidate that exact verification discards.  Arrow batches:
+        # tokenization runs as one Arrow split kernel, never a pandas
+        # text-column materialization (r5 combiner conversion).
+        gram_lists = batch_gram_hashes(t["text"], sep=" ")
         sigs = batch_minhash_signatures(gram_lists)
         n = len(gram_lists)
         r = N_PERM // LSH_BANDS
@@ -757,10 +797,12 @@ def q_dedup_minhash_lsh(sf_dir: str):
         return pd.DataFrame({
             "band": np.tile(np.arange(LSH_BANDS, dtype=np.int64), n),
             "bhash": bh.reshape(-1).view(np.int64),
-            "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), LSH_BANDS),
+            "doc_id": np.repeat(
+                t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                LSH_BANDS),
         })
 
-    banded = docs.map_batches(signatures, batch_format="pandas")
+    banded = docs.map_batches(signatures, batch_format="pyarrow")
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
         """One band's buckets → candidate pairs, fully vectorized: a
@@ -909,12 +951,12 @@ def q_dedup_simhash(sf_dir: str):
     rows-only; kernel pinned in tests/test_dedup.py."""
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def sigs(df: pd.DataFrame) -> pd.DataFrame:
+    def sigs(t: pa.Table) -> pd.DataFrame:
         # fully vectorized: batch signatures + a (docs × bands) shift
         # matrix for the band keys; sim64 keeps ALL 64 bits via an
         # int64 reinterpret (bit 63 must participate in the hamming
-        # distance)
-        gram_lists = batch_gram_hashes(df["text"].tolist())
+        # distance); Arrow batches — split kernel, no pandas text copy
+        gram_lists = batch_gram_hashes(t["text"])
         h = batch_simhash64(gram_lists)
         n = len(h)
         shifts = (np.uint64(16) * np.arange(SIMHASH_BANDS, dtype=np.uint64))
@@ -922,12 +964,13 @@ def q_dedup_simhash(sf_dir: str):
         return pd.DataFrame({
             "band": np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), n),
             "bkey": bkeys.reshape(-1).astype(np.int64),
-            "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64),
-                                SIMHASH_BANDS),
+            "doc_id": np.repeat(
+                t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                SIMHASH_BANDS),
             "sim64": np.repeat(h.view(np.int64), SIMHASH_BANDS),
         })
 
-    banded = docs.map_batches(sigs, batch_format="pandas")
+    banded = docs.map_batches(sigs, batch_format="pyarrow")
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
         """One band (4 groups total): bucket pair-gen via self-merge on
@@ -1570,9 +1613,9 @@ def q_dedup_jaccard_prefix(sf_dir: str):
     # batch instead of an md5 per shingle; digest domain is shared
     # with doc_gram_rows below, which is all consistency the rarity
     # order needs)
-    def cms_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def cms_partial(t: pa.Table) -> pd.DataFrame:
         sk = np.zeros((_CMS_D, _CMS_W), np.int64)
-        for h in batch_gram_hashes(df["text"].tolist(), sep=" "):
+        for h in batch_gram_hashes(t["text"], sep=" "):
             idx = _cms_cells(h)
             for d in range(_CMS_D):
                 np.add.at(sk[d], idx[d], 1)
@@ -1582,7 +1625,7 @@ def q_dedup_jaccard_prefix(sf_dir: str):
     # sketch at a time (a to_pandas() here would concatenate every
     # ~34 MB partial on the driver — linear in corpus size)
     merged = np.zeros((_CMS_D, _CMS_W), np.int64)
-    for b in ds.map_batches(cms_partial, batch_format="pandas") \
+    for b in ds.map_batches(cms_partial, batch_format="pyarrow") \
                .iter_batches(batch_size=None, batch_format="pandas"):
         for blob in b["sk"]:
             merged += np.frombuffer(blob, np.int64).reshape(_CMS_D, _CMS_W)
@@ -1590,11 +1633,12 @@ def q_dedup_jaccard_prefix(sf_dir: str):
 
     # pass 2: gram rows + BATCH-LOCAL prefix selection (docs are
     # batch-local; the broadcast sketch makes the order global)
-    def doc_gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+    def doc_gram_rows(t: pa.Table) -> pd.DataFrame:
         sk = ray.get(sk_ref)
-        ghs = batch_gram_hashes(df["text"].tolist(), sep=" ")
+        ghs = batch_gram_hashes(t["text"], sep=" ")
         ids, gks, sizes, pfx, pos = [], [], [], [], []
-        for i, h in zip(df["doc_id"], ghs):
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for i, h in zip(doc_ids, ghs):
             est = sk[np.arange(_CMS_D)[:, None], _cms_cells(h)].min(axis=0)
             order = np.lexsort((h, est))  # rarity first, digest tie-break
             # exact-integer ⌈τ·s⌉ plus one slack gram (see _alpha_overlap
@@ -1620,7 +1664,7 @@ def q_dedup_jaccard_prefix(sf_dir: str):
         out["gb"] = (out["gkey"] & np.uint64(nb - 1)).astype(np.int64)
         return out
 
-    pairs = ds.map_batches(doc_gram_rows, batch_format="pandas").materialize()
+    pairs = ds.map_batches(doc_gram_rows, batch_format="pyarrow").materialize()
 
     # candidate pairs: docs sharing a prefix gram, size-compatible —
     # the ONLY shuffle, carrying prefix rows only (~half the grams)

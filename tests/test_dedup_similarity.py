@@ -446,3 +446,29 @@ class TestBatchSignatureEquivalence:
         batch = batch_simhash64(gls)
         for i, g in enumerate(gls):
             assert batch[i] == simhash64(g), i
+
+
+def test_batch_gram_hashes_arrow_equals_list_path():
+    """The Arrow fast path of batch_gram_hashes must produce identical
+    grams to the Python str.split path on every split edge case:
+    consecutive/leading/trailing spaces (sep=' '), whitespace runs,
+    unicode whitespace and all-whitespace docs (sep=None)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from crawler_tjce_ray.pipelines.dedup import batch_gram_hashes
+
+    texts = [
+        "a b c d", " a  b ", "", " ", "one",
+        "a\tb\nc d e", "x\xa0y z w", "tab\t tab  three four",
+        "same same same same", "\v\f  ",
+    ]
+    for sep in (" ", None):
+        ref = batch_gram_hashes(texts, sep=sep)
+        arrow = batch_gram_hashes(pa.array(texts, pa.string()), sep=sep)
+        chunked = batch_gram_hashes(
+            pa.chunked_array([texts[:4], texts[4:]], pa.string()), sep=sep)
+        assert len(ref) == len(arrow) == len(chunked)
+        for r, a, c in zip(ref, arrow, chunked):
+            np.testing.assert_array_equal(r, a)
+            np.testing.assert_array_equal(r, c)
