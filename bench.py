@@ -277,8 +277,48 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def embedded_scaling_pair() -> dict:
+    """One fresh-process rep of the GATING 2→8-cpu headline pair,
+    embedded in the default bench JSON so the per-round BENCH_r{N}
+    capture carries the scaling evidence itself (r4 verdict item 6) —
+    the full best-of-3 measurement stays behind ``--scaling``.
+    Best-of-1 is adequate here: both levels sit in the host's flat
+    per-core region where run-to-run spread is ±5% (see
+    main_scaling)."""
+    lo, hi = 2, 8
+    tp: dict[int, float] = {}
+    for cpus in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one-headline",
+             "--scaling-mode"],
+            env=env, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        lines = proc.stdout.strip().splitlines()
+        if proc.returncode != 0 or not lines:
+            return {"error": f"scaling rep failed at {cpus} cpus "
+                             f"(rc={proc.returncode})"}
+        tp[cpus] = json.loads(lines[-1])["headline"]["urls_per_sec"]
+    eff = (tp[hi] / tp[lo]) / (hi / lo)
+    return {
+        "pair": f"{lo}->{hi} cpus (gating, 4x actor ratio)",
+        f"throughput_{lo}cpu_urls_per_sec": tp[lo],
+        f"throughput_{hi}cpu_urls_per_sec": tp[hi],
+        "speedup": round(tp[hi] / tp[lo], 3),
+        "scaling_efficiency": round(eff, 3),
+        "reps_per_level": 1,
+        "note": "fresh processes, same corpus; best-of-3 via --scaling",
+    }
+
+
 def main_once(sf_dir: str, headline_only: bool = False,
               scaling_mode: bool = False) -> dict:
+    # run the embedded scaling pair BEFORE this process initializes its
+    # own Ray session (the children each own a fresh session)
+    scaling = None
+    if not headline_only and not os.environ.get("GRAFT_SKIP_SCALING"):
+        scaling = embedded_scaling_pair()
     num_cpus = _init_ray()
     workdir = f"/tmp/crawler_tjce_bench/cpus{num_cpus}"
     headline = run_headline(workdir, num_cpus, scaling_mode=scaling_mode)
@@ -301,6 +341,8 @@ def main_once(sf_dir: str, headline_only: bool = False,
         "num_cpus": num_cpus,
         "headline": headline,
     }
+    if scaling is not None:
+        out["scaling"] = scaling
     if queries:
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
