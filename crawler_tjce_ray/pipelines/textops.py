@@ -480,18 +480,35 @@ def q_lang_id_confusion(sf_dir: str):
 
     ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
     order = ["en", "es", "fr", "de"]  # deterministic tie-break priority
-    stop_sets = {k: set(v) for k, v in LANG_STOPWORDS.items()}
+    stop_arrs = {k: pa.array(LANG_STOPWORDS[k]) for k in order}
 
-    def predict(df: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for ts in df["text"].str.split(" "):  # oracle-identical split
-            hits = {k: sum(1 for w in ts if w in s) for k, s in stop_sets.items()}
-            best = max(order, key=lambda k: (hits[k], -order.index(k)))
-            preds.append(best if hits[best] > 0 else "unk")
-        return pd.DataFrame({"lang": df["lang"], "lang_pred": preds})
+    def predict(t: pa.Table) -> pa.Table:
+        # Vectorized stopword vote: one token explode, one is_in pass per
+        # language, hits-per-doc via bincount on the explode's parent
+        # indices.  Split on a literal space = the oracle convention.
+        lists = pc.split_pattern(pc.cast(t["text"], pa.large_string()), " ")
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        toks = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        n = len(t)
+        # hits[j, i] = stopword count of lang order[j] in doc i
+        hits = np.stack([
+            np.bincount(
+                parents[pc.is_in(toks, value_set=stop_arrs[k])
+                        .to_numpy(zero_copy_only=False)],
+                minlength=n,
+            )
+            for k in order
+        ])
+        # argmax returns the FIRST max → ties resolve in `order` priority,
+        # exactly the oracle's >= CASE chain; zero hits everywhere → unk.
+        best = hits.argmax(axis=0)
+        pred = np.array(order, dtype=object)[best]
+        pred[hits.max(axis=0) == 0] = "unk"
+        return pa.table({"lang": t["lang"], "lang_pred": pa.array(pred, pa.string())})
 
     out = (
-        ds.map_batches(predict, batch_format="pandas")
+        ds.map_batches(predict, batch_format="pyarrow")
         .groupby(["lang", "lang_pred"])
         .aggregate(Count(alias_name="n"))
         .to_pandas()
