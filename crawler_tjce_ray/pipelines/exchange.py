@@ -100,3 +100,19 @@ def kb_arrow(key: pa.ChunkedArray | pa.Array, nb: int) -> pa.ChunkedArray:
 def kb_numpy(key: np.ndarray, nb: int) -> np.ndarray:
     """Same bucket key for int64 numpy arrays."""
     return key & np.int64(nb - 1)
+
+
+def kb_words(words, nb: int) -> np.ndarray:
+    """Bucket keys for a string key column, vectorized: pandas'
+    process-stable siphash (fixed key — the same cross-process
+    determinism guarantee the paragraph-dedup hop relies on) masked to
+    the power-of-two fan-out.  Any word→bucket FUNCTION co-locates all
+    rows of a key, which is the only property these exchanges need —
+    the forced-16/128 invariance tests pin that the downstream result
+    does not depend on the assignment."""
+    import pandas as pd
+
+    arr = np.asarray(words, dtype=object)
+    if arr.size == 0:
+        return np.empty(0, np.int64)
+    return (pd.util.hash_array(arr) & np.uint64(nb - 1)).astype(np.int64)

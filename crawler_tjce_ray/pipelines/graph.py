@@ -700,13 +700,14 @@ def q_inverted_index(sf_dir: str):
 
     Recipe: per-batch distinct (token, doc_id) pairs — each document
     is one row, so batch-local dedup is globally exact → ONE 64-bucket
-    shuffle on md5(token) (a token's full posting set lands in one
+    shuffle on hash(token) (a token's full posting set lands in one
     bucket; the pairs ARE the index content, so this shuffle is the
     irreducible minimum) → in-bucket df + sorted posting-head build,
     per-bucket top-k → driver merge of ≤ 64·k candidate rows."""
     nb = _nb_rows(sf_dir, 'documents')  # row-carrying exchange
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    md5 = hashlib.md5
+
+    from crawler_tjce_ray.pipelines.exchange import kb_words
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         ex = _explode_words(df)
@@ -717,12 +718,12 @@ def q_inverted_index(sf_dir: str):
                 "tb": pd.Series([], dtype="int64"),
             })
         p = ex.drop_duplicates(["doc_id", "w"]).rename(columns={"w": "tok"})
-        uw = pd.unique(p["tok"])
-        bmap = {t: int(md5(t.encode()).hexdigest()[:4], 16) & (nb - 1) for t in uw}
         return pd.DataFrame({
             "tok": p["tok"],
             "doc_id": p["doc_id"].astype("int64"),
-            "tb": p["tok"].map(bmap).astype("int64"),
+            "tb": pd.Series(
+                kb_words(p["tok"].to_numpy(object), nb), index=p.index
+            ),
         })
 
     def bucket_index(g: pd.DataFrame) -> pd.DataFrame:

@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from crawler_tjce_ray.pipelines import exchange
 from crawler_tjce_ray.pipelines.relational import _nb_rows, _read
 from crawler_tjce_ray.pipelines.textops import _read_docs
 from crawler_tjce_ray.pipelines.webtext import WORD_RE, _explode_words
@@ -268,7 +269,7 @@ def q_bigram_lm(sf_dir: str):
     table is a proper conditional distribution).
 
     Recipe: per-batch partial bigram counts (the combiner — raw word
-    streams never shuffle) → ONE 64-bucket shuffle keyed on md5(w1)
+    streams never shuffle) → ONE coarse-bucket shuffle keyed on hash(w1)
     so every row of a given w1 lands in one bucket and both c12 and
     the c1 marginal finalize in-bucket → per-bucket top-k, driver
     merge of ≤ 64·k candidates.  Global top-k is safe because each
@@ -292,11 +293,7 @@ def q_bigram_lm(sf_dir: str):
         b = pd.DataFrame({"w1": ex["w"][same], "w2": nxt[same]})
         c = b.groupby(["w1", "w2"], as_index=False).size().rename(columns={"size": "c"})
         c["c"] = c["c"].astype("int64")
-        # md5 once per DISTINCT left word in the batch, not per row
-        uw = pd.unique(c["w1"])
-        bmap = {w: int(md5(w.encode()).hexdigest()[:4], 16) & (nb - 1)
-                for w in uw}
-        c["gb"] = c["w1"].map(bmap).astype("int64")
+        c["gb"] = exchange.kb_words(c["w1"].to_numpy(object), nb)
         return c
 
     def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
@@ -546,10 +543,7 @@ def q_bigram_pmi_topk(sf_dir: str):
         c = b.groupby(["w1", "w2"], as_index=False).size() \
             .rename(columns={"size": "c"})
         c["c"] = c["c"].astype("int64")
-        uw = pd.unique(c["w1"])
-        bmap = {w: int(md5(w.encode()).hexdigest()[:4], 16) & (nb - 1)
-                for w in uw}
-        c["gb"] = c["w1"].map(bmap).astype("int64")
+        c["gb"] = exchange.kb_words(c["w1"].to_numpy(object), nb)
         return c
 
     def bucket_final(g: pd.DataFrame) -> pd.DataFrame:

@@ -893,30 +893,25 @@ def q_bigram_logprob(sf_dir: str):
     Scale design: unlike the unigram scorer (whose O(vocab) table can
     broadcast), the bigram table is O(vocab²) and must NEVER land on
     the driver.  Instead the model is built and consumed inside ONE
-    md5(w1)-bucket shuffle: every (doc, w1, w2, k) row of a given w1
+    hash(w1)-bucket shuffle: every (doc, w1, w2, k) row of a given w1
     lands in one bucket, so c12, the c1 marginal, AND each doc's score
     contributions k·ln((c12+1)/(c1+V)) all finalize in-bucket — the
     only things that cross back are per-(bucket, doc) partial sums,
     output-sized.  V (corpus distinct-word count) reduces from 64
     per-bucket distinct counts (driver state: 64 ints)."""
     nb = _nb_rows(sf_dir, 'documents')  # row-carrying exchange
-    import hashlib
+
+    from crawler_tjce_ray.pipelines.exchange import kb_words
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    md5 = hashlib.md5
 
-    def _bucket_map(words) -> dict:
-        return {w: int(md5(w.encode()).hexdigest()[:4], 16) & (nb - 1)
-                for w in words}
-
-    # pass 1: V from per-batch distinct words, counted per md5 bucket
+    # pass 1: V from per-batch distinct words, counted per word bucket
     def distinct_words(t: pa.Table) -> pd.DataFrame:
         ex = _explode_words(t)
         uw = pd.unique(ex["w"])
-        bmap = _bucket_map(uw)
         return pd.DataFrame({
             "w": pd.Series(uw, dtype="object"),
-            "gb": pd.Series([bmap[w] for w in uw], dtype="int64"),
+            "gb": pd.Series(kb_words(uw, nb), dtype="int64"),
         })
 
     vparts = (
@@ -931,7 +926,7 @@ def q_bigram_logprob(sf_dir: str):
     vsize = int(vparts["nv"].sum())
 
     # pass 2: per-batch per-doc bigram-count partials (the combiner —
-    # raw word streams never shuffle), bucketed on md5(w1)
+    # raw word streams never shuffle), bucketed on hash(w1)
     def doc_bigrams(t: pa.Table) -> pd.DataFrame:
         ex = _explode_words(t).reset_index(drop=True)
         nxt = ex["w"].shift(-1)
@@ -952,8 +947,7 @@ def q_bigram_logprob(sf_dir: str):
         c = b.groupby(["doc_id", "w1", "w2"], as_index=False).size() \
              .rename(columns={"size": "k"})
         c["k"] = c["k"].astype("int64")
-        bmap = _bucket_map(pd.unique(c["w1"]))
-        c["gb"] = c["w1"].map(bmap).astype("int64")
+        c["gb"] = kb_words(c["w1"].to_numpy(object), nb)
         c["doc_id"] = c["doc_id"].astype("int64")
         return c
 
