@@ -133,12 +133,16 @@ DUP_N = 8  # words per window — the cross-doc duplication unit
 
 
 def _doc_window_pairs(b, nb: int = 64) -> pd.DataFrame:
-    """Distinct (doc_id, md5(window)) pairs for every DUP_N-word
+    """Distinct (doc_id, hash(window)) pairs for every DUP_N-word
     window of every document in the batch.  Windows are formed with
     plain frame-level shifts (vectorized); a window is valid iff the
     row DUP_N-1 ahead still belongs to the same doc, so no window
     crosses a document boundary.  Dedup happens here, doc-locally —
-    the pairs stay globally distinct however Ray re-blocks them."""
+    the pairs stay globally distinct however Ray re-blocks them.
+    The window digest is one vectorized process-stable siphash pass
+    (8-byte keys on the gram exchange instead of 32-char md5 hex;
+    collisions are the same 64-bit exposure the dedup gram digests
+    carry, documented there)."""
     ex = _explode_words(b)
     if ex.empty:
         return pd.DataFrame({
@@ -156,13 +160,11 @@ def _doc_window_pairs(b, nb: int = 64) -> pd.DataFrame:
         ng = ng + " " + p
     pairs = pd.DataFrame({"doc_id": ex["doc_id"], "ng": ng})[valid.to_numpy()]
     pairs = pairs.drop_duplicates(["doc_id", "ng"])
-    md5 = hashlib.md5
-    gkey = [md5(s.encode()).hexdigest() for s in pairs["ng"].to_numpy()]
+    gkey = pd.util.hash_array(pairs["ng"].to_numpy(object))  # uint64
     return pd.DataFrame({
         "doc_id": pairs["doc_id"].astype("int64").to_numpy(),
-        "gkey": gkey,
-        "gb": pd.Series([int(k[:4], 16) & (nb - 1) for k in gkey],
-                        dtype="int64"),
+        "gkey": gkey.view(np.int64),  # bit-preserving; identity only
+        "gb": (gkey & np.uint64(nb - 1)).astype(np.int64),
     })
 
 
@@ -172,7 +174,7 @@ def q_dup_ngram_docs(sf_dir: str):
     repeated-substring signal Lee et al. cut training data on.  Docs
     with fewer than 8 words have no window and are excluded.
 
-    Recipe: one gram pass builds distinct (doc_id, md5(window))
+    Recipe: one gram pass builds distinct (doc_id, hash(window))
     pairs; the pairs table is materialized ONCE and feeds (a) the
     per-doc window-count partials (no shuffle — pairs are doc-locally
     distinct, so per-batch sizes are additive) and (b) the single
