@@ -1214,31 +1214,53 @@ def q_assoc_rules(sf_dir: str):
 
     Scale shape: the pair counts come from the two-exchange
     ``q_part_cooccurrence`` machinery (pair space never touches the
-    driver); the supports pass then counts distinct orders per part
-    FILTERED to the ≤200 candidate parts broadcast in the closure —
-    plus each bucket's distinct-order tally — so the second pass
-    returns O(candidates + buckets) rows, never O(#parts).  conf and
-    lift are ratios of exact ints, rounded to 6 dp."""
+    driver); the supports pass PRE-COMBINES per batch before its
+    orderkey exchange — each scan batch ships only its distinct
+    orderkeys (sentinel part −1) plus its distinct (orderkey, part)
+    rows filtered to the ≤200 broadcast candidates, so the exchange
+    payload is O(orders + candidate hits), not O(lineitem rows); the
+    in-bucket merge re-dedups across batch partials (orderkeys are
+    disjoint across buckets, so counts add exactly) and returns
+    O(candidates + buckets) rows, never O(#parts).  conf and lift are
+    ratios of exact ints, rounded to 6 dp."""
     nb = _nb_rows(sf_dir, 'lineitem')  # row-carrying exchange
     top = q_part_cooccurrence(sf_dir)
     cand = set(map(int, top["p1"])) | set(map(int, top["p2"]))
+    cand_arr = pa.array(sorted(cand), type=pa.int64())
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
-    def bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("kb", _ex.kb_arrow(t["l_orderkey"], nb))
+    def combine_batch(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["l_orderkey"], pa.int64())
+        part = pc.cast(t["l_partkey"], pa.int64())
+        hits = (
+            pa.table({"l_orderkey": key, "l_partkey": part})
+            .filter(pc.is_in(part, value_set=cand_arr))
+            .group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        )
+        okeys = pc.unique(key)
+        out = pa.concat_tables([
+            hits,
+            pa.table({
+                "l_orderkey": okeys,
+                "l_partkey": _const(len(okeys), -1, pa.int64()),
+            }),
+        ])
+        return out.append_column(
+            "kb", _ex.kb_arrow(out["l_orderkey"], nb))
 
     def support_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
-        s = d[d["l_partkey"].isin(cand)].groupby(
+        s = d[d["l_partkey"] != -1].groupby(
             "l_partkey", as_index=False).agg(s=("l_orderkey", "size"))
         s = s.rename(columns={"l_partkey": "part"})
         n_orders = pd.DataFrame({
-            "part": [-1], "s": [int(d["l_orderkey"].nunique())]})
+            "part": [-1],
+            "s": [int(d.loc[d["l_partkey"] == -1, "l_orderkey"].nunique())]})
         return pd.concat([s, n_orders]).astype({"part": "int64", "s": "int64"})
 
     sup = (
-        ds.map_batches(bucket, batch_format="pyarrow")
+        ds.map_batches(combine_batch, batch_format="pyarrow")
         .groupby("kb")
         .map_groups(support_in_bucket, batch_format="pandas")
         .to_pandas()
@@ -4438,15 +4460,20 @@ def q_bloom_anti_join(sf_dir: str):
         cust.map_batches(tag_blocklist, batch_format="pyarrow")
     )
 
-    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def verify_bucket(g: pd.DataFrame) -> pa.Table:
         blocked = g.loc[g["side"] == 1, "custkey"].to_numpy(np.int64)
         cand = g[g["side"] == 0]
         ok = cand.loc[~np.isin(cand["custkey"].to_numpy(np.int64), blocked)]
         pre = g[g["side"] == 2]
         out = pd.concat(
             [ok[["priority", "n"]], pre[["priority", "n"]]], ignore_index=True
-        )
-        return out.groupby("priority", as_index=False)["n"].sum()
+        ).groupby("priority", as_index=False)["n"].sum()
+        # typed Arrow out-block: an empty bucket otherwise yields an
+        # object-dtype pandas column Ray's size estimator can't measure
+        return pa.table({
+            "priority": pa.array(out["priority"], type=pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64), type=pa.int64()),
+        })
 
     parts = (
         both.groupby("kb").map_groups(verify_bucket, batch_format="pandas")
