@@ -2035,11 +2035,14 @@ def q_region_year_revenue(sf_dir: str):
     SUPPLIER's region and order year — the mixed join strategy
     ``segment_year_revenue`` (two big exchanges) deliberately does not
     use: supplier⋈nation⋈region are broadcast-joined driver-side into
-    one small suppkey→region map (dims are lookup-sized even at 100 TB
-    of facts), lineitem⋈orders rides the ONE unavoidable orderkey
-    exchange, and the region attaches inside the bucket via the
-    broadcast map.  Revenue snaps to integer cents per term (the
-    order-independent discipline)."""
+    one DENSE suppkey→region-id int8 array (dims are lookup-sized even
+    at 100 TB of facts — 5e7 suppliers ≈ 50 MB, one ``ray.put``), so
+    the region attaches in the SCAN via one vectorized ``np.take`` and
+    each lineitem batch PRE-COMBINES to (orderkey, region-id,
+    cents-sum, count) partials before the ONE unavoidable orderkey
+    exchange (int-cent partials commute exactly); region names only
+    reappear on the driver's ≤ regions × years rows.  Revenue snaps to
+    integer cents per term (the order-independent discipline)."""
     nb = _nb_rows(sf_dir, 'orders', 'lineitem')  # row-carrying exchange
     import ray
 
@@ -2048,9 +2051,12 @@ def q_region_year_revenue(sf_dir: str):
     reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
     dims = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey") \
         .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
-    s2r = dict(zip(dims["s_suppkey"].astype("int64"),
-                   dims["r_name"].astype(object)))
-    s2r_ref = ray.put(s2r)
+    rid2name = sorted(dims["r_name"].astype(str).unique())
+    name2rid = {n: i for i, n in enumerate(rid2name)}
+    skeys = dims["s_suppkey"].to_numpy(np.int64)
+    s2rid = np.full(int(skeys.max()) + 1 if len(skeys) else 1, -1, np.int8)
+    s2rid[skeys] = dims["r_name"].astype(str).map(name2rid).to_numpy(np.int8)
+    s2rid_ref = ray.put(s2rid)
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
     line = _read(sf_dir, "lineitem",
@@ -2061,33 +2067,44 @@ def q_region_year_revenue(sf_dir: str):
         return pa.table({
             "key": key, "kb": _ex.kb_arrow(key, nb),
             "year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
-            "suppkey": _const(t.num_rows, None, pa.int64()),
+            "rid": _const(t.num_rows, None, pa.int64()),
             "rev_c": _const(t.num_rows, None, pa.int64()),
+            "n": _const(t.num_rows, None, pa.int64()),
         })
 
     def tag_line(t: pa.Table) -> pa.Table:
+        lookup = ray.get(s2rid_ref)
         key = pc.cast(t["l_orderkey"], pa.int64())
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)
+        rid = np.where(sk < len(lookup), lookup[np.minimum(sk, len(lookup) - 1)], -1)
         rev = pc.multiply(
             t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         cents = pc.cast(pc.floor(pc.add(
             pc.multiply(rev, pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        g = (
+            pa.table({"key": key, "rid": pa.array(rid.astype(np.int64)),
+                      "rev_c": cents})
+            .filter(pa.array(rid >= 0))  # inner-join: drop unmapped supps
+            .group_by(["key", "rid"])
+            .aggregate([("rev_c", "sum"), ("rev_c", "count")])
+        )
+        gkey = pc.cast(g["key"], pa.int64())
         return pa.table({
-            "key": key, "kb": _ex.kb_arrow(key, nb),
-            "year": _const(t.num_rows, None, pa.int64()),
-            "suppkey": pc.cast(t["l_suppkey"], pa.int64()),
-            "rev_c": cents,
+            "key": gkey, "kb": _ex.kb_arrow(gkey, nb),
+            "year": _const(g.num_rows, None, pa.int64()),
+            "rid": pc.cast(g["rid"], pa.int64()),
+            "rev_c": pc.cast(g["rev_c_sum"], pa.int64()),
+            "n": pc.cast(g["rev_c_count"], pa.int64()),
         })
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(s2r_ref)
-        left = g[g["suppkey"].isna()][["key", "year"]]
-        right = g[g["suppkey"].notna()][["key", "suppkey", "rev_c"]]
+        left = g[g["rid"].isna()][["key", "year"]]
+        right = g[g["rid"].notna()][["key", "rid", "rev_c", "n"]]
         j = right.merge(left, on="key", how="inner")
-        j["region"] = j["suppkey"].astype("int64").map(lookup)
-        out = j.groupby(["region", "year"], as_index=False).agg(
-            rev_c=("rev_c", "sum"), n_items=("rev_c", "size"))
-        return out.astype({"year": "int64", "rev_c": "int64",
-                           "n_items": "int64"})
+        out = j.groupby(["rid", "year"], as_index=False).agg(
+            rev_c=("rev_c", "sum"), n_items=("n", "sum"))
+        return out.astype({"rid": "int64", "year": "int64",
+                           "rev_c": "int64", "n_items": "int64"})
 
     parts = (
         orders.map_batches(tag_orders, batch_format="pyarrow")
@@ -2096,10 +2113,11 @@ def q_region_year_revenue(sf_dir: str):
         .map_groups(join_bucket, batch_format="pandas")
         .to_pandas()
     )
-    agg = parts.groupby(["region", "year"], as_index=False).agg(
+    agg = parts.groupby(["rid", "year"], as_index=False).agg(
         rev_c=("rev_c", "sum"), n_items=("n_items", "sum"))
     out = pd.DataFrame({
-        "r_name": agg["region"].astype(object),
+        "r_name": agg["rid"].astype("int64").map(
+            dict(enumerate(rid2name))).astype(object),
         "order_year": agg["year"].astype("int64"),
         "revenue": agg["rev_c"].astype("int64").to_numpy(np.float64) / 100.0,
         "n_items": agg["n_items"].astype("int64"),
