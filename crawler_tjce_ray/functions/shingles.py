@@ -25,13 +25,18 @@ _K1 = "tjce-shingle-k1!"  # 16 bytes, pinned (cross-process identity)
 _K2 = "tjce-shingle-k2!"
 
 
-def shingle_occurrences(texts: pd.Series, n: int = 8) -> pd.DataFrame:
+def shingle_occurrences(
+    texts: pd.Series, n: int = 8, nb: int = 64
+) -> pd.DataFrame:
     """Every n-word window of every text, vectorized: returns one row
     per OCCURRENCE with columns ``row`` (position of the text inside
     the input batch), ``k1``/``k2`` (the two int64 identity halves)
-    and ``kb`` (64-way digest bucket).  Texts shorter than n words
-    contribute nothing.  Callers aggregate: distinct-per-doc, counts
-    per (gram, attribute), etc."""
+    and ``kb`` (``nb``-way digest bucket, ``nb`` a power of two —
+    gram-volume exchanges must size it from input bytes via
+    ``exchange.buckets_for_bytes``; a gram's every occurrence lands in
+    one bucket for ANY nb since kb derives from k1 alone).  Texts
+    shorter than n words contribute nothing.  Callers aggregate:
+    distinct-per-doc, counts per (gram, attribute), etc."""
     toks = texts.str.split(" ")
     lens = toks.str.len().to_numpy(np.int64)
     total = int(lens.sum())
@@ -63,5 +68,5 @@ def shingle_occurrences(texts: pd.Series, n: int = 8) -> pd.DataFrame:
         "row": row[starts],
         "k1": k1,
         "k2": k2,
-        "kb": k1 & np.int64(63),
+        "kb": k1 & np.int64(nb - 1),
     })

@@ -1663,22 +1663,23 @@ def q_ngram_novelty(sf_dir: str):
        (docs are row-atomic, so batch-local distinct is exact);
        additive O(#docs) rows;
     2. first-seen — per-doc distinct (gram-md5, doc_id) rows ride ONE
-       shuffle on 64 digest buckets (a gram's every occurrence lands
-       in one bucket), in-bucket min-doc_id per gram collapses to
-       additive (doc_id, n_first) partials — what returns is bounded
-       by #docs, never by gram volume.
+       shuffle on size-derived digest buckets (a gram's every
+       occurrence lands in one bucket), in-bucket min-doc_id per gram
+       collapses to additive (doc_id, n_first) partials — what returns
+       is bounded by #docs, never by gram volume.
 
     novelty = n_first / n_grams (exact integers; ratio deterministic),
     rounded to 6 dp like every libm-adjacent repo ratio."""
     from crawler_tjce_ray.functions.shingles import shingle_occurrences
 
+    nb = _nb_rows(sf_dir, 'documents')  # gram-volume exchange
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def _doc_keys(df: pd.DataFrame) -> pd.DataFrame:
         """Distinct (doc_id, gram-key) pairs for the batch, from the
         shared vectorized shingle kernel — docs are row-atomic, so
         batch-local dedup is globally exact per doc."""
-        occ = shingle_occurrences(df["text"], _NOV_GRAM)
+        occ = shingle_occurrences(df["text"], _NOV_GRAM, nb)
         if occ.empty:  # typed empty — Ray drops columns of bare empties
             return pd.DataFrame({
                 "k1": pd.Series([], dtype="int64"),
@@ -1760,20 +1761,21 @@ def q_vocab_growth(sf_dir: str):
     size planning.  Reuses the ``ngram_novelty`` machinery: each
     gram's global FIRST doc_id is decided in its digest bucket, and a
     bucket emits one additive 10-bin histogram of first-ids binned by
-    the broadcast cutoffs — the driver folds 64 × 10 ints and takes
-    one cumulative sum."""
+    the broadcast cutoffs — the driver folds buckets × 10 ints and
+    takes one cumulative sum."""
     from crawler_tjce_ray.sources.docs import documents_max_doc_id
 
     mx = documents_max_doc_id(sf_dir)
     cuts = np.array([int(np.ceil((i / 10.0) * mx)) for i in range(1, 11)],
                     dtype=np.int64)
 
+    nb = _nb_rows(sf_dir, 'documents')  # gram-volume exchange
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     from crawler_tjce_ray.functions.shingles import shingle_occurrences
 
     def key_rows(df: pd.DataFrame) -> pd.DataFrame:
-        occ = shingle_occurrences(df["text"], _NOV_GRAM)
+        occ = shingle_occurrences(df["text"], _NOV_GRAM, nb)
         if occ.empty:
             return pd.DataFrame({
                 "k1": pd.Series([], dtype="int64"),

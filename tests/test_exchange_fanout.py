@@ -153,6 +153,30 @@ class TestFanoutInvariance:
         )
         _check(q_dup_rate_by_source, SQL_DUP_RATE_BY_SOURCE, con)
 
+    def test_ngram_novelty_shingle_buckets(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.webtext import (
+            SQL_NGRAM_NOVELTY, q_ngram_novelty,
+        )
+        _check(q_ngram_novelty, SQL_NGRAM_NOVELTY, con)
+
+    def test_vocab_growth_shingle_buckets(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.webtext import (
+            SQL_VOCAB_GROWTH, q_vocab_growth,
+        )
+        _check(q_vocab_growth, SQL_VOCAB_GROWTH, con)
+
+    def test_region_year_revenue_combiner(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.relational import (
+            SQL_REGION_YEAR_REVENUE, q_region_year_revenue,
+        )
+        _check(q_region_year_revenue, SQL_REGION_YEAR_REVENUE, con)
+
+    def test_assoc_rules_support_combiner(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.relational import (
+            SQL_ASSOC_RULES, q_assoc_rules,
+        )
+        _check(q_assoc_rules, SQL_ASSOC_RULES, con)
+
 
 class TestBucketSizing:
     def test_floor_and_growth(self):
