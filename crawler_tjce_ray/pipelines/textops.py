@@ -973,20 +973,22 @@ FROM pack ORDER BY doc_id
 
 TOP_TERMS_K = 3
 
-_VOCAB_BUCKETS = 64
-
-
-def _token_bucket(df: pd.DataFrame, col: str = "token") -> pd.Series:
-    """Deterministic 64-way bucket of a token column.  Vocabulary
-    cardinality grows with the corpus (Heaps' law: 10⁷–10⁸ distinct
-    tokens at 100 TB), and Ray 2.49's sort-based groupby/aggregate
-    degenerates on high-cardinality keys (68 s at 116k keys measured —
-    the part_cooccurrence finding), so vocab-keyed stages ride a
-    coarse hash exchange with exact in-bucket pandas work instead: a
-    token lands in exactly one bucket, so in-bucket sums/dedup/top-k
-    partials are globally exact."""
+def _token_bucket(
+    df: pd.DataFrame, nb: int, col: str = "token"
+) -> pd.Series:
+    """Deterministic ``nb``-way bucket of a token column (``nb`` a
+    power of two, sized from input bytes by the caller — the partials
+    carry token STRINGS, so the exchange payload grows with the
+    corpus).  Vocabulary cardinality grows with the corpus (Heaps'
+    law: 10⁷–10⁸ distinct tokens at 100 TB), and Ray 2.49's sort-based
+    groupby/aggregate degenerates on high-cardinality keys (68 s at
+    116k keys measured — the part_cooccurrence finding), so
+    vocab-keyed stages ride a coarse hash exchange with exact
+    in-bucket pandas work instead: a token lands in exactly one bucket
+    for any nb, so in-bucket sums/dedup/top-k partials are globally
+    exact."""
     h = pd.util.hash_array(df[col].to_numpy(dtype=object))
-    return pd.Series((h % _VOCAB_BUCKETS).astype("int64"), index=df.index)
+    return pd.Series((h % nb).astype("int64"), index=df.index)
 
 
 def q_top_terms_per_lang(sf_dir: str):
@@ -995,11 +997,12 @@ def q_top_terms_per_lang(sf_dir: str):
     the corpus-inspection query a curation run starts from.  Per-block
     partial counts keyed (lang, token) shrink the shuffle to the
     block's DISTINCT vocabulary (not its token stream); one
-    64-way token-hash exchange sums the partials in-bucket (see
+    size-derived token-hash exchange sums the partials in-bucket (see
     ``_token_bucket`` — the key space is the vocabulary, which grows
     with the corpus) and each bucket emits its per-lang top-k partial,
-    so the driver merges ≤ 64·|langs|·k rows no matter the corpus
-    size."""
+    so the driver merges ≤ buckets·|langs|·k rows no matter the
+    corpus size."""
+    nb = _nb_rows(sf_dir, 'documents')  # token strings ride
     ds = _read_docs(sf_dir, ["lang", "text"])
 
     def partial(t: pa.Table) -> pd.DataFrame:
@@ -1035,11 +1038,11 @@ def q_top_terms_per_lang(sf_dir: str):
         return pd.concat(outs, ignore_index=True) if outs else s
 
     # a (lang, token)'s whole count lives in one token bucket, so the
-    # global per-lang top-k is inside the union of the ≤64 bucket-local
-    # per-lang top-k partials; the driver merges ≤ 64·|langs|·k rows
+    # global per-lang top-k is inside the union of the bucket-local
+    # per-lang top-k partials; the driver merges ≤ nb·|langs|·k rows
     parts = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .map_batches(lambda df: df.assign(tb=_token_bucket(df)),
+        .map_batches(lambda df: df.assign(tb=_token_bucket(df, nb)),
                      batch_format="pandas")
         .groupby("tb")
         .map_groups(sum_topk_in_bucket, batch_format="pandas")
@@ -1091,13 +1094,14 @@ def q_vocab_overlap_sources(sf_dir: str):
     that guides dedup thresholds and mixture weights.
 
     Scale shape: per-block DISTINCT (source, token) partials → ONE
-    64-way token-hash exchange (see ``_token_bucket``; the key space
-    is the vocabulary, which grows with the corpus) → in-bucket exact
-    dedup + per-source vocab-size and per-pair common-token partials →
-    the driver merges ≤ 64·|sources|² rows.  The corpus text never
-    rides a shuffle."""
+    size-derived token-hash exchange (see ``_token_bucket``; the key
+    space is the vocabulary, which grows with the corpus) → in-bucket
+    exact dedup + per-source vocab-size and per-pair common-token
+    partials → the driver merges ≤ buckets·|sources|² rows.  The
+    corpus text never rides a shuffle."""
     import itertools
 
+    nb = _nb_rows(sf_dir, 'documents')  # token strings ride
     ds = _read_docs(sf_dir, ["source", "text"])
 
     def distinct_partial(t: pa.Table) -> pd.DataFrame:
@@ -1143,10 +1147,10 @@ def q_vocab_overlap_sources(sf_dir: str):
 
     # ONE token-hash exchange (see _token_bucket): a token's rows all
     # land in one bucket, so in-bucket dedup is globally exact and the
-    # driver merges ≤ 64·|S|² partial rows
+    # driver merges ≤ nb·|S|² partial rows
     parts = (
         ds.map_batches(distinct_partial, batch_format="pyarrow")
-        .map_batches(lambda df: df.assign(tb=_token_bucket(df)),
+        .map_batches(lambda df: df.assign(tb=_token_bucket(df, nb)),
                      batch_format="pandas")
         .groupby("tb")
         .map_groups(bucket_stats, batch_format="pandas")

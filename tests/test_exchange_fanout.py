@@ -153,6 +153,18 @@ class TestFanoutInvariance:
         )
         _check(q_dup_rate_by_source, SQL_DUP_RATE_BY_SOURCE, con)
 
+    def test_top_terms_token_buckets(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.textops import (
+            SQL_TOP_TERMS_PER_LANG, q_top_terms_per_lang,
+        )
+        _check(q_top_terms_per_lang, SQL_TOP_TERMS_PER_LANG, con)
+
+    def test_vocab_overlap_token_buckets(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.textops import (
+            SQL_VOCAB_OVERLAP_SOURCES, q_vocab_overlap_sources,
+        )
+        _check(q_vocab_overlap_sources, SQL_VOCAB_OVERLAP_SOURCES, con)
+
     def test_ngram_novelty_shingle_buckets(self, forced_buckets, con):
         from crawler_tjce_ray.pipelines.webtext import (
             SQL_NGRAM_NOVELTY, q_ngram_novelty,
