@@ -186,15 +186,14 @@ def _verify_pairs(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-_N_BUCKETS = 64  # coarse shuffle fan-out; same recipe as part_cooccurrence
-
-
-def _hash_bucket(s: pd.Series) -> pd.Series:
-    """Deterministic 64-way bucket of a string column (pandas
+def _hash_bucket(s: pd.Series, nb: int) -> pd.Series:
+    """Deterministic ``nb``-way bucket of a string column (pandas
     hash_array uses a fixed hash key, so buckets are stable across
-    processes/rounds)."""
+    processes/rounds).  ``nb`` is size-derived by the caller — names,
+    deletion keys and candidate pairs all grow with the corpus, so
+    these exchanges are row-carrying."""
     h = pd.util.hash_array(s.to_numpy(dtype=object))
-    return pd.Series((h % _N_BUCKETS).astype("int64"), index=s.index)
+    return pd.Series((h % nb).astype("int64"), index=s.index)
 
 
 def _pairs_in_key_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -213,13 +212,17 @@ def q_fuzzy_name_pairs(sf_dir: str):
     distance 1 (deletion-neighborhood blocked self-join; see module
     doc for the 10⁹-name plan).
 
-    Every shuffle here is a coarse 64-bucket hash exchange with exact
-    in-bucket pandas work — names, deletion keys and candidate pairs
+    Every shuffle here is a coarse size-derived hash exchange with
+    exact in-bucket pandas work — names, deletion keys and candidate pairs
     all have cardinality that grows with the data, and Ray 2.49's
     sort-based groupby degenerates on high-cardinality keys (measured
     68 s for 116k keys at sf0.01; the part_cooccurrence recipe).  A
     name / key / pair lands in exactly one bucket, so in-bucket dedup
     and pairing are globally exact."""
+    from crawler_tjce_ray.pipelines import exchange
+
+    nb_fan = exchange.buckets_for_bytes(
+        exchange.table_bytes(sf_dir, "customer"))
     names = (
         _read_names(sf_dir)
         .map_batches(
@@ -227,7 +230,7 @@ def q_fuzzy_name_pairs(sf_dir: str):
             batch_format="pandas",
         )
         .map_batches(
-            lambda df: df.assign(nb=_hash_bucket(df["name"])),
+            lambda df: df.assign(nb=_hash_bucket(df["name"], nb_fan)),
             batch_format="pandas",
         )
         .groupby("nb")
@@ -239,7 +242,7 @@ def q_fuzzy_name_pairs(sf_dir: str):
     candidates = (
         names.map_batches(_deletion_keys, batch_format="pandas")
         .map_batches(
-            lambda df: df.assign(kb=_hash_bucket(df["key"])),
+            lambda df: df.assign(kb=_hash_bucket(df["key"], nb_fan)),
             batch_format="pandas",
         )
         .groupby("kb")
@@ -252,7 +255,7 @@ def q_fuzzy_name_pairs(sf_dir: str):
         candidates.map_batches(
             lambda df: df.assign(
                 pb=_hash_bucket(df["name_a"].astype(object) + "\x00"
-                                + df["name_b"].astype(object))
+                                + df["name_b"].astype(object), nb_fan)
             ),
             batch_format="pandas",
         )

@@ -153,6 +153,12 @@ class TestFanoutInvariance:
         )
         _check(q_dup_rate_by_source, SQL_DUP_RATE_BY_SOURCE, con)
 
+    def test_fuzzy_name_pairs_buckets(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.fuzzy import (
+            SQL_FUZZY_NAME_PAIRS, q_fuzzy_name_pairs,
+        )
+        _check(q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS, con)
+
     def test_top_terms_token_buckets(self, forced_buckets, con):
         from crawler_tjce_ray.pipelines.textops import (
             SQL_TOP_TERMS_PER_LANG, q_top_terms_per_lang,
