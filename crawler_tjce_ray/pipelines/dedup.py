@@ -774,6 +774,18 @@ def q_dedup_minhash_lsh(sf_dir: str):
     import ray
     import ray.data as rd
 
+    from crawler_tjce_ray.pipelines import exchange
+
+    # banding exchange fan-out: signature rows are corpus-scale
+    # (LSH_BANDS rows/doc), so the per-band groups sub-bucket on the
+    # band hash's low bits.  The SIZE-DERIVED value is the TOTAL group
+    # budget (same per-task-payload discipline as every kb exchange);
+    # splitting it across the bands keeps the small-corpus group count
+    # near the band count (sub-bucketing only widens when the data
+    # does — at the 64 floor this is 2 sub-buckets/band)
+    nb_band = exchange.band_subbuckets(
+        exchange.buckets_for_bytes(
+            exchange.table_bytes(sf_dir, "documents")), LSH_BANDS)
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
     def signatures(t: pa.Table) -> pd.DataFrame:
@@ -794,9 +806,16 @@ def q_dedup_minhash_lsh(sf_dir: str):
         with np.errstate(over="ignore"):  # wraparound IS the hash
             for k in range(1, r):
                 bh = bh * _GRAM_P + bands3[:, :, k]
+        bh64 = bh.reshape(-1).view(np.int64)
+        band_idx = np.tile(np.arange(LSH_BANDS, dtype=np.int64), n)
         return pd.DataFrame({
-            "band": np.tile(np.arange(LSH_BANDS, dtype=np.int64), n),
-            "bhash": bh.reshape(-1).view(np.int64),
+            # composite exchange key: (band, low bhash bits) — equal
+            # band hashes always co-locate, but one group holds
+            # corpus/(bands·nb_band) signature rows instead of the
+            # whole corpus's slice for that band index
+            "bb": band_idx * np.int64(nb_band)
+            + (bh64 & np.int64(nb_band - 1)),
+            "bhash": bh64,
             "doc_id": np.repeat(
                 t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
                 LSH_BANDS),
@@ -805,12 +824,13 @@ def q_dedup_minhash_lsh(sf_dir: str):
     banded = docs.map_batches(signatures, batch_format="pyarrow")
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """One band's buckets → candidate pairs, fully vectorized: a
-        self-merge on the band hash (bucket sizes are tiny by the
-        s-curve, so the join is near-linear).  Grouping on ``band``
-        gives exactly 32 groups — grouping on (band, bhash) would make
-        ~|corpus|×b one-row groups, and per-group dispatch would dwarf
-        the work."""
+        """One (band, sub-bucket)'s buckets → candidate pairs, fully
+        vectorized: a self-merge on the band hash (bucket sizes are
+        tiny by the s-curve, so the join is near-linear).  Grouping on
+        bare (band, bhash) would make ~|corpus|×b one-row groups and
+        per-group dispatch would dwarf the work; the coarse composite
+        key keeps groups chunky while still co-locating every copy of
+        a band hash."""
         m = g[["bhash", "doc_id"]].drop_duplicates()
         j = m.merge(m, on="bhash", suffixes=("_a", "_b"))
         j = j[j["doc_id_a"] < j["doc_id_b"]]
@@ -821,7 +841,7 @@ def q_dedup_minhash_lsh(sf_dir: str):
     # materialize the (small) pair table once: the id scan below and
     # the tier that follows both consume it — without this the whole
     # signature+banding plan would execute twice
-    cands = banded.groupby("band").map_groups(
+    cands = banded.groupby("bb").map_groups(
         band_pairs, batch_format="pandas"
     ).materialize()
 
@@ -949,6 +969,15 @@ def q_dedup_simhash(sf_dir: str):
     pigeonhole guarantees every qualifying pair shares ≥1 band, so the
     only shuffle is the per-band ``groupby`` on 16-bit keys.  Non-SQL →
     rows-only; kernel pinned in tests/test_dedup.py."""
+    from crawler_tjce_ray.pipelines import exchange
+
+    # signature rows are corpus-scale (SIMHASH_BANDS rows/doc): the
+    # per-band groups sub-bucket on the 16-bit band key's low bits
+    # (equal keys always co-locate); the size-derived value is the
+    # TOTAL group budget, split across the bands
+    nb_band = exchange.band_subbuckets(
+        exchange.buckets_for_bytes(
+            exchange.table_bytes(sf_dir, "documents")), SIMHASH_BANDS)
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
     def sigs(t: pa.Table) -> pd.DataFrame:
@@ -961,9 +990,12 @@ def q_dedup_simhash(sf_dir: str):
         n = len(h)
         shifts = (np.uint64(16) * np.arange(SIMHASH_BANDS, dtype=np.uint64))
         bkeys = ((h[:, None] >> shifts[None, :]) & np.uint64(0xFFFF))
+        bk64 = bkeys.reshape(-1).astype(np.int64)
+        band_idx = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), n)
         return pd.DataFrame({
-            "band": np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), n),
-            "bkey": bkeys.reshape(-1).astype(np.int64),
+            "bb": band_idx * np.int64(nb_band)
+            + (bk64 & np.int64(nb_band - 1)),
+            "bkey": bk64,
             "doc_id": np.repeat(
                 t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
                 SIMHASH_BANDS),
@@ -973,8 +1005,8 @@ def q_dedup_simhash(sf_dir: str):
     banded = docs.map_batches(sigs, batch_format="pyarrow")
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """One band (4 groups total): bucket pair-gen via self-merge on
-        the 16-bit band key; hamming distance computed vectorized
+        """One (band, sub-bucket) group: bucket pair-gen via self-merge
+        on the 16-bit band key; hamming distance computed vectorized
         (XOR → byte view → unpackbits popcount)."""
         m = g[["bkey", "doc_id", "sim64"]].drop_duplicates("doc_id")
         j = m.merge(m, on="bkey", suffixes=("_a", "_b"))
@@ -996,7 +1028,7 @@ def q_dedup_simhash(sf_dir: str):
         })
 
     out = (
-        banded.groupby("band")
+        banded.groupby("bb")
         .map_groups(band_pairs, batch_format="pandas")
         .to_pandas()
     )

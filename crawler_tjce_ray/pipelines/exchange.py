@@ -91,6 +91,19 @@ def table_bytes(sf_dir: str, *tables: str) -> int | None:
     return total if found else None
 
 
+def band_subbuckets(total_buckets: int | None, n_bands: int) -> int:
+    """Per-band sub-bucket count for LSH-style banding exchanges: the
+    size-derived TOTAL group budget (``buckets_for_bytes``) split
+    across the bands, floored at 1 and rounded to a power of two so
+    the ``& (nb-1)`` key stays an exact mod.  At the 64-bucket floor a
+    32-band scheme gets 2 sub-buckets/band (near-zero overhead vs
+    band-only grouping); the fan-out only widens when the data
+    does."""
+    if not total_buckets:
+        return 1
+    return _next_pow2(max(1, total_buckets // max(1, n_bands)))
+
+
 def kb_arrow(key: pa.ChunkedArray | pa.Array, nb: int) -> pa.ChunkedArray:
     """key & (nb-1) as a pyarrow kernel — exact mod for non-negative
     keys and power-of-two nb."""

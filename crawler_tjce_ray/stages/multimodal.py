@@ -483,12 +483,15 @@ class ImagePHashStage:
         })
 
 
-def phash_dedup_pairs(media_ds) -> pd.DataFrame:
+def phash_dedup_pairs(media_ds, nb_band: int = 1) -> pd.DataFrame:
     """Near-dup image pairs (hamming ≤ ``PHASH_MAX_HAMMING``) from any
     media Dataset — the multimodal sibling of ``dedup.q_dedup_simhash``:
     an actor-pool hash stage, then ``PHASH_BANDS``×16-bit band blocking
     (only (band key, id, hash) rows shuffle, never payloads) with
-    vectorized XOR-popcount verification in-bucket."""
+    vectorized XOR-popcount verification in-bucket.  Hash rows are
+    corpus-scale, so each band's group sub-buckets on the band key's
+    low bits — callers size ``nb_band`` from the media corpus bytes
+    (equal keys co-locate for any power-of-two value)."""
     hashed = media_ds.map_batches(
         ImagePHashStage, batch_format="pyarrow", batch_size=32,
         concurrency=_stage_concurrency(),
@@ -500,7 +503,8 @@ def phash_dedup_pairs(media_ds) -> pd.DataFrame:
         for band in range(PHASH_BANDS):
             bkey = ((ph >> np.uint64(16 * band)) & np.uint64(0xFFFF))
             rows.append(pd.DataFrame({
-                "band": np.int64(band),
+                "bb": np.int64(band) * np.int64(nb_band)
+                + (bkey.astype(np.int64) & np.int64(nb_band - 1)),
                 "bkey": bkey.astype(np.int64),
                 "media_id": df["media_id"].astype("int64"),
                 "ph64": ph.view(np.int64),
@@ -531,7 +535,7 @@ def phash_dedup_pairs(media_ds) -> pd.DataFrame:
 
     out = (
         hashed.map_batches(banded, batch_format="pandas")
-        .groupby("band")
+        .groupby("bb")
         .map_groups(band_pairs, batch_format="pandas")
         .to_pandas()
     )
@@ -551,7 +555,20 @@ def q_multimodal_phash_dedup(sf_dir: str) -> pd.DataFrame:
     """Image near-dup detection over the media corpus (rows-only;
     behavior pinned with planted near-identical images in
     tests/test_multimodal.py)."""
-    return phash_dedup_pairs(_media_ds())
+    import os
+
+    from crawler_tjce_ray.pipelines import exchange
+    from crawler_tjce_ray.sources.media import media_cache_dir
+
+    d = media_cache_dir()
+    nbytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(d) for f in fs
+    )
+    return phash_dedup_pairs(
+        _media_ds(),
+        nb_band=exchange.band_subbuckets(
+            exchange.buckets_for_bytes(nbytes or None), PHASH_BANDS))
 
 
 QUERIES = {

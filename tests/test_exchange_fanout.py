@@ -153,6 +153,24 @@ class TestFanoutInvariance:
         )
         _check(q_dup_rate_by_source, SQL_DUP_RATE_BY_SOURCE, con)
 
+    def test_minhash_banding_subbuckets(self, forced_buckets, con):
+        from crawler_tjce_ray.pipelines.dedup import (
+            SQL_DEDUP_MINHASH_LSH, q_dedup_minhash_lsh,
+        )
+        _check(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH, con)
+
+    def test_simhash_banding_subbuckets(self, forced_buckets):
+        # rows-only query: invariance = identical output at the
+        # default fan-out (the pairs and their canonical order cannot
+        # depend on the banding sub-bucket assignment)
+        from crawler_tjce_ray.pipelines import exchange
+        from crawler_tjce_ray.pipelines.dedup import q_dedup_simhash
+
+        forced = q_dedup_simhash(SF)
+        exchange.set_forced_buckets(None)
+        base = q_dedup_simhash(SF)
+        pd.testing.assert_frame_equal(forced, base)
+
     def test_fuzzy_name_pairs_buckets(self, forced_buckets, con):
         from crawler_tjce_ray.pipelines.fuzzy import (
             SQL_FUZZY_NAME_PAIRS, q_fuzzy_name_pairs,
