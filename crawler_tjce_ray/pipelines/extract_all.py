@@ -87,13 +87,30 @@ def assign_global_ordem(records_ds, descending_pages: bool = False):
     """
     # consumed twice (stats pass + rewrite pass): materialize the
     # extraction output once, or the whole read+DSR-decode re-executes
-    from ray.data.aggregate import Count, Min
-
     records_ds = records_ds.materialize()
+
+    # per-batch (url, n, min_ordem) partials fold on the driver —
+    # counts add and mins re-min across batch fragments of one page,
+    # so the full record stream never rides a sort exchange (a native
+    # groupby("url") would shuffle every record by a string key just
+    # to produce these O(#pages) rows)
+    def page_partials(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"url": t["url"], "ordem": t["ordem"]})
+            .group_by("url")
+            .aggregate([("ordem", "count"), ("ordem", "min")])
+        )
+        return pa.table({
+            "url": g["url"],
+            "n": pc.cast(g["ordem_count"], pa.int64()),
+            "min_ordem": pc.cast(g["ordem_min"], pa.int64()),
+        })
+
     stats = (
-        records_ds.groupby("url")
-        .aggregate(Count(alias_name="n"), Min(on="ordem", alias_name="min_ordem"))
+        records_ds.map_batches(page_partials, batch_format="pyarrow")
         .to_pandas()
+        .groupby("url", as_index=False)
+        .agg(n=("n", "sum"), min_ordem=("min_ordem", "min"))
     )
     stats["key"] = stats["url"].map(crawl_order_key)
     stats = stats.sort_values("key", ascending=not descending_pages, kind="mergesort")
@@ -108,18 +125,18 @@ def assign_global_ordem(records_ds, descending_pages: bool = False):
     # the offset add is robust to either convention and to batching
     def add_offset_grouped(batch: pa.Table) -> pa.Table:
         import numpy as np
+        import pandas as pd
 
-        urls = batch["url"].to_pylist()
+        urls = batch["url"].to_numpy(zero_copy_only=False)
         ordem = batch["ordem"].to_numpy(zero_copy_only=False).astype("int64")
-        out = np.empty(len(urls), dtype="int64")
-        i = 0
-        while i < len(urls):
-            j = i
-            while j < len(urls) and urls[j] == urls[i]:
-                j += 1
-            off, mo = offsets[urls[i]]
-            out[i:j] = off + (ordem[i:j] - mo) + 1
-            i = j
+        # factorize → per-PAGE dict lookups, per-ROW numpy gathers (no
+        # Python loop over rows; pages ≪ rows per batch)
+        codes, uniq = pd.factorize(urls)
+        offs = np.fromiter(
+            (offsets[u][0] for u in uniq), np.int64, count=len(uniq))
+        mos = np.fromiter(
+            (offsets[u][1] for u in uniq), np.int64, count=len(uniq))
+        out = offs[codes] + (ordem - mos[codes]) + 1
         return batch.set_column(
             batch.schema.get_field_index("ordem"), "ordem", pa.array(out, pa.int64())
         )
