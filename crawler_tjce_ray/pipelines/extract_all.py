@@ -72,6 +72,12 @@ def extract_records(pages_path: str, kind: str = "precatorios",
     return ds.map_batches(extractor, batch_format="pyarrow", batch_size=batch_size)
 
 
+# driver-state ceiling (BASELINE.md table): the resequencer's
+# url→(offset, min_ordem) map is ~200 B/page driver-resident — ~1 GB
+# at 5M pages; past it the prefix sum must shard (see the assert)
+RESEQ_MAX_DRIVER_PAGES = 5_000_000
+
+
 def assign_global_ordem(records_ds, descending_pages: bool = False):
     """M7 — overwrite ``ordem`` with a global 1-based sequence in crawl
     order (reference: crawler/crawler.py:1056-1057 with the counter
@@ -112,6 +118,14 @@ def assign_global_ordem(records_ds, descending_pages: bool = False):
         .groupby("url", as_index=False)
         .agg(n=("n", "sum"), min_ordem=("min_ordem", "min"))
     )
+    if len(stats) > RESEQ_MAX_DRIVER_PAGES:
+        raise ValueError(
+            f"assign_global_ordem: {len(stats)} pages exceed "
+            f"RESEQ_MAX_DRIVER_PAGES={RESEQ_MAX_DRIVER_PAGES}; shard the "
+            "prefix sum: bucket pages by crawl-order range, fold only the "
+            "per-bucket row totals on the driver (O(buckets)), and rebase "
+            "each bucket's pages in-bucket against its broadcast base "
+            "offset")
     stats["key"] = stats["url"].map(crawl_order_key)
     stats = stats.sort_values("key", ascending=not descending_pages, kind="mergesort")
     offsets: dict[str, tuple[int, int]] = {}

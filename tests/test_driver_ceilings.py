@@ -34,6 +34,17 @@ class TestCeilingsAsserted:
                            match="dedup_clusters_distributed"):
             dedup._cluster_label_ref(SF)
 
+    def test_resequencer_page_ceiling(self, monkeypatch):
+        from crawler_tjce_ray.pipelines import extract_all
+        from crawler_tjce_ray.sources.pages import corpus_cache_dir
+
+        monkeypatch.setattr(extract_all, "RESEQ_MAX_DRIVER_PAGES", 1)
+        pages = corpus_cache_dir(
+            n_entities=8, total_pages=40, rows_per_page=50, seed=42)
+        ds = extract_all.extract_records(pages, "precatorios")
+        with pytest.raises(ValueError, match="shard the\n?\\s*prefix sum"):
+            extract_all.assign_global_ordem(ds)
+
     def test_multimodal_collect_ceiling(self, monkeypatch):
         from crawler_tjce_ray.stages import multimodal
 
