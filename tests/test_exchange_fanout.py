@@ -229,6 +229,19 @@ class TestBucketSizing:
             exchange.set_forced_buckets(48)
         exchange.set_forced_buckets(None)
 
+    def test_band_subbuckets(self):
+        # total budget split across bands, floored at 1, power of two
+        assert exchange.band_subbuckets(None, 32) == 1
+        assert exchange.band_subbuckets(0, 32) == 1
+        assert exchange.band_subbuckets(16, 32) == 1    # forced-16 case
+        assert exchange.band_subbuckets(64, 32) == 2    # test-scale floor
+        assert exchange.band_subbuckets(128, 32) == 4
+        assert exchange.band_subbuckets(65536, 32) == 2048  # 100 TB cap
+        assert exchange.band_subbuckets(64, 4) == 16    # pHash bands
+        # non-pow2 band counts still yield a pow2 sub-bucket mask
+        n = exchange.band_subbuckets(64, 3)
+        assert n & (n - 1) == 0
+
     def test_table_bytes(self):
         b = exchange.table_bytes(SF, "orders", "lineitem")
         assert b and b > 0
