@@ -3852,7 +3852,7 @@ def q_segment_year_revenue(sf_dir: str):
             "side": _const(n, 1, pa.int8()),
         })
 
-    def join_orderkey(g: pd.DataFrame) -> pd.DataFrame:
+    def join_orderkey(g: pd.DataFrame) -> pa.Table:
         left = g[g["side"] == 0][["key", "custkey", "year"]]
         right = g[g["side"] == 1][["key", "rev_c"]].copy()
         # the lineitem partial reuses the year slot for its count
@@ -3860,9 +3860,15 @@ def q_segment_year_revenue(sf_dir: str):
         j = right.merge(left, on="key", how="inner")
         out = j.groupby(["custkey", "year"], as_index=False).agg(
             rev_c=("rev_c", "sum"), n_items=("n", "sum"))
-        out["kb2"] = exchange.kb_numpy(
-            out["custkey"].to_numpy(np.int64), nb2)
-        return out
+        ck = out["custkey"].to_numpy(np.int64)
+        # typed Arrow out-block (empty buckets emit schemaless frames)
+        return pa.table({
+            "custkey": pa.array(ck),
+            "year": pa.array(out["year"].to_numpy(np.int64)),
+            "rev_c": pa.array(out["rev_c"].to_numpy(np.int64)),
+            "n_items": pa.array(out["n_items"].to_numpy(np.int64)),
+            "kb2": pa.array(exchange.kb_numpy(ck, nb2)),
+        })
 
     hop1 = (
         orders.map_batches(tag_orders, batch_format="pyarrow")
@@ -3892,12 +3898,20 @@ def q_segment_year_revenue(sf_dir: str):
             "segment": _const(t.num_rows, None, pa.string()),
         })
 
-    def join_custkey(g: pd.DataFrame) -> pd.DataFrame:
+    def join_custkey(g: pd.DataFrame) -> pa.Table:
         facts = g[g["segment"].isna()][["custkey", "year", "rev_c", "n_items"]]
         dims = g[g["segment"].notna()][["custkey", "segment"]]
         j = facts.merge(dims, on="custkey", how="inner")
-        return j.groupby(["segment", "year"], as_index=False).agg(
+        out = j.groupby(["segment", "year"], as_index=False).agg(
             rev_c=("rev_c", "sum"), n_items=("n_items", "sum"))
+        # typed Arrow out-block: an empty bucket otherwise emits a
+        # schemaless frame (executor schema-mismatch warnings)
+        return pa.table({
+            "segment": pa.array(out["segment"], type=pa.string()),
+            "year": pa.array(out["year"].to_numpy(np.int64)),
+            "rev_c": pa.array(out["rev_c"].to_numpy(np.int64)),
+            "n_items": pa.array(out["n_items"].to_numpy(np.int64)),
+        })
 
     parts = (
         hop1.map_batches(tag_hop1, batch_format="pyarrow")
