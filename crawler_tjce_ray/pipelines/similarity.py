@@ -12,7 +12,7 @@ Scale design (100 TB / 10⁹ vectors):
   the corpus.
 - IVF: deterministic centroids, partition assignment inside
   ``map_batches``, per-(query, probed-centroid) candidate search; the
-  recall/cost trade is pinned in tests/test_similarity.py vs brute
+  recall/cost trade is pinned in tests/test_dedup_similarity.py vs brute
   force.
 """
 
@@ -174,8 +174,11 @@ def q_ann_ivf_topk(sf_dir: str):
     inside ``map_batches`` (one matmul per batch vs the broadcast
     centroid matrix), keep only vectors in each query's ``nprobe``
     nearest cells, then the same partial-top-k + per-query reduce as
-    the brute-force path.  Approximate → no SQL oracle (rows-only);
-    recall vs brute force is asserted in tests/test_similarity.py."""
+    the brute-force path.  Oracle-backed (round 5):
+    ``SQL_ANN_IVF_TOPK`` emulates the IVF semantics exactly (strided
+    centroids, argmax-cosine cells, ``N_PROBE`` probes, same ranking);
+    recall vs brute force is additionally asserted in
+    tests/test_dedup_similarity.py."""
     import ray
 
     qids, qmat = _query_matrix(sf_dir)
@@ -351,6 +354,64 @@ ORDER BY query_id, rank
 
 
 SQL_ANN_LSH_TOPK = _lsh_oracle_sql()
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB oracle with the engine's exact IVF semantics (round 5,
+    the ``_lsh_oracle_sql`` pattern): the same strided deterministic
+    centroid sample (``vec_id % step = 0``, normalized), the same
+    argmax-cosine cell assignment (tie → lowest centroid id, matching
+    ``np.argmax``'s first-max rule), the same ``N_PROBE`` nearest
+    cells per query, and the same (cosine desc, vec_id asc) ranking
+    cut at TOP_K.  Sign safety: the smallest cell-assignment margin
+    and probe-boundary gap across the three pinned corpora are >1e-8
+    (pinned by
+    tests/test_dedup_similarity.py::TestIvfOracleMargins), five-plus
+    orders above the ~1e-13 summation-order noise between numpy's
+    and DuckDB's dot products, so cell membership and the probe set
+    can never diverge."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+meta AS (SELECT greatest(1, count(*) // {N_CENTROIDS}) AS step FROM e),
+cents AS (
+  SELECT CAST(vec_id // step AS BIGINT) AS cid,
+         list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS c
+  FROM e, meta WHERE vec_id % step = 0 AND vec_id // step < {N_CENTROIDS}),
+cells AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT e.vec_id, e.emb, cents.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.emb, cents.c) DESC, cents.cid
+           ) AS rk
+    FROM e CROSS JOIN cents) WHERE rk = 1),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e
+      WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, cents.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qemb, cents.c) DESC, cents.cid
+           ) AS rk
+    FROM q CROSS JOIN cents) WHERE rk <= {N_PROBE}),
+scored AS (
+  SELECT p.query_id, cells.vec_id,
+         list_cosine_similarity(cells.emb, q.qemb) AS cos_raw,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY list_cosine_similarity(cells.emb, q.qemb) DESC,
+                    cells.vec_id
+         ) AS rank
+  FROM cells JOIN probes p ON cells.cid = p.cid
+             JOIN q ON q.query_id = p.query_id)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+       round(cos_raw, 6) AS cosine
+FROM scored WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+SQL_ANN_IVF_TOPK = _ivf_oracle_sql()
 
 
 def q_hard_negatives(sf_dir: str):
@@ -744,6 +805,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "rrf_fusion": SQL_RRF_FUSION,
     "hard_negatives": SQL_HARD_NEGATIVES,

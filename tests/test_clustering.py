@@ -199,3 +199,96 @@ class TestSemDedup:
         # a copy and its original land in the same cluster
         for i in range(6):
             assert out.loc[i, "cluster_id"] == out.loc[24 + i, "cluster_id"]
+
+
+class TestLloydsSqlOracle:
+    """Float-safety evidence for the generated Lloyd's SQL oracles
+    (SQL_KMEANS_EMBEDDINGS / SQL_SEMDEDUP): the oracle emulates the
+    algorithm exactly, so the only way the two engines can diverge is
+    a float comparison whose margin is below the ~1e-13
+    summation-order noise between numpy's blocked sums and DuckDB's
+    sequential aggregates.  This pins every such margin >= 1e-8
+    across all three pinned corpora (measured worst case: one sf0.1
+    vector with an 8.1e-7 assignment margin — still five orders above
+    the noise; every other margin is >= 1e-4)."""
+
+    SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+           "/root/testdata/sf0.1"]
+    NOISE_FLOOR = 1e-8
+
+    @staticmethod
+    def _norm_mat(sf_dir):
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["embedding"])
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(
+            np.float64)
+        return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def test_assignment_margins_every_iteration(self):
+        """Gap between best and second-best centroid dot for EVERY
+        vector at EVERY Lloyd's iteration (plus the final assignment
+        pass) stays far above float noise — cluster membership cannot
+        flip between engines."""
+        for sf in self.SFS:
+            mat = self._norm_mat(sf)
+            cents = _init_centroids(sf, KMEANS_K)
+            worst = np.inf
+            for _ in range(KMEANS_ITERS + 1):  # +1 = final assignment
+                sims = np.sort(mat @ cents.T, axis=1)
+                worst = min(worst, float((sims[:, -1] - sims[:, -2]).min()))
+                cell = (mat @ cents.T).argmax(axis=1)
+                nxt = cents.copy()
+                for c in range(KMEANS_K):
+                    m = cell == c
+                    if m.any():
+                        s = mat[m].sum(axis=0)
+                        n = np.linalg.norm(s)
+                        if n > 0:
+                            nxt[c] = s / n
+                cents = nxt
+            assert worst > self.NOISE_FLOOR, (sf, worst)
+
+    def test_semdedup_tau_gap_and_round_boundaries(self):
+        """No in-cluster pair's cosine sits at the τ=0.95 keep/drop
+        boundary, and no rounded float output sits at a 6-dp rounding
+        boundary, on any pinned corpus."""
+        from crawler_tjce_ray.pipelines.clustering import SEMDEDUP_TAU
+
+        for sf in self.SFS:
+            mat = self._norm_mat(sf)
+            cents, _, _ = _local_lloyds(sf, KMEANS_K, KMEANS_ITERS)
+            cell = (mat @ cents.T).argmax(axis=1)
+            tau_gap = np.inf
+            round_gap = np.inf
+            for c in np.unique(cell):
+                sub = mat[cell == c]
+                if len(sub) < 2:
+                    continue
+                sims = sub @ sub.T
+                off = sims[~np.eye(len(sub), dtype=bool)]
+                tau_gap = min(tau_gap, float(np.abs(off - SEMDEDUP_TAU).min()))
+                mx = np.copy(sims)
+                np.fill_diagonal(mx, -np.inf)
+                v = mx.max(axis=1) * 1e6
+                round_gap = min(
+                    round_gap,
+                    float(np.abs(v - np.floor(v) - 0.5).min()))
+            assert tau_gap > self.NOISE_FLOOR, (sf, tau_gap)
+            # 6-dp boundary distance in units of 1e-6 of the value:
+            # 1e-5 here = 1e-11 absolute, ~100x the per-dot noise
+            # (measured worst case 8.8e-5 at sf0.01)
+            assert round_gap > 1e-5, (sf, round_gap)
+
+    def test_kmeans_inertia_round_boundary(self):
+        """Per-cluster final-pass inertia is not at a 6-dp rounding
+        boundary on any pinned corpus (round(x, 6) agrees between
+        engines despite ~1e-12 absolute summation noise)."""
+        for sf in self.SFS:
+            mat = self._norm_mat(sf)
+            cents, _, _ = _local_lloyds(sf, KMEANS_K, KMEANS_ITERS)
+            sims = mat @ cents.T
+            cell = sims.argmax(axis=1)
+            best = sims[np.arange(len(mat)), cell]
+            for c in np.unique(cell):
+                x = float((1.0 - best[cell == c]).sum()) * 1e6
+                assert abs(x - np.floor(x) - 0.5) > 1e-3, (sf, c, x)

@@ -472,3 +472,36 @@ def test_batch_gram_hashes_arrow_equals_list_path():
         for r, a, c in zip(ref, arrow, chunked):
             np.testing.assert_array_equal(r, a)
             np.testing.assert_array_equal(r, c)
+
+
+class TestIvfOracleMargins:
+    """Float-safety evidence for SQL_ANN_IVF_TOPK (the generated IVF
+    oracle): cell assignment and probe selection are argmax/top-N_PROBE
+    over cosines computed independently by numpy and DuckDB, so the
+    margins at those decision boundaries must sit far above the
+    ~1e-13 dot-product summation noise on every pinned corpus."""
+
+    SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+           "/root/testdata/sf0.1"]
+    NOISE_FLOOR = 1e-8
+
+    def test_cell_and_probe_margins(self):
+        import pyarrow.parquet as pq
+
+        from crawler_tjce_ray.pipelines.similarity import (
+            N_PROBE, N_QUERIES, _centroids,
+        )
+
+        for sf in self.SFS:
+            t = pq.read_table(f"{sf}/embeddings.parquet",
+                              columns=["vec_id", "embedding"]).to_pandas()
+            t = t.sort_values("vec_id")
+            mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            cents = _centroids(sf)
+            sims = np.sort(mat @ cents.T, axis=1)
+            cell_margin = float((sims[:, -1] - sims[:, -2]).min())
+            assert cell_margin > self.NOISE_FLOOR, (sf, cell_margin)
+            qs = np.sort(mat[:N_QUERIES] @ cents.T, axis=1)[:, ::-1]
+            probe_gap = float((qs[:, N_PROBE - 1] - qs[:, N_PROBE]).min())
+            assert probe_gap > self.NOISE_FLOOR, (sf, probe_gap)
