@@ -212,13 +212,21 @@ _DRIVER_WINDOW_FRONT = [
     "lang_purity_by_source", "char_class_profile",
     "lang_entropy_by_source", "zipf_slope", "vocab_growth",
     "lorenz_deciles",
-    # never-checked rows-only (9; oracle conversions upgrade in place)
+    # never-checked rows-only (9; oracle conversions upgrade in
+    # place — round 5 converted kmeans_embeddings and semdedup to
+    # exact unrolled-Lloyd's oracles, so their slots are now strict)
     "kmeans_embeddings", "semdedup", "cms_heavy_hitters",
     "approx_value_quantiles", "ann_lsh_topk", "bpe_train",
     "bpe_token_count", "multimodal_image_resize",
     "multimodal_phash_dedup",
-    # fan-out-rollout regression re-checks (10, all previously green)
-    "sessionize", "running_total", "order_gap_days", "rolling_avg3",
+    # newly oracle-backed this round and never strict-checked
+    # externally (takes the slot of rolling_avg3, which shares
+    # _bucketed_orders_window with the running_total and
+    # order_gap_days re-checks below — one representative of that
+    # shell is enough)
+    "ann_ivf_topk",
+    # fan-out-rollout regression re-checks (9, all previously green)
+    "sessionize", "running_total", "order_gap_days",
     "left_join_counts", "asof_join", "range_join", "inverted_index",
     "triangle_count", "bloom_anti_join",
 ]
