@@ -292,3 +292,54 @@ class TestLloydsSqlOracle:
             for c in np.unique(cell):
                 x = float((1.0 - best[cell == c]).sum()) * 1e6
                 assert abs(x - np.floor(x) - 0.5) > 1e-3, (sf, c, x)
+
+    def test_sql_oracle_toy_corpus_empty_clusters_and_ties(
+        self, ray_session, tmp_path
+    ):
+        """Edges the pinned corpora never hit, pinned cross-engine on
+        an exact-arithmetic toy corpus (one-hot vectors — every dot is
+        exactly 0 or 1 on both engines, so even argmax TIES resolve
+        identically by the shared lowest-cid rule): 14 copies of e0
+        and 2 of e1 with k=8 strided init makes centroids c1..c6 EMPTY
+        after the first assignment (all e0 vectors tie onto c0), so
+        the previous-centroid carry must fire identically in numpy and
+        in the SQL LEFT JOIN + CASE."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        from crawler_tjce_ray.pipelines import clustering as cl
+
+        dim = 4
+        vecs = [[1.0, 0.0, 0.0, 0.0]] * 14 + [[0.0, 1.0, 0.0, 0.0]] * 2
+        t = pa.table({
+            "vec_id": pa.array(range(16), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * 16, pa.int32()),
+        })
+        pq_.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+        eng_k = cl.q_kmeans_embeddings(str(tmp_path)).reset_index(drop=True)
+        eng_s = cl.q_semdedup(str(tmp_path)).reset_index(drop=True)
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{tmp_path}/embeddings.parquet'")
+        ora_k = con.sql(cl._kmeans_oracle_sql(dim=dim)).df()
+        ora_s = con.sql(cl._semdedup_oracle_sql(dim=dim)).df()
+
+        # exact content expectations first (not just parity): every e0
+        # vector lands on c0, both e1 vectors on the vec_id=14 centroid
+        # (cid 7), all other clusters are empty and absent, inertia is
+        # exactly 0.0
+        assert eng_k.to_dict("list") == {
+            "cluster_id": [0, 7], "size": [14, 2], "inertia": [0.0, 0.0]}
+        assert bool(eng_s["keep"].iloc[0]) and not eng_s["keep"].iloc[1:14].any()
+        assert bool(eng_s.loc[14, "keep"]) and not bool(eng_s.loc[15, "keep"])
+        assert (eng_s["max_intra_cosine"] == 1.0).all()
+
+        pd.testing.assert_frame_equal(
+            eng_k, ora_k[eng_k.columns], check_dtype=False)
+        pd.testing.assert_frame_equal(
+            eng_s, ora_s[eng_s.columns], check_dtype=False)

@@ -1,5 +1,9 @@
 """Close-out: strict driver-style compare of ALL oracle-backed queries
-at sf0.01 (sorted columns, raw string equality — the driver's hash)."""
+(sorted columns, raw string equality — the driver's hash).
+
+Usage: python tools/full_sweep.py [sf_dir]   (default /root/testdata/sf0.01)
+Results land in /tmp/full_sweep.json (keyed by the sf dir's basename when
+a non-default dir is given)."""
 import json
 import sys
 import time
@@ -10,13 +14,16 @@ import duckdb
 import pandas as pd
 import ray
 
-ray.init(address="local", num_cpus=16, include_dashboard=False, logging_level="ERROR")
+import os
+ray.init(address="local",
+         num_cpus=int(os.environ.get("GRAFT_SWEEP_CPUS", "16")),
+         include_dashboard=False, logging_level="ERROR")
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
 
 import __ray_entry__ as E
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
@@ -56,5 +63,7 @@ for name in qs:
         print(f"{name}: ERROR {type(ex).__name__}: {ex}", flush=True)
 
 print(f"\n=== {n_ok} strict green, {len(fails)} failing: {fails} ===")
-json.dump({"ok": n_ok, "fails": fails}, open("/tmp/full_sweep.json", "w"))
+out = ("/tmp/full_sweep.json" if SF_DIR.endswith("sf0.01")
+       else f"/tmp/full_sweep_{SF_DIR.rstrip('/').rsplit('/', 1)[-1]}.json")
+json.dump({"sf_dir": SF_DIR, "ok": n_ok, "fails": fails}, open(out, "w"))
 ray.shutdown()
