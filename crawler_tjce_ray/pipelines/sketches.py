@@ -20,6 +20,26 @@ import pyarrow as pa
 
 QUANTILES = [0.5, 0.9, 0.99]
 
+
+def _col_f64(t: pa.Table, col: str) -> np.ndarray:
+    """Float64 view of an Arrow column (nulls → NaN) — zero-copy when
+    the block is one null-free float64 chunk, one cast otherwise."""
+    return t[col].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+
+
+def _group_codes(t: pa.Table, col: str) -> tuple[list, np.ndarray]:
+    """(keys, codes) dictionary encoding of a group column — the
+    vectorized per-batch replacement for ``df.groupby(col)``.  Null
+    keys get code -1 so callers can exclude them (pandas drops the
+    NaN group; Arrow's own group_by would keep it)."""
+    arr = t[col].combine_chunks()
+    da = arr.dictionary_encode()
+    idx = da.indices
+    if idx.null_count:
+        import pyarrow.compute as pc
+        idx = pc.fill_null(idx, -1)
+    return da.dictionary.to_pylist(), idx.to_numpy().astype(np.int64, copy=False)
+
 HLL_P = 12
 HLL_M = 1 << HLL_P
 
@@ -328,19 +348,19 @@ def q_value_histogram(sf_dir: str):
     _, mn, mx = _select_base_stats(ds, _derive_value)
     w = (mx - mn) / HIST_BINS
 
-    def hist(df: pd.DataFrame) -> pd.DataFrame:
-        v = df["value"].to_numpy(np.float64)
+    def hist(t: pa.Table) -> pa.Table:
+        v = _derive_value(t)
         v = v[~np.isnan(v)]
         b = np.minimum(
             np.floor((v - mn) / w), HIST_BINS - 1
         ).astype(np.int64)
         c = np.bincount(b, minlength=HIST_BINS)
-        return pd.DataFrame({
+        return pa.table({
             "bin": np.arange(HIST_BINS, dtype=np.int64),
             "c": c.astype(np.int64),
         })
 
-    parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
     agg = parts.groupby("bin")["c"].sum()
     agg = agg[agg > 0]  # SQL GROUP BY emits no empty bins
     bins = agg.index.to_numpy(dtype=np.int64)
